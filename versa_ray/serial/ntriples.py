@@ -1,0 +1,100 @@
+"""NTriples codec (reference semantics: /root/reference/tools/py/serial/ntriples.py).
+
+Parsing is regex-per-line (vectorizable over a text batch); rdf:type
+maps to the Versa type rel; ``only_rel`` / ``exclude_rel`` pre-filter
+predicates and ``disjoint`` performs an anti-join against an existing
+link set at parse time.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..core import I, RDF_TYPE_REL, VERSA_BASEIRI, VTYPE_REL, RDF_NS, RDFS_NS
+from ..model.micro import MicroModel
+
+__all__ = ["parse", "write", "write_string", "parse_links"]
+
+NT_LINE_PAT = re.compile(
+    r'^((<([^>]+)>)|(_:\w+))\s+<([^>]+)>\s+((<([^>]+)>)|"([^"]*)"|(_:\w+))\s+\.\s*'
+)
+
+RESOURCE_MAPPING = {
+    I(VERSA_BASEIRI + "Resource"): I(RDFS_NS + "Class"),
+    I(VERSA_BASEIRI + "Property"): I(RDF_NS + "Property"),
+    I(VERSA_BASEIRI + "description"): I(RDFS_NS + "comment"),
+    I(VERSA_BASEIRI + "label"): I(RDFS_NS + "label"),
+}
+
+
+def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
+    """Yield (origin, rel, target, attrs) links from NTriples text.
+
+    Pure generator form used by both the MicroModel API and the
+    Dataset batch parser."""
+    exclude_rel = set(exclude_rel or ())
+    only_rel = set(only_rel or ())
+    disjoint = disjoint or set()
+    if only_rel:
+        only_rel = set(only_rel)
+        only_rel.add(VTYPE_REL)
+    seen = set()
+
+    lines = nt.splitlines() if isinstance(nt, str) else nt
+    for line in lines:
+        m = NT_LINE_PAT.match(line.strip())
+        if not m:
+            continue
+        _, s, s_iri, s_blank, p_iri, o, _, o_iri, o_str, o_blank = m.groups()
+        if o_blank or s_blank:
+            raise NotImplementedError("Blank nodes not yet implemented")
+        if p_iri == RDF_TYPE_REL:
+            p_iri = VTYPE_REL
+        p_iri = I(p_iri)
+        if only_rel:
+            if p_iri not in only_rel:
+                continue
+        elif p_iri in exclude_rel:
+            continue
+        target = I(o_iri) if o_iri else o_str
+        parts = (I(s_iri), p_iri, target, ())
+        if parts in seen or parts in disjoint:
+            continue
+        seen.add(parts)
+        yield (I(s_iri), p_iri, target, {})
+
+
+def parse(nt, model: MicroModel | None = None, only_rel=None, exclude_rel=None, disjoint=None):
+    model = model if model is not None else MicroModel()
+    for link in parse_links(nt, only_rel=only_rel, exclude_rel=exclude_rel, disjoint=disjoint):
+        model.add(*link)
+    return model
+
+
+def _strconv(item):
+    if isinstance(item, I):
+        return "<" + str(item) + ">"
+    return '"' + str(item) + '"'
+
+
+def write(models, out=None, base=None):
+    assert out is not None
+    if not isinstance(models, list):
+        models = [models]
+    for m in models:
+        for s, p, o, a in m.match():
+            if s == (base or "") + "@docheader":
+                continue
+            p = RESOURCE_MAPPING.get(p, p)
+            o = RESOURCE_MAPPING.get(o, o)
+            if p == VTYPE_REL:
+                p = RDF_TYPE_REL
+            print(_strconv(s), _strconv(p), _strconv(o), ".", file=out)
+
+
+def write_string(models) -> str:
+    import io
+
+    buf = io.StringIO()
+    write(models, buf)
+    return buf.getvalue()
