@@ -262,3 +262,88 @@ def test_basics_5_musicbrainz_and_id_anchor():
     assert len(list(vutil.all_origins(modout, only_types={MB("Artist")}))) == 2
     # The hash-stable materialized-ID anchor from the reference suite
     assert [l[0] for l in modout.match(None, MB("remark"), "test")] == [I("i5GvPVm7ClA")]
+
+
+INPUT_GRAPH_1 = '''\
+# @docheader
+
+* @iri:
+    * @base: http://example.org/records/
+    * @schema: https://schema.org/
+
+# black-star [MusicAlbum]
+
+* name: Mos Def & Talib Kweli Are Black Star
+* byArtist: <md>
+* byArtist: <tk>
+* inLanguage: en
+
+# train [MusicAlbum]
+
+* name: Train of Thought
+* byArtist: <tk>
+* byArtist: <ht>
+* inLanguage: en
+
+# md [Person]
+
+* alternateName: Mos Def
+* name: Yasiin Bey
+* birthDate: 1973-12-11
+
+# tk [Person]
+
+* alternateName: Talib Kweli
+* name: Talib Kweli Greene
+* birthDate: 1975-10-03
+
+# ht [Person]
+
+* alternateName: Hi-Tek
+* name: Tony Cottrell
+* birthDate: 1976-05-05
+'''
+
+
+def test_copy_filtering():
+    """Graph trimming via COPY (reference test_pipeline_filtering.py:74-103)."""
+    from versa_ray.pipeline import COPY, contains, if_
+
+    DOC = I("http://example.org/records/")
+    modin = literate.parse(INPUT_GRAPH_1)
+    FINGERPRINT_RULES = {
+        SCH("MusicAlbum"): if_(
+            contains(follow(SCH("byArtist")), DOC("md")), materialize(COPY())
+        ),
+        SCH("Person"): materialize(COPY()),
+    }
+    ppl = generic_pipeline(FINGERPRINT_RULES, {}, {})
+    modout = ppl.run(input_model=modin)
+    assert len(modout) == 17
+    assert len(list(vutil.all_origins(modout, only_types={SCH("MusicAlbum")}))) == 1
+    assert len(list(vutil.all_origins(modout, only_types={SCH("Person")}))) == 3
+
+
+def test_new_entity_hook_fires_twice():
+    """Hook extras (reference test_pipeline_context_extras.py:44-95)."""
+    from versa_ray.pipeline import DUMMY_CONTEXT
+
+    modin = literate.parse(CATCHER)
+    FINGERPRINT_RULES = {
+        SCH("Book"): materialize(BF("Instance"), fprint=[(BF("isbn"), follow(SCH("isbn")))])
+    }
+    TRANSFORM_RULES = {
+        SCH("name"): link(rel=BF("name")),
+        SCH("author"): _author_materialize(),
+    }
+    modout = MicroModel()
+
+    def new_entity_hook(eid):
+        modout.add(eid, "http://example.org/materializedBy", "py.test")
+
+    root_ctx = DUMMY_CONTEXT.copy(
+        output_model=modout, extras={"@new-entity-hook": new_entity_hook}
+    )
+    ppl = generic_pipeline(FINGERPRINT_RULES, TRANSFORM_RULES, LABELIZE_RULES, root_ctx=root_ctx)
+    ppl.run(input_model=modin, output_model=modout)
+    assert len(list(modout.match(None, "http://example.org/materializedBy", None))) == 2
