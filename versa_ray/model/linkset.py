@@ -1,0 +1,316 @@
+"""Distributed link-set operators over ray.data.Dataset.
+
+The linkset is a Dataset of canonical link rows (core.canon.LINK_SCHEMA
+plus optional lineage columns). Each reference model/driver verb maps
+to a vectorized Dataset transform:
+
+    match/multimatch  -> map_batches mask filter (pyarrow.compute)
+    add_many/update   -> from_arrow / union (+ dedup shuffle)
+    uniquify/add-dedup-> distinct_links: local pre-dedup + groupby(qkey)
+    all_origins       -> unique / type-filtered semi-join
+    canonical repr    -> global sort by quad key
+    replace_values    -> broadcast-map rewrite in map_batches
+
+Design notes for 100 TB scale: every filter is a zero-copy Arrow mask;
+dedup pre-collapses per batch before the shuffle (combiner pattern);
+the shuffle key is a 64-bit row hash (pandas hash_pandas_object — a
+vectorized, process-stable hash), with true-quad comparison inside
+each group so hash collisions can never merge distinct quads.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import EMPTY_ATTRS, VTYPE_REL, attrs_to_json
+from ..core.canon import LINK_COLUMNS, LINK_SCHEMA, link_to_row
+
+QUAD_COLS = ["origin", "rel", "target", "target_is_iri", "attrs"]
+
+
+def from_links(links, extra_cols=None):
+    """Build a links Dataset from Python link tuples (driver-side,
+    small inputs / tests)."""
+    import ray.data as rd
+
+    rows = []
+    for l in links:
+        o, r, t = l[0], l[1], l[2]
+        a = l[3] if len(l) > 3 else None
+        row = link_to_row(o, r, t, a)
+        if extra_cols:
+            row.update(extra_cols)
+        rows.append(row)
+    if not rows:
+        return rd.from_arrow(LINK_SCHEMA.empty_table())
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def from_model(model, extra_cols=None):
+    import ray.data as rd
+
+    rows = model.to_rows()
+    if extra_cols:
+        for row in rows:
+            row.update(extra_cols)
+    if not rows:
+        return rd.from_arrow(LINK_SCHEMA.empty_table())
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _mask_eq(tbl, col, value):
+    if isinstance(value, (set, frozenset, list, tuple)):
+        return pc.is_in(tbl[col], value_set=pa.array(sorted(str(v) for v in value)))
+    return pc.equal(tbl[col], str(value))
+
+
+def match(ds, origin=None, rel=None, target=None, attrs=None):
+    """Pattern scan: exact origin/rel/target equality (None = wildcard;
+    sets allowed -> multimatch) and attr-subset constraint."""
+    attrs_json = attrs_to_json(attrs) if attrs else None
+    attr_items = sorted((str(k), str(v)) for k, v in (attrs or {}).items())
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in (("origin", origin), ("rel", rel), ("target", target)):
+            if val is None:
+                continue
+            m = _mask_eq(tbl, col, val)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            tbl = tbl.filter(mask)
+        if attr_items and tbl.num_rows:
+            import json
+
+            col = tbl["attrs"].to_pylist()
+            keep = []
+            for s in col:
+                d = json.loads(s) if s and s != EMPTY_ATTRS else {}
+                keep.append(all(d.get(k) == v for k, v in attr_items))
+            tbl = tbl.filter(pa.array(keep))
+        return tbl
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+multimatch = match  # sets are accepted directly by match
+
+
+def with_quad_key(ds, key_col="qkey"):
+    """Append a process-stable 64-bit row key over the quad columns and
+    locally pre-dedup each batch (combiner before the shuffle)."""
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=QUAD_COLS)
+        df[key_col] = pd.util.hash_pandas_object(
+            df[QUAD_COLS], index=False
+        ).astype("int64")
+        return df
+
+    return ds.map_batches(_key, batch_format="pandas")
+
+
+def distinct_links(ds):
+    """Global exact dedup of quads: the distributed form of the model's
+    duplicate-refusing add (memory.py:179-181) / util.uniquify.
+
+    Local pre-dedup -> hash-key groupby shuffle -> true-quad
+    drop_duplicates per group (collision-safe)."""
+
+    def _first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=QUAD_COLS)
+
+    return (
+        with_quad_key(ds)
+        .groupby("qkey")
+        .map_groups(_first, batch_format="pandas")
+        .drop_columns(["qkey"])
+    )
+
+
+def union(*datasets, dedup=True):
+    """Model merge (update): union + dedup shuffle."""
+    out = datasets[0]
+    for other in datasets[1:]:
+        out = out.union(other)
+    return distinct_links(out) if dedup else out
+
+
+def size(ds) -> int:
+    return ds.count()
+
+
+def column_values(ds, col: str):
+    """Distinct values of one link column (util.py:78-88)."""
+    return ds.unique(col)
+
+
+def all_origins(ds, of_types=None):
+    """Distinct origins, optionally type-filtered; '*' = any type
+    (util.py:56-75). Type filter is a broadcast semi-join against the
+    (small) set of typed origins."""
+    if not of_types:
+        return ds.unique("origin")
+    typed = match(ds, rel=VTYPE_REL)
+    if "*" not in set(of_types):
+        typed = match(typed, rel=VTYPE_REL, target=set(of_types))
+    return typed.unique("origin")
+
+
+def resourcetypes(ds, rid):
+    return [r["target"] for r in match(ds, origin=rid, rel=VTYPE_REL).take_all()]
+
+
+def lookup(ds, orig, rel):
+    return [r["target"] for r in match(ds, origin=orig, rel=rel).take_all()]
+
+
+def lookup_byvalue(ds, rel, target):
+    return [r["origin"] for r in match(ds, rel=rel, target=target).take_all()]
+
+
+def static_index(ds, rel, setvals=False, include_attrs=False):
+    """origin -> target(s) mapping for one rel, materialized driver-side
+    for broadcast (util.py:107-141). Only for small-side rels; the
+    caller is expected to ray.put() the result for reuse."""
+    index = {}
+    for row in match(ds, rel=rel).take_all():
+        o, t = row["origin"], row["target"]
+        val = (t, row["attrs"]) if include_attrs else t
+        curr = index.get(o)
+        if curr is None:
+            index[o] = {val} if setvals else val
+        elif setvals:
+            curr.add(val)
+        elif isinstance(curr, list):
+            curr.append(val)
+        else:
+            index[o] = [curr, val]
+    return index
+
+
+def replace_values(ds, mapping: dict):
+    """Broadcast-map rewrite of origins/targets/attr values — the
+    canonicalization rewrite (util.py:162-191) as a map_batches over a
+    ray.put mapping (no shuffle)."""
+    import json
+
+    import ray
+
+    ref = ray.put(mapping)
+
+    def _rewrite(tbl: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        if not mp:
+            return tbl
+        karr = pa.array(list(mp.keys()), type=pa.string())
+        varr = list(mp.values())
+
+        def remap_col(col):
+            idx = pc.index_in(col, value_set=karr)
+            out = col.to_pylist()
+            for i, ix in enumerate(idx.to_pylist()):
+                if ix is not None:
+                    out[i] = varr[ix]
+            return pa.array(out, type=pa.string())
+
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("origin"), "origin", remap_col(tbl["origin"])
+        )
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("target"), "target", remap_col(tbl["target"])
+        )
+        # attr values (rare path; only parse rows that mention a key)
+        attrs_col = tbl["attrs"].to_pylist()
+        changed = False
+        for i, s in enumerate(attrs_col):
+            if s and s != EMPTY_ATTRS and any(k in s for k in mp):
+                d = json.loads(s)
+                d2 = {k: mp.get(v, v) if isinstance(v, str) else v for k, v in d.items()}
+                if d2 != d:
+                    attrs_col[i] = attrs_to_json(d2)
+                    changed = True
+        if changed:
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("attrs"),
+                "attrs",
+                pa.array(attrs_col, type=pa.string()),
+            )
+        return tbl
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def duplicate_statements(ds, oldorigin, neworigin):
+    """Copy links of one origin to a new origin (util.py:194-206)."""
+    dup = match(ds, origin=oldorigin)
+
+    def _rename(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return tbl.set_column(
+            tbl.schema.get_field_index("origin"),
+            "origin",
+            pa.array([str(neworigin)] * n, type=pa.string()),
+        )
+
+    return union(ds, dup.map_batches(_rename, batch_format="pyarrow"))
+
+
+def canonical_sorted(ds):
+    """Global canonical sort — the distributed equality surface
+    (memory.py:263-291 semantics on Arrow columns)."""
+    return ds.sort(QUAD_COLS)
+
+
+def to_canonical_table(ds) -> pa.Table:
+    """Small-result canonicalization for conformance diffing."""
+    tbl = pa.Table.from_pandas(
+        canonical_sorted(ds).to_pandas(), preserve_index=False
+    )
+    return tbl
+
+
+def zoom_in(ds, focus, depth=1, max_rels=0):
+    """Iterative frontier expansion: links reachable from focus within
+    `depth` hops (util.py:226-253). Each hop is a broadcast semi-join
+    on the (small) frontier set."""
+    frontier = {str(focus)}
+    seen_origins = set()
+    parts = []
+    total = 0
+    for _ in range(depth + 1):
+        frontier -= seen_origins
+        if not frontier:
+            break
+        hop = match(ds, origin=set(frontier))
+        rows = hop.take_all()
+        seen_origins |= frontier
+        frontier = {
+            r["target"]
+            for r in rows
+            if r["target_is_iri"] and r["target"] is not None
+        }
+        parts.extend(rows)
+        total += len(rows)
+        if max_rels and total > max_rels:
+            return from_links(
+                [(r["origin"], r["rel"], r["target"]) for r in parts[:max_rels]]
+            ), False
+    import ray.data as rd
+
+    if not parts:
+        return rd.from_arrow(LINK_SCHEMA.empty_table()), True
+    return rd.from_items(parts), True
+
+
+def transitive_closure(ds, orig, rel):
+    """Fixpoint frontier iteration over one rel."""
+    seen = set()
+    frontier = {str(orig)}
+    while frontier:
+        rows = match(ds, origin=set(frontier), rel=rel).take_all()
+        frontier = {r["target"] for r in rows if r["target"] not in seen and r["target"]}
+        seen |= frontier
+    return seen

@@ -1,0 +1,302 @@
+"""Flagship pipeline: web pages -> knowledge graph link-sets.
+
+    read_parquet(pages)                       [prune to url/html(/text)]
+      -> map_batches(PageKGExtractor, actor pool)
+           html -> text (byte-identical invariant)
+           html -> RDFa-Lite triples -> doc-local micro-model
+           -> fingerprint/transform/labelize rules (schema.org -> BIBFRAME-ish)
+           -> link rows + lineage (src_url)
+      -> map_batches(EntityScorer, actor pool)   [broadcast alias table]
+      -> distinct_links (hash-key groupby shuffle; combiner pre-dedup)
+      -> write partitioned Parquet link-set + manifest (checkpoint/resume)
+
+All entity IDs are content fingerprints, so the cross-document "same
+entity" reconciliation IS the dedup shuffle (see SURVEY.md §7 hard
+part 2). Each stage boundary can materialize to Parquet with a
+_SUCCESS marker; a rerun skips completed stages (resume) and the
+output carries per-partition lineage columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core import I, RDF_TYPE_REL, VTYPE_REL
+from ..core.canon import LINK_SCHEMA
+from ..model.linkset import distinct_links
+from ..model.micro import MicroModel
+from ..pipeline import follow, generic_pipeline, link, lookup, materialize
+from .extract import extract_rdfa, extract_text
+
+SCH = I("https://schema.org/")
+BF = I("http://bibfra.me/vocab/lite/")
+
+LINKS_OUT_SCHEMA = pa.schema(
+    list(LINK_SCHEMA) + [pa.field("src_url", pa.string())]
+)
+
+
+def kg_rules():
+    """schema.org -> BIBFRAME-ish mapping rules for the web corpus."""
+    fingerprint = {
+        SCH("Book"): materialize(
+            BF("Instance"),
+            fprint=[(BF("isbn"), follow(SCH("isbn")))],
+        ),
+        SCH("Person"): materialize(
+            BF("Person"),
+            fprint=[
+                (BF("name"), follow(SCH("name"))),
+                (BF("birthDate"), follow(SCH("birthDate"))),
+            ],
+        ),
+        SCH("Organization"): materialize(
+            BF("Organization"),
+            fprint=[(BF("name"), follow(SCH("name")))],
+        ),
+    }
+    transform = {
+        SCH("name"): link(rel=BF("name")),
+        SCH("isbn"): link(rel=BF("isbn")),
+        SCH("datePublished"): link(rel=BF("date")),
+        SCH("inLanguage"): link(rel=BF("language")),
+        SCH("birthDate"): link(rel=BF("birthDate")),
+        SCH("author"): link(rel=BF("creator"), target=lookup("@resource")),
+        SCH("publisher"): link(rel=BF("publisher"), target=lookup("@resource")),
+    }
+    labelize = {
+        BF("Instance"): follow(BF("name")),
+        BF("Person"): follow(BF("name")),
+        BF("Organization"): follow(BF("name")),
+    }
+    return fingerprint, transform, labelize
+
+
+class TextMismatch(AssertionError):
+    pass
+
+
+class PageKGExtractor:
+    """Actor-pool stage: one HTML parse + doc-local rule run per page.
+
+    Rule closures are built once per actor (__init__), not per batch.
+    Emits canonical link rows with ``src_url`` lineage.
+    """
+
+    def __init__(self, rules=None, check_text=False):
+        fp, tr, lb = rules() if callable(rules) else (rules or kg_rules())
+        self.pipeline = generic_pipeline(fp, tr, lb)
+        self.check_text = check_text
+
+    def extract_page(self, url: str, html) -> MicroModel:
+        triples = extract_rdfa(html, url)
+        modin = MicroModel()
+        for s, p, o, _is_iri in triples:
+            rel = VTYPE_REL if p == RDF_TYPE_REL else p
+            modin.add(s, rel, o)
+        return self.pipeline.run(input_model=modin, doc_tint=url)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        golden = batch["text"].to_pylist() if (
+            self.check_text and "text" in batch.column_names
+        ) else None
+        out = {name: [] for name in LINKS_OUT_SCHEMA.names}
+        for i, (url, html) in enumerate(zip(urls, htmls)):
+            if golden is not None:
+                extracted = extract_text(html)
+                if extracted != golden[i]:
+                    raise TextMismatch(f"text extraction drift for {url}")
+            modout = self.extract_page(url, html)
+            for row in modout.to_rows():
+                for k, v in row.items():
+                    out[k].append(v)
+                out["src_url"].append(url)
+        return pa.Table.from_pydict(out, schema=LINKS_OUT_SCHEMA)
+
+
+def _default_concurrency():
+    """Size actor pools to the cluster, leaving headroom for the read
+    and write stages so no stage starves."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus - 2)
+
+
+def extract_links(pages_ds, check_text=False, concurrency=None, batch_size=64):
+    """pages Dataset -> links Dataset. HTML is the wide column: batches
+    stay small and the html column is dropped at this stage boundary."""
+    cols = {"url", "html"} | ({"text"} if check_text else set())
+    have = set(pages_ds.schema().names)
+    if cols <= have and have - cols:
+        pages_ds = pages_ds.select_columns(sorted(cols))
+    return pages_ds.map_batches(
+        PageKGExtractor,
+        fn_constructor_kwargs={"check_text": check_text},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-linking scorer (stateful actor-pool stage)
+
+
+def char_trigrams(s: str) -> set:
+    s = " " + s.lower() + " "
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+class EntityScorer:
+    """Actor-pool entity-linking stage.
+
+    Holds a broadcast alias table (authority name -> canonical IRI),
+    fetched from the object store ONCE per actor. For every bf:name
+    link it computes a trigram-Jaccard score against the authority
+    aliases and, on a confident match, annotates the link with the
+    authority IRI + score attributes. Deterministic, cheap stand-in
+    for a model-based scorer; the Ray plumbing (broadcast once, score
+    per batch, actor reuse) is the part that matters at scale.
+    """
+
+    NAME_REL = str(BF("name"))
+
+    def __init__(self, alias_ref=None, alias_table=None, threshold=0.6):
+        import ray
+
+        table = ray.get(alias_ref) if alias_ref is not None else (alias_table or {})
+        self.authorities = [(name, iri, char_trigrams(name)) for name, iri in table.items()]
+        self.threshold = threshold
+
+    def score(self, name: str):
+        best, best_iri = 0.0, None
+        grams = char_trigrams(name)
+        for aname, airi, agrams in self.authorities:
+            inter = len(grams & agrams)
+            if not inter:
+                continue
+            j = inter / (len(grams) + len(agrams) - inter)
+            if j > best:
+                best, best_iri = j, airi
+        return (best_iri, best) if best >= self.threshold else (None, best)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(batch["rel"], self.NAME_REL).to_numpy(zero_copy_only=False)
+        if not mask.any() or not self.authorities:
+            return batch
+        attrs = batch["attrs"].to_pylist()
+        targets = batch["target"].to_pylist()
+        for i in np.flatnonzero(mask):
+            iri, score = self.score(targets[i])
+            if iri is not None:
+                d = json.loads(attrs[i]) if attrs[i] and attrs[i] != "{}" else {}
+                d["@authority"] = iri
+                d["@link-score"] = "%.3f" % score
+                attrs[i] = json.dumps(
+                    d, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+                )
+        return batch.set_column(
+            batch.schema.get_field_index("attrs"), "attrs", pa.array(attrs, type=pa.string())
+        )
+
+
+def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=4096):
+    import ray
+
+    if not alias_table:
+        return links_ds
+    ref = ray.put(alias_table)
+    return links_ds.map_batches(
+        EntityScorer,
+        fn_constructor_kwargs={"alias_ref": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed end-to-end run
+
+
+def _stage_dir(root, name):
+    return os.path.join(root, f"stage={name}")
+
+
+def _complete(root, name):
+    return os.path.exists(os.path.join(_stage_dir(root, name), "_SUCCESS"))
+
+
+def _mark_complete(root, name, meta=None):
+    d = _stage_dir(root, name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        json.dump({"stage": name, "ts": time.time(), **(meta or {})}, f)
+
+
+def build_kg(
+    pages_ds=None,
+    pages_path=None,
+    out_dir="/tmp/versa_ray_kg",
+    alias_table=None,
+    check_text=False,
+    checkpoint=True,
+    concurrency=None,
+    num_partitions=16,
+):
+    """Run the flagship pipeline with stage-boundary checkpoints.
+
+    Returns the final links Dataset (already written under
+    ``out_dir/stage=linkset``). Rerunning with the same out_dir skips
+    completed stages — that is the resume path; lineage is the
+    ``src_url`` column plus the per-stage manifests."""
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    if _complete(out_dir, "linkset"):
+        return rd.read_parquet(_stage_dir(out_dir, "linkset"))
+
+    if _complete(out_dir, "extracted"):
+        links = rd.read_parquet(_stage_dir(out_dir, "extracted"))
+    else:
+        if pages_ds is None:
+            pages_ds = rd.read_parquet(
+                pages_path, columns=["url", "html"] + (["text"] if check_text else [])
+            )
+        links = extract_links(pages_ds, check_text=check_text, concurrency=concurrency)
+        if checkpoint:
+            links.write_parquet(_stage_dir(out_dir, "extracted"))
+            _mark_complete(out_dir, "extracted")
+            links = rd.read_parquet(_stage_dir(out_dir, "extracted"))
+
+    if alias_table:
+        links = score_entities(links, alias_table, concurrency=concurrency)
+
+    final = distinct_links(links)
+
+    # partition-bucketed output for pruning + resumability
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["part_id"] = (
+            pd.util.hash_pandas_object(df["origin"], index=False) % num_partitions
+        ).astype("int32")
+        return df
+
+    final = final.map_batches(_bucket, batch_format="pandas")
+    final.write_parquet(_stage_dir(out_dir, "linkset"), partition_cols=["part_id"])
+    _mark_complete(out_dir, "linkset", {"partitions": num_partitions})
+    return rd.read_parquet(_stage_dir(out_dir, "linkset"))
