@@ -1,0 +1,188 @@
+"""Training-data operators: dedup family, similarity, text stats,
+windows, multimodal plumbing — over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup(ray_session, docs_ds):
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import exact_dedup
+
+    # duplicate the corpus so dedup has work
+    doubled = docs_ds.union(
+        docs_ds.map_batches(
+            lambda df: df.assign(doc_id=df.doc_id + 100000), batch_format="pandas"
+        )
+    )
+    out = exact_dedup(doubled, key="text", id_col="doc_id").to_pandas()
+    n_docs = docs_ds.count()
+    assert len(out) == n_docs  # 500 distinct texts
+    assert (out["doc_id"] < 100000).all()  # min id wins
+
+
+def test_minhash_identical_and_disjoint(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import minhash_dedup
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and once more",
+                "completely different words about ray data pipelines and arrow",
+            ],
+        }
+    )
+    labels = minhash_dedup(rd.from_pandas(rows), threshold=0.5, concurrency=2)
+    m = dict(zip(labels["doc_id"], labels["cluster"]))
+    assert m[1] == m[2] == 1  # identical docs cluster to min id
+    assert m[3] == 1  # heavy overlap joins the cluster
+    assert m[4] == 4  # disjoint doc stays alone
+
+
+def test_simhash_and_jaccard(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import ngram_jaccard, simhash_near_dups
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+                "totally unrelated content with none of those other words there",
+            ],
+        }
+    )
+    pairs = simhash_near_dups(rd.from_pandas(rows), max_hamming=8).to_pandas()
+    assert {(1, 2)} <= set(zip(pairs.id_a, pairs.id_b))
+    assert (3 not in set(pairs.id_a)) and (3 not in set(pairs.id_b))
+    assert ngram_jaccard(rows.text[0], rows.text[1]) > 0.6
+    assert ngram_jaccard(rows.text[0], rows.text[2]) == 0.0
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.similarity import knn_bruteforce
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[:3]
+    got = knn_bruteforce(emb, q, pdf["vec_id"].to_numpy()[:3], k=5).to_pandas()
+    # reference numpy computation
+    sims = q @ mat.T
+    for qx, qid in enumerate(pdf["vec_id"][:3]):
+        row = sims[qx].copy()
+        row[pdf["vec_id"] == qid] = -np.inf
+        expect = set(pdf["vec_id"].to_numpy()[np.argsort(-row)[:5]])
+        mine = set(got[got.qid == qid].nid)
+        assert mine == expect
+
+
+def test_knn_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.similarity import knn_bruteforce, knn_lsh
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    qids = pdf["vec_id"].to_numpy()[:5]
+    exact = knn_bruteforce(emb, mat[:5], qids, k=5).to_pandas()
+    approx = knn_lsh(emb, mat[:5], qids, dim=mat.shape[1], k=5, n_planes=6).to_pandas()
+    # multiprobe LSH should recover a decent fraction of true neighbors
+    recall = len(
+        set(zip(approx.qid, approx.nid)) & set(zip(exact.qid, exact.nid))
+    ) / len(exact)
+    assert recall >= 0.4
+
+
+def test_textstats(ray_session, docs_ds):
+    from versa_ray.ops.textstats import LangID, doc_stats_ds, md5_fingerprint
+
+    out = doc_stats_ds(docs_ds).to_pandas()
+    row = out.iloc[0]
+    assert row["n_tokens"] == len(row["text"].split())
+    assert row["n_chars"] == len(row["text"])
+
+    lid = LangID()
+    assert lid.classify("the king and the queen went to the castle in the morning") == "en"
+    assert lid.classify("le roi et la reine dans le chateau pour la une journee") == "fr"
+
+    fp = docs_ds.map_batches(md5_fingerprint, batch_format="pandas").to_pandas()
+    import hashlib
+
+    assert fp.iloc[0]["fp_md5"] == hashlib.md5(fp.iloc[0]["text"].encode()).hexdigest()
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.windows import tumbling_window_agg
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    out = tumbling_window_agg(ev, freq="1D").to_pandas()
+    pdf = ev.to_pandas()
+    pdf["window_start"] = pdf["ts"].dt.floor("1D")
+    expect = pdf.groupby(["event_type", "window_start"]).agg(
+        n=("value", "size"), value_sum=("value", "sum")
+    )
+    assert len(out) == len(expect)
+    merged = out.set_index(["event_type", "window_start"]).join(
+        expect, rsuffix="_e"
+    )
+    assert (merged["n"] == merged["n_e"]).all()
+    assert np.allclose(merged["value_sum"], merged["value_sum_e"])
+
+
+def test_session_windows(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.windows import session_windows
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").limit(200)
+    out = session_windows(ev, gap="2h").to_pandas()
+    assert (out["session_end"] >= out["session_start"]).all()
+    assert out["n_events"].sum() == 200
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.multimodal import (
+        DecodeImage,
+        decode_features,
+        sample_frames,
+        synth_media_batch,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+
+    media = rd.from_arrow(synth_media_batch(0, 20))
+    feats = decode_features(media).to_pandas()
+    assert len(feats) == 20 and len(feats.iloc[0]["feature"]) == 64
+    assert abs(sum(feats.iloc[0]["feature"]) - 1.0) < 1e-5
+
+    frames = sample_frames(media, n_frames=4).to_pandas()
+    assert len(frames) == 80
+    assert frames["frame"].map(len).eq(256).all()

@@ -1,0 +1,375 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Shuffle discipline (the part that matters at 100 TB):
+
+* exact        — per-batch pre-dedup, then ONE groupby on the content
+                 key (combiner pattern; skew-free because keys are
+                 hashes).
+* minhash-LSH  — signatures are computed vectorized per batch (numpy,
+                 one pass over hashed shingles), exploded to
+                 (band, band_hash) rows, and candidates emerge from a
+                 groupby on the band bucket — signatures travel WITH
+                 the bucket rows so verification happens inside
+                 map_groups, no second join.
+* simhash      — 64-bit signature, banded into 4×16-bit chunks for
+                 bucketing (Hamming ≤3 guaranteed to collide in ≥1
+                 chunk by pigeonhole).
+* embedding    — random-hyperplane LSH buckets, in-bucket cosine
+                 verify (the scale path for ANN; brute force lives in
+                 ops.similarity).
+
+Cluster assembly uses union-find on the verified pair list — pairs
+are the small output of verification, not the corpus; for corpora
+where pairs themselves are huge, run `cluster_pairs` iteratively
+per-partition (min-label propagation), which the function supports by
+being a pure pairs->labels step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_words(words, seed=0x9747B28C):
+    """Vector of stable 64-bit hashes for a list of strings."""
+    return np.frombuffer(
+        b"".join(
+            __import__("hashlib").blake2b(
+                w.encode("utf-8"), digest_size=8, person=b"vr-shing"
+            ).digest()
+            for w in words
+        ),
+        dtype="<u8",
+    ) if words else np.empty(0, dtype="<u8")
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+    """Keep the minimum id per distinct key value. Local pre-dedup then
+    one groupby-aggregate over the survivors."""
+    from ray.data.aggregate import Min
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]]
+
+    return (
+        ds.map_batches(_local, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a, b, k: int = 3) -> np.ndarray:
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    hv = _hash_words(sh).astype(np.uint64) % _MERSENNE
+    # (num_perm, n_shingles) permuted hashes -> row-wise min
+    vals = (
+        np.multiply.outer(a, hv, dtype=np.uint64) + b[:, None]
+    ) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc MinHash signature + banded bucket
+    rows. Emits one row per band: (band, band_hash, id, sig)."""
+
+    def __init__(self, num_perm=64, bands=16, k=3, text_col="text", id_col="doc_id"):
+        assert num_perm % bands == 0
+        self.a, self.b = _minhash_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_bh, out_id, out_sig = [], [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            sig = minhash_signature(text, self.a, self.b, self.k)
+            chunks = sig.reshape(self.bands, self.rows_per_band)
+            # process-stable bucket hash (Python's hash() is salted)
+            import hashlib as _hl
+
+            bh = [
+                int.from_bytes(
+                    _hl.blake2b(c.tobytes(), digest_size=8).digest(), "little"
+                )
+                & 0x7FFFFFFFFFFFFFFF
+                for c in chunks
+            ]
+            for band_ix, h in enumerate(bh):
+                out_band.append(band_ix)
+                out_bh.append(h)
+                out_id.append(doc_id)
+                out_sig.append(sig.astype("int64"))
+        return pd.DataFrame(
+            {"band": out_band, "band_hash": out_bh,
+             self.id_col: out_id, "sig": out_sig}
+        )
+
+
+def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
+                            text_col="text", id_col="doc_id", concurrency=4):
+    """Dataset of (id_a, id_b, est_jaccard) near-dup candidate pairs,
+    verified by signature agreement inside each LSH bucket."""
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, k=k, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        # de-dup docs that landed in the bucket multiple times
+        _, uniq_ix = np.unique(ids, return_index=True)
+        ids = ids[uniq_ix]
+        sig_mat = np.stack(group["sig"].to_numpy()[uniq_ix])
+        a_ix, b_ix = np.triu_indices(len(ids), k=1)
+        est = (sig_mat[a_ix] == sig_mat[b_ix]).mean(axis=1)
+        keep = est >= threshold
+        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
+        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "est_jaccard": est[keep]})
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+
+    def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    return (
+        pairs.map_batches(_dedup_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def cluster_pairs(pair_rows, ids=None) -> dict:
+    """Union-find over verified pairs -> id -> cluster-representative
+    (minimum member id). Pure driver-side step over the (small)
+    verified pair list."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx == ry:
+            return
+        if ry < rx:
+            rx, ry = ry, rx
+        parent[ry] = rx
+
+    for row in pair_rows:
+        union(row["id_a"], row["id_b"])
+    out = {}
+    keys = set(parent) | set(ids or ())
+    for x in keys:
+        out[x] = find(x)
+    return out
+
+
+def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
+    """id -> cluster representative for near-duplicate documents."""
+    pairs = minhash_candidate_pairs(
+        ds, threshold=threshold, text_col=text_col, id_col=id_col, **kw
+    )
+    all_ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
+    labels = cluster_pairs(pairs.take_all(), ids=all_ids)
+    import pandas as _pd
+
+    return _pd.DataFrame(
+        {id_col: sorted(labels), "cluster": [labels[k] for k in sorted(labels)]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(text: str) -> int:
+    words = text.split()
+    if not words:
+        return 0
+    hv = _hash_words(words)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+    v = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
+def simhash_ds(ds, text_col="text", id_col="doc_id"):
+    def _sim(df: pd.DataFrame) -> pd.DataFrame:
+        df["simhash"] = [simhash64(t) for t in df[text_col].fillna("")]
+        return df[[id_col, "simhash"]]
+
+    return ds.map_batches(_sim, batch_format="pandas")
+
+
+def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
+    """Candidate pairs with Hamming distance <= max_hamming via chunk
+    bucketing with max_hamming+1 chunks (pigeonhole: any pair within
+    the distance budget must agree on at least one whole chunk)."""
+    sigs = simhash_ds(ds, text_col, id_col)
+    n_chunks = max_hamming + 1
+    bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"chunk": [], "chunk_val": [], id_col: [], "simhash": []}
+        for doc_id, sh in zip(df[id_col], df["simhash"]):
+            for c in range(n_chunks):
+                lo, hi = bounds[c], bounds[c + 1]
+                val = (sh >> int(lo)) & ((1 << int(hi - lo)) - 1)
+                rows["chunk"].append(c)
+                rows["chunk_val"].append(val)
+                rows[id_col].append(doc_id)
+                rows["simhash"].append(sh)
+        return pd.DataFrame(rows)
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        _, uix = np.unique(ids, return_index=True)
+        ids = ids[uix]
+        hs = group["simhash"].to_numpy()[uix].astype(np.uint64)
+        a_ix, b_ix = np.triu_indices(len(ids), k=1)
+        x = hs[a_ix] ^ hs[b_ix]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
+        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[keep]})
+
+    pairs = (
+        sigs.map_batches(_explode, batch_format="pandas")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard verification
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = set(word_shingles(text_a, k)), set(word_shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
+                         threshold=0.5):
+    """Exact-Jaccard verification of candidate pairs: broadcast the
+    candidate docs' texts (small side), verify inside map_batches."""
+    import ray
+
+    cand_ids = set()
+    pair_list = pairs if isinstance(pairs, list) else pairs.take_all()
+    for p in pair_list:
+        cand_ids.add(p["id_a"])
+        cand_ids.add(p["id_b"])
+    texts = {}
+    if cand_ids:
+        id_arr = sorted(cand_ids)
+        for row in ds.map_batches(
+            lambda df: df[df[id_col].isin(id_arr)][[id_col, text_col]],
+            batch_format="pandas",
+        ).take_all():
+            texts[row[id_col]] = row[text_col]
+    out = []
+    for p in pair_list:
+        j = ngram_jaccard(texts.get(p["id_a"], ""), texts.get(p["id_b"], ""), k)
+        if j >= threshold:
+            out.append({"id_a": p["id_a"], "id_b": p["id_b"], "jaccard": j})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (random-hyperplane LSH + in-bucket cosine verify)
+
+
+def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
+                        n_planes=12, threshold=0.95, seed=11):
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes)
+    import ray
+
+    planes_ref = ray.put(planes)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        bits = (mat @ pl) > 0
+        codes = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+        return pd.DataFrame(
+            {"bucket": codes.astype("int64"), id_col: df[id_col].to_numpy(),
+             vec_col: list(mat)}
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.stack(group[vec_col].to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        a_ix, b_ix = np.triu_indices(len(ids), k=1)
+        cs = sims[a_ix, b_ix]
+        keep = cs >= threshold
+        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
+        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs[keep]})
+
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column.
+
+* ``knn_bruteforce`` — exact top-k cosine: the query matrix is
+  broadcast once (ray.put); every batch computes a numpy matmul and
+  emits its LOCAL top-k per query (combiner), and a final tiny
+  groupby per query merges partials. Wall-clock scales with corpus /
+  cluster, driver never sees more than queries×k×blocks rows.
+* ``knn_lsh`` — the scale path: random-hyperplane bucketing with
+  multi-probe (flip each plane), exact rerank inside candidate
+  buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_bruteforce(ds, query_vecs, query_ids, k=5, vec_col="embedding",
+                   id_col="vec_id", exclude_self=True, round_to=None):
+    """Exact top-k cosine neighbors for each query vector."""
+    import ray
+
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    qref = ray.put((qmat, qids))
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qm, qi = ray.get(qref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        ids = df[id_col].to_numpy()
+        sims = qm @ mat.T  # (nq, nb)
+        out = {"qid": [], "nid": [], "sim": []}
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qx in range(sims.shape[0]):
+            row = sims[qx]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            top = top[np.lexsort((ids[top], -row[top]))]
+            for ix in top:
+                if exclude_self and ids[ix] == qi[qx]:
+                    continue
+                out["qid"].append(qi[qx])
+                out["nid"].append(ids[ix])
+                out["sim"].append(row[ix])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(_local_topk, batch_format="pandas")
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        if round_to is not None:
+            g["sim"] = g["sim"].round(round_to)
+        return g
+
+    return partials.groupby("qid").map_groups(_merge, batch_format="pandas")
+
+
+def knn_lsh(ds, query_vecs, query_ids, dim, k=5, n_planes=8, vec_col="embedding",
+            id_col="vec_id", seed=13, multiprobe=True):
+    """Approximate top-k: hyperplane-bucket the corpus, probe the
+    query's bucket (plus single-bit flips), exact-rerank candidates."""
+    import ray
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes)
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+
+    qbits = (qmat @ planes) > 0
+    pw = 1 << np.arange(n_planes)
+    qcodes = (qbits * pw).sum(axis=1)
+    probe = set()
+    for qx, code in enumerate(qcodes):
+        probe.add(int(code))
+        if multiprobe:
+            for b in range(n_planes):
+                probe.add(int(code) ^ (1 << b))
+
+    planes_ref = ray.put(planes)
+    probe_ref = ray.put(probe)
+
+    def _candidates(df: pd.DataFrame) -> pd.DataFrame:
+        pl, pr = ray.get(planes_ref), ray.get(probe_ref)
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        bits = (mat @ pl) > 0
+        codes = (bits * pw).sum(axis=1).astype(np.int64)
+        mask = np.isin(codes, list(pr))
+        return df[mask]
+
+    candidates = ds.map_batches(_candidates, batch_format="pandas")
+    return knn_bruteforce(
+        candidates, qmat, qids, k=k, vec_col=vec_col, id_col=id_col
+    )

@@ -1,0 +1,140 @@
+"""Text analysis operators for large-scale corpus pipelines.
+
+All stages are vectorized ``map_batches`` transforms (pandas string
+kernels / numpy); language ID holds its n-gram profiles in an
+actor-pool class so profile setup happens once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\S+")
+_DIGIT_RE = re.compile(r"[0-9]")
+# A BPE-ish token split: word pieces, numbers, punctuation runs
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in on for with at by from is are was were be been "
+    "it this that as not no but if then else".split()
+)
+
+
+def token_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """doc stats: whitespace tokens, BPE-ish tokens, chars, digits."""
+    s = batch[text_col].fillna("")
+    batch["n_chars"] = s.str.len().astype("int64")
+    batch["n_tokens"] = s.str.count(_WORD_RE).astype("int64")
+    batch["n_bpe_tokens"] = s.str.count(_BPE_RE).astype("int64")
+    batch["n_digits"] = s.str.count(_DIGIT_RE).astype("int64")
+    return batch
+
+
+def quality_scores(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic quality features: stopword ratio, mean token length,
+    uppercase ratio, punctuation ratio."""
+    s = batch[text_col].fillna("")
+    toks = s.str.findall(_WORD_RE)
+    ntok = toks.str.len().clip(lower=1)
+    batch["stopword_ratio"] = toks.map(
+        lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+    ) / ntok
+    batch["mean_token_len"] = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+    n = s.str.len().clip(lower=1)
+    batch["upper_ratio"] = s.str.count(r"[A-Z]") / n
+    batch["punct_ratio"] = s.str.count(r"[^\w\s]") / n
+    return batch
+
+
+def md5_fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Exact-content fingerprint, identical to SQL md5()."""
+    batch["fp_md5"] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].fillna("")
+    ]
+    return batch
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hash of
+    byte windows, keeping hashes ≡ 0 (mod keep_mod). Content-local, so
+    shared passages produce shared fingerprints (doc sketching)."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return []
+    B, M = 257, (1 << 61) - 1
+    h = 0
+    pw = pow(B, window - 1, M)
+    out = []
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % M
+        h = (h * B + b) % M
+        if i >= window - 1 and h % keep_mod == 0:
+            out.append(h)
+    return out
+
+
+class LangID:
+    """Character-n-gram language identifier (actor-pool stage).
+
+    Tiny built-in trigram profiles (deterministic, no model files);
+    profiles are compiled once per actor in __init__.
+    """
+
+    PROFILES = {
+        "en": "the and ing ion to of in is it as at on he re er an nd ed",
+        "fr": "le la les de des et est une un que qui dans pour sur ois",
+        "de": "der die das und ist ein ich nicht sch den von mit ung che",
+        "es": "el la los de que y en un una es por con para cion ado",
+        "ig": "nke na ya ndi chi nwa oma obi anyi unu gi di ka ihe nna",
+    }
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {}
+        for lang, words in self.PROFILES.items():
+            grams = set()
+            for w in words.split():
+                padded = " %s " % w
+                grams.update(padded[i : i + 3] for i in range(len(padded) - 2))
+            self.profiles[lang] = grams
+
+    def classify(self, text: str) -> str:
+        t = " %s " % text.lower()
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best_lang, best = "und", -1.0
+        for lang, prof in sorted(self.profiles.items()):
+            score = len(grams & prof) / len(prof)
+            if score > best:
+                best, best_lang = score, lang
+        return best_lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [self.classify(t) for t in batch[self.text_col].fillna("")]
+        return batch
+
+
+def doc_stats_ds(ds, text_col: str = "text"):
+    """Dataset-level: token/char stats appended."""
+    return ds.map_batches(
+        lambda df: token_stats(df, text_col), batch_format="pandas"
+    )
+
+
+def quality_ds(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda df: quality_scores(df, text_col), batch_format="pandas"
+    )
+
+
+def langid_ds(ds, text_col: str = "text", concurrency=4):
+    return ds.map_batches(
+        LangID,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        concurrency=concurrency,
+    )

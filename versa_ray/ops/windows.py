@@ -1,0 +1,90 @@
+"""Windowed aggregates over event streams.
+
+Ray Data is a batch engine — windows are computed by assigning each
+row its window start (vectorized floor on the timestamp) and
+pre-aggregating per batch BEFORE the groupby, so the shuffle moves one
+row per (key, window) per block instead of one per event. Sliding and
+session windows sort within each key group (groupby.map_groups),
+relying on per-key locality, not global order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def tumbling_window_agg(ds, ts_col="ts", keys=("event_type",), value_col="value",
+                        freq="1h"):
+    """count + sum(value) per (key..., window_start). Two-phase: local
+    partial aggregate per batch, then a small global groupby-sum."""
+    from ray.data.aggregate import Count, Sum
+
+    keys = list(keys)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df[ts_col].dt.floor(freq)
+        g = (
+            df.groupby(keys + ["window_start"], as_index=False)
+            .agg(n=(value_col, "size"), value_sum=(value_col, "sum"))
+        )
+        return g
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return (
+        partials.groupby(keys + ["window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+    )
+
+
+def sliding_window_agg(ds, ts_col="ts", key="user_id", value_col="value",
+                       window="1h", slide="30min"):
+    """Sliding windows per key: each event lands in every window whose
+    span covers it (explode factor = window/slide), then tumbling
+    machinery applies."""
+    win = pd.Timedelta(window)
+    sl = pd.Timedelta(slide)
+    n_spans = int(win / sl)
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(slide)
+        parts = []
+        for i in range(n_spans):
+            p = df.copy()
+            p["window_start"] = base - i * sl
+            parts.append(p)
+        out = pd.concat(parts, ignore_index=True)
+        g = (
+            out.groupby([key, "window_start"], as_index=False)
+            .agg(n=(value_col, "size"), value_sum=(value_col, "sum"))
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_explode, batch_format="pandas")
+        .groupby([key, "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+    )
+
+
+def session_windows(ds, ts_col="ts", key="user_id", gap="30min"):
+    """Session windows per key: sort the key's events by time inside
+    map_groups, split where the gap exceeds the threshold. Assumes
+    per-key data fits one group (standard sessionization contract)."""
+    gap_td = pd.Timedelta(gap)
+
+    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        new_session = (g[ts_col].diff() > gap_td).cumsum()
+        out = g.groupby(new_session).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        out[key] = g[key].iloc[0]
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key).map_groups(_sessions, batch_format="pandas")
