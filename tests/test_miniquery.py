@@ -1,0 +1,60 @@
+"""Mini-query conformance — binding sets of the reference suite
+(/root/reference/test/py/test_miniquery.py:10-24), plus Dataset-backed
+evaluation equivalence."""
+
+from versa_ray.model import MicroModel
+from versa_ray.query import evaluate
+
+DC = "http://purl.org/dc/elements/1.1/"
+H5 = "http://www.w3.org/TR/html5/"
+H5L = "http://www.w3.org/TR/html5/link-type/"
+
+RELS_1 = [
+    ("http://uche.ogbuji.net/ndewo/", H5 + "title", "Ndewo, Colorado", {"@lang": "en"}),
+    ("http://uche.ogbuji.net/ndewo/", H5L + "author", "http://uche.ogbuji.net/", {"link/description": "Uche Ogbuji"}),
+    ("http://uche.ogbuji.net/ndewo/", H5L + "see-also", "https://www.goodreads.com/book/show/18714145-ndewo-colorado", {"@label": "Goodreads"}),
+    ("http://uche.ogbuji.net/", H5L + "see-also", "http://uche.ogbuji.net/ndewo/", {}),
+]
+
+VARS = {"DC": DC, "H5": H5, "H5L": H5L}
+
+
+def _model():
+    m = MicroModel()
+    for l in RELS_1:
+        m.add(*l)
+    return m
+
+
+def test_reference_binding_sets():
+    m = _model()
+    result = evaluate("?($a, H5 'title', *) and ?($b, H5L 'see-also', $a)", m, VARS)
+    assert result == {
+        "a": {"http://uche.ogbuji.net/ndewo/"},
+        "b": {"http://uche.ogbuji.net/"},
+    }
+    result = evaluate("?($a, H5L 'see-also', *)", m, VARS)
+    assert result == {
+        "a": {"http://uche.ogbuji.net/", "http://uche.ogbuji.net/ndewo/"}
+    }
+    result = evaluate("?($a, H5 'title', *)", m, VARS)
+    assert result == {"a": {"http://uche.ogbuji.net/ndewo/"}}
+
+
+def test_or_union():
+    m = _model()
+    result = evaluate("?($a, H5 'title', *) or ?($a, H5L 'see-also', *)", m, VARS)
+    assert result == {
+        "a": {"http://uche.ogbuji.net/", "http://uche.ogbuji.net/ndewo/"}
+    }
+
+
+def test_dataset_backed_evaluation(ray_session):
+    from versa_ray.model.linkset import from_links
+
+    ds = from_links(RELS_1)
+    result = evaluate("?($a, H5 'title', *) and ?($b, H5L 'see-also', $a)", ds, VARS)
+    assert result == {
+        "a": {"http://uche.ogbuji.net/ndewo/"},
+        "b": {"http://uche.ogbuji.net/"},
+    }

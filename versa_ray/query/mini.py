@@ -1,0 +1,230 @@
+"""Versa mini-query language.
+
+Syntax (reference grammar: /root/reference/tools/py/query/miniparser.py,
+semantics: query/miniast.py + test/py/test_miniquery.py):
+
+    ?($a, H5 'title', *) and ?($b, H5L 'see-also', $a)
+
+* ``?(origin, rel, target)`` — a match call; each arg is ``*`` (wild),
+  ``$var`` (variable to bind / propagate), a ``'string'``, or a
+  string-sequence ``IDENT 'literal'...`` concatenating context
+  constants with literals.
+* ``and`` — evaluate left, thread its bindings into right, intersect
+  shared variables (the reference's intersection is a no-op bug; we
+  implement the documented semantics, which its tests also satisfy).
+* ``or`` — union of binding sets per variable.
+
+This is a fresh recursive-descent implementation (no parser
+generator). Evaluation targets either a doc-local MicroModel or a
+distributed links Dataset: each ?() is a filtered scan — vectorized
+``multimatch`` — that projects the bound columns into small
+driver-side sets; conjunction threads those sets as semi-join filters
+into the next scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<var>\$\w+)|(?P<string>\"[^\"]*\"|'[^']*')|(?P<ident>\w+)"
+    r"|(?P<punct>[?(),*]))"
+)
+
+
+def tokenize(text: str):
+    pos = 0
+    out = []
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip():
+                raise ValueError(f"mini-query: bad token at {text[pos:]!r}")
+            break
+        pos = m.end()
+        if m.group("var"):
+            out.append(("var", m.group("var")[1:]))
+        elif m.group("string"):
+            out.append(("string", m.group("string")[1:-1]))
+        elif m.group("ident"):
+            word = m.group("ident")
+            if word in ("and", "or"):
+                out.append((word, word))
+            else:
+                out.append(("ident", word))
+        else:
+            out.append((m.group("punct"), m.group("punct")))
+    return out
+
+
+class Wild:
+    pass
+
+
+class Var:
+    def __init__(self, name):
+        self.name = name
+
+
+class StringSeq:
+    """Concatenation of context constants and literals."""
+
+    def __init__(self, items):
+        self.items = items  # ('ident', name) | ('string', s)
+
+    def value(self, variables):
+        out = []
+        for kind, v in self.items:
+            out.append(variables[v] if kind == "ident" else v)
+        return "".join(out)
+
+
+class MatchCall:
+    def __init__(self, args):
+        self.args = args  # origin, rel, target (optionally attrs ignored)
+
+
+class BoolOp:
+    def __init__(self, op, left, right):
+        self.op = op
+        self.left = left
+        self.right = right
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.ix = 0
+
+    def peek(self):
+        return self.toks[self.ix] if self.ix < len(self.toks) else (None, None)
+
+    def eat(self, kind=None):
+        tok = self.peek()
+        if kind and tok[0] != kind:
+            raise ValueError(f"mini-query: expected {kind}, got {tok}")
+        self.ix += 1
+        return tok
+
+    def parse(self):
+        node = self.expr()
+        if self.ix != len(self.toks):
+            raise ValueError("mini-query: trailing tokens")
+        return node
+
+    def expr(self):
+        node = self.term()
+        while self.peek()[0] in ("and", "or"):
+            op = self.eat()[0]
+            node = BoolOp(op, node, self.term())
+        return node
+
+    def term(self):
+        kind, _ = self.peek()
+        if kind == "?":
+            self.eat("?")
+            self.eat("(")
+            args = [self.matcharg()]
+            while self.peek()[0] == ",":
+                self.eat(",")
+                args.append(self.matcharg())
+            self.eat(")")
+            return MatchCall(args)
+        if kind == "(":
+            self.eat("(")
+            node = self.expr()
+            self.eat(")")
+            return node
+        raise ValueError(f"mini-query: unexpected token {self.peek()}")
+
+    def matcharg(self):
+        kind, val = self.peek()
+        if kind == "*":
+            self.eat()
+            return Wild()
+        if kind == "var":
+            self.eat()
+            return Var(val)
+        if kind in ("ident", "string"):
+            items = []
+            while self.peek()[0] in ("ident", "string"):
+                items.append(self.eat())
+            return StringSeq(items)
+        raise ValueError(f"mini-query: bad match arg {self.peek()}")
+
+
+def miniparse(text: str):
+    return _Parser(tokenize(text)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+
+
+class QueryContext:
+    def __init__(self, model, variables=None, matchvars=None):
+        self.model = model  # MicroModel-like (multimatch) or Dataset
+        self.variables = variables or {}
+        self.matchvars = matchvars or {}
+
+    def copy(self, matchvars=None):
+        return QueryContext(
+            self.model, self.variables, matchvars if matchvars is not None else self.matchvars
+        )
+
+
+def _resolve_arg(arg, ctx):
+    if isinstance(arg, Wild):
+        return None
+    if isinstance(arg, Var):
+        bound = ctx.matchvars.get(arg.name)
+        return set(bound) if bound else None
+    if isinstance(arg, StringSeq):
+        return arg.value(ctx.variables)
+    raise TypeError(arg)
+
+
+def _model_multimatch(model, origin, rel, target):
+    """Dispatch a component-set scan to a MicroModel or links Dataset."""
+    if hasattr(model, "multimatch"):
+        return list(model.multimatch(origin, rel, target))
+    from ..model import linkset
+
+    rows = linkset.match(model, origin=origin, rel=rel, target=target).take_all()
+    return [(r["origin"], r["rel"], r["target"], r["attrs"]) for r in rows]
+
+
+def _eval(node, ctx: QueryContext) -> dict:
+    if isinstance(node, MatchCall):
+        args = [_resolve_arg(a, ctx) for a in node.args[:3]]
+        result = {}
+        for link in _model_multimatch(ctx.model, *args):
+            for pos in range(3):
+                a = node.args[pos]
+                if isinstance(a, Var):
+                    result.setdefault(a.name, set()).add(link[pos])
+        return result
+    if isinstance(node, BoolOp):
+        left = _eval(node.left, ctx)
+        if node.op == "and":
+            right = _eval(node.right, ctx.copy(matchvars=left))
+            out = {}
+            for k, v in left.items():
+                out[k] = v & right[k] if k in right else set(v)
+            for k, v in right.items():
+                if k not in left:
+                    out[k] = set(v)
+            return out
+        # or: union of binding sets
+        right = _eval(node.right, ctx)
+        out = {k: set(v) for k, v in left.items()}
+        for k, v in right.items():
+            out[k] = out.get(k, set()) | set(v)
+        return out
+    raise TypeError(node)
+
+
+def evaluate(query, model, variables=None) -> dict:
+    """Parse (if needed) and evaluate; returns {var: set(values)}."""
+    node = miniparse(query) if isinstance(query, str) else query
+    return _eval(node, QueryContext(model, variables))
