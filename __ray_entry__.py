@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in versa_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG pipeline (synthetic RDFa page corpus
+-> extraction -> doc-local transform -> entity scoring -> dedup
+shuffle). ``queries()`` exposes every implemented operator from
+SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
+DuckDB-equivalent for each SQL-expressible one.
 """
 
 from __future__ import annotations
@@ -20,25 +17,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; returns the deduped linkset."""
+    from versa_ray.model.linkset import distinct_links
+    from versa_ray.web.kgpipeline import extract_links, score_entities
+    from versa_ray.web.synth import author_name, pages_dataset
+
+    n = 120
+    pages = pages_dataset(n)
+    links = extract_links(pages, check_text=True, concurrency=2)
+    alias = {author_name(42, 0): "https://authority.example.org/person/0"}
+    links = score_entities(links, alias, concurrency=2)
+    return distinct_links(links)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from versa_ray.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from versa_ray.queries import build_oracles
+
+    return build_oracles()

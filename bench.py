@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the
+headline KG-construction pipeline plus representative operator
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1), print ONE
+JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages": N,
+     "triples": N, "triples_per_sec": N}
+
+--scaling: run the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and report both
+throughputs plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_factor(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_for(sf: float) -> int:
+    return max(500, int(200_000 * sf))
+
+
+def run_headline(n_pages: int):
+    """Flagship: synthetic pages -> extract+transform -> score -> dedup."""
+    from versa_ray.model.linkset import distinct_links
+    from versa_ray.web.kgpipeline import extract_links, score_entities
+    from versa_ray.web.synth import author_name, pages_dataset
+
+    pages = pages_dataset(n_pages)
+    links = extract_links(pages, check_text=True, batch_size=128)
+    alias = {author_name(42, a): f"https://authority.example.org/person/{a}"
+             for a in range(16)}
+    links = score_entities(links, alias, batch_size=8192)
+    final = distinct_links(links)
+    n_triples = final.count()
+    return n_triples
+
+
+def run_query_suite(sf_dir: str) -> dict:
+    """Representative operator pipelines, each timed."""
+    from versa_ray import queries as Q
+
+    picks = [
+        "links_dedup",
+        "lineitem_agg",
+        "orders_by_segment",
+        "doc_minhash_dedup",
+        "doc_token_stats",
+        "knn_cosine",
+        "events_tumbling",
+    ]
+    qmap = Q.build_queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qmap[name](sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()  # consume Dataset
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_factor(SF_DIR)
+    n_pages = _pages_for(sf)
+
+    # warm the page-cache / worker pool with an untimed tiny run
+    run_headline(200)
+
+    t0 = time.perf_counter()
+    n_triples = run_headline(n_pages)
+    headline_sec = time.perf_counter() - t0
+
+    queries = run_query_suite(SF_DIR)
+
+    result = {
+        "metric": "kg_construct_end_to_end",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / headline_sec, 1),
+        "pages_per_sec": round(n_pages / headline_sec, 1),
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+    return result
+
+
+def scaling():
+    """Same headline job at two parallelism levels in fresh processes."""
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["triples_per_sec"]
+    thr_hi = r_hi["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "triples_per_sec_lo": thr_lo,
+                "triples_per_sec_hi": thr_hi,
+                "scaling_efficiency": round(eff, 3),
+                "pages": r_lo["pages"],
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # scaling subprocess: skip the query suite for a clean headline
+        import ray
+        from ray.data import DataContext
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        DataContext.get_current().enable_progress_bars = False
+        sf = _sf_factor(SF_DIR)
+        n_pages = _pages_for(sf)
+        run_headline(200)
+        t0 = time.perf_counter()
+        n_triples = run_headline(n_pages)
+        sec = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "kg_construct_end_to_end", "value": round(sec, 3),
+            "unit": "sec", "queries": {}, "sf": sf, "num_cpus": NUM_CPUS,
+            "pages": n_pages, "triples": n_triples,
+            "triples_per_sec": round(n_triples / sec, 1),
+        }))
+        ray.shutdown()
+    else:
+        main()

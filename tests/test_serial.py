@@ -1,0 +1,173 @@
+"""Serializer conformance: literate goldens, ntriples, csv template,
+simpleobj, jsonld, mermaid, rdfs."""
+
+import io
+
+from versa_ray.core import I, RDF_TYPE_REL, VTYPE_REL
+from versa_ray.model import MicroModel
+from versa_ray.serial import csvrec, jsonld, literate, mermaid, ntriples, rdfs, simpleobj
+
+
+def test_literate_parse_counts():
+    input_1 = (
+        "\n# http://eg.org/abc [http://vocab.org/TYPE1]\n\n"
+        '* <http://vocab.org/uvw>: "1"    // CPP Comment\n'
+        "* <http://vocab.org/uvw>: 3\n"
+        "* <http://vocab.org/xyz>: <def>\n\n"
+        "<!-- Extra spaces -->\n\n\n"
+        "# http://eg.org/def [http://vocab.org/TYPE2]\n\n"
+        "* <http://vocab.org/badlabel>: 1\n\n"
+    )
+    m = literate.parse(input_1)
+    assert len(m) == 6
+
+
+def test_literate_canonical_golden():
+    m = MicroModel()
+    vb, rb = "http://vocab.org/", "http://eg.org/"
+    m.add(I(f"{rb}def"), I(f"{vb}xyz"), "2")
+    m.add(I(f"{rb}def"), I(f"{vb}uvw"), "1")
+    m.add(I(f"{rb}def"), I(f"{vb}uvw"), "3")
+    m.add(I(f"{rb}abc"), I(f"{vb}xyz"), "2")
+    m.add(I(f"{rb}abc"), I(f"{vb}uvw"), "1")
+    m.add(I(f"{rb}abc"), I(f"{vb}uvw"), "3")
+    expected = (
+        "\n\n# http://eg.org/abc\n\n"
+        '* <http://vocab.org/uvw>: "1"\n'
+        '* <http://vocab.org/uvw>: "3"\n'
+        '* <http://vocab.org/xyz>: "2"\n\n'
+        "# http://eg.org/def\n\n"
+        '* <http://vocab.org/uvw>: "1"\n'
+        '* <http://vocab.org/uvw>: "3"\n'
+        '* <http://vocab.org/xyz>: "2"\n\n'
+    )
+    assert literate.write_string(m, canonical=True) == expected
+
+
+def test_literate_abbreviation_equivalence():
+    """doc1.md vs doc1.abbr.md parse to equal models (reference
+    test_parsemd.py:44-70 pattern)."""
+    full = (
+        "# http://example.org/x [http://example.org/voc/Thing]\n\n"
+        "* <http://example.org/voc/name>: \"X\"\n\n"
+    )
+    abbr = (
+        "# @docheader\n\n* @iri:\n    * @base: http://example.org/\n"
+        "    * @schema: http://example.org/voc/\n\n"
+        "# x [Thing]\n\n* name: \"X\"\n\n"
+    )
+    assert literate.parse(full) == literate.parse(abbr)
+
+
+def test_ntriples_roundtrip():
+    nt = (
+        "<http://example.org/s> <http://example.org/p> \"lit\" .\n"
+        "<http://example.org/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.org/T> .\n"
+        "<http://example.org/s> <http://example.org/q> <http://example.org/o> .\n"
+    )
+    m = ntriples.parse(nt)
+    assert len(m) == 3
+    # rdf:type mapped to Versa type
+    assert len(list(m.match(None, VTYPE_REL))) == 1
+    out = ntriples.write_string(m)
+    # round-trip: type mapped back to rdf:type
+    assert "22-rdf-syntax-ns#type" in out
+    m2 = ntriples.parse(out)
+    assert m == m2
+
+
+def test_ntriples_filters():
+    nt = (
+        "<http://e/s> <http://e/keep> \"a\" .\n"
+        "<http://e/s> <http://e/drop> \"b\" .\n"
+    )
+    m = ntriples.parse(nt, only_rel={"http://e/keep"})
+    assert len(m) == 1
+    m = ntriples.parse(nt, exclude_rel={"http://e/drop"})
+    assert len(m) == 1
+    # disjoint anti-join
+    existing = {(I("http://e/s"), I("http://e/keep"), "a", ())}
+    m = ntriples.parse(nt, disjoint=existing)
+    assert len(m) == 1 and next(m.match())[1] == "http://e/drop"
+
+
+def test_csv_template_usecase():
+    """Reference test_serial_csv.py:23-33 use case (unicode header ->
+    percent-encoded template key)."""
+    def rows(_):
+        return [{"Wikidata": "Q15761337", "©": "2016"}]
+
+    tmpl = "# http://example.org#{Wikidata}\n\n * <http://example.org/voc/copyright>: {%C2%A9}\n\n"
+    m = next(csvrec.parse_iter(object(), tmpl, csv_fact=rows))
+    assert len(m) == 1
+    assert next(m.match()) == (
+        "http://example.org#Q15761337",
+        "http://example.org/voc/copyright",
+        "2016",
+        {},
+    )
+
+
+def test_csv_parse_and_write():
+    csvtext = "ISBN,Title\n12345,Things Fall Apart\n"
+    tmpl = (
+        "# http://example.org/book/{ISBN} [http://example.org/voc/Book]\n\n"
+        "* <http://example.org/voc/title>: {Title}\n\n"
+    )
+    m = csvrec.parse(io.StringIO(csvtext), tmpl)
+    assert len(m) == 2
+    # writer
+    out = io.StringIO()
+    import csv as _csv
+
+    w = _csv.writer(out)
+    csvrec.write(m, w, [("http://example.org/voc/title", "Title")], True)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0] == "id,type,Title"
+    assert "Things Fall Apart" in lines[1]
+
+
+def test_simpleobj():
+    objs = [{"id": "b1", "title": "T1"}, {"id": "b2", "title": "T2"}]
+    tmpl = "# http://e.org/{id} [http://e.org/voc/B]\n\n* <http://e.org/voc/t>: {title}\n\n"
+    m = simpleobj.parse(objs, tmpl)
+    assert len(m) == 4
+
+
+def test_jsonld_bind():
+    m = MicroModel()
+    m.add(I("http://e/book1"), RDF_TYPE_REL, I("http://e/Book"))
+    m.add(I("http://e/book1"), I("http://e/author"), I("http://e/p1"))
+    m.add(I("http://e/p1"), I("http://e/name"), "Chinua Achebe")
+    doc = jsonld.bind(m, context={"@output": True})
+    graph = doc["@graph"]
+    assert len(graph) == 1  # p1 nested under book1
+    book = graph[0]
+    assert book["@id"] == "http://e/book1"
+    assert book["http://e/author"]["http://e/name"] == "Chinua Achebe"
+    # with @vocab, rels and nested ids relativize (reference behavior)
+    doc2 = jsonld.bind(m, context={"@vocab": "http://e/"})
+    ids = {o["@id"] for o in doc2["@graph"]}
+    assert "http://e/book1" in ids
+
+
+def test_mermaid():
+    m = MicroModel()
+    m.add(I("http://e/a"), I("http://e/knows"), I("http://e/b"))
+    out = mermaid.write_string(m)
+    assert out.startswith("graph TD")
+    assert "-->|knows|" in out
+
+
+def test_rdfs_mapping():
+    from versa_ray.core import RDFS_NS, VERSA_BASEIRI
+
+    m = MicroModel()
+    m.add(I("http://e/C"), VTYPE_REL, I(VERSA_BASEIRI + "Resource"))
+    m.add(I("http://e/C"), I(VERSA_BASEIRI + "refines"), I("http://e/Base"))
+    m.add(I("http://e/C"), I(VERSA_BASEIRI + "label"), "C label")
+    out = rdfs.to_rdfs_model(m)
+    assert len(list(out.match(None, I(RDFS_NS + "subClassOf")))) == 1
+    assert len(list(out.match(None, I(RDFS_NS + "label")))) == 1
+    assert len(list(out.match(None, RDF_TYPE_REL, I(RDFS_NS + "Class")))) == 1

@@ -1,0 +1,635 @@
+"""Driver-contract queries: one entry per engine operator, each with a
+DuckDB-equivalent oracle where SQL can express it.
+
+The KG/link-model operators run over a links Dataset derived
+deterministically from the TPC-H-ish tables (region/nation/customer/
+supplier -> ``urn:versa:`` linkset), so the SQL oracle can rebuild the
+identical linkset with UNION ALL and apply the equivalent relational
+form. Training-data ops run over documents/embeddings/events.
+
+Column names match between the Ray results and the oracle SQL —
+the driver sorts columns by name and value-hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .core import VTYPE_REL
+from .model import linkset
+from .ops import dedup as dd
+from .ops import similarity, textstats, windows
+
+URN = "urn:versa:"
+NAME = "http://bibfra.me/vocab/lite/name"
+SEGMENT = "http://bibfra.me/vocab/lite/segment"
+IN_NATION = "http://bibfra.me/vocab/lite/inNation"
+IN_REGION = "http://bibfra.me/vocab/lite/inRegion"
+TYPE = str(VTYPE_REL)
+SRC_ATTRS = '{"@src":"tpch"}'
+
+LINK_COLS = ["origin", "rel", "target", "target_is_iri", "attrs"]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H -> linkset derivation (Ray side)
+
+
+def _links_table(origins, rels, targets, is_iri, attrs=None) -> pa.Table:
+    n = len(origins)
+    return pa.table(
+        {
+            "origin": pa.array(origins, type=pa.string()),
+            "rel": pa.array([rels] * n if isinstance(rels, str) else rels,
+                            type=pa.string()),
+            "target": pa.array(targets, type=pa.string()),
+            "target_is_iri": pa.array(
+                [is_iri] * n if isinstance(is_iri, bool) else is_iri
+            ),
+            "attrs": pa.array([attrs or "{}"] * n, type=pa.string()),
+        }
+    )
+
+
+def tpch_linkset(sf_dir: str):
+    """Derive the urn:versa linkset from region/nation/customer/supplier."""
+    import ray.data as rd
+
+    def from_region(tbl: pa.Table) -> pa.Table:
+        o = ["%sregion:%d" % (URN, k) for k in tbl["r_regionkey"].to_pylist()]
+        names = tbl["r_name"].to_pylist()
+        return pa.concat_tables(
+            [
+                _links_table(o, TYPE, [URN + "Region"] * len(o), True),
+                _links_table(o, NAME, names, False),
+            ]
+        )
+
+    def from_nation(tbl: pa.Table) -> pa.Table:
+        o = ["%snation:%d" % (URN, k) for k in tbl["n_nationkey"].to_pylist()]
+        names = tbl["n_name"].to_pylist()
+        regions = ["%sregion:%d" % (URN, k) for k in tbl["n_regionkey"].to_pylist()]
+        return pa.concat_tables(
+            [
+                _links_table(o, TYPE, [URN + "Nation"] * len(o), True),
+                _links_table(o, NAME, names, False),
+                _links_table(o, IN_REGION, regions, True),
+            ]
+        )
+
+    def from_customer(tbl: pa.Table) -> pa.Table:
+        o = ["%scustomer:%d" % (URN, k) for k in tbl["c_custkey"].to_pylist()]
+        names = tbl["c_name"].to_pylist()
+        nations = ["%snation:%d" % (URN, k) for k in tbl["c_nationkey"].to_pylist()]
+        segs = tbl["c_mktsegment"].to_pylist()
+        return pa.concat_tables(
+            [
+                _links_table(o, TYPE, [URN + "Customer"] * len(o), True),
+                _links_table(o, NAME, names, False),
+                _links_table(o, IN_NATION, nations, True),
+                _links_table(o, SEGMENT, segs, False, SRC_ATTRS),
+            ]
+        )
+
+    def from_supplier(tbl: pa.Table) -> pa.Table:
+        o = ["%ssupplier:%d" % (URN, k) for k in tbl["s_suppkey"].to_pylist()]
+        names = tbl["s_name"].to_pylist()
+        nations = ["%snation:%d" % (URN, k) for k in tbl["s_nationkey"].to_pylist()]
+        return pa.concat_tables(
+            [
+                _links_table(o, TYPE, [URN + "Supplier"] * len(o), True),
+                _links_table(o, NAME, names, False),
+                _links_table(o, IN_NATION, nations, True),
+            ]
+        )
+
+    parts = []
+    for name, cols, fn in (
+        ("region", ["r_regionkey", "r_name"], from_region),
+        ("nation", ["n_nationkey", "n_name", "n_regionkey"], from_nation),
+        ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], from_customer),
+        ("supplier", ["s_suppkey", "s_name", "s_nationkey"], from_supplier),
+    ):
+        ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+        parts.append(ds.map_batches(fn, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+# SQL mirror of tpch_linkset
+LINKSET_SQL = f"""
+SELECT 'urn:versa:region:' || CAST(r_regionkey AS VARCHAR) AS origin,
+       '{TYPE}' AS rel, 'urn:versa:Region' AS target, TRUE AS target_is_iri,
+       '{{}}' AS attrs FROM region
+UNION ALL
+SELECT 'urn:versa:region:' || CAST(r_regionkey AS VARCHAR), '{NAME}', r_name,
+       FALSE, '{{}}' FROM region
+UNION ALL
+SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), '{TYPE}',
+       'urn:versa:Nation', TRUE, '{{}}' FROM nation
+UNION ALL
+SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), '{NAME}', n_name,
+       FALSE, '{{}}' FROM nation
+UNION ALL
+SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), '{IN_REGION}',
+       'urn:versa:region:' || CAST(n_regionkey AS VARCHAR), TRUE, '{{}}' FROM nation
+UNION ALL
+SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), '{TYPE}',
+       'urn:versa:Customer', TRUE, '{{}}' FROM customer
+UNION ALL
+SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), '{NAME}', c_name,
+       FALSE, '{{}}' FROM customer
+UNION ALL
+SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), '{IN_NATION}',
+       'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR), TRUE, '{{}}' FROM customer
+UNION ALL
+SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), '{SEGMENT}',
+       c_mktsegment, FALSE, '{SRC_ATTRS}' FROM customer
+UNION ALL
+SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR), '{TYPE}',
+       'urn:versa:Supplier', TRUE, '{{}}' FROM supplier
+UNION ALL
+SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR), '{NAME}', s_name,
+       FALSE, '{{}}' FROM supplier
+UNION ALL
+SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR), '{IN_NATION}',
+       'urn:versa:nation:' || CAST(s_nationkey AS VARCHAR), TRUE, '{{}}' FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query callables
+
+
+def q_links_all(sf_dir):
+    return tpch_linkset(sf_dir)
+
+
+def q_links_match_rel(sf_dir):
+    return linkset.match(tpch_linkset(sf_dir), rel=NAME)
+
+
+def q_links_multimatch(sf_dir):
+    origins = {f"{URN}nation:{k}" for k in range(5)}
+    return linkset.match(tpch_linkset(sf_dir), origin=origins, rel={NAME, IN_REGION})
+
+
+def q_links_match_attrs(sf_dir):
+    return linkset.match(tpch_linkset(sf_dir), attrs={"@src": "tpch"})
+
+
+def q_links_dedup(sf_dir):
+    ls = tpch_linkset(sf_dir)
+    return linkset.distinct_links(ls.union(tpch_linkset(sf_dir)))
+
+
+def q_links_all_origins(sf_dir):
+    return linkset.all_origins(tpch_linkset(sf_dir))
+
+
+def q_links_origins_of_type(sf_dir):
+    return linkset.all_origins(tpch_linkset(sf_dir), of_types={URN + "Customer"})
+
+
+def q_links_column_targets(sf_dir):
+    return linkset.match(tpch_linkset(sf_dir), rel=NAME).unique("target")
+
+
+def q_links_follow2(sf_dir):
+    """2-hop traversal: customers 1..20 -> nation -> region IRI."""
+    ls = tpch_linkset(sf_dir)
+    start = {f"{URN}customer:{k}" for k in range(1, 21)}
+    hop1 = linkset.match(ls, origin=start, rel=IN_NATION).take_all()
+    nations = {r["target"] for r in hop1}
+    hop2 = {
+        r["origin"]: r["target"]
+        for r in linkset.match(ls, origin=nations, rel=IN_REGION).take_all()
+    }
+    rows = [
+        {"origin": r["origin"], "target": hop2[r["target"]]}
+        for r in hop1
+        if r["target"] in hop2
+    ]
+    return pd.DataFrame(rows)
+
+
+def q_links_zoom(sf_dir):
+    ds, completed = linkset.zoom_in(tpch_linkset(sf_dir), f"{URN}customer:1", depth=2)
+    df = ds.to_pandas()
+    return df[["origin", "rel", "target"]].drop_duplicates()
+
+
+def q_links_replace_values(sf_dir):
+    mapping = {f"{URN}nation:1": f"{URN}nation:merged-1"}
+    return linkset.replace_values(tpch_linkset(sf_dir), mapping)
+
+
+def q_links_duplicate_statements(sf_dir):
+    ls = tpch_linkset(sf_dir)
+    return linkset.duplicate_statements(ls, f"{URN}customer:1", f"{URN}customer:copy-1")
+
+
+def q_miniquery_conj(sf_dir):
+    from .query import evaluate
+
+    ls = tpch_linkset(sf_dir)
+    result = evaluate(
+        "?($a, NAME, *) and ?($a, SEG, 'BUILDING')",
+        ls,
+        {"NAME": NAME, "SEG": SEGMENT},
+    )
+    return pd.DataFrame({"a": sorted(result.get("a", set()))})
+
+
+def q_transitive_closure(sf_dir):
+    ls = tpch_linkset(sf_dir)
+    # inNation then inRegion form a 2-level hierarchy; closure from a customer
+    seen = linkset.transitive_closure(ls, f"{URN}customer:1", IN_NATION)
+    out = set(seen)
+    for n in list(seen):
+        out |= linkset.transitive_closure(ls, n, IN_REGION)
+    return pd.DataFrame({"node": sorted(out)})
+
+
+# -- documents --------------------------------------------------------------
+
+
+def _docs(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_doc_exact_dedup(sf_dir):
+    import ray.data as rd
+
+    docs = _docs(sf_dir)
+    shifted = docs.map_batches(
+        lambda df: df.assign(doc_id=df.doc_id + 1000000), batch_format="pandas"
+    )
+    return dd.exact_dedup(docs.union(shifted), key="text", id_col="doc_id")
+
+
+def q_doc_token_stats(sf_dir):
+    ds = _docs(sf_dir).map_batches(
+        lambda df: textstats.token_stats(df)[["doc_id", "n_chars", "n_tokens", "n_digits"]],
+        batch_format="pandas",
+    )
+    return ds
+
+
+def q_doc_lang_counts(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _docs(sf_dir)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+def q_doc_fingerprint(sf_dir):
+    return _docs(sf_dir).map_batches(
+        lambda df: textstats.md5_fingerprint(df)[["doc_id", "fp_md5"]],
+        batch_format="pandas",
+    )
+
+
+def q_doc_minhash_dedup(sf_dir):
+    return dd.minhash_dedup(_docs(sf_dir), threshold=0.5, concurrency=2)
+
+
+def q_doc_simhash(sf_dir):
+    return dd.simhash_ds(_docs(sf_dir)).map_batches(
+        lambda df: df.assign(simhash=df.simhash.astype("uint64").astype("int64")
+                             if df.simhash.dtype != "int64" else df.simhash),
+        batch_format="pandas",
+    )
+
+
+def q_doc_langid(sf_dir):
+    return textstats.langid_ds(_docs(sf_dir), concurrency=2).map_batches(
+        lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas"
+    )
+
+
+def q_doc_quality(sf_dir):
+    return textstats.quality_ds(_docs(sf_dir)).map_batches(
+        lambda df: df[["doc_id", "stopword_ratio", "mean_token_len", "upper_ratio", "punct_ratio"]],
+        batch_format="pandas",
+    )
+
+
+# -- embeddings -------------------------------------------------------------
+
+
+def _query_vectors(sf_dir, n=8):
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    df = df.sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64), df["vec_id"].to_numpy()
+
+def q_knn_cosine(sf_dir):
+    import ray.data as rd
+
+    vecs, ids = _query_vectors(sf_dir, 8)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.knn_bruteforce(emb, vecs, ids, k=5).to_pandas()
+    return out[["qid", "nid", "rank"]]
+
+
+def q_embedding_near_dups(sf_dir):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.take(1)[0]["embedding"])
+    return dd.embedding_near_dups(emb, dim=dim, threshold=0.9)
+
+
+# -- events -----------------------------------------------------------------
+
+
+def q_events_tumbling(sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windows.tumbling_window_agg(ev, freq="1D")
+    return out.map_batches(
+        lambda df: df.assign(
+            value_sum=df.value_sum.round(2),
+            window_start=df.window_start.astype("datetime64[us]"),
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_events_sessions(sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windows.session_windows(ev, gap="2h")
+    return out.map_batches(
+        lambda df: df.assign(
+            session_start=df.session_start.astype("datetime64[us]"),
+            session_end=df.session_end.astype("datetime64[us]"),
+        )[["user_id", "session_start", "session_end", "n_events"]],
+        batch_format="pandas",
+    )
+
+
+# -- classic aggregates / joins --------------------------------------------
+
+
+def q_lineitem_agg(sf_dir):
+    """TPC-H Q1-style grouped aggregate with per-batch partial
+    aggregation before the shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    return out.map_batches(
+        lambda df: df.assign(
+            sum_qty=df.sum_qty.round(2), sum_base_price=df.sum_base_price.round(2)
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_orders_by_segment(sf_dir):
+    """Broadcast join: orders ⋈ customer (small side broadcast via
+    ray.put), revenue per market segment."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    ref = ray.put(seg_map)
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        mp = ray.get(ref)
+        df["c_mktsegment"] = df["o_custkey"].map(mp)
+        return df[["c_mktsegment", "o_totalprice"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        orders.map_batches(_join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        )
+    )
+    return out.map_batches(
+        lambda df: df.assign(revenue=df.revenue.round(2)), batch_format="pandas"
+    )
+
+
+# -- flagship KG (non-SQL) --------------------------------------------------
+
+
+def q_kg_linkset(sf_dir):
+    """Flagship KG pipeline over the synthetic page corpus (size scaled
+    loosely to the sf tier); rows-only check (HTML->triples is not
+    SQL-expressible)."""
+    import ray.data as rd
+
+    from .web.kgpipeline import PageKGExtractor, extract_links
+    from .web.synth import pages_dataset
+
+    n = 200
+    pages = pages_dataset(n)
+    links = extract_links(pages, check_text=True, concurrency=2)
+    return linkset.distinct_links(links)
+
+
+def q_multimodal_features(sf_dir):
+    import ray.data as rd
+
+    from .ops.multimodal import decode_features, synth_media_batch
+
+    media = rd.from_arrow(synth_media_batch(0, 64))
+    return decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+
+
+def build_queries():
+    return {
+        "links_all": q_links_all,
+        "links_match_rel": q_links_match_rel,
+        "links_multimatch": q_links_multimatch,
+        "links_match_attrs": q_links_match_attrs,
+        "links_dedup": q_links_dedup,
+        "links_all_origins": q_links_all_origins,
+        "links_origins_of_type": q_links_origins_of_type,
+        "links_column_targets": q_links_column_targets,
+        "links_follow2": q_links_follow2,
+        "links_zoom": q_links_zoom,
+        "links_replace_values": q_links_replace_values,
+        "links_duplicate_statements": q_links_duplicate_statements,
+        "miniquery_conj": q_miniquery_conj,
+        "transitive_closure": q_transitive_closure,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_counts": q_doc_lang_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_simhash": q_doc_simhash,
+        "doc_langid": q_doc_langid,
+        "doc_quality": q_doc_quality,
+        "knn_cosine": q_knn_cosine,
+        "embedding_near_dups": q_embedding_near_dups,
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        "lineitem_agg": q_lineitem_agg,
+        "orders_by_segment": q_orders_by_segment,
+        "kg_linkset": q_kg_linkset,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def build_oracles():
+    L = f"WITH links AS ({LINKSET_SQL})"
+    return {
+        "links_all": f"{L} SELECT * FROM links",
+        "links_match_rel": f"{L} SELECT * FROM links WHERE rel = '{NAME}'",
+        "links_multimatch": (
+            f"{L} SELECT * FROM links WHERE rel IN ('{NAME}', '{IN_REGION}') "
+            "AND origin IN ('urn:versa:nation:0','urn:versa:nation:1',"
+            "'urn:versa:nation:2','urn:versa:nation:3','urn:versa:nation:4')"
+        ),
+        "links_match_attrs": f"{L} SELECT * FROM links WHERE attrs = '{SRC_ATTRS}'",
+        "links_dedup": f"{L} SELECT DISTINCT * FROM links",
+        "links_all_origins": f"{L} SELECT DISTINCT origin FROM links",
+        "links_origins_of_type": (
+            f"{L} SELECT DISTINCT origin FROM links "
+            f"WHERE rel = '{TYPE}' AND target = 'urn:versa:Customer'"
+        ),
+        "links_column_targets": f"{L} SELECT DISTINCT target FROM links WHERE rel = '{NAME}'",
+        "links_follow2": (
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS origin, "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) AS target "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_custkey BETWEEN 1 AND 20"
+        ),
+        "links_zoom": (
+            f"{L}, hop0 AS (SELECT * FROM links WHERE origin = 'urn:versa:customer:1'), "
+            "hop1 AS (SELECT l.* FROM links l JOIN hop0 ON l.origin = hop0.target "
+            "AND hop0.target_is_iri), "
+            "hop2 AS (SELECT l.* FROM links l JOIN hop1 ON l.origin = hop1.target "
+            "AND hop1.target_is_iri) "
+            "SELECT DISTINCT origin, rel, target FROM "
+            "(SELECT * FROM hop0 UNION ALL SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)"
+        ),
+        "links_replace_values": (
+            f"{L} SELECT CASE WHEN origin = 'urn:versa:nation:1' "
+            "THEN 'urn:versa:nation:merged-1' ELSE origin END AS origin, rel, "
+            "CASE WHEN target = 'urn:versa:nation:1' "
+            "THEN 'urn:versa:nation:merged-1' ELSE target END AS target, "
+            "target_is_iri, attrs FROM links"
+        ),
+        "links_duplicate_statements": (
+            f"{L} SELECT * FROM links UNION ALL "
+            "SELECT 'urn:versa:customer:copy-1' AS origin, rel, target, "
+            "target_is_iri, attrs FROM links WHERE origin = 'urn:versa:customer:1'"
+        ),
+        "miniquery_conj": (
+            "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
+            "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "transitive_closure": (
+            "SELECT 'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR) AS node "
+            "FROM customer WHERE c_custkey = 1 "
+            "UNION SELECT 'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1"
+        ),
+        "doc_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, text FROM ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) GROUP BY text"
+        ),
+        "doc_token_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
+            "FROM documents"
+        ),
+        "doc_lang_counts": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "events_tumbling": (
+            "SELECT event_type, date_trunc('day', ts) AS window_start, "
+            "count(*) AS n, round(sum(value), 2) AS value_sum "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH marked AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sessed AS (SELECT user_id, ts, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM marked) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*) AS n_events FROM sessed GROUP BY user_id, sess"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, count(*) AS n "
+            "FROM lineitem GROUP BY 1, 2"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, "
+            "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "sims AS (SELECT q.qid, e.vec_id AS nid, "
+            "list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+            "ranked AS (SELECT qid, nid, row_number() OVER "
+            "(PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
+            "SELECT qid, nid, rank FROM ranked WHERE rank <= 5"
+        ),
+        # doc_minhash_dedup / doc_simhash / doc_langid / doc_quality /
+        # embedding_near_dups / kg_linkset / multimodal_features:
+        # not SQL-expressible -> rows-only checks
+    }

@@ -1,1 +1,1 @@
-from . import literate, ntriples
+from . import csvrec, jsonld, literate, mermaid, ntriples, rdfs, simpleobj
