@@ -24,9 +24,9 @@ def entry() -> Any:
 
     n = 120
     pages = pages_dataset(n)
-    links = extract_links(pages, check_text=True, concurrency=2)
+    links = extract_links(pages, check_text=True)
     alias = {author_name(42, 0): "https://authority.example.org/person/0"}
-    links = score_entities(links, alias, concurrency=2)
+    links = score_entities(links, alias)
     return distinct_links(links)
 
 

@@ -143,8 +143,9 @@ def size(ds) -> int:
 
 
 def column_values(ds, col: str):
-    """Distinct values of one link column (util.py:78-88)."""
-    return ds.unique(col)
+    """Distinct values of one link column (util.py:78-88), as a
+    one-column DataFrame named after the column."""
+    return pd.DataFrame({col: sorted(ds.unique(col))})
 
 
 def all_origins(ds, of_types=None):
@@ -152,11 +153,11 @@ def all_origins(ds, of_types=None):
     (util.py:56-75). Type filter is a broadcast semi-join against the
     (small) set of typed origins."""
     if not of_types:
-        return ds.unique("origin")
+        return pd.DataFrame({"origin": sorted(ds.unique("origin"))})
     typed = match(ds, rel=VTYPE_REL)
     if "*" not in set(of_types):
         typed = match(typed, rel=VTYPE_REL, target=set(of_types))
-    return typed.unique("origin")
+    return pd.DataFrame({"origin": sorted(typed.unique("origin"))})
 
 
 def resourcetypes(ds, rid):

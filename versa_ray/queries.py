@@ -196,7 +196,7 @@ def q_links_origins_of_type(sf_dir):
 
 
 def q_links_column_targets(sf_dir):
-    return linkset.match(tpch_linkset(sf_dir), rel=NAME).unique("target")
+    return linkset.column_values(linkset.match(tpch_linkset(sf_dir), rel=NAME), "target")
 
 
 def q_links_follow2(sf_dir):

@@ -122,16 +122,23 @@ class PageKGExtractor:
         return pa.Table.from_pydict(out, schema=LINKS_OUT_SCHEMA)
 
 
-def _default_concurrency():
-    """Size actor pools to the cluster, leaving headroom for the read
-    and write stages so no stage starves."""
+def _cluster_cpus() -> int:
     import ray
 
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        cpus = 4
-    return max(2, cpus - 2)
+        return 4
+
+
+def _default_concurrency(fraction=0.5):
+    """Size an actor pool to a FRACTION of the cluster. A pipeline may
+    run two pools plus a shuffle concurrently in one streaming
+    execution; pools that together reserve every CPU deadlock the
+    sort/groupby stages behind them, so no single pool takes more than
+    half the node and the two defaults (extract 1/2, score 1/4) leave
+    headroom for shuffle tasks."""
+    return max(1, int(_cluster_cpus() * fraction))
 
 
 def extract_links(pages_ds, check_text=False, concurrency=None, batch_size=64):
@@ -225,7 +232,8 @@ def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=409
         fn_constructor_kwargs={"alias_ref": ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency(),
+        concurrency=concurrency or _default_concurrency(0.25),
+        num_cpus=0.5,  # scoring is light; don't starve the dedup shuffle
     )
 
 
