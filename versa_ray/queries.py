@@ -53,8 +53,17 @@ def _links_table(origins, rels, targets, is_iri, attrs=None) -> pa.Table:
     )
 
 
+_LINKSET_CACHE: dict = {}
+
+
 def tpch_linkset(sf_dir: str):
-    """Derive the urn:versa linkset from region/nation/customer/supplier."""
+    """Derive the urn:versa linkset from region/nation/customer/supplier.
+
+    The materialized result is cached per sf_dir (it is small relative
+    to the fact tables and consumed by ~15 operators)."""
+    cached = _LINKSET_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     import ray.data as rd
 
     def from_region(tbl: pa.Table) -> pa.Table:
@@ -117,6 +126,8 @@ def tpch_linkset(sf_dir: str):
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
+    out = out.materialize()
+    _LINKSET_CACHE[sf_dir] = out
     return out
 
 

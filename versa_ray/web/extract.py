@@ -115,7 +115,10 @@ def extract_text(html) -> str:
     This exact convention is the per-row invariant checked against the
     corpus's golden ``text`` column.
     """
-    root = parse_html(html)
+    return text_from_tree(parse_html(html))
+
+
+def text_from_tree(root: _Node) -> str:
     body = _find(root, "body") or root
     segments = []
 
@@ -137,7 +140,18 @@ def extract_text(html) -> str:
 def extract_rdfa(html, source_uri: str):
     """RDFa-Lite extraction -> list of (subject, predicate, object,
     obj_is_iri) tuples, document order, duplicates preserved."""
+    return rdfa_from_tree(parse_html(html), source_uri)
+
+
+def extract_both(html, source_uri: str):
+    """One parse, both products: (text, rdfa triples). The hot path for
+    the page extraction stage — HTML parsing dominates, so share the
+    tree."""
     root = parse_html(html)
+    return text_from_tree(root), rdfa_from_tree(root, source_uri)
+
+
+def rdfa_from_tree(root: _Node, source_uri: str):
     triples = []
     bnode_counter = [0]
     doc_tag = simple_hashstring(source_uri)

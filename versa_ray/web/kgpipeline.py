@@ -32,7 +32,7 @@ from ..core.canon import LINK_SCHEMA
 from ..model.linkset import distinct_links
 from ..model.micro import MicroModel
 from ..pipeline import follow, generic_pipeline, link, lookup, materialize
-from .extract import extract_rdfa, extract_text
+from .extract import extract_both, extract_rdfa, extract_text
 
 SCH = I("https://schema.org/")
 BF = I("http://bibfra.me/vocab/lite/")
@@ -94,13 +94,15 @@ class PageKGExtractor:
         self.pipeline = generic_pipeline(fp, tr, lb)
         self.check_text = check_text
 
-    def extract_page(self, url: str, html) -> MicroModel:
-        triples = extract_rdfa(html, url)
+    def _transform(self, url: str, triples) -> MicroModel:
         modin = MicroModel()
         for s, p, o, _is_iri in triples:
             rel = VTYPE_REL if p == RDF_TYPE_REL else p
             modin.add(s, rel, o)
         return self.pipeline.run(input_model=modin, doc_tint=url)
+
+    def extract_page(self, url: str, html) -> MicroModel:
+        return self._transform(url, extract_rdfa(html, url))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -110,11 +112,11 @@ class PageKGExtractor:
         ) else None
         out = {name: [] for name in LINKS_OUT_SCHEMA.names}
         for i, (url, html) in enumerate(zip(urls, htmls)):
-            if golden is not None:
-                extracted = extract_text(html)
-                if extracted != golden[i]:
-                    raise TextMismatch(f"text extraction drift for {url}")
-            modout = self.extract_page(url, html)
+            # one HTML parse serves both text and triples
+            text, triples = extract_both(html, url)
+            if golden is not None and text != golden[i]:
+                raise TextMismatch(f"text extraction drift for {url}")
+            modout = self._transform(url, triples)
             for row in modout.to_rows():
                 for k, v in row.items():
                     out[k].append(v)
