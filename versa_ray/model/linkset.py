@@ -98,36 +98,105 @@ def match(ds, origin=None, rel=None, target=None, attrs=None):
 multimatch = match  # sets are accepted directly by match
 
 
+_KEY_SEP = "\x1f"
+_ESC = "\x1e"
+_NULL_SENTINEL = _ESC + "0"
+
+
+def _escape_col(col):
+    col = pc.replace_substring(col, _ESC, _ESC + _ESC)
+    return pc.replace_substring(col, _KEY_SEP, _ESC + "~")
+
+
+def _unescape(s: str) -> str:
+    if _ESC not in s:  # fast path: virtually all IRIs/text
+        return s
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == _ESC and i + 1 < len(s):
+            out.append(_KEY_SEP if s[i + 1] == "~" else _ESC)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def with_quad_key(ds, key_col="qkey"):
-    """Append a process-stable 64-bit row key over the quad columns and
-    locally pre-dedup each batch (combiner before the shuffle)."""
+    """Append a composite string key LOSSLESSLY encoding the full quad
+    (separator-escaped) and locally pre-dedup each batch (combiner
+    before the shuffle). Stays in Arrow end to end: pandas-format
+    blocks make Ray's sort/aggregate path ~20x slower."""
+    import numpy as np
 
-    def _key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=QUAD_COLS)
-        df[key_col] = pd.util.hash_pandas_object(
-            df[QUAD_COLS], index=False
-        ).astype("int64")
-        return df
+    def _key(tbl: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            _escape_col(tbl["origin"]),
+            _escape_col(tbl["rel"]),
+            pc.coalesce(_escape_col(tbl["target"]), pa.scalar(_NULL_SENTINEL)),
+            pc.cast(tbl["target_is_iri"], pa.string()),
+            _escape_col(tbl["attrs"]),
+            _KEY_SEP,
+        )
+        _, ix = np.unique(key.to_numpy(zero_copy_only=False), return_index=True)
+        tbl = tbl.append_column(key_col, key)
+        if len(ix) < tbl.num_rows:
+            tbl = tbl.take(np.sort(ix))
+        return tbl
 
-    return ds.map_batches(_key, batch_format="pandas")
+    return ds.map_batches(_key, batch_format="pyarrow")
+
+
+def quad_from_key(keys) -> pa.Table:
+    """Inverse of with_quad_key: split composite keys back into the
+    five quad columns (vectorized split + unescape)."""
+    parts = pc.split_pattern(keys, _KEY_SEP)
+    lists = parts.to_pylist()
+    origin, rel, target, is_iri, attrs = [], [], [], [], []
+    for o, r, t, b, a in lists:
+        origin.append(_unescape(o))
+        rel.append(_unescape(r))
+        target.append(None if t == _NULL_SENTINEL else _unescape(t))
+        is_iri.append(b == "true")
+        attrs.append(_unescape(a))
+    return pa.table(
+        {
+            "origin": pa.array(origin, type=pa.string()),
+            "rel": pa.array(rel, type=pa.string()),
+            "target": pa.array(target, type=pa.string()),
+            "target_is_iri": pa.array(is_iri),
+            "attrs": pa.array(attrs, type=pa.string()),
+        }
+    )
 
 
 def distinct_links(ds):
     """Global exact dedup of quads: the distributed form of the model's
     duplicate-refusing add (memory.py:179-181) / util.uniquify.
 
-    Local pre-dedup -> hash-key groupby shuffle -> true-quad
-    drop_duplicates per group (collision-safe)."""
+    Local pre-dedup -> groupby on the lossless composite quad key ->
+    ONE vectorized aggregate per non-quad column (lineage columns take
+    the lexicographic Min — deterministic) -> reconstruct the quad by
+    splitting the key. Aggregation cost in Ray scales with the number
+    of aggregates, so aggregating only the extras (usually 0-1 columns)
+    instead of all five quad columns keeps the shuffle ~sort-cost. No
+    per-group Python UDF anywhere (map_groups costs ~ms per group,
+    ruinous at 10^12 quads)."""
+    from ray.data.aggregate import Count, Min
 
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=QUAD_COLS)
+    extra_cols = [n for n in ds.schema().names if n not in QUAD_COLS]
+    aggs = [Min(c, alias_name=c) for c in extra_cols] or [Count(alias_name="_n")]
+    grouped = with_quad_key(ds).groupby("qkey").aggregate(*aggs)
 
-    return (
-        with_quad_key(ds)
-        .groupby("qkey")
-        .map_groups(_first, batch_format="pandas")
-        .drop_columns(["qkey"])
-    )
+    def _rebuild(tbl: pa.Table) -> pa.Table:
+        quad = quad_from_key(tbl["qkey"])
+        for c in extra_cols:
+            quad = quad.append_column(c, tbl[c])
+        return quad
+
+    return grouped.map_batches(_rebuild, batch_format="pyarrow")
 
 
 def union(*datasets, dedup=True):

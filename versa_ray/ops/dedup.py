@@ -60,11 +60,14 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 
 def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     """Keep the minimum id per distinct key value. Local pre-dedup then
-    one groupby-aggregate over the survivors."""
+    one groupby-aggregate over the survivors. Emits Arrow blocks into
+    the shuffle (pandas blocks cripple Ray's sort path)."""
+    import pyarrow as pa
     from ray.data.aggregate import Min
 
-    def _local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]]
+    def _local(df: pd.DataFrame) -> pa.Table:
+        out = df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(_local, batch_format="pandas")

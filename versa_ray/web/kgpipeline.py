@@ -188,8 +188,13 @@ class EntityScorer:
         table = ray.get(alias_ref) if alias_ref is not None else (alias_table or {})
         self.authorities = [(name, iri, char_trigrams(name)) for name, iri in table.items()]
         self.threshold = threshold
+        # mention strings repeat heavily (head entities); memoize per actor
+        self._memo: dict = {}
 
     def score(self, name: str):
+        hit = self._memo.get(name)
+        if hit is not None:
+            return hit
         best, best_iri = 0.0, None
         grams = char_trigrams(name)
         for aname, airi, agrams in self.authorities:
@@ -199,7 +204,10 @@ class EntityScorer:
             j = inter / (len(grams) + len(agrams) - inter)
             if j > best:
                 best, best_iri = j, airi
-        return (best_iri, best) if best >= self.threshold else (None, best)
+        out = (best_iri, best) if best >= self.threshold else (None, best)
+        if len(self._memo) < 1_000_000:
+            self._memo[name] = out
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -223,20 +231,43 @@ class EntityScorer:
         )
 
 
-def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=4096):
+# per-worker-process scorer cache for the task-based fast path: tasks
+# reuse worker processes, so state built on first use is amortized
+# exactly like actor state, without a dedicated pool
+_SCORER_CACHE: dict = {}
+
+
+def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=4096,
+                   use_actors=None):
+    """Entity-linking stage. Small alias tables (broadcastable state)
+    run as stateless tasks with a per-worker cache — no second actor
+    pool to start up or size; large/heavy state uses the EntityScorer
+    actor pool."""
     import ray
 
     if not alias_table:
         return links_ds
     ref = ray.put(alias_table)
-    return links_ds.map_batches(
-        EntityScorer,
-        fn_constructor_kwargs={"alias_ref": ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency(0.25),
-        num_cpus=0.5,  # scoring is light; don't starve the dedup shuffle
-    )
+    if use_actors is None:
+        use_actors = len(alias_table) > 10_000
+    if use_actors:
+        return links_ds.map_batches(
+            EntityScorer,
+            fn_constructor_kwargs={"alias_ref": ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or _default_concurrency(0.25),
+            num_cpus=0.5,  # scoring is light; don't starve the dedup shuffle
+        )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        scorer = _SCORER_CACHE.get(ref.hex())
+        if scorer is None:
+            scorer = EntityScorer(alias_ref=ref)
+            _SCORER_CACHE[ref.hex()] = scorer
+        return scorer(batch)
+
+    return links_ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -167,15 +167,23 @@ def page_batch(seed: int, start: int, stop: int, n_pages: int) -> pa.Table:
 
 
 def pages_dataset(n_pages: int, seed: int = 42, parallelism: int = -1):
-    """Distributed corpus generation: ray.data.range -> map_batches."""
+    """Distributed corpus generation: ray.data.range -> map_batches.
+
+    Block count is sized so downstream stages parallelize (one
+    coalesced mega-batch would serialize the whole extraction pool)."""
     import ray.data as rd
 
     def _gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
         return page_batch(seed, int(ids.min()), int(ids.max()) + 1, n_pages)
 
-    ds = rd.range(n_pages, override_num_blocks=parallelism if parallelism > 0 else None)
-    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
+    if parallelism <= 0:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        parallelism = max(8, min(n_pages // 128 or 1, cpus * 8))
+    ds = rd.range(n_pages, override_num_blocks=parallelism)
+    return ds.map_batches(_gen, batch_format="pyarrow")
 
 
 def write_pages(path: str, n_pages: int, seed: int = 42) -> None:
