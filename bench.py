@@ -36,7 +36,7 @@ def _sf_factor(sf_dir: str) -> float:
 
 
 def _pages_for(sf: float) -> int:
-    return max(500, int(200_000 * sf))
+    return max(500, int(1_000_000 * sf))
 
 
 def run_headline(n_pages: int):
@@ -46,10 +46,10 @@ def run_headline(n_pages: int):
     from versa_ray.web.synth import author_name, pages_dataset
 
     pages = pages_dataset(n_pages)
-    links = extract_links(pages, check_text=True, batch_size=128)
+    links = extract_links(pages, check_text=True)
     alias = {author_name(42, a): f"https://authority.example.org/person/{a}"
              for a in range(16)}
-    links = score_entities(links, alias, batch_size=8192)
+    links = score_entities(links, alias)
     final = distinct_links(links)
     n_triples = final.count()
     return n_triples

@@ -172,31 +172,61 @@ def quad_from_key(keys) -> pa.Table:
     )
 
 
-def distinct_links(ds):
+def distinct_links(ds, num_buckets=None):
     """Global exact dedup of quads: the distributed form of the model's
     duplicate-refusing add (memory.py:179-181) / util.uniquify.
 
-    Local pre-dedup -> groupby on the lossless composite quad key ->
-    ONE vectorized aggregate per non-quad column (lineage columns take
-    the lexicographic Min — deterministic) -> reconstruct the quad by
-    splitting the key. Aggregation cost in Ray scales with the number
-    of aggregates, so aggregating only the extras (usually 0-1 columns)
-    instead of all five quad columns keeps the shuffle ~sort-cost. No
-    per-group Python UDF anywhere (map_groups costs ~ms per group,
-    ruinous at 10^12 quads)."""
-    from ray.data.aggregate import Count, Min
+    Local pre-dedup (combiner) -> hash-BUCKET shuffle -> vectorized
+    per-bucket dedup. The shuffle key is a small int bucket (stable
+    row-hash of the quad key mod B), NOT the quad key itself: Ray's
+    groupby/aggregate costs ~25µs of per-group Python per distinct
+    key, which is ruinous when nearly every row is its own group. With
+    B balanced buckets the per-group overhead is paid B times total,
+    and inside each bucket the dedup is one pandas drop_duplicates
+    (C-vectorized). Extra (lineage) columns keep their lexicographic
+    minimum — deterministic across runs and workers."""
+    import ray
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        except Exception:
+            num_buckets = 32
+
+    import numpy as np
 
     extra_cols = [n for n in ds.schema().names if n not in QUAD_COLS]
-    aggs = [Min(c, alias_name=c) for c in extra_cols] or [Count(alias_name="_n")]
-    grouped = with_quad_key(ds).groupby("qkey").aggregate(*aggs)
 
-    def _rebuild(tbl: pa.Table) -> pa.Table:
-        quad = quad_from_key(tbl["qkey"])
-        for c in extra_cols:
-            quad = quad.append_column(c, tbl[c])
-        return quad
+    def _prep(tbl: pa.Table) -> pa.Table:
+        # quad key computed batch-locally for pre-dedup + bucketing;
+        # NOT shipped through the shuffle (it is ~2x the quad payload)
+        key = pc.binary_join_element_wise(
+            _escape_col(tbl["origin"]),
+            _escape_col(tbl["rel"]),
+            pc.coalesce(_escape_col(tbl["target"]), pa.scalar(_NULL_SENTINEL)),
+            pc.cast(tbl["target_is_iri"], pa.string()),
+            tbl["attrs"],
+            _KEY_SEP,
+        )
+        karr = key.to_numpy(zero_copy_only=False)
+        _, ix = np.unique(karr, return_index=True)
+        if len(ix) < tbl.num_rows:
+            ix = np.sort(ix)
+            tbl = tbl.take(ix)
+            karr = karr[ix]
+        bucket = (
+            pd.util.hash_pandas_object(pd.Series(karr), index=False) % num_buckets
+        ).astype("int32")
+        return tbl.append_column("bucket", pa.array(bucket.to_numpy()))
 
-    return grouped.map_batches(_rebuild, batch_format="pyarrow")
+    def _dedup_bucket(group: pd.DataFrame) -> pa.Table:
+        if extra_cols:
+            group = group.sort_values(QUAD_COLS + extra_cols, kind="stable")
+        out = group.drop_duplicates(subset=QUAD_COLS).drop(columns=["bucket"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    keyed = ds.map_batches(_prep, batch_format="pyarrow")
+    return keyed.groupby("bucket").map_groups(_dedup_bucket, batch_format="pandas")
 
 
 def union(*datasets, dedup=True):

@@ -143,19 +143,49 @@ def _default_concurrency(fraction=0.5):
     return max(1, int(_cluster_cpus() * fraction))
 
 
-def extract_links(pages_ds, check_text=False, concurrency=None, batch_size=64):
+_EXTRACTOR_CACHE: dict = {}
+
+
+def extract_links(pages_ds, check_text=False, concurrency=None, batch_size=None,
+                  rules=None, use_actors=False):
     """pages Dataset -> links Dataset. HTML is the wide column: batches
-    stay small and the html column is dropped at this stage boundary."""
+    stay small and the html column is dropped at this stage boundary.
+
+    Default is stateless TASKS with a per-worker extractor cache:
+    extractor setup (rule-closure build) is milliseconds, task workers
+    persist across dataset executions, and tasks size elastically — an
+    actor pool here would pay per-execution actor startup and needs
+    manual sizing against the downstream shuffle. Pass
+    ``use_actors=True`` (or a heavy ``rules`` factory) to run the same
+    class as an actor pool, the right trade when per-worker setup is
+    expensive (models, big dictionaries)."""
     cols = {"url", "html"} | ({"text"} if check_text else set())
     have = set(pages_ds.schema().names)
     if cols <= have and have - cols:
         pages_ds = pages_ds.select_columns(sorted(cols))
+    if use_actors:
+        return pages_ds.map_batches(
+            PageKGExtractor,
+            fn_constructor_kwargs={"check_text": check_text, "rules": rules},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or _default_concurrency(),
+        )
+
+    cache_key = (
+        getattr(rules, "__qualname__", None) or repr(rules) if rules else "default",
+        bool(check_text),
+    )
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        ex = _EXTRACTOR_CACHE.get(cache_key)
+        if ex is None:
+            ex = PageKGExtractor(rules=rules, check_text=check_text)
+            _EXTRACTOR_CACHE[cache_key] = ex
+        return ex(batch)
+
     return pages_ds.map_batches(
-        PageKGExtractor,
-        fn_constructor_kwargs={"check_text": check_text},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency(),
+        _extract, batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -237,7 +267,7 @@ class EntityScorer:
 _SCORER_CACHE: dict = {}
 
 
-def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=4096,
+def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=None,
                    use_actors=None):
     """Entity-linking stage. Small alias tables (broadcastable state)
     run as stateless tasks with a per-worker cache — no second actor

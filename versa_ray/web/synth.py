@@ -181,7 +181,9 @@ def pages_dataset(n_pages: int, seed: int = 42, parallelism: int = -1):
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        parallelism = max(8, min(n_pages // 128 or 1, cpus * 8))
+        # ~4 blocks per core: enough for balance, fat enough that
+        # per-task overhead stays amortized
+        parallelism = max(8, min(n_pages // 256 or 1, cpus * 4))
     ds = rd.range(n_pages, override_num_blocks=parallelism)
     return ds.map_batches(_gen, batch_format="pyarrow")
 
