@@ -34,6 +34,73 @@ import pandas as pd
 _MERSENNE = (1 << 61) - 1
 
 
+def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
+    """groupby(keys) + per-group function, shuffled on a COARSE hash
+    bucket of the keys instead of the keys themselves.
+
+    Ray's groupby pays ~ms of task overhead per group; with
+    high-cardinality keys (LSH buckets, user ids, content hashes) that
+    dominates wall time. Hashing the keys into `num_buckets` balanced
+    buckets keeps the shuffle group count tiny and pays the per-group
+    Python inside the bucket task (a local pandas groupby loop).
+
+    fn: group DataFrame -> DataFrame (may be empty).
+    """
+    import pyarrow as _pa
+
+    keys = list(keys)
+
+    def _bucket(df: pd.DataFrame) -> "pd.DataFrame":
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(
+                df[keys].astype(str), index=False
+            )
+            % num_buckets
+        ).astype("int32")
+        return _pa.Table.from_pandas(df, preserve_index=False)
+
+    def _apply(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, group in bucket_df.groupby(keys, sort=False):
+            res = fn(group.drop(columns=["_cbucket"]))
+            if res is not None and len(res):
+                outs.append(res)
+        if not outs:
+            # empty frame with the right columns if we can know them
+            probe = fn(bucket_df.drop(columns=["_cbucket"]).iloc[0:0])
+            return probe if probe is not None else pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_apply, batch_format="pandas")
+    )
+
+
+def dedup_rows(ds, subset, num_buckets=64):
+    """Distributed drop_duplicates(subset) via coarse-bucket shuffle."""
+    import pyarrow as _pa
+
+    def _local(df: pd.DataFrame) -> "object":
+        df = df.drop_duplicates(subset=subset).copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df[subset].astype(str), index=False)
+            % num_buckets
+        ).astype("int32")
+        return _pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=subset).drop(columns=["_cbucket"])
+
+    return (
+        ds.map_batches(_local, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_bucket_dedup, batch_format="pandas")
+    )
+
+
 def _hash_words(words, seed=0x9747B28C):
     """Vector of stable 64-bit hashes for a list of strings."""
     return np.frombuffer(
@@ -167,18 +234,10 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
         hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "est_jaccard": est[keep]})
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-
-    def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"])
-
-    return (
-        pairs.map_batches(_dedup_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    # LSH bucket keys are near-unique -> coarse-bucket shuffle, and the
+    # surviving pairs are deduped the same way
+    pairs = bucketed_group_apply(sigs, ["band", "band_hash"], _bucket_pairs)
+    return dedup_rows(pairs, ["id_a", "id_b"])
 
 
 def cluster_pairs(pair_rows, ids=None) -> dict:
@@ -281,14 +340,9 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
         hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[keep]})
 
-    pairs = (
-        sigs.map_batches(_explode, batch_format="pandas")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    exploded = sigs.map_batches(_explode, batch_format="pandas")
+    pairs = bucketed_group_apply(exploded, ["chunk", "chunk_val"], _pairs)
+    return dedup_rows(pairs, ["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -369,10 +423,6 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
         hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs[keep]})
 
-    return (
-        ds.map_batches(_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    bucketed = ds.map_batches(_bucket, batch_format="pandas")
+    pairs = bucketed_group_apply(bucketed, ["bucket"], _pairs)
+    return dedup_rows(pairs, ["id_a", "id_b"])

@@ -71,9 +71,12 @@ def sliding_window_agg(ds, ts_col="ts", key="user_id", value_col="value",
 
 
 def session_windows(ds, ts_col="ts", key="user_id", gap="30min"):
-    """Session windows per key: sort the key's events by time inside
-    map_groups, split where the gap exceeds the threshold. Assumes
-    per-key data fits one group (standard sessionization contract)."""
+    """Session windows per key: events of one key sort by time inside
+    the bucket task, split where the gap exceeds the threshold. The
+    shuffle key is a coarse hash bucket of the user key (keys are
+    near-unique at scale — see ops.dedup.bucketed_group_apply)."""
+    from .dedup import bucketed_group_apply
+
     gap_td = pd.Timedelta(gap)
 
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
@@ -84,7 +87,7 @@ def session_windows(ds, ts_col="ts", key="user_id", gap="30min"):
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
         )
-        out[key] = g[key].iloc[0]
+        out[key] = g[key].iloc[0] if len(g) else None
         return out.reset_index(drop=True)
 
-    return ds.groupby(key).map_groups(_sessions, batch_format="pandas")
+    return bucketed_group_apply(ds, [key], _sessions)
