@@ -70,7 +70,7 @@ def test_simhash_and_jaccard(ray_session):
             ],
         }
     )
-    pairs = simhash_near_dups(rd.from_pandas(rows), max_hamming=8).to_pandas()
+    pairs = simhash_near_dups(rd.from_pandas(rows), max_hamming=10).to_pandas()
     assert {(1, 2)} <= set(zip(pairs.id_a, pairs.id_b))
     assert (3 not in set(pairs.id_a)) and (3 not in set(pairs.id_b))
     assert ngram_jaccard(rows.text[0], rows.text[1]) > 0.6

@@ -101,17 +101,36 @@ def dedup_rows(ds, subset, num_buckets=64):
     )
 
 
-def _hash_words(words, seed=0x9747B28C):
-    """Vector of stable 64-bit hashes for a list of strings."""
-    return np.frombuffer(
-        b"".join(
-            __import__("hashlib").blake2b(
-                w.encode("utf-8"), digest_size=8, person=b"vr-shing"
-            ).digest()
-            for w in words
-        ),
-        dtype="<u8",
-    ) if words else np.empty(0, dtype="<u8")
+def _hash_words(words):
+    """Vector of stable 64-bit hashes for a list of strings
+    (vectorized C hashing; process-stable default hash key)."""
+    if not len(words):
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_pandas_object(
+        pd.Series(words, dtype="object"), index=False
+    ).to_numpy()
+
+
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """64-bit hashes of word k-shingles: vectorized word hashing plus a
+    rolling polynomial combination (no per-shingle string building)."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = _hash_words(words)
+    if len(wh) < k:
+        out = wh[0:1].copy()
+        for x in wh[1:]:
+            out = out * _P1 + x
+        return out
+    acc = wh[: len(wh) - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _P1 + wh[j : len(wh) - k + 1 + j] * _P2
+    return acc
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -155,10 +174,10 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def minhash_signature(text: str, a, b, k: int = 3) -> np.ndarray:
-    sh = word_shingles(text, k)
-    if not sh:
+    hv = _shingle_hashes(text, k)
+    if not len(hv):
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    hv = _hash_words(sh).astype(np.uint64) % _MERSENNE
+    hv = hv % _MERSENNE
     # (num_perm, n_shingles) permuted hashes -> row-wise min
     vals = (
         np.multiply.outer(a, hv, dtype=np.uint64) + b[:, None]
