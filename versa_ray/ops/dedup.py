@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
+_MINHASHER_CACHE: dict = {}
 
 
 def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
@@ -229,14 +230,19 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
     """Dataset of (id_a, id_b, est_jaccard) near-dup candidate pairs,
     verified by signature agreement inside each LSH bucket."""
 
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, k=k, text_col=text_col, id_col=id_col
-        ),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    # tasks + per-worker cache: MinHasher init is trivial, and a
+    # dedicated actor pool would pay startup per execution
+    params = (num_perm, bands, k, text_col, id_col)
+
+    def _sig(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = _MINHASHER_CACHE.get(params)
+        if mh is None:
+            mh = MinHasher(num_perm=num_perm, bands=bands, k=k,
+                           text_col=text_col, id_col=id_col)
+            _MINHASHER_CACHE[params] = mh
+        return mh(batch)
+
+    sigs = ds.map_batches(_sig, batch_format="pandas")
 
     def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
