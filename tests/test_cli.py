@@ -1,0 +1,79 @@
+"""CLI: parse/convert, rulespec transform (reference tools/exec/versa
+contract), canonicalize."""
+
+import json
+import subprocess
+import sys
+
+
+VLIT = """\
+# @docheader
+
+* @iri:
+    * @base: http://example.org/classics/
+    * @schema: https://schema.org/
+
+# catcher [Book]
+
+* name: The Catcher in the Rye
+* isbn: 0316769487
+
+"""
+
+RULESPEC = """\
+SCH = I('https://schema.org/')
+BF = I('http://bibfra.me/')
+
+FINGERPRINT_RULES = {
+    SCH('Book'): materialize(BF('Instance'),
+        fprint=[(BF('isbn'), follow(SCH('isbn')))])
+}
+TRANSFORM_RULES = {SCH('name'): link(rel=BF('name'))}
+LABELIZE_RULES = {BF('Instance'): follow(BF('name'))}
+
+VERSA_PIPELINE_ENTRY = generic_pipeline(
+    FINGERPRINT_RULES, TRANSFORM_RULES, LABELIZE_RULES)
+"""
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "versa_ray.cli"] + args,
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+def test_parse_roundtrip(tmp_path):
+    src = tmp_path / "in.vlit"
+    src.write_text(VLIT)
+    out_nt = tmp_path / "out.nt"
+    r = _run(["parse", str(src), str(out_nt)])
+    assert r.returncode == 0, r.stderr
+    nt = out_nt.read_text()
+    assert "<https://schema.org/isbn>" in nt
+    # to parquet and back
+    out_pq = tmp_path / "out.parquet"
+    assert _run(["parse", str(src), str(out_pq)]).returncode == 0
+    r = _run(["parse", str(out_pq), "-"])
+    assert r.returncode == 0 and "isbn" in r.stdout
+
+
+def test_transform_rulespec(tmp_path):
+    src = tmp_path / "in.vlit"
+    src.write_text(VLIT)
+    spec = tmp_path / "rules.py"
+    spec.write_text(RULESPEC)
+    r = _run(["transform", str(spec), str(src), "-"])
+    assert r.returncode == 0, r.stderr
+    assert "bibfra.me/name" in r.stdout
+    assert "The Catcher in the Rye" in r.stdout
+
+
+def test_canonicalize(tmp_path):
+    src = tmp_path / "in.vlit"
+    src.write_text(VLIT)
+    r = _run(["canonicalize", str(src), "-"])
+    assert r.returncode == 0
+    doc = json.loads(r.stdout)
+    assert len(doc) == 3  # type + name + isbn
+    assert doc[0][3].get("@target-type") == "@iri-ref" or isinstance(doc[0][3], dict)

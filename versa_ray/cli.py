@@ -1,0 +1,165 @@
+"""Command-line interface.
+
+Mirrors the reference toolchain's CLI surface
+(/root/reference/tools/exec/versa:20-141) plus engine-native commands:
+
+    python -m versa_ray.cli parse IN [OUT]
+    python -m versa_ray.cli transform RULESPEC.py IN [OUT]
+    python -m versa_ray.cli kgbuild PAGES.parquet OUT_DIR [--resume]
+    python -m versa_ray.cli canonicalize IN [OUT]
+
+Formats by extension: .vlit/.md Versa Literate; .vdump JSON dump;
+.nt NTriples; .parquet canonical link-set Parquet; '-' canonical
+literate on stdout. The `transform` rulespec is a Python file defining
+``VERSA_PIPELINE_ENTRY`` with the pipeline-DSL names pre-injected
+(same contract as the reference's rulespec plugin).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import pipeline as _pipeline_mod
+from .model import vutil
+from .model.micro import MicroModel
+from .serial import literate, ntriples
+
+
+def smart_parse(source_path: str, model: MicroModel, only_rel=None, exclude_rel=None):
+    if source_path == "-":
+        literate.parse_into(sys.stdin.read(), model)
+        return
+    if source_path.endswith((".vlit", ".md")):
+        with open(source_path) as fp:
+            literate.parse_into(fp.read(), model)
+    elif source_path.endswith(".vdump"):
+        with open(source_path) as fp:
+            vutil.jsonload(model, fp)
+    elif source_path.endswith(".nt"):
+        with open(source_path) as fp:
+            ntriples.parse(fp.read(), model, only_rel=only_rel, exclude_rel=exclude_rel)
+    elif source_path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        from .core.canon import row_to_link
+
+        for row in pq.read_table(source_path).to_pylist():
+            model.add(*row_to_link(row))
+    else:
+        raise ValueError("Unable to determine Versa source file format from filename")
+
+
+def smart_write(dest_path: str, model: MicroModel):
+    if dest_path == "-":
+        literate.write(model, out=sys.stdout, canonical=True)
+        return
+    if dest_path.endswith((".vlit", ".md")):
+        with open(dest_path, "w") as fp:
+            literate.write(model, out=fp, canonical=True)
+    elif dest_path.endswith(".vdump"):
+        with open(dest_path, "w") as fp:
+            vutil.jsondump(model, fp)
+    elif dest_path.endswith(".nt"):
+        with open(dest_path, "w") as fp:
+            ntriples.write(model, out=fp)
+    elif dest_path.endswith(".parquet"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .core.canon import LINK_SCHEMA
+
+        pq.write_table(
+            pa.Table.from_pylist(model.to_rows(), schema=LINK_SCHEMA), dest_path
+        )
+    else:
+        raise ValueError("Unable to determine Versa output file format from filename")
+
+
+def cmd_parse(args):
+    model = MicroModel()
+    smart_parse(args.gr_in, model)
+    smart_write(args.gr_out, model)
+
+
+def cmd_transform(args):
+    gcapture = {}
+    gcapture.update(vars(_pipeline_mod))
+    lcapture = {}
+    with open(args.rulespec, "rb") as fp:
+        exec(compile(fp.read(), args.rulespec, "exec"), gcapture, lcapture)
+    ppl = lcapture.get("VERSA_PIPELINE_ENTRY") or gcapture.get("VERSA_PIPELINE_ENTRY")
+    if ppl is None:
+        raise RuntimeError(
+            "The rules specification must define a VERSA_PIPELINE_ENTRY object."
+        )
+    only_rel = getattr(ppl, "only_rel", None)
+    exclude_rel = getattr(ppl, "exclude_rel", None)
+    model_in = MicroModel()
+    smart_parse(args.gr_in, model_in, only_rel=only_rel, exclude_rel=exclude_rel)
+    model_out = ppl.run(input_model=model_in)
+    smart_write(args.gr_out, model_out)
+
+
+def cmd_canonicalize(args):
+    model = MicroModel()
+    smart_parse(args.gr_in, model)
+    if args.gr_out == "-":
+        print(repr(model))
+    else:
+        with open(args.gr_out, "w") as fp:
+            fp.write(repr(model))
+
+
+def cmd_kgbuild(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .web.kgpipeline import build_kg
+
+    links = build_kg(pages_path=args.pages, out_dir=args.out_dir, check_text=args.check_text)
+    print(f"linkset rows: {links.count()} -> {args.out_dir}/stage=linkset")
+    ray.shutdown()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="versa_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("parse", help="parse input, write per output extension")
+    p.add_argument("gr_in")
+    p.add_argument("gr_out", nargs="?", default="-")
+    p.set_defaults(func=cmd_parse)
+
+    p = sub.add_parser("transform", help="run a VERSA_PIPELINE_ENTRY rulespec")
+    p.add_argument("rulespec")
+    p.add_argument("gr_in")
+    p.add_argument("gr_out", nargs="?", default="-")
+    p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("canonicalize", help="canonical JSON form (equality surface)")
+    p.add_argument("gr_in")
+    p.add_argument("gr_out", nargs="?", default="-")
+    p.set_defaults(func=cmd_canonicalize)
+
+    p = sub.add_parser("kgbuild", help="run the flagship KG pipeline over a pages Parquet corpus")
+    p.add_argument("pages")
+    p.add_argument("out_dir")
+    p.add_argument("--check-text", action="store_true")
+    p.set_defaults(func=cmd_kgbuild)
+
+    args = ap.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
