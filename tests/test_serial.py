@@ -171,3 +171,23 @@ def test_rdfs_mapping():
     assert len(list(out.match(None, I(RDFS_NS + "subClassOf")))) == 1
     assert len(list(out.match(None, I(RDFS_NS + "label")))) == 1
     assert len(list(out.match(None, RDF_TYPE_REL, I(RDFS_NS + "Class")))) == 1
+
+
+def test_atom_feed():
+    from versa_ray.serial import atom
+
+    xml = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <entry>
+    <title>First "Poem"</title>
+    <updated>2013-10-15</updated>
+    <link href="http://example.org/poem1"/>
+    <author><name>Uche Ogbuji</name></author>
+    <summary>It begins here</summary>
+  </entry>
+</feed>"""
+    m = atom.parse(xml, base="http://example.org/poems/")
+    targets = [t for (_, l) in m for t in [l[2]]]
+    assert 'First "Poem"' in targets
+    assert any(str(t) == "http://example.org/poem1" for t in targets)
+    assert "2013-10-15" in targets

@@ -1,1 +1,1 @@
-from . import csvrec, jsonld, literate, mermaid, ntriples, rdfs, simpleobj
+from . import atom, csvrec, jsonld, literate, mermaid, ntriples, rdfs, simpleobj
