@@ -10,7 +10,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
+SF = __import__("os").environ.get("PARITY_SF", "/root/testdata/sf0.001")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

@@ -99,3 +99,30 @@ def test_end_to_end_ray_pipeline(ray_session, tmp_path):
     shutil.rmtree(os.path.join(out_dir, "stage=linkset"))
     links3 = build_kg(pages_ds=None, out_dir=out_dir, alias_table=alias)
     assert links3.count() == total
+
+
+def test_origin_adjacency_and_literate_at_scale(ray_session, tmp_path):
+    from versa_ray.model.linkset import from_links, origin_adjacency, write_literate_ds
+    from versa_ray.core import I, VTYPE_REL
+
+    ds = from_links(
+        [
+            (I("http://e/a"), VTYPE_REL, I("http://e/T")),
+            (I("http://e/a"), I("http://e/name"), "Thing A"),
+            (I("http://e/b"), I("http://e/name"), "Thing B"),
+        ]
+    )
+    adj = origin_adjacency(ds).to_pandas()
+    assert set(adj["origin"]) == {"http://e/a", "http://e/b"}
+    import json
+
+    a_rows = json.loads(adj[adj.origin == "http://e/a"].iloc[0]["adjacency"])
+    assert len(a_rows) == 2
+
+    out = str(tmp_path / "lit")
+    write_literate_ds(ds, out)
+    import glob
+
+    text = "".join(open(f).read() for f in glob.glob(out + "/*"))
+    assert "# http://e/a [http://e/T]" in text
+    assert '* <http://e/name>: "Thing A"' in text

@@ -372,6 +372,79 @@ def to_canonical_table(ds) -> pa.Table:
     return tbl
 
 
+def origin_adjacency(ds, num_buckets=64):
+    """Distributed origin_view (util.py:144-158): one row per origin
+    with its [rel, target, attrs] adjacency as a JSON column. Groups by
+    a coarse hash bucket of the origin (origins are near-unique keys —
+    the same per-group-overhead rule as distinct_links)."""
+    import json
+
+    from ..ops.dedup import bucketed_group_apply
+
+    def _adj(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({"origin": [], "adjacency": []})
+        rows = sorted(
+            zip(group["rel"], group["target"], group["target_is_iri"], group["attrs"]),
+            key=lambda x: (x[0], x[1] or "", x[3]),
+        )
+        return pd.DataFrame(
+            {
+                "origin": [group["origin"].iloc[0]],
+                "adjacency": [json.dumps([list(r) for r in rows], ensure_ascii=False)],
+            }
+        )
+
+    return bucketed_group_apply(ds, ["origin"], _adj, num_buckets=num_buckets)
+
+
+def write_literate_ds(ds, path: str):
+    """Canonical Versa Literate rendering at scale: global sort by
+    origin (the canonical writer's ordering, serial/literate.py:101-117)
+    -> vectorized per-block rendering -> sharded text files. Each
+    origin's block renders exactly like the driver-side writer."""
+    import json
+
+    from ..core import VTYPE_REL
+
+    adj = origin_adjacency(ds).sort("origin")
+
+    import hashlib
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def _render(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for origin, adjacency in zip(df["origin"], df["adjacency"]):
+            rels = json.loads(adjacency)
+            types = sorted(t for (r, t, ii, a) in rels if r == str(VTYPE_REL))
+            first_type = types[0] if types else None
+            header = (
+                f"# {origin} [{first_type}]\n\n" if first_type else f"# {origin}\n\n"
+            )
+            lines = [header]
+            for r, t, is_iri, attrs_json in rels:
+                if first_type and r == str(VTYPE_REL) and t == first_type:
+                    continue
+                val = f"<{t}>" if is_iri else f'"{t if t is not None else ""}"'
+                lines.append(f"* <{r}>: {val}\n")
+                for k, v in sorted(json.loads(attrs_json).items()):
+                    lines.append(f"    * {k}: \"{v}\"\n")
+            lines.append("\n")
+            out.append("".join(lines))
+        if not out:
+            return pd.DataFrame({"file": []})
+        shard = hashlib.md5(str(df["origin"].iloc[0]).encode()).hexdigest()[:16]
+        fpath = os.path.join(path, f"part-{shard}.vlit")
+        with open(fpath, "w") as fp:
+            fp.write("".join(out))
+        return pd.DataFrame({"file": [fpath]})
+
+    files = adj.map_batches(_render, batch_format="pandas").take_all()
+    return [r["file"] for r in files]
+
+
 def zoom_in(ds, focus, depth=1, max_rels=0):
     """Iterative frontier expansion: links reachable from focus within
     `depth` hops (util.py:226-253). Each hop is a broadcast semi-join
