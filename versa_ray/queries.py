@@ -266,6 +266,59 @@ def q_transitive_closure(sf_dir):
     return pd.DataFrame({"node": sorted(out)})
 
 
+def q_csv_template_links(sf_dir):
+    """Distributed record-template ingestion: each nation row fills a
+    Versa Literate template, parses doc-locally, emits link rows
+    (serial/csvrec.rows_to_links_ds)."""
+    import ray.data as rd
+
+    from .serial.csvrec import rows_to_links_ds
+
+    tmpl = (
+        "# urn:versa:nation:{n_nationkey} [<urn:versa:Nation>]\n\n"
+        f"* <{NAME}>: {{n_name}}\n\n"
+    )
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    out = rows_to_links_ds(ds, tmpl)
+    return out
+
+
+def q_nt_roundtrip(sf_dir):
+    """NTriples codec at scale: render NT lines from rows inside one
+    map_batches, parse them back with the NT parser in the next."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .serial.ntriples import parse_links
+
+    def _render(tbl: pa.Table) -> pa.Table:
+        lines = [
+            '<urn:versa:supplier:%d> <%s> "%s" .' % (k, NAME, n)
+            for k, n in zip(tbl["s_suppkey"].to_pylist(), tbl["s_name"].to_pylist())
+        ]
+        return pa.table({"line": pa.array(lines)})
+
+    def _parse(tbl: pa.Table) -> pa.Table:
+        rows = []
+        for line in tbl["line"].to_pylist():
+            for o, r, t, a in parse_links(line):
+                rows.append(
+                    {"origin": str(o), "rel": str(r), "target": str(t)}
+                )
+        if not rows:
+            return pa.table(
+                {"origin": pa.array([], type=pa.string()),
+                 "rel": pa.array([], type=pa.string()),
+                 "target": pa.array([], type=pa.string())}
+            )
+        return pa.Table.from_pylist(rows)
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    return ds.map_batches(_render, batch_format="pyarrow").map_batches(
+        _parse, batch_format="pyarrow"
+    )
+
+
 # -- documents --------------------------------------------------------------
 
 
@@ -514,6 +567,8 @@ def build_queries():
         "links_duplicate_statements": q_links_duplicate_statements,
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
+        "csv_template_links": q_csv_template_links,
+        "nt_roundtrip": q_nt_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_counts": q_doc_lang_counts,
@@ -587,6 +642,18 @@ def build_oracles():
             "FROM customer WHERE c_custkey = 1 "
             "UNION SELECT 'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1"
+        ),
+        "csv_template_links": (
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR) AS origin, "
+            f"'{TYPE}' AS rel, 'urn:versa:Nation' AS target, TRUE AS target_is_iri, "
+            "'{}' AS attrs FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), "
+            f"'{NAME}', n_name, FALSE, '{{}}' FROM nation"
+        ),
+        "nt_roundtrip": (
+            "SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR) AS origin, "
+            f"'{NAME}' AS rel, s_name AS target FROM supplier"
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id, text FROM ("
