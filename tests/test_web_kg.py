@@ -126,3 +126,35 @@ def test_origin_adjacency_and_literate_at_scale(ray_session, tmp_path):
     text = "".join(open(f).read() for f in glob.glob(out + "/*"))
     assert "# http://e/a [http://e/T]" in text
     assert '* <http://e/name>: "Thing A"' in text
+
+
+def test_sharded_resume(ray_session, tmp_path):
+    """Per-shard checkpointing: a partial run persists shard progress;
+    the resume run skips completed shards and finishes."""
+    import json
+
+    from versa_ray.web.kgpipeline import build_kg_sharded
+
+    out = str(tmp_path / "kg_sharded")
+    # first invocation only processes 2 of 4 shards
+    partial = build_kg_sharded(out, n_pages=80, num_shards=4, max_shards_this_run=2)
+    assert partial is None
+    import glob
+
+    markers = sorted(glob.glob(out + "/manifests/shard-*.json"))
+    assert len(markers) == 2
+    stamps = {m: os.path.getmtime(m) for m in markers}
+    # lineage manifest contents
+    man = json.load(open(markers[0]))
+    assert man["rows"] > 0 and man["page_range"][1] > man["page_range"][0]
+
+    # resume completes the rest without redoing finished shards
+    final = build_kg_sharded(out, n_pages=80, num_shards=4)
+    assert final is not None
+    for m, ts in stamps.items():
+        assert os.path.getmtime(m) == ts  # untouched
+    n = final.count()
+
+    # equals a fresh unsharded-equivalent run
+    full = build_kg_sharded(str(tmp_path / "kg_full"), n_pages=80, num_shards=2)
+    assert full.count() == n

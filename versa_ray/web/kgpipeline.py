@@ -319,6 +319,117 @@ def _mark_complete(root, name, meta=None):
         json.dump({"stage": name, "ts": time.time(), **(meta or {})}, f)
 
 
+def build_kg_sharded(
+    out_dir: str,
+    pages_path: str | None = None,
+    n_pages: int | None = None,
+    num_shards: int = 8,
+    alias_table=None,
+    check_text=False,
+    max_shards_this_run: int | None = None,
+    num_partitions: int = 16,
+):
+    """Per-shard resumable flagship build.
+
+    The page corpus is split into ``num_shards`` ranges (or file
+    groups); each shard extracts+scores+locally-dedups into its own
+    ``stage=extracted/shard=K`` directory with a _SUCCESS manifest
+    recording lineage (input range, pages, rows, wall seconds). A
+    rerun skips completed shards — that is per-PARTITION resume, finer
+    than the stage-level resume of build_kg. When all shards are
+    present, one global dedup shuffle materializes the final linkset.
+
+    ``max_shards_this_run`` limits how many incomplete shards this
+    invocation processes (used to exercise partial-progress resume).
+    """
+    import ray.data as rd
+
+    from .synth import pages_dataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    ex_root = os.path.join(out_dir, "stage=extracted")
+    man_root = os.path.join(out_dir, "manifests")
+    os.makedirs(man_root, exist_ok=True)
+
+    if pages_path is not None:
+
+        def shard_pages(k):
+            # stable hash-sharding on url (vectorized; no salted
+            # Python hash, no per-row filter)
+            def _keep(tbl: pa.Table, k=k) -> pa.Table:
+                urls = tbl["url"].to_pandas()
+                mask = (
+                    pd.util.hash_pandas_object(urls, index=False) % num_shards == k
+                ).to_numpy()
+                return tbl.filter(pa.array(mask))
+
+            ds = rd.read_parquet(pages_path).map_batches(_keep, batch_format="pyarrow")
+            return ds, (k, k)
+    else:
+        assert n_pages is not None
+
+        def shard_pages(k):
+            lo = n_pages * k // num_shards
+            hi = n_pages * (k + 1) // num_shards
+            from .synth import page_batch
+
+            def _gen(batch: pa.Table, lo=lo, n=n_pages) -> pa.Table:
+                ids = batch["id"].to_numpy()
+                return page_batch(42, lo + int(ids.min()), lo + int(ids.max()) + 1, n)
+
+            base = rd.range(hi - lo)
+            return base.map_batches(_gen, batch_format="pyarrow"), (lo, hi)
+
+    done, ran = [], 0
+    for k in range(num_shards):
+        sdir = os.path.join(ex_root, f"shard={k}")
+        marker = os.path.join(man_root, f"shard-{k}.json")
+        if os.path.exists(marker):
+            done.append(k)
+            continue
+        if max_shards_this_run is not None and ran >= max_shards_this_run:
+            continue
+        t0 = time.time()
+        ds, (lo, hi) = shard_pages(k)
+        links = extract_links(ds, check_text=check_text)
+        if alias_table:
+            links = score_entities(links, alias_table)
+        links = distinct_links(links)
+        links.write_parquet(sdir)
+        with open(marker, "w") as f:
+            json.dump(
+                {
+                    "shard": k,
+                    "page_range": [lo, hi],
+                    "rows": links.count(),
+                    "wall_sec": round(time.time() - t0, 2),
+                },
+                f,
+            )
+        done.append(k)
+        ran += 1
+
+    if len(done) < num_shards:
+        return None  # partial progress persisted; caller reruns to resume
+
+    if not _complete(out_dir, "linkset"):
+        all_links = rd.read_parquet(ex_root)
+        if "shard" in all_links.schema().names:
+            all_links = all_links.drop_columns(["shard"])
+        final = distinct_links(all_links)
+
+        def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df["part_id"] = (
+                pd.util.hash_pandas_object(df["origin"], index=False) % num_partitions
+            ).astype("int32")
+            return df
+
+        final = final.map_batches(_bucket, batch_format="pandas")
+        final.write_parquet(_stage_dir(out_dir, "linkset"), partition_cols=["part_id"])
+        _mark_complete(out_dir, "linkset", {"partitions": num_partitions, "shards": num_shards})
+    return rd.read_parquet(_stage_dir(out_dir, "linkset"))
+
+
 def build_kg(
     pages_ds=None,
     pages_path=None,
