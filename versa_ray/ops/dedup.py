@@ -226,9 +226,17 @@ class MinHasher:
 
 
 def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
-                            text_col="text", id_col="doc_id", concurrency=4):
+                            text_col="text", id_col="doc_id", concurrency=4,
+                            max_bucket=2048):
     """Dataset of (id_a, id_b, est_jaccard) near-dup candidate pairs,
-    verified by signature agreement inside each LSH bucket."""
+    verified by signature agreement inside each LSH bucket.
+
+    Skew guard: a pathological hot bucket (e.g. boilerplate shared by
+    millions of docs) would produce O(n²) pairs; buckets larger than
+    ``max_bucket`` are deterministically down-sampled (sorted-id
+    prefix) — standard LSH practice; such docs collide in many other
+    bands, so recall loss is marginal while the worst-case cost is
+    bounded at max_bucket²."""
 
     # tasks + per-worker cache: MinHasher init is trivial, and a
     # dedicated actor pool would pay startup per execution
@@ -252,6 +260,9 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
         _, uniq_ix = np.unique(ids, return_index=True)
         ids = ids[uniq_ix]
         sig_mat = np.stack(group["sig"].to_numpy()[uniq_ix])
+        if len(ids) > max_bucket:  # hot-bucket cap (see docstring)
+            order = np.argsort(ids)[:max_bucket]
+            ids, sig_mat = ids[order], sig_mat[order]
         a_ix, b_ix = np.triu_indices(len(ids), k=1)
         est = (sig_mat[a_ix] == sig_mat[b_ix]).mean(axis=1)
         keep = est >= threshold

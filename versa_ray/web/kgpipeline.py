@@ -1,14 +1,17 @@
 """Flagship pipeline: web pages -> knowledge graph link-sets.
 
     read_parquet(pages)                       [prune to url/html(/text)]
-      -> map_batches(PageKGExtractor, actor pool)
+      -> map_batches(PageKGExtractor: tasks + per-worker cache,
+                     or actor pool for heavy rule state)
            html -> text (byte-identical invariant)
            html -> RDFa-Lite triples -> doc-local micro-model
            -> fingerprint/transform/labelize rules (schema.org -> BIBFRAME-ish)
            -> link rows + lineage (src_url)
-      -> map_batches(EntityScorer, actor pool)   [broadcast alias table]
-      -> distinct_links (hash-key groupby shuffle; combiner pre-dedup)
-      -> write partitioned Parquet link-set + manifest (checkpoint/resume)
+      -> map_batches(EntityScorer)   [broadcast alias table; actor pool
+                                      when the table is heavy]
+      -> distinct_links (coarse-bucket shuffle; combiner pre-dedup)
+      -> write partitioned Parquet link-set + manifests (stage-level
+         resume via build_kg, per-shard resume via build_kg_sharded)
 
 All entity IDs are content fingerprints, so the cross-document "same
 entity" reconciliation IS the dedup shuffle (see SURVEY.md §7 hard
