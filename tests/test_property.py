@@ -1,0 +1,116 @@
+"""Property-based conformance (hypothesis).
+
+* Hash differential: our murmur3 x64-128 against the reference's
+  vendored pure-Python implementation (public-domain pymmh3), byte for
+  byte over arbitrary unicode — the foundation of ID parity.
+* Literate canonical round-trip: write(canonical) -> parse -> equal
+  model, over generated simple models.
+* Quad-key codec: with_quad_key encode/decode is lossless for any
+  component strings (incl. separator/escape characters).
+"""
+
+import importlib.util
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from versa_ray.core.mmh3 import hash64_signed
+
+
+def _load_pymmh3():
+    spec = importlib.util.spec_from_file_location(
+        "pymmh3", "/root/reference/tools/py/contrib/pymmh3.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+pymmh3 = _load_pymmh3()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_hash64_differential(s):
+    assert hash64_signed(s) == tuple(pymmh3.hash64(s))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=64))
+def test_hash128_differential_bytes(b):
+    from versa_ray.core.mmh3 import hash128_x64
+
+    h1, h2 = hash128_x64(b)
+    assert (h1 | (h2 << 64)) == pymmh3.hash128(b)
+
+
+_IRI_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789-._~"
+
+
+@st.composite
+def simple_model(draw):
+    from versa_ray.core import I
+    from versa_ray.model.micro import MicroModel
+
+    m = MicroModel()
+    n = draw(st.integers(min_value=1, max_value=6))
+    for _ in range(n):
+        o = "http://eg.org/" + draw(st.text(_IRI_CHARS, min_size=1, max_size=8))
+        r = "http://voc.org/" + draw(st.text(_IRI_CHARS, min_size=1, max_size=8))
+        t = draw(st.text(st.characters(exclude_characters='"\\\n\r<>', exclude_categories=("Cs", "Cc")), min_size=1, max_size=20))
+        m.add(I(o), I(r), t.strip() or "x")
+    return m
+
+
+@settings(max_examples=50, deadline=None)
+@given(simple_model())
+def test_literate_canonical_roundtrip(m):
+    from versa_ray.serial import literate
+
+    text = literate.write_string(m, canonical=True)
+    m2 = literate.parse(text)
+    assert m == m2, text
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(max_size=40),
+    st.text(max_size=40),
+    st.one_of(st.none(), st.text(max_size=40)),
+    st.booleans(),
+    st.text(max_size=40),
+)
+def test_quad_key_codec_lossless(origin, rel, target, is_iri, attrs):
+    import pyarrow as pa
+
+    from versa_ray.model.linkset import (
+        _NULL_SENTINEL,
+        _escape_col,
+        quad_from_key,
+    )
+    import pyarrow.compute as pc
+
+    tbl = pa.table(
+        {
+            "origin": [origin],
+            "rel": [rel],
+            "target": [target],
+            "target_is_iri": [is_iri],
+            "attrs": [attrs],
+        }
+    )
+    key = pc.binary_join_element_wise(
+        _escape_col(tbl["origin"]),
+        _escape_col(tbl["rel"]),
+        pc.coalesce(_escape_col(tbl["target"]), pa.scalar(_NULL_SENTINEL)),
+        pc.cast(tbl["target_is_iri"], pa.string()),
+        _escape_col(tbl["attrs"]),
+        "\x1f",
+    )
+    out = quad_from_key(key)
+    assert out["origin"][0].as_py() == origin
+    assert out["rel"][0].as_py() == rel
+    assert out["target"][0].as_py() == target
+    assert out["target_is_iri"][0].as_py() == is_iri
+    assert out["attrs"][0].as_py() == attrs

@@ -158,3 +158,32 @@ def test_sharded_resume(ray_session, tmp_path):
     # equals a fresh unsharded-equivalent run
     full = build_kg_sharded(str(tmp_path / "kg_full"), n_pages=80, num_shards=2)
     assert full.count() == n
+
+
+def test_canonicalize_authorities(ray_session):
+    """Scorer-linked entities collapse onto authority IRIs via the
+    broadcast replace_values rewrite."""
+    import ray.data as rd
+
+    from versa_ray.model.linkset import distinct_links
+    from versa_ray.web.kgpipeline import (
+        canonicalize_authorities,
+        extract_links,
+        score_entities,
+    )
+    from versa_ray.web.synth import author_name, page_batch
+
+    pages = rd.from_arrow(page_batch(42, 0, N, N))
+    alias = {author_name(42, 0): "https://authority.example.org/person/0"}
+    links = distinct_links(score_entities(extract_links(pages), alias))
+    canon = canonicalize_authorities(links).to_pandas()
+
+    # the head author's entity IRI is gone; the authority IRI took over
+    assert (canon["origin"] == "https://authority.example.org/person/0").any()
+    # creator links now point at the authority
+    assert (
+        (canon["rel"].str.endswith("/creator"))
+        & (canon["target"] == "https://authority.example.org/person/0")
+    ).any()
+    # no duplicate quads after the rewrite
+    assert not canon.duplicated(subset=["origin", "rel", "target", "attrs"]).any()

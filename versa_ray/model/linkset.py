@@ -104,6 +104,8 @@ _NULL_SENTINEL = _ESC + "0"
 
 
 def _escape_col(col):
+    if pa.types.is_null(col.type):  # degenerate all-null batch
+        col = pc.cast(col, pa.string())
     col = pc.replace_substring(col, _ESC, _ESC + _ESC)
     return pc.replace_substring(col, _KEY_SEP, _ESC + "~")
 

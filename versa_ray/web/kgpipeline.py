@@ -307,6 +307,44 @@ def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=Non
 # Checkpointed end-to-end run
 
 
+def canonicalize_authorities(links_ds, num_buckets=None):
+    """Collapse scorer-linked entities onto their authority IRIs.
+
+    The EntityScorer annotates name links with ``@authority``; this
+    stage builds the (small) entity->authority mapping from those
+    annotations, broadcasts it, rewrites every origin/target through
+    it (linkset.replace_values — a map-side join, no shuffle), and
+    re-dedups. This is the explicit canonicalization rewrite of the
+    reference's replace_values/replace_entity_resource
+    (util.py:162-191) applied at corpus scale.
+    """
+    import pyarrow.compute as pc
+
+    def _extract_mapping(tbl: pa.Table) -> pa.Table:
+        mask = pc.match_substring(tbl["attrs"], "@authority")
+        hits = tbl.filter(mask)
+        if hits.num_rows == 0:
+            return pa.table(
+                {"entity": pa.array([], type=pa.string()),
+                 "authority": pa.array([], type=pa.string())}
+            )
+        ents, auths = [], []
+        for origin, attrs in zip(hits["origin"].to_pylist(), hits["attrs"].to_pylist()):
+            d = json.loads(attrs)
+            if "@authority" in d:
+                ents.append(origin)
+                auths.append(d["@authority"])
+        return pa.table({"entity": ents, "authority": auths})
+
+    pairs = links_ds.map_batches(_extract_mapping, batch_format="pyarrow").to_pandas()
+    mapping = dict(zip(pairs["entity"], pairs["authority"]))
+    if not mapping:
+        return links_ds
+    from ..model.linkset import replace_values
+
+    return distinct_links(replace_values(links_ds, mapping))
+
+
 def _stage_dir(root, name):
     return os.path.join(root, f"stage={name}")
 
