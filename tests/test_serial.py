@@ -191,3 +191,32 @@ def test_atom_feed():
     assert 'First "Poem"' in targets
     assert any(str(t) == "http://example.org/poem1" for t in targets)
     assert "2013-10-15" in targets
+
+
+def test_doc1_abbreviation_equivalence_reference_fixtures():
+    """Full vs abbreviated literate forms parse to the same 6 links
+    (reference test_parsemd.py:44-80, same fixture files)."""
+    m1 = literate.parse(open("/root/reference/test/resource/doc1.md").read())
+    m2 = literate.parse(open("/root/reference/test/resource/doc1.abbr.md").read())
+    for m in (m1, m2):
+        results = list(m.match())
+        assert len(results) == 6
+        assert (
+            I("http://uche.ogbuji.net/ndewo/"),
+            I("http://bibfra.me/purl/versa/type"),
+            "http://www.w3.org/TR/html5/#Document",
+            {},
+        ) in results
+        assert (
+            I("http://uche.ogbuji.net/ndewo/"),
+            I("http://www.w3.org/TR/html5/title"),
+            "Ndewo, Colorado",
+            {},
+        ) in results
+        assert (
+            I("http://uche.ogbuji.net/ndewo/"),
+            I("http://www.w3.org/TR/html5/link-type/author"),
+            I("http://uche.ogbuji.net/"),
+            {I("http://www.w3.org/TR/html5/link/description"): "Uche Ogbuji"},
+        ) in results
+    assert m1 == m2

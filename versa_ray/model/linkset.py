@@ -374,6 +374,42 @@ def to_canonical_table(ds) -> pa.Table:
     return tbl
 
 
+def follow_join(ds, *rels, num_partitions=None):
+    """Large-frontier multi-hop traversal as hash-partitioned JOINS:
+    hop_i links ⋈ hop_{i+1} links on target == origin
+    (the distributed form of the follow action / SURVEY §2.5 mapping).
+    Use this when the frontier is too large to broadcast (the
+    small-frontier path is the semi-join in zoom_in/transitive_closure).
+    Returns (origin, target) pairs from first hop origin to last hop
+    target."""
+    import ray
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 16
+    assert rels, "follow_join requires at least one rel"
+    frontier = match(ds, rel=rels[0]).select_columns(["origin", "target"])
+    for r in rels[1:]:
+        nxt = (
+            match(ds, rel=r)
+            .select_columns(["origin", "target"])
+            .rename_columns({"origin": "hop_origin", "target": "hop_target"})
+        )
+        frontier = frontier.join(
+            nxt,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("target",),
+            right_on=("hop_origin",),
+        )
+        frontier = frontier.select_columns(["origin", "hop_target"]).rename_columns(
+            {"hop_target": "target"}
+        )
+    return frontier
+
+
 def origin_adjacency(ds, num_buckets=64):
     """Distributed origin_view (util.py:144-158): one row per origin
     with its [rel, target, attrs] adjacency as a JSON column. Groups by

@@ -228,6 +228,14 @@ def q_links_follow2(sf_dir):
     return pd.DataFrame(rows)
 
 
+def q_links_join_hop(sf_dir):
+    """Full-corpus 2-hop traversal as a hash-partitioned join
+    (linkset.follow_join): every customer -> nation -> region."""
+    ls = tpch_linkset(sf_dir)
+    out = linkset.follow_join(ls, IN_NATION, IN_REGION, num_partitions=8)
+    return out
+
+
 def q_links_zoom(sf_dir):
     ds, completed = linkset.zoom_in(tpch_linkset(sf_dir), f"{URN}customer:1", depth=2)
     df = ds.to_pandas()
@@ -562,6 +570,7 @@ def build_queries():
         "links_origins_of_type": q_links_origins_of_type,
         "links_column_targets": q_links_column_targets,
         "links_follow2": q_links_follow2,
+        "links_join_hop": q_links_join_hop,
         "links_zoom": q_links_zoom,
         "links_replace_values": q_links_replace_values,
         "links_duplicate_statements": q_links_duplicate_statements,
@@ -611,6 +620,15 @@ def build_oracles():
             "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) AS target "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "WHERE c_custkey BETWEEN 1 AND 20"
+        ),
+        "links_join_hop": (
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS origin, "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) AS target "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL "
+            "SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR), "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
         ),
         "links_zoom": (
             f"{L}, hop0 AS (SELECT * FROM links WHERE origin = 'urn:versa:customer:1'), "
