@@ -186,3 +186,54 @@ def test_multimodal_plumbing(ray_session):
     frames = sample_frames(media, n_frames=4).to_pandas()
     assert len(frames) == 80
     assert frames["frame"].map(len).eq(256).all()
+
+
+def test_sliding_window(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.windows import sliding_window_agg
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").limit(300)
+    out = sliding_window_agg(ev, window="2h", slide="1h").to_pandas()
+    pdf = ev.to_pandas()
+    # every event lands in exactly window/slide = 2 windows
+    assert out["n"].sum() == 2 * len(pdf)
+    # spot-check one (user, window)
+    row = out.iloc[0]
+    lo = row["window_start"]
+    hi = lo + pd.Timedelta("2h")
+    expect = pdf[(pdf.user_id == row["user_id"]) & (pdf.ts >= lo) & (pdf.ts < hi)]
+    assert row["n"] == len(expect)
+
+
+def test_verify_pairs_jaccard(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "one two three four five six seven eight nine ten",
+                "one two three four five six seven eight nine eleven",
+                "zz yy xx ww vv uu tt ss rr qq",
+            ],
+        }
+    )
+    ds = rd.from_pandas(rows)
+    pairs = minhash_candidate_pairs(ds, threshold=0.3)
+    verified = verify_pairs_jaccard(ds, pairs, threshold=0.5)
+    assert {(p["id_a"], p["id_b"]) for p in verified} == {(1, 2)}
+    assert all(p["jaccard"] > 0.5 for p in verified)
+
+
+def test_rolling_fingerprint():
+    from versa_ray.ops.textstats import rolling_fingerprint
+
+    a = rolling_fingerprint("the quick brown fox jumps over the lazy dog " * 4)
+    b = rolling_fingerprint("PREFIX " + "the quick brown fox jumps over the lazy dog " * 4)
+    assert a and b
+    # shared passages produce shared fingerprints (content-local)
+    assert len(set(a) & set(b)) / len(set(a)) > 0.5
+    assert rolling_fingerprint("") == []
