@@ -440,6 +440,20 @@ def q_events_tumbling(sf_dir):
     )
 
 
+def q_events_sliding(sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windows.sliding_window_agg(ev, window="2h", slide="1h")
+    return out.map_batches(
+        lambda df: df.assign(
+            value_sum=df.value_sum.round(2),
+            window_start=df.window_start.astype("datetime64[us]"),
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_events_sessions(sf_dir):
     import ray.data as rd
 
@@ -589,6 +603,7 @@ def build_queries():
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
@@ -694,6 +709,14 @@ def build_oracles():
             "SELECT event_type, date_trunc('day', ts) AS window_start, "
             "count(*) AS n, round(sum(value), 2) AS value_sum "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            "SELECT user_id, window_start, count(*) AS n, "
+            "round(sum(value), 2) AS value_sum FROM ("
+            "SELECT user_id, value, date_trunc('hour', ts) AS window_start FROM events "
+            "UNION ALL "
+            "SELECT user_id, value, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events"
+            ") GROUP BY 1, 2"
         ),
         "events_sessions": (
             "WITH marked AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
