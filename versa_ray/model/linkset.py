@@ -516,12 +516,21 @@ def zoom_in(ds, focus, depth=1, max_rels=0):
     return rd.from_items(parts), True
 
 
-def transitive_closure(ds, orig, rel):
-    """Fixpoint frontier iteration over one rel."""
+def transitive_closure(ds, orig, rel, max_frontier=100_000):
+    """Fixpoint frontier iteration over one rel (broadcast semi-join
+    per hop). The frontier lives driver-side: when it outgrows
+    ``max_frontier`` this raises rather than silently degrading — use
+    ``follow_join`` (hash-partitioned joins) for large-frontier
+    traversals."""
     seen = set()
     frontier = {str(orig)}
     while frontier:
         rows = match(ds, origin=set(frontier), rel=rel).take_all()
         frontier = {r["target"] for r in rows if r["target"] not in seen and r["target"]}
         seen |= frontier
+        if len(seen) > max_frontier:
+            raise RuntimeError(
+                f"transitive_closure frontier exceeded {max_frontier}; "
+                "use follow_join for large-frontier traversal"
+            )
     return seen
