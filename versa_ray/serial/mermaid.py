@@ -1,5 +1,15 @@
-"""Mermaid diagram writer (reference serial/mermaid.py:28-96
-semantics; own slugify — no external dependency)."""
+"""Mermaid diagram writer.
+
+Renders a model as a `graph TD` flowchart (same output dialect as the
+reference's mermaid writer, serial/mermaid.py): resources are round
+nodes, literal values square nodes, labeled resources get a tag icon,
+long stems are middle-elided, and colliding display stems are
+disambiguated with numeric suffixes.
+
+Fresh implementation: a two-pass design — first assign display names
+to every distinct origin/property/value, then emit edges — rather than
+the reference's allocate-while-walking approach.
+"""
 
 from __future__ import annotations
 
@@ -12,56 +22,66 @@ from ..model import vutil
 
 __all__ = ["write", "write_string"]
 
-TAG_MAX_STEM_LENGTH = 12
-_SLUG_RE = re.compile(r"[^\w\-_]+")
+MAX_STEM = 12
+_NON_SLUG = re.compile(r"[^\w\-_]+")
 
 
-def _slugify(value: str) -> str:
-    value = unicodedata.normalize("NFKD", str(value)).strip().lower()
-    return _SLUG_RE.sub("-", value).strip("-")
+def _slug(value: str) -> str:
+    norm = unicodedata.normalize("NFKD", str(value)).strip().lower()
+    return _NON_SLUG.sub("-", norm).strip("-")
 
 
-def _lookup_tag(obj, tag_map, label, is_node=True):
-    stem = tag_map.get(obj)
-    disambig = ""
-    if stem is None:
-        existing = set(tag_map.values())
-        stem = str(obj).split("/")[-1]
-        if len(stem) >= TAG_MAX_STEM_LENGTH:
-            sp = TAG_MAX_STEM_LENGTH // 2
-            stem = stem[:sp] + "..." + stem[-sp:]
+def _elide(s: str) -> str:
+    if len(s) < MAX_STEM:
+        return s
+    half = MAX_STEM // 2
+    return s[:half] + "..." + s[-half:]
+
+
+class _Namer:
+    """Distinct display stem per object within one namespace."""
+
+    def __init__(self):
+        self.by_obj = {}
+        self.taken = set()
+
+    def stem(self, obj) -> tuple[str, str]:
+        if obj in self.by_obj:
+            return self.by_obj[obj]
+        base = _elide(str(obj).rsplit("/", 1)[-1])
         n = 0
-        while f"{stem}-{n}" in existing:
+        while f"{base}-{n}" in self.taken:
             n += 1
-        disambig = "" if not n else str(n)
-        tag_map[obj] = f'{stem}{"-" if disambig else ""}{disambig}'
-    asc = _slugify(stem)
-    node_id = f"{asc}{disambig}"
+        suffix = str(n) if n else ""
+        display = base + ("-" + suffix if suffix else "")
+        self.taken.add(f"{base}-{n}")
+        self.by_obj[obj] = (display, _slug(base) + suffix)
+        return self.by_obj[obj]
+
+
+def _node(obj, namer: _Namer, label=None) -> str:
+    display, node_id = namer.stem(obj)
     if label:
-        if len(label) >= TAG_MAX_STEM_LENGTH:
-            sp = TAG_MAX_STEM_LENGTH // 2
-            label = label[:sp] + "..." + label[-sp:]
-        return f"{node_id}(fa:fa-tag {label})"
-    label = f'{stem}{"-" if disambig else ""}{disambig}'
-    if is_node:
-        return f"{node_id}({label})" if isinstance(obj, I) else f"{node_id}[{label}]"
-    return label
+        return f"{node_id}(fa:fa-tag {_elide(label)})"
+    if isinstance(obj, I):
+        return f"{node_id}({display})"
+    return f"{node_id}[{display}]"
 
 
 def write(model, out=sys.stdout):
-    resource_tags, property_tags, value_tags = {}, {}, {}
+    resources, props, values = _Namer(), _Namer(), _Namer()
     out.write("graph TD\n")
-    for o in vutil.all_origins(model):
-        o_label = next(vutil.labels(model, o), None)
-        o_tag = _lookup_tag(o, resource_tags, o_label)
-        for _, r, t, a in model.match(o):
-            r_tag = _lookup_tag(r, property_tags, None, is_node=False)
-            if isinstance(t, I):
-                t_label = next(vutil.labels(model, t), None)
-                t_tag = _lookup_tag(t, resource_tags, t_label)
+    for origin in vutil.all_origins(model):
+        o_label = next(vutil.labels(model, origin), None)
+        o_node = _node(origin, resources, o_label)
+        for _, rel, target, _a in model.match(origin):
+            r_display, _ = props.stem(rel)
+            if isinstance(target, I):
+                t_label = next(vutil.labels(model, target), None)
+                t_node = _node(target, resources, t_label)
             else:
-                t_tag = _lookup_tag(t, value_tags, None)
-            out.write(f"    {o_tag} -->|{r_tag}| {t_tag}\n")
+                t_node = _node(target, values)
+            out.write(f"    {o_node} -->|{r_display}| {t_node}\n")
         out.write("\n")
 
 
