@@ -48,7 +48,7 @@ def test_minhash_identical_and_disjoint(ray_session):
             ],
         }
     )
-    labels = minhash_dedup(rd.from_pandas(rows), threshold=0.5, concurrency=2)
+    labels = minhash_dedup(rd.from_pandas(rows), threshold=0.5, concurrency=2).to_pandas()
     m = dict(zip(labels["doc_id"], labels["cluster"]))
     assert m[1] == m[2] == 1  # identical docs cluster to min id
     assert m[3] == 1  # heavy overlap joins the cluster

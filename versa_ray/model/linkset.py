@@ -308,15 +308,17 @@ def replace_values(ds, mapping: dict):
         if not mp:
             return tbl
         karr = pa.array(list(mp.keys()), type=pa.string())
-        varr = list(mp.values())
+        varr = pa.array([str(v) for v in mp.values()], type=pa.string())
 
         def remap_col(col):
+            # fully vectorized remap: index_in -> take -> null-fill
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_null(col.type):
+                return pc.cast(col, pa.string())
             idx = pc.index_in(col, value_set=karr)
-            out = col.to_pylist()
-            for i, ix in enumerate(idx.to_pylist()):
-                if ix is not None:
-                    out[i] = varr[ix]
-            return pa.array(out, type=pa.string())
+            mapped = pc.take(varr, idx)
+            return pc.if_else(pc.is_valid(idx), mapped, col)
 
         tbl = tbl.set_column(
             tbl.schema.get_field_index("origin"), "origin", remap_col(tbl["origin"])

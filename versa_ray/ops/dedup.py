@@ -35,6 +35,18 @@ _MERSENNE = (1 << 61) - 1
 _MINHASHER_CACHE: dict = {}
 
 
+def _empty_pairs(extra_col=None, extra_dtype="float64"):
+    """Typed empty pair frame — an untyped pd.DataFrame({"id_a": []})
+    defaults to float64 and would poison downstream join-key schemas."""
+    cols = {
+        "id_a": np.empty(0, dtype=np.int64),
+        "id_b": np.empty(0, dtype=np.int64),
+    }
+    if extra_col:
+        cols[extra_col] = np.empty(0, dtype=extra_dtype)
+    return pd.DataFrame(cols)
+
+
 def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
     """groupby(keys) + per-group function, shuffled on a COARSE hash
     bucket of the keys instead of the keys themselves.
@@ -145,21 +157,35 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 # Exact dedup
 
 
-def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
-    """Keep the minimum id per distinct key value. Local pre-dedup then
-    one groupby-aggregate over the survivors. Emits Arrow blocks into
-    the shuffle (pandas blocks cripple Ray's sort path)."""
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id", num_buckets=64):
+    """Keep the minimum id per distinct key value.
+
+    The shuffle key is a 64-bit FINGERPRINT of the content (hashed into
+    a small int bucket), never the content itself: shipping and sorting
+    megabyte text columns as groupby keys is the classic dedup
+    scale-killer. Local pre-dedup (combiner) -> bucket shuffle ->
+    per-bucket groupby on (fingerprint, key) so hash collisions can
+    never merge distinct contents."""
     import pyarrow as pa
-    from ray.data.aggregate import Min
 
     def _local(df: pd.DataFrame) -> pa.Table:
-        out = df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]]
+        out = df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]].copy()
+        fp = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+        out["_fp"] = fp.astype("int64")
+        out["_cbucket"] = (fp % num_buckets).astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _bucket_dedup(group: pd.DataFrame) -> pa.Table:
+        out = group.loc[
+            group.groupby(["_fp", key], sort=False)[id_col].idxmin(),
+            [id_col, key],
+        ]
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(_local, batch_format="pandas")
-        .groupby(key)
-        .aggregate(Min(id_col, alias_name=id_col))
+        .groupby("_cbucket")
+        .map_groups(_bucket_dedup, batch_format="pandas")
     )
 
 
@@ -227,7 +253,7 @@ class MinHasher:
 
 def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
                             text_col="text", id_col="doc_id", concurrency=4,
-                            max_bucket=2048):
+                            max_bucket=2048, dedup=True):
     """Dataset of (id_a, id_b, est_jaccard) near-dup candidate pairs,
     verified by signature agreement inside each LSH bucket.
 
@@ -255,7 +281,7 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
     def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return _empty_pairs("est_jaccard")
         # de-dup docs that landed in the bucket multiple times
         _, uniq_ix = np.unique(ids, return_index=True)
         ids = ids[uniq_ix]
@@ -266,14 +292,16 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
         a_ix, b_ix = np.triu_indices(len(ids), k=1)
         est = (sig_mat[a_ix] == sig_mat[b_ix]).mean(axis=1)
         keep = est >= threshold
-        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
-        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
+        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]]).astype(np.int64)
+        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]]).astype(np.int64)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "est_jaccard": est[keep]})
 
     # LSH bucket keys are near-unique -> coarse-bucket shuffle, and the
-    # surviving pairs are deduped the same way
+    # surviving pairs are deduped the same way. Consumers that tolerate
+    # duplicate edges (cluster assembly: min-label propagation is
+    # idempotent) pass dedup=False and save a shuffle.
     pairs = bucketed_group_apply(sigs, ["band", "band_hash"], _bucket_pairs)
-    return dedup_rows(pairs, ["id_a", "id_b"])
+    return dedup_rows(pairs, ["id_a", "id_b"]) if dedup else pairs
 
 
 def cluster_pairs(pair_rows, ids=None) -> dict:
@@ -305,18 +333,259 @@ def cluster_pairs(pair_rows, ids=None) -> dict:
     return out
 
 
-def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
-    """id -> cluster representative for near-duplicate documents."""
-    pairs = minhash_candidate_pairs(
-        ds, threshold=threshold, text_col=text_col, id_col=id_col, **kw
-    )
-    all_ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
-    labels = cluster_pairs(pairs.take_all(), ids=all_ids)
-    import pandas as _pd
+def _norm_cols(colspec: dict):
+    """Schema normalizer: Ray groupby().aggregate() emits column-less
+    EMPTY blocks for empty partitions, which break downstream Arrow
+    joins ("no match for key field"). Reindex every batch to the
+    expected (name -> numpy dtype) schema."""
 
-    return _pd.DataFrame(
-        {id_col: sorted(labels), "cluster": [labels[k] for k in sorted(labels)]}
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for name, dt in colspec.items():
+            if name in df.columns:
+                out[name] = df[name].to_numpy().astype(dt, copy=False)
+            else:
+                out[name] = np.empty(len(df), dtype=dt)
+        return pd.DataFrame(out)
+
+    return _fix
+
+
+def _num_partitions(default=8):
+    import ray
+
+    try:
+        return max(default, int(ray.cluster_resources().get("CPU", default)) // 2)
+    except Exception:
+        return default
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _int_bucket(key_np: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Balanced bucket assignment for int64 keys (multiplicative hash;
+    sequential ids stay balanced even when num_buckets shares factors
+    with the id stride)."""
+    h = key_np.astype(np.uint64) * _GOLDEN
+    return ((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _work_frame(key, kind, a, c=None) -> pd.DataFrame:
+    n = len(key)
+    return pd.DataFrame(
+        {
+            "key": np.asarray(key, dtype=np.int64),
+            "kind": np.full(n, kind, dtype=np.int8),
+            "a": np.asarray(a, dtype=np.int64),
+            "c": np.zeros(n, dtype=np.int8) if c is None
+            else np.asarray(c, dtype=np.int8),
+        }
     )
+
+
+def _bucket_shuffle(ds, fn, num_buckets):
+    """Coarse-bucket shuffle of the (key,kind,a,c) working set: shuffle
+    key is a small int bucket (same per-group-overhead discipline as
+    distinct_links), per-bucket work is one vectorized pandas call."""
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in df.columns or not len(df):
+            out = _work_frame([], 0, [])
+            out["_cbucket"] = np.empty(0, dtype=np.int32)
+            return out
+        df = df.copy()
+        df["_cbucket"] = _int_bucket(df["key"].to_numpy(), num_buckets)
+        return df
+
+    def _apply(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in bucket.columns or not len(bucket):
+            return _work_frame([], 0, [])
+        return fn(bucket.drop(columns=["_cbucket"]))
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_apply, batch_format="pandas")
+    )
+
+
+def cluster_pairs_ds(pairs, max_iters=50, num_buckets=None):
+    """Distributed connected components over a pair list: iterative
+    min-label propagation to fixpoint, expressed as coarse-bucket
+    shuffles over a tagged working set (kind 0 = label row keyed by
+    node, kind 1 = directed edge keyed by src, kind 2 = in-flight
+    message keyed by dst). Two shuffles per iteration:
+
+      step 1 (group by src): collapse label rows, emit each node's
+             label along every outgoing edge as a message to dst;
+      step 2 (group by dst): new label = min(label, incoming msgs),
+             with a per-row changed flag.
+
+    Duplicate edges are tolerated (min-propagation is idempotent), so
+    upstream producers can skip their pair-dedup shuffle. Returns a
+    Dataset (node, label) covering every node that appears in a pair;
+    label is the component minimum. Nothing corpus-cardinality touches
+    the driver — per iteration only a scalar changed-count is
+    collected. (Deliberately NOT Dataset.join: Ray 2.49's hash-join
+    finalize builds schema-less empty partitions and raises
+    ArrowInvalid when one side of a partition is empty.)
+
+    The distributed form of the reference's dedup semantics
+    (/root/reference/tools/py/util.py:209-223) extended to near-dup
+    clusters."""
+    import ray
+    import ray.data as rd
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 32
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns or not len(df):
+            return _work_frame([], 0, [])
+        a = df["id_a"].to_numpy().astype(np.int64)
+        b = df["id_b"].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        nodes = np.unique(src)
+        # label seeds start at self; cross-batch duplicate seeds
+        # collapse at the first bucket shuffle
+        return pd.concat(
+            [_work_frame(src, 1, dst), _work_frame(nodes, 0, nodes)],
+            ignore_index=True,
+        )
+
+    def _step1(bucket: pd.DataFrame) -> pd.DataFrame:
+        lab = bucket[bucket["kind"] == 0].groupby("key", as_index=False)["a"].min()
+        edg = bucket[bucket["kind"] == 1]
+        msgs = edg.merge(
+            lab.rename(columns={"a": "_label"}), on="key", how="inner"
+        )
+        return pd.concat(
+            [
+                _work_frame(lab["key"], 0, lab["a"]),
+                _work_frame(edg["key"], 1, edg["a"]),
+                _work_frame(msgs["a"], 2, msgs["_label"]),
+            ],
+            ignore_index=True,
+        )
+
+    def _step2(bucket: pd.DataFrame) -> pd.DataFrame:
+        lab = bucket[bucket["kind"] == 0].groupby("key", as_index=False)["a"].min()
+        edg = bucket[bucket["kind"] == 1]
+        msgs = bucket[bucket["kind"] == 2]
+        if len(msgs) and len(lab):
+            nbr = msgs.groupby("key", as_index=False)["a"].min().rename(
+                columns={"a": "_nbr"}
+            )
+            lab = lab.merge(nbr, on="key", how="left")
+            nbr_vals = lab["_nbr"].fillna(lab["a"]).to_numpy()
+            new = np.minimum(lab["a"].to_numpy(), nbr_vals).astype(np.int64)
+            changed = (new < lab["a"].to_numpy()).astype(np.int8)
+        else:
+            new = lab["a"].to_numpy()
+            changed = np.zeros(len(lab), dtype=np.int8)
+        return pd.concat(
+            [_work_frame(lab["key"], 0, new, changed),
+             _work_frame(edg["key"], 1, edg["a"])],
+            ignore_index=True,
+        )
+
+    work = pairs.map_batches(_init, batch_format="pandas").materialize()
+    if work.count() == 0:
+        import pyarrow as _pa
+
+        return rd.from_arrow(
+            _pa.table({"node": _pa.array([], type=_pa.int64()),
+                       "label": _pa.array([], type=_pa.int64())})
+        )
+
+    for _ in range(max_iters):
+        work = _bucket_shuffle(work, _step1, num_buckets)
+        work = _bucket_shuffle(work, _step2, num_buckets).materialize()
+        if not work.sum("c"):  # c nonzero only on changed label rows
+            break
+
+    def _labels_only(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0]
+        return pd.DataFrame(
+            {"node": lab["key"].to_numpy(), "label": lab["a"].to_numpy()}
+        )
+
+    return work.map_batches(_labels_only, batch_format="pandas")
+
+
+def assign_clusters(ds, pairs, id_col="doc_id", num_buckets=None):
+    """id -> cluster-representative Dataset for the WHOLE corpus:
+    distributed label propagation over the pair list, then one
+    bucket-shuffle merge of labels onto the corpus ids; docs without
+    pairs default to self-cluster. No corpus-cardinality driver
+    state."""
+    import ray
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 32
+    labels = cluster_pairs_ds(pairs, num_buckets=num_buckets)
+
+    def _corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        return _work_frame(ids, 0, ids)
+
+    def _label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns or not len(df):
+            return _work_frame([], 1, [])
+        return _work_frame(df["node"].to_numpy(), 1, df["label"].to_numpy())
+
+    both = ds.select_columns([id_col]).map_batches(
+        _corpus_rows, batch_format="pandas"
+    ).union(labels.map_batches(_label_rows, batch_format="pandas"))
+
+    def _merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        corpus = bucket[bucket["kind"] == 0]
+        lab = bucket[bucket["kind"] == 1][["key", "a"]].rename(
+            columns={"a": "_label"}
+        ).drop_duplicates("key")
+        out = corpus[["key"]].merge(lab, on="key", how="left")
+        cluster = out["_label"].fillna(out["key"]).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: out["key"].to_numpy(), "cluster": cluster.to_numpy()}
+        )
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = _int_bucket(df["key"].to_numpy(), num_buckets)
+        return df
+
+    def _apply(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in bucket.columns or not len(bucket):
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64), "cluster": np.empty(0, np.int64)}
+            )
+        return _merge(bucket.drop(columns=["_cbucket"]))
+
+    return (
+        both.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_apply, batch_format="pandas")
+    )
+
+
+def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
+    """id -> cluster representative for near-duplicate documents.
+    Fully distributed: candidate pairs from LSH (duplicate edges kept —
+    no pair-dedup shuffle needed), connected components via
+    min-label-propagation joins, labels joined back onto the corpus."""
+    pairs = minhash_candidate_pairs(
+        ds, threshold=threshold, text_col=text_col, id_col=id_col,
+        dedup=False, **kw
+    )
+    return assign_clusters(ds, pairs, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +599,9 @@ def simhash64(text: str) -> int:
     hv = _hash_words(words)
     bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
     v = (2 * bits - 1).sum(axis=0)
-    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+    # bit i of the signature is sign(v[i]); packbits consumes MSB-first
+    packed = np.packbits((v > 0)[::-1])
+    return int.from_bytes(packed.tobytes(), "big")
 
 
 def simhash_ds(ds, text_col="text", id_col="doc_id"):
@@ -364,7 +635,7 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return _empty_pairs("hamming", "int64")
         _, uix = np.unique(ids, return_index=True)
         ids = ids[uix]
         hs = group["simhash"].to_numpy()[uix].astype(np.uint64)
@@ -446,7 +717,7 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty_pairs("cosine")
         mat = np.stack(group[vec_col].to_numpy())
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

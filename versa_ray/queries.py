@@ -701,7 +701,8 @@ def build_oracles():
             "FROM documents"
         ),
         "doc_lang_counts": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
