@@ -237,3 +237,57 @@ def test_rolling_fingerprint():
     # shared passages produce shared fingerprints (content-local)
     assert len(set(a) & set(b)) / len(set(a)) > 0.5
     assert rolling_fingerprint("") == []
+
+
+def test_cluster_pairs_ds_chain(ray_session):
+    """Min-label propagation converges on a path graph (worst-case
+    diameter) and leaves other components alone."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import cluster_pairs_ds
+
+    pairs = pd.DataFrame(
+        {
+            "id_a": [5, 4, 3, 2, 100, 1, 1],  # chain 1-2-3-4-5 + dup edges
+            "id_b": [4, 3, 2, 1, 101, 2, 2],
+        }
+    )
+    labels = cluster_pairs_ds(rd.from_pandas(pairs)).to_pandas()
+    m = dict(zip(labels["node"], labels["label"]))
+    assert all(m[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert m[100] == m[101] == 100
+
+
+def test_assign_clusters_defaults_self(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import assign_clusters
+
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3, 9]}))
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [3]}))
+    out = assign_clusters(corpus, pairs).to_pandas()
+    m = dict(zip(out["doc_id"], out["cluster"]))
+    assert m == {1: 1, 2: 2, 3: 1, 9: 9}
+
+
+def test_verified_near_dup_pairs_distributed(ray_session):
+    """Distributed (non-broadcast) exact-Jaccard verification matches
+    the driver-side computation."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import ngram_jaccard, verified_near_dup_pairs
+
+    texts = {
+        1: "one two three four five six seven eight nine ten",
+        2: "one two three four five six seven eight nine eleven",
+        3: "zz yy xx ww vv uu tt ss rr qq",
+        4: "zz yy xx ww vv uu tt ss rr pp",
+    }
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = verified_near_dup_pairs(ds, threshold=0.5).to_pandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    assert set(got) == {(1, 2), (3, 4)}
+    for (a, b), j in got.items():
+        assert j == ngram_jaccard(texts[a], texts[b])

@@ -576,6 +576,120 @@ def assign_clusters(ds, pairs, id_col="doc_id", num_buckets=None):
     )
 
 
+def verified_near_dup_pairs(ds, threshold=0.5, est_threshold=0.35, k=3,
+                            text_col="text", id_col="doc_id",
+                            num_buckets=64, **kw):
+    """Near-duplicate pairs with EXACT n-gram-Jaccard verification,
+    fully distributed: LSH candidate pairs (generous estimate
+    threshold for recall) are joined against the corpus texts by two
+    bucket-merge passes — attach text of id_a, reshuffle on id_b,
+    attach text of id_b — then the exact word-k-shingle Jaccard is
+    computed per pair and filtered at ``threshold``.
+
+    Texts travel as payload, never as join/shuffle keys, and the
+    corpus is scanned (not broadcast): this replaces the driver-side
+    broadcast of candidate texts for large pair sets
+    (verify_pairs_jaccard stays as the small-pair-set fast path)."""
+
+    pairs = minhash_candidate_pairs(
+        ds, threshold=est_threshold, text_col=text_col, id_col=id_col,
+        dedup=True, **kw
+    )
+
+    def _corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "key": df[id_col].to_numpy().astype(np.int64),
+                "other": np.zeros(n, dtype=np.int64),
+                "kind": np.zeros(n, dtype=np.int8),
+                "txt": df[text_col].fillna("").astype(str).to_numpy(),
+            }
+        )
+
+    def _pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"key": np.empty(0, np.int64), "other": np.empty(0, np.int64),
+                 "kind": np.empty(0, np.int8), "txt": np.empty(0, object)}
+            )
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "key": df["id_a"].to_numpy().astype(np.int64),
+                "other": df["id_b"].to_numpy().astype(np.int64),
+                "kind": np.ones(n, dtype=np.int8),
+                "txt": np.full(n, "", dtype=object),
+            }
+        )
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = _int_bucket(df["key"].to_numpy(), num_buckets)
+        return df
+
+    def _attach_a(bucket: pd.DataFrame) -> pd.DataFrame:
+        # pair rows keyed by id_a pick up text_a, re-key onto id_b
+        corpus = bucket[bucket["kind"] == 0][["key", "txt"]].drop_duplicates("key")
+        prs = bucket[bucket["kind"] == 1]
+        if not len(prs) or not len(corpus):
+            return pd.DataFrame(
+                {"key": np.empty(0, np.int64), "other": np.empty(0, np.int64),
+                 "kind": np.empty(0, np.int8), "txt": np.empty(0, object)}
+            )
+        m = prs[["key", "other"]].merge(
+            corpus.rename(columns={"txt": "_t"}), on="key", how="inner"
+        )
+        n = len(m)
+        return pd.DataFrame(
+            {
+                "key": m["other"].to_numpy(),
+                "other": m["key"].to_numpy(),
+                "kind": np.ones(n, dtype=np.int8),
+                "txt": m["_t"].to_numpy(),
+            }
+        )
+
+    def _attach_b_verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        corpus = bucket[bucket["kind"] == 0][["key", "txt"]].drop_duplicates("key")
+        prs = bucket[bucket["kind"] == 1]
+        if not len(prs) or not len(corpus):
+            return _empty_pairs("jaccard")
+        m = prs.merge(corpus.rename(columns={"txt": "_t"}), on="key", how="inner")
+        ja = np.fromiter(
+            (ngram_jaccard(ta, tb, k) for ta, tb in zip(m["txt"], m["_t"])),
+            dtype=np.float64, count=len(m),
+        )
+        keep = ja >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m["other"].to_numpy()[keep],
+                "id_b": m["key"].to_numpy()[keep],
+                "jaccard": ja[keep],
+            }
+        )
+
+    def _shuffle(ds_, fn):
+        return (
+            ds_.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(
+                lambda b: fn(b.drop(columns=["_cbucket"]))
+                if "key" in b.columns and len(b)
+                else fn(pd.DataFrame(columns=["key", "other", "kind", "txt"])),
+                batch_format="pandas",
+            )
+        )
+
+    corpus1 = ds.map_batches(_corpus_rows, batch_format="pandas")
+    pass1 = _shuffle(
+        corpus1.union(pairs.map_batches(_pair_rows, batch_format="pandas")),
+        _attach_a,
+    )
+    corpus2 = ds.map_batches(_corpus_rows, batch_format="pandas")
+    return _shuffle(corpus2.union(pass1), _attach_b_verify)
+
+
 def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
     """id -> cluster representative for near-duplicate documents.
     Fully distributed: candidate pairs from LSH (duplicate edges kept —
@@ -697,9 +811,15 @@ def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
 
 
 def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
-                        n_planes=12, threshold=0.95, seed=11):
+                        n_planes=12, n_tables=6, threshold=0.95, seed=11):
+    """Random-hyperplane LSH with OR-amplification: ``n_tables``
+    independent plane sets; a pair is a candidate if it collides in ANY
+    table (miss probability (1-p^n_planes)^n_tables, p = 1 - theta/pi),
+    then exact in-bucket cosine verification. Each vector emits one row
+    per table — the vector payload is duplicated n_tables times through
+    the shuffle, the standard multi-table LSH space/recall trade."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes)
+    planes = rng.randn(dim, n_planes * n_tables)
     import ray
 
     planes_ref = ray.put(planes)
@@ -708,11 +828,19 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
         pl = ray.get(planes_ref)
         mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         bits = (mat @ pl) > 0
-        codes = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
-        return pd.DataFrame(
-            {"bucket": codes.astype("int64"), id_col: df[id_col].to_numpy(),
-             vec_col: list(mat)}
-        )
+        ids = df[id_col].to_numpy().astype(np.int64)
+        out = []
+        for t in range(n_tables):
+            sub = bits[:, t * n_planes:(t + 1) * n_planes]
+            codes = (sub * (1 << np.arange(n_planes))).sum(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {"table": np.full(len(ids), t, dtype=np.int8),
+                     "bucket": codes.astype("int64"), id_col: ids,
+                     vec_col: list(mat)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
@@ -731,5 +859,5 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs[keep]})
 
     bucketed = ds.map_batches(_bucket, batch_format="pandas")
-    pairs = bucketed_group_apply(bucketed, ["bucket"], _pairs)
+    pairs = bucketed_group_apply(bucketed, ["table", "bucket"], _pairs)
     return dedup_rows(pairs, ["id_a", "id_b"])

@@ -63,36 +63,47 @@ def knn_bruteforce(ds, query_vecs, query_ids, k=5, vec_col="embedding",
     return partials.groupby("qid").map_groups(_merge, batch_format="pandas")
 
 
-def knn_lsh(ds, query_vecs, query_ids, dim, k=5, n_planes=8, vec_col="embedding",
-            id_col="vec_id", seed=13, multiprobe=True):
-    """Approximate top-k: hyperplane-bucket the corpus, probe the
-    query's bucket (plus single-bit flips), exact-rerank candidates."""
+def knn_lsh(ds, query_vecs, query_ids, dim, k=5, n_planes=8, n_tables=4,
+            vec_col="embedding", id_col="vec_id", seed=13, multiprobe=True):
+    """Approximate top-k: multi-table hyperplane LSH. The corpus is
+    coded against ``n_tables`` independent plane sets; a vector is a
+    candidate if it lands in the query's bucket (or a single-bit-flip
+    probe bucket) in ANY table, then candidates are exact-reranked.
+    OR-amplification across tables is what keeps recall up when a
+    single table's 2^n_planes partition splits true neighbors."""
     import ray
 
     rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes)
+    planes = rng.randn(dim, n_planes * n_tables)
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids)
 
-    qbits = (qmat @ planes) > 0
     pw = 1 << np.arange(n_planes)
-    qcodes = (qbits * pw).sum(axis=1)
-    probe = set()
-    for qx, code in enumerate(qcodes):
-        probe.add(int(code))
-        if multiprobe:
-            for b in range(n_planes):
-                probe.add(int(code) ^ (1 << b))
+    qbits = (qmat @ planes) > 0
+    probes = []  # per table: sorted array of probe codes
+    for t in range(n_tables):
+        sub = qbits[:, t * n_planes:(t + 1) * n_planes]
+        qcodes = (sub * pw).sum(axis=1)
+        probe = set()
+        for code in qcodes:
+            probe.add(int(code))
+            if multiprobe:
+                for b in range(n_planes):
+                    probe.add(int(code) ^ (1 << b))
+        probes.append(np.fromiter(probe, dtype=np.int64))
 
     planes_ref = ray.put(planes)
-    probe_ref = ray.put(probe)
+    probes_ref = ray.put(probes)
 
     def _candidates(df: pd.DataFrame) -> pd.DataFrame:
-        pl, pr = ray.get(planes_ref), ray.get(probe_ref)
+        pl, prs = ray.get(planes_ref), ray.get(probes_ref)
         mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         bits = (mat @ pl) > 0
-        codes = (bits * pw).sum(axis=1).astype(np.int64)
-        mask = np.isin(codes, list(pr))
+        mask = np.zeros(len(df), dtype=bool)
+        for t in range(n_tables):
+            sub = bits[:, t * n_planes:(t + 1) * n_planes]
+            codes = (sub * pw).sum(axis=1).astype(np.int64)
+            mask |= np.isin(codes, prs[t])
         return df[mask]
 
     candidates = ds.map_batches(_candidates, batch_format="pandas")

@@ -375,6 +375,17 @@ def q_doc_minhash_dedup(sf_dir):
     return dd.minhash_dedup(_docs(sf_dir), threshold=0.5, concurrency=2)
 
 
+def q_doc_near_dup_pairs(sf_dir):
+    """LSH candidates + exact word-3-shingle Jaccard verification,
+    hash-checked against a DuckDB exact all-pairs oracle (possible
+    because the corpus' near-dup pairs sit well above the threshold, so
+    banded-LSH recall at the threshold is 1 for this data)."""
+    out = dd.verified_near_dup_pairs(_docs(sf_dir), threshold=0.5, concurrency=2)
+    return out.map_batches(
+        lambda df: df.assign(jaccard=df.jaccard.round(6)), batch_format="pandas"
+    )
+
+
 def q_doc_simhash(sf_dir):
     return dd.simhash_ds(_docs(sf_dir)).map_batches(
         lambda df: df.assign(simhash=df.simhash.astype("uint64").astype("int64")
@@ -415,12 +426,91 @@ def q_knn_cosine(sf_dir):
     return out[["qid", "nid", "rank"]]
 
 
-def q_embedding_near_dups(sf_dir):
+def q_knn_lsh_recall(sf_dir):
+    """Driver-visible recall gate for the approximate kNN path: over
+    the planted-near-dup augmented corpus (each query's true nearest
+    neighbor is its planted twin at cosine ~0.999), run knn_lsh and
+    exact knn_bruteforce on the same 8 queries and emit per-query
+    recall@1 and recall@5 vs exact. HARD-FAILS (raises) if mean
+    recall@1 < 0.8 — on near-uniform random embeddings ranks 2-5 sit
+    near cosine ~0.3 where no hyperplane LSH can recall them, so
+    recall@1 on real near neighbors is the meaningful gate; recall@5
+    is reported for visibility. Only queries x k rows reach the
+    driver."""
+    vecs, ids = _query_vectors(sf_dir, 8)
+    aug = _augmented_embeddings(sf_dir)
+    exact = similarity.knn_bruteforce(aug, vecs, ids, k=5).to_pandas()
+    lsh = similarity.knn_lsh(aug, vecs, ids, dim=vecs.shape[1], k=5).to_pandas()
+    ex1 = exact[exact["rank"] == 1].groupby("qid")["nid"].apply(set)
+    ls1 = lsh[lsh["rank"] == 1].groupby("qid")["nid"].apply(set)
+    ex5 = exact.groupby("qid")["nid"].apply(set)
+    ls5 = lsh.groupby("qid")["nid"].apply(set)
+    df = pd.DataFrame(
+        {
+            "qid": ex5.index.to_numpy(),
+            "recall_at_1": [
+                len(ex1[q] & ls1.get(q, set())) / len(ex1[q]) for q in ex5.index
+            ],
+            "recall_at_5": [
+                len(ex5[q] & ls5.get(q, set())) / len(ex5[q]) for q in ex5.index
+            ],
+        }
+    ).sort_values("qid", ignore_index=True)
+    mean_r1 = float(df["recall_at_1"].mean())
+    if mean_r1 < 0.8:
+        raise AssertionError(
+            f"knn_lsh mean recall@1 {mean_r1:.3f} < 0.8 vs exact kNN"
+        )
+    return df
+
+
+_PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
+
+
+def _augmented_embeddings(sf_dir):
+    """Embeddings corpus plus deterministic planted near-duplicates:
+    a copy of each vec_id < _PLANT_K as vec_id + 1000000 with the
+    first component nudged by +0.05 (cosine ~0.999 to the original).
+    The synthetic corpus has no natural pairs at cosine >= 0.9, so the
+    planted twins are the ground truth for near-dup recall checks."""
+    import pyarrow.compute as pac
     import ray.data as rd
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.take(1)[0]["embedding"])
-    return dd.embedding_near_dups(emb, dim=dim, threshold=0.9)
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        sub = tbl.filter(pac.less(tbl["vec_id"], _PLANT_K))
+        arrs = sub["embedding"].to_pylist()
+        for a in arrs:
+            # float32 round-trip matches the oracle's CAST(... AS FLOAT)
+            a[0] = float(np.float32(np.float64(a[0]) + 0.05))
+        return pa.table(
+            {
+                "vec_id": pac.add(sub["vec_id"], 1000000).cast(pa.int64()),
+                "embedding": pa.array(arrs, type=pa.list_(pa.float32())),
+            }
+        )
+
+    return emb.union(emb.map_batches(_plant, batch_format="pyarrow"))
+
+
+def q_embedding_near_dups(sf_dir):
+    """Embedding near-dup detection made falsifiable: recover the
+    planted near-dup pairs (see _augmented_embeddings) and hash-check
+    the pair set against a DuckDB exact all-pairs cosine oracle over
+    the same augmented corpus. Multi-table LSH (OR-amplification)
+    makes recall 1.0 at this separation."""
+    aug = _augmented_embeddings(sf_dir)
+    dim = len(aug.take(1)[0]["embedding"])
+    out = dd.embedding_near_dups(aug, dim=dim, threshold=0.9)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"id_a": df["id_a"].astype("int64"), "id_b": df["id_b"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
 
 
 # -- events -----------------------------------------------------------------
@@ -597,10 +687,12 @@ def build_queries():
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_near_dup_pairs": q_doc_near_dup_pairs,
         "doc_simhash": q_doc_simhash,
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
         "knn_cosine": q_knn_cosine,
+        "knn_lsh_recall": q_knn_lsh_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -706,6 +798,24 @@ def build_oracles():
             "FROM documents GROUP BY lang"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        # exact word-3-shingle Jaccard over all pairs; mirrors
+        # ops.dedup.word_shingles ('\\s+' split; <3-word docs collapse
+        # to one whole-text shingle)
+        "doc_near_dup_pairs": (
+            "WITH words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(w)-1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+            "ELSE [array_to_string(w, ' ')] END AS s FROM words), "
+            "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(list_concat(a.s, b.s))) AS jac "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j "
+            "WHERE jac >= 0.5"
+        ),
         "events_tumbling": (
             "SELECT event_type, date_trunc('day', ts) AS window_start, "
             "count(*) AS n, round(sum(value), 2) AS value_sum "
@@ -749,7 +859,21 @@ def build_oracles():
             "(PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
             "SELECT qid, nid, rank FROM ranked WHERE rank <= 5"
         ),
+        # exact all-pairs cosine >= 0.9 over the augmented (planted)
+        # corpus; LSH recall is 1.0 at this separation so the sets match
+        "embedding_near_dups": (
+            "WITH aug AS ("
+            "SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 1000000, "
+            "list_prepend(CAST(embedding[1] + 0.05 AS FLOAT), embedding[2:]) "
+            f"FROM embeddings WHERE vec_id < {_PLANT_K}) "
+            "SELECT CAST(a.vec_id AS BIGINT) AS id_a, "
+            "CAST(b.vec_id AS BIGINT) AS id_b "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
+        ),
         # doc_minhash_dedup / doc_simhash / doc_langid / doc_quality /
-        # embedding_near_dups / kg_linkset / multimodal_features:
+        # kg_linkset / multimodal_features:
         # not SQL-expressible -> rows-only checks
     }
