@@ -77,3 +77,38 @@ def test_canonicalize(tmp_path):
     doc = json.loads(r.stdout)
     assert len(doc) == 3  # type + name + isbn
     assert doc[0][3].get("@target-type") == "@iri-ref" or isinstance(doc[0][3], dict)
+
+
+RULESPEC_STRTEST = """\
+SCH = I('https://schema.org/')
+BF = I('http://bibfra.me/')
+
+FINGERPRINT_RULES = {
+    SCH('Book'): materialize(BF('Instance'),
+        fprint=[(BF('isbn'), follow(SCH('isbn')))])
+}
+# reference-style string test (safe expression subset, not eval)
+TRANSFORM_RULES = {
+    SCH('name'): if_("target.startswith('The ')", link(rel=BF('name'))),
+    SCH('isbn'): if_("target == '0000000000'", link(rel=BF('bad')),
+                     link(rel=BF('isbn'))),
+}
+LABELIZE_RULES = {BF('Instance'): follow(BF('name'))}
+
+VERSA_PIPELINE_ENTRY = generic_pipeline(
+    FINGERPRINT_RULES, TRANSFORM_RULES, LABELIZE_RULES)
+"""
+
+
+def test_transform_rulespec_string_test(tmp_path):
+    """A ported reference rulespec using if_ string tests runs under
+    cli transform via the safe expression subset."""
+    src = tmp_path / "in.vlit"
+    src.write_text(VLIT)
+    spec = tmp_path / "rules.py"
+    spec.write_text(RULESPEC_STRTEST)
+    r = _run(["transform", str(spec), str(src), "-"])
+    assert r.returncode == 0, r.stderr
+    assert "The Catcher in the Rye" in r.stdout
+    assert "bibfra.me/isbn" in r.stdout
+    assert "bibfra.me/bad" not in r.stdout

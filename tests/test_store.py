@@ -1,0 +1,88 @@
+"""Partitioned link-set store: predicate-pruned reads must open only a
+file subset, and pruned results must equal a full-scan match."""
+
+import pandas as pd
+
+from versa_ray.model import linkset
+from versa_ray.model.store import pruned_fragments, read_linkset, write_linkset
+
+from versa_ray.core import VTYPE_REL
+
+NAME = "http://bibfra.me/vocab/lite/name"
+TYPE_ = str(VTYPE_REL)
+
+
+def _sample_links():
+    links = []
+    for i in range(40):
+        links.append((f"urn:t:{i}", TYPE_, "urn:t:Thing"))
+        links.append((f"urn:t:{i}", NAME, f"name {i}"))
+        links.append((f"urn:t:{i}", f"urn:rel:{i % 5}", f"v{i}"))
+    return links
+
+
+def test_store_rel_pruning(ray_session, tmp_path):
+    path = str(tmp_path / "store")
+    ds = linkset.from_links(_sample_links())
+    write_linkset(ds, path, num_rel_buckets=8, num_partitions=4)
+
+    all_frags = pruned_fragments(path)
+    rel_frags = pruned_fragments(path, rel=NAME)
+    # the whole point: a rel-constrained read opens a strict file subset
+    assert 0 < len(rel_frags) < len(all_frags)
+    assert set(rel_frags) <= set(all_frags)
+    assert all("rel_bucket=" in p for p in rel_frags)
+
+    got = read_linkset(path, rel=NAME).to_pandas()
+    want = linkset.match(ds, rel=NAME).to_pandas()
+    key = ["origin", "rel", "target"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_store_origin_pruning(ray_session, tmp_path):
+    path = str(tmp_path / "store")
+    ds = linkset.from_links(_sample_links())
+    write_linkset(ds, path, num_rel_buckets=4, num_partitions=8)
+
+    all_frags = pruned_fragments(path)
+    o_frags = pruned_fragments(path, origin="urn:t:7")
+    assert 0 < len(o_frags) < len(all_frags)
+
+    got = read_linkset(path, origin="urn:t:7").to_pandas()
+    assert set(got["origin"]) == {"urn:t:7"}
+    assert len(got) == 3
+
+    # combined rel+origin constraint prunes on both axes
+    both = pruned_fragments(path, rel=NAME, origin="urn:t:7")
+    assert len(both) <= min(len(o_frags), len(pruned_fragments(path, rel=NAME)))
+    row = read_linkset(path, origin="urn:t:7", rel=NAME).to_pandas()
+    assert len(row) == 1 and row.iloc[0]["target"] == "name 7"
+
+
+def test_store_unconstrained_roundtrip(ray_session, tmp_path):
+    path = str(tmp_path / "store")
+    ds = linkset.from_links(_sample_links())
+    write_linkset(ds, path)
+    back = read_linkset(path)
+    assert back.count() == ds.count()
+    assert set(back.schema().names) == set(linkset.QUAD_COLS)
+
+
+def test_distinct_dataset_forms(ray_session):
+    """Dataset-returning distinct forms agree with the driver-side
+    list forms (which remain for small results)."""
+    ds = linkset.from_links(_sample_links())
+    want_origins = set(linkset.all_origins(ds)["origin"])
+    got_origins = {r["origin"] for r in linkset.all_origins_ds(ds).take_all()}
+    assert got_origins == want_origins
+
+    want_rels = set(linkset.column_values(ds, "rel")["rel"])
+    got_rels = {r["rel"] for r in linkset.column_values_ds(ds, "rel").take_all()}
+    assert got_rels == want_rels
+
+    typed = {r["origin"] for r in
+             linkset.all_origins_ds(ds, of_types={"urn:t:Thing"}).take_all()}
+    assert typed == want_origins  # every origin is typed Thing

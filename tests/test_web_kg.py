@@ -187,3 +187,31 @@ def test_canonicalize_authorities(ray_session):
     ).any()
     # no duplicate quads after the rewrite
     assert not canon.duplicated(subset=["origin", "rel", "target", "attrs"]).any()
+
+
+def test_canonicalize_authorities_join_path(ray_session):
+    """With broadcast_threshold=0 the rewrite runs through the
+    distributed bucket-merge joins (replace_values_ds); result must
+    equal the broadcast path."""
+    import ray.data as rd
+
+    from versa_ray.model.linkset import distinct_links
+    from versa_ray.web.kgpipeline import (
+        canonicalize_authorities,
+        extract_links,
+        score_entities,
+    )
+    from versa_ray.web.synth import author_name, page_batch
+
+    pages = rd.from_arrow(page_batch(42, 0, N, N))
+    alias = {author_name(42, 0): "https://authority.example.org/person/0"}
+    links = distinct_links(score_entities(extract_links(pages), alias))
+
+    key = ["origin", "rel", "target", "attrs"]
+    broadcast = canonicalize_authorities(links).to_pandas()
+    joined = canonicalize_authorities(links, broadcast_threshold=0).to_pandas()
+    lhs = broadcast[key].sort_values(key).reset_index(drop=True)
+    rhs = joined[key].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(lhs, rhs)

@@ -20,6 +20,7 @@ each group so hash collisions can never merge distinct quads.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -261,6 +262,27 @@ def all_origins(ds, of_types=None):
     return pd.DataFrame({"origin": sorted(typed.unique("origin"))})
 
 
+def column_values_ds(ds, col: str):
+    """Dataset-returning distinct values of one link column — the
+    at-scale form of column_values (which materializes a sorted list
+    driver-side and is only for small results). Distinct runs through
+    the coarse-bucket shuffle, so the result streams."""
+    from ..ops.dedup import dedup_rows
+
+    return dedup_rows(ds.select_columns([col]), [col])
+
+
+def all_origins_ds(ds, of_types=None):
+    """Dataset-returning distinct origins (at-scale form of
+    all_origins), optionally type-filtered ('*' = any type)."""
+    if not of_types:
+        return column_values_ds(ds, "origin")
+    typed = match(ds, rel=VTYPE_REL)
+    if "*" not in set(of_types):
+        typed = match(typed, rel=VTYPE_REL, target=set(of_types))
+    return column_values_ds(typed, "origin")
+
+
 def resourcetypes(ds, rid):
     return [r["target"] for r in match(ds, origin=rid, rel=VTYPE_REL).take_all()]
 
@@ -345,6 +367,76 @@ def replace_values(ds, mapping: dict):
         return tbl
 
     return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def replace_values_ds(ds, mapping_ds, num_buckets=64):
+    """Canonicalization rewrite for CORPUS-PROPORTIONAL mappings.
+
+    ``replace_values`` broadcasts the mapping (fine while authority
+    matches are rare); when the entity->authority mapping grows with
+    the corpus, broadcasting it to every task is a scale-killer.
+    This form keeps the mapping distributed: two bucket-merge passes
+    rewrite ``origin`` then ``target``, each shuffling on a small hash
+    bucket of the join key (links and mapping rows co-bucketed, pandas
+    merge inside the bucket). Attr-VALUE rewriting (rare path) is not
+    applied here — use the broadcast form when the mapping fits."""
+    link_cols = list(ds.schema().names)
+
+    def _mapping_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series([""] * len(df), dtype=object)
+                            for c in link_cols})
+        if "entity" in df.columns and len(df):
+            out["_key"] = df["entity"].astype(str).to_numpy()
+            out["_mval"] = df["authority"].astype(str).to_numpy()
+        else:
+            out["_key"] = pd.Series([], dtype=object)
+            out["_mval"] = pd.Series([], dtype=object)
+            out = out.iloc[0:0]
+        out["_kind"] = np.int8(1) if len(out) else pd.Series([], dtype="int8")
+        return out[["_key", "_kind", "_mval"] + link_cols]
+
+    def _link_rows(key_col):
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[link_cols].copy()
+            out["_key"] = df[key_col].astype(str).to_numpy()
+            out["_kind"] = np.zeros(len(df), dtype=np.int8)
+            out["_mval"] = ""
+            return out[["_key", "_kind", "_mval"] + link_cols]
+
+        return _fn
+
+    def _rewrite_pass(links, key_col):
+        both = links.map_batches(_link_rows(key_col), batch_format="pandas").union(
+            mapping_ds.map_batches(_mapping_rows, batch_format="pandas")
+        )
+
+        def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_cbucket"] = (
+                pd.util.hash_pandas_object(df["_key"], index=False) % num_buckets
+            ).astype("int32")
+            return df
+
+        def _apply(bucket: pd.DataFrame) -> pd.DataFrame:
+            if "_key" not in bucket.columns or not len(bucket):
+                return pd.DataFrame(columns=link_cols)
+            lnk = bucket[bucket["_kind"] == 0]
+            mp = bucket[bucket["_kind"] == 1].drop_duplicates("_key")
+            out = lnk[link_cols].copy()
+            if len(mp):
+                remap = out[key_col].map(
+                    dict(zip(mp["_key"], mp["_mval"]))
+                )
+                out[key_col] = remap.fillna(out[key_col])
+            return out
+
+        return (
+            both.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_apply, batch_format="pandas")
+        )
+
+    return _rewrite_pass(_rewrite_pass(ds, "origin"), "target")
 
 
 def duplicate_statements(ds, oldorigin, neworigin):

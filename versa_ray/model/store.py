@@ -1,0 +1,137 @@
+"""Partitioned Parquet link-set storage with predicate-pruned reads.
+
+The on-disk layout is Hive-partitioned by BOTH
+``rel_bucket = stable_hash(rel) % R`` and
+``part_id = stable_hash(origin) % P``:
+
+    path/rel_bucket=3/part_id=7/*.parquet
+
+so the two dominant query shapes against a stored KG prune at the
+FILE level before any bytes are read:
+
+* ``match(rel=...)``     -> only R'/R of the files are opened (the
+  reference's sqlite driver keeps a (subj, pred) index for exactly
+  this shape, /root/reference/tools/py/driver/sqlite.py:216-234, and
+  lmdb keys by origin adjacency, driver/lmdb.py:4-28);
+* ``match(origin=...)``  -> only the origin's hash partition is read.
+
+Both hashes are pandas' process-stable 64-bit string hash (fixed hash
+key), so a store written by one cluster is prunable by another. A
+``_linkset_meta.json`` manifest records the bucket counts; readers
+never need them supplied.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .linkset import match
+
+_META_NAME = "_linkset_meta.json"
+_PART_COLS = ("rel_bucket", "part_id")
+
+
+def _stable_bucket(values, num_buckets: int) -> np.ndarray:
+    """Process-stable hash bucket of a string series (vectorized)."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(list(values), dtype="object"), index=False
+    )
+    return (h % num_buckets).astype("int32").to_numpy()
+
+
+def write_linkset(ds, path: str, num_rel_buckets: int = 8,
+                  num_partitions: int = 16):
+    """Write a links Dataset as a rel+origin partitioned Parquet store.
+
+    One directory per (rel_bucket, part_id); a failed run can resume by
+    skipping completed partition directories, and every file carries
+    its partition values in the path (lineage)."""
+    os.makedirs(path, exist_ok=True)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rel_bucket"] = _stable_bucket(df["rel"], num_rel_buckets)
+        df["part_id"] = _stable_bucket(df["origin"], num_partitions)
+        return df
+
+    ds.map_batches(_bucket, batch_format="pandas").write_parquet(
+        path, partition_cols=list(_PART_COLS)
+    )
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(
+            {"num_rel_buckets": num_rel_buckets,
+             "num_partitions": num_partitions},
+            f,
+        )
+    return path
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META_NAME)) as f:
+        return json.load(f)
+
+
+def pruned_fragments(path: str, rel=None, origin=None):
+    """The file subset a pruned read would open (for tests/metrics)."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(path, partitioning="hive")
+    flt = _prune_expr(path, rel=rel, origin=origin)
+    return [f.path for f in dataset.get_fragments(filter=flt)]
+
+
+def _prune_expr(path: str, rel=None, origin=None):
+    import pyarrow.dataset as pads
+
+    meta = _read_meta(path)
+    flt = None
+    if rel is not None:
+        rels = [rel] if isinstance(rel, str) else sorted(str(r) for r in rel)
+        buckets = sorted(
+            {int(b) for b in _stable_bucket(rels, meta["num_rel_buckets"])}
+        )
+        flt = pads.field("rel_bucket").isin(buckets)
+    if origin is not None:
+        origins = (
+            [origin] if isinstance(origin, str)
+            else sorted(str(o) for o in origin)
+        )
+        parts = sorted(
+            {int(b) for b in _stable_bucket(origins, meta["num_partitions"])}
+        )
+        e = pads.field("part_id").isin(parts)
+        flt = e if flt is None else flt & e
+    return flt
+
+
+def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None):
+    """Predicate-pruned read of a stored link-set.
+
+    rel / origin constraints prune whole partition DIRECTORIES: the
+    Hive partition metadata (file paths only, no data) selects the
+    matching file subset driver-side, and read_parquet opens just
+    those files. The exact row-level match then runs as the usual
+    Arrow mask. Returns the canonical five link columns."""
+    import ray.data as rd
+
+    if rel is not None or origin is not None:
+        paths = pruned_fragments(path, rel=rel, origin=origin)
+        if not paths:
+            from ..core.canon import LINK_SCHEMA
+
+            return rd.from_arrow(LINK_SCHEMA.empty_table())
+        ds = rd.read_parquet(paths)
+    else:
+        ds = rd.read_parquet(path)
+    have = set(ds.schema().names)
+    drop = [c for c in _PART_COLS if c in have]
+    if drop:
+        ds = ds.drop_columns(drop)
+    if rel is not None or origin is not None or target is not None or attrs:
+        ds = match(ds, origin=origin, rel=rel, target=target, attrs=attrs)
+    return ds

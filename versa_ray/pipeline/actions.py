@@ -475,15 +475,24 @@ def ifexists(test, value, alt=None):
 
 
 def if_(test, iftrue, iffalse=None, vars_=None):
-    """Ternary; unlike the reference, string tests are NOT eval'd as
-    Python (unsafe in a distributed engine) — pass a callable."""
+    """Ternary (other_actions.py:213-249). String tests are evaluated
+    over a SAFE whitelisted expression subset (safe_expr.py) instead
+    of the reference's Python ``eval``: ``target`` is bound to the
+    current link target and each entry of ``vars_`` is run (actions
+    first) and bound by name, matching the reference's binding
+    environment."""
 
     def _if_(ctx):
         if isinstance(test, str):
-            raise TypeError(
-                "if_ string tests (Python eval) are not supported; pass an action or value"
-            )
-        if _run(test, ctx):
+            from .safe_expr import safe_eval
+
+            out_vars = {"target": ctx.current_link[2]}
+            for k, v in (vars_ or {}).items():
+                out_vars[str(k)] = _run(v, ctx)
+            t = safe_eval(test, out_vars)
+        else:
+            t = _run(test, ctx)
+        if t:
             return _run(iftrue, ctx)
         if iffalse is not None:
             return _run(iffalse, ctx)

@@ -198,6 +198,24 @@ def q_links_dedup(sf_dir):
     return linkset.distinct_links(ls.union(tpch_linkset(sf_dir)))
 
 
+def q_links_store_match_rel(sf_dir):
+    """match(rel=...) against the ON-DISK partitioned link-set store:
+    write the linkset rel+origin partitioned, then read back ONE rel
+    with partition-directory pruning (model/store.read_linkset — the
+    sqlite driver's (subj,pred) index intent). The pruned read opens
+    only the rel's hash-bucket directories; test_store asserts the
+    file-subset property explicitly."""
+    import shutil
+
+    from .model.store import read_linkset, write_linkset
+
+    path = "/tmp/versa_ray_store_q"
+    shutil.rmtree(path, ignore_errors=True)
+    write_linkset(tpch_linkset(sf_dir), path)
+    out = read_linkset(path, rel=NAME)
+    return out.select_columns(LINK_COLS)
+
+
 def q_links_all_origins(sf_dir):
     return linkset.all_origins(tpch_linkset(sf_dir))
 
@@ -670,6 +688,7 @@ def build_queries():
         "links_multimatch": q_links_multimatch,
         "links_match_attrs": q_links_match_attrs,
         "links_dedup": q_links_dedup,
+        "links_store_match_rel": q_links_store_match_rel,
         "links_all_origins": q_links_all_origins,
         "links_origins_of_type": q_links_origins_of_type,
         "links_column_targets": q_links_column_targets,
@@ -716,6 +735,7 @@ def build_oracles():
         ),
         "links_match_attrs": f"{L} SELECT * FROM links WHERE attrs = '{SRC_ATTRS}'",
         "links_dedup": f"{L} SELECT DISTINCT * FROM links",
+        "links_store_match_rel": f"{L} SELECT * FROM links WHERE rel = '{NAME}'",
         "links_all_origins": f"{L} SELECT DISTINCT origin FROM links",
         "links_origins_of_type": (
             f"{L} SELECT DISTINCT origin FROM links "

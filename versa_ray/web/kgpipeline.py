@@ -307,15 +307,20 @@ def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=Non
 # Checkpointed end-to-end run
 
 
-def canonicalize_authorities(links_ds, num_buckets=None):
+def canonicalize_authorities(links_ds, num_buckets=None,
+                             broadcast_threshold=100_000):
     """Collapse scorer-linked entities onto their authority IRIs.
 
     The EntityScorer annotates name links with ``@authority``; this
-    stage builds the (small) entity->authority mapping from those
-    annotations, broadcasts it, rewrites every origin/target through
-    it (linkset.replace_values — a map-side join, no shuffle), and
-    re-dedups. This is the explicit canonicalization rewrite of the
-    reference's replace_values/replace_entity_resource
+    stage builds the entity->authority mapping from those annotations
+    and rewrites every origin/target through it, then re-dedups. While
+    the mapping is small it is broadcast (linkset.replace_values — a
+    map-side join, no shuffle); when it exceeds
+    ``broadcast_threshold`` rows (corpus-proportional mappings at
+    100x scale), the rewrite switches to distributed bucket-merge
+    joins (linkset.replace_values_ds) so the mapping never
+    materializes driver-side. This is the explicit canonicalization
+    rewrite of the reference's replace_values/replace_entity_resource
     (util.py:162-191) applied at corpus scale.
     """
     import pyarrow.compute as pc
@@ -336,13 +341,19 @@ def canonicalize_authorities(links_ds, num_buckets=None):
                 auths.append(d["@authority"])
         return pa.table({"entity": ents, "authority": auths})
 
-    pairs = links_ds.map_batches(_extract_mapping, batch_format="pyarrow").to_pandas()
-    mapping = dict(zip(pairs["entity"], pairs["authority"]))
-    if not mapping:
+    pairs_ds = links_ds.map_batches(
+        _extract_mapping, batch_format="pyarrow"
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return links_ds
-    from ..model.linkset import replace_values
+    from ..model.linkset import replace_values, replace_values_ds
 
-    return distinct_links(replace_values(links_ds, mapping))
+    if n_pairs <= broadcast_threshold:
+        pairs = pairs_ds.to_pandas()
+        mapping = dict(zip(pairs["entity"], pairs["authority"]))
+        return distinct_links(replace_values(links_ds, mapping))
+    return distinct_links(replace_values_ds(links_ds, pairs_ds))
 
 
 def _stage_dir(root, name):
@@ -458,15 +469,12 @@ def build_kg_sharded(
         if "shard" in all_links.schema().names:
             all_links = all_links.drop_columns(["shard"])
         final = distinct_links(all_links)
+        from ..model.store import write_linkset
 
-        def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df["part_id"] = (
-                pd.util.hash_pandas_object(df["origin"], index=False) % num_partitions
-            ).astype("int32")
-            return df
-
-        final = final.map_batches(_bucket, batch_format="pandas")
-        final.write_parquet(_stage_dir(out_dir, "linkset"), partition_cols=["part_id"])
+        write_linkset(
+            final, _stage_dir(out_dir, "linkset"),
+            num_partitions=num_partitions,
+        )
         _mark_complete(out_dir, "linkset", {"partitions": num_partitions, "shards": num_shards})
     return rd.read_parquet(_stage_dir(out_dir, "linkset"))
 
@@ -512,14 +520,13 @@ def build_kg(
 
     final = distinct_links(links)
 
-    # partition-bucketed output for pruning + resumability
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["part_id"] = (
-            pd.util.hash_pandas_object(df["origin"], index=False) % num_partitions
-        ).astype("int32")
-        return df
+    # rel+origin partitioned output: match(rel=...) and match(origin=...)
+    # against the stored linkset prune whole partition directories
+    # (model/store.py — the sqlite driver's (subj,pred) index intent)
+    from ..model.store import write_linkset
 
-    final = final.map_batches(_bucket, batch_format="pandas")
-    final.write_parquet(_stage_dir(out_dir, "linkset"), partition_cols=["part_id"])
+    write_linkset(
+        final, _stage_dir(out_dir, "linkset"), num_partitions=num_partitions
+    )
     _mark_complete(out_dir, "linkset", {"partitions": num_partitions})
     return rd.read_parquet(_stage_dir(out_dir, "linkset"))
