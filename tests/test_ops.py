@@ -291,3 +291,23 @@ def test_verified_near_dup_pairs_distributed(ray_session):
     assert set(got) == {(1, 2), (3, 4)}
     for (a, b), j in got.items():
         assert j == ngram_jaccard(texts[a], texts[b])
+
+
+def test_assign_clusters_join_path(ray_session):
+    """broadcast_threshold=0 forces the distributed label-propagation
+    path; result must equal the broadcast path."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import assign_clusters
+
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": list(range(10))}))
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 2, 7]})
+    )
+    fast = assign_clusters(corpus, pairs).to_pandas().sort_values("doc_id")
+    slow = assign_clusters(
+        corpus, pairs, broadcast_threshold=0
+    ).to_pandas().sort_values("doc_id")
+    assert list(fast["cluster"]) == list(slow["cluster"])
+    m = dict(zip(fast["doc_id"], fast["cluster"]))
+    assert m[0] == m[1] == m[2] == 0 and m[5] == m[7] == 5 and m[3] == 3

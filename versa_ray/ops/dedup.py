@@ -387,16 +387,19 @@ def _work_frame(key, kind, a, c=None) -> pd.DataFrame:
 def _bucket_shuffle(ds, fn, num_buckets):
     """Coarse-bucket shuffle of the (key,kind,a,c) working set: shuffle
     key is a small int bucket (same per-group-overhead discipline as
-    distinct_links), per-bucket work is one vectorized pandas call."""
+    distinct_links), per-bucket work is one vectorized pandas call.
+    Blocks entering the shuffle are Arrow (pandas blocks make Ray's
+    sort path ~20x slower — BASELINE.md)."""
+    import pyarrow as _pa
 
-    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+    def _bucketize(df: pd.DataFrame) -> "_pa.Table":
         if "key" not in df.columns or not len(df):
             out = _work_frame([], 0, [])
             out["_cbucket"] = np.empty(0, dtype=np.int32)
-            return out
+            return _pa.Table.from_pandas(out, preserve_index=False)
         df = df.copy()
         df["_cbucket"] = _int_bucket(df["key"].to_numpy(), num_buckets)
-        return df
+        return _pa.Table.from_pandas(df, preserve_index=False)
 
     def _apply(bucket: pd.DataFrame) -> pd.DataFrame:
         if "key" not in bucket.columns or not len(bucket):
@@ -458,54 +461,49 @@ def cluster_pairs_ds(pairs, max_iters=50, num_buckets=None):
             ignore_index=True,
         )
 
-    def _step1(bucket: pd.DataFrame) -> pd.DataFrame:
-        lab = bucket[bucket["kind"] == 0].groupby("key", as_index=False)["a"].min()
-        edg = bucket[bucket["kind"] == 1]
-        msgs = edg.merge(
-            lab.rename(columns={"a": "_label"}), on="key", how="inner"
-        )
-        return pd.concat(
-            [
-                _work_frame(lab["key"], 0, lab["a"]),
-                _work_frame(edg["key"], 1, edg["a"]),
-                _work_frame(msgs["a"], 2, msgs["_label"]),
-            ],
-            ignore_index=True,
-        )
-
-    def _step2(bucket: pd.DataFrame) -> pd.DataFrame:
+    def _step(bucket: pd.DataFrame) -> pd.DataFrame:
+        # FUSED iteration: apply incoming messages to this node's
+        # label AND emit outgoing messages with the new label — the
+        # apply-group (by dst) and the emit-group (by src) are the same
+        # node keyspace, so one shuffle per iteration suffices.
         lab = bucket[bucket["kind"] == 0].groupby("key", as_index=False)["a"].min()
         edg = bucket[bucket["kind"] == 1]
         msgs = bucket[bucket["kind"] == 2]
+        old = lab["a"].to_numpy()
         if len(msgs) and len(lab):
             nbr = msgs.groupby("key", as_index=False)["a"].min().rename(
                 columns={"a": "_nbr"}
             )
             lab = lab.merge(nbr, on="key", how="left")
             nbr_vals = lab["_nbr"].fillna(lab["a"]).to_numpy()
-            new = np.minimum(lab["a"].to_numpy(), nbr_vals).astype(np.int64)
-            changed = (new < lab["a"].to_numpy()).astype(np.int8)
+            new = np.minimum(old, nbr_vals).astype(np.int64)
+            changed = (new < old).astype(np.int8)
         else:
-            new = lab["a"].to_numpy()
+            new = old
             changed = np.zeros(len(lab), dtype=np.int8)
+        newlab = pd.DataFrame({"key": lab["key"].to_numpy(), "_label": new})
+        out_msgs = edg.merge(newlab, on="key", how="inner")
         return pd.concat(
-            [_work_frame(lab["key"], 0, new, changed),
-             _work_frame(edg["key"], 1, edg["a"])],
+            [
+                _work_frame(lab["key"], 0, new, changed),
+                _work_frame(edg["key"], 1, edg["a"]),
+                _work_frame(out_msgs["a"], 2, out_msgs["_label"]),
+            ],
             ignore_index=True,
         )
 
-    work = pairs.map_batches(_init, batch_format="pandas").materialize()
-    if work.count() == 0:
-        import pyarrow as _pa
+    work = pairs.map_batches(_init, batch_format="pandas")
+    for it in range(max_iters):
+        work = _bucket_shuffle(work, _step, num_buckets).materialize()
+        if it == 0:
+            if work.count() == 0:
+                import pyarrow as _pa
 
-        return rd.from_arrow(
-            _pa.table({"node": _pa.array([], type=_pa.int64()),
-                       "label": _pa.array([], type=_pa.int64())})
-        )
-
-    for _ in range(max_iters):
-        work = _bucket_shuffle(work, _step1, num_buckets)
-        work = _bucket_shuffle(work, _step2, num_buckets).materialize()
+                return rd.from_arrow(
+                    _pa.table({"node": _pa.array([], type=_pa.int64()),
+                               "label": _pa.array([], type=_pa.int64())})
+                )
+            continue  # round 0 only seeds messages; no change signal yet
         if not work.sum("c"):  # c nonzero only on changed label rows
             break
 
@@ -518,12 +516,18 @@ def cluster_pairs_ds(pairs, max_iters=50, num_buckets=None):
     return work.map_batches(_labels_only, batch_format="pandas")
 
 
-def assign_clusters(ds, pairs, id_col="doc_id", num_buckets=None):
-    """id -> cluster-representative Dataset for the WHOLE corpus:
-    distributed label propagation over the pair list, then one
-    bucket-shuffle merge of labels onto the corpus ids; docs without
-    pairs default to self-cluster. No corpus-cardinality driver
-    state."""
+def assign_clusters(ds, pairs, id_col="doc_id", num_buckets=None,
+                    broadcast_threshold=100_000):
+    """id -> cluster-representative Dataset for the WHOLE corpus.
+
+    Pairs are the small output of verification — while they fit under
+    ``broadcast_threshold`` the components are solved driver-side over
+    the PAIR LIST ONLY (bounded state, never corpus ids) and the label
+    map is broadcast once (ray.put) into a distributed corpus map.
+    Above the threshold, distributed min-label propagation
+    (cluster_pairs_ds) runs and labels merge onto the corpus by one
+    bucket shuffle; docs without pairs default to self-cluster either
+    way. Nothing corpus-cardinality ever touches the driver."""
     import ray
 
     if num_buckets is None:
@@ -531,6 +535,27 @@ def assign_clusters(ds, pairs, id_col="doc_id", num_buckets=None):
             num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 2)
         except Exception:
             num_buckets = 32
+
+    pairs = pairs.materialize()
+    if pairs.count() <= broadcast_threshold:
+        label_map = cluster_pairs(
+            pairs.select_columns(["id_a", "id_b"]).take_all()
+        )
+        ref = ray.put(label_map)
+
+        def _map(df: pd.DataFrame) -> pd.DataFrame:
+            mp = ray.get(ref)
+            ids = df[id_col].to_numpy().astype(np.int64)
+            cl = np.fromiter(
+                (mp.get(int(i), int(i)) for i in ids),
+                dtype=np.int64, count=len(ids),
+            )
+            return pd.DataFrame({id_col: ids, "cluster": cl})
+
+        return ds.select_columns([id_col]).map_batches(
+            _map, batch_format="pandas"
+        )
+
     labels = cluster_pairs_ds(pairs, num_buckets=num_buckets)
 
     def _corpus_rows(df: pd.DataFrame) -> pd.DataFrame:

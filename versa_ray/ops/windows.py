@@ -39,15 +39,28 @@ def tumbling_window_agg(ds, ts_col="ts", keys=("event_type",), value_col="value"
 
 
 def sliding_window_agg(ds, ts_col="ts", key="user_id", value_col="value",
-                       window="1h", slide="30min"):
+                       window="1h", slide="30min", num_buckets=None):
     """Sliding windows per key: each event lands in every window whose
-    span covers it (explode factor = window/slide), then tumbling
-    machinery applies."""
+    span covers it (explode factor = window/slide), partials aggregate
+    per batch, and the merge shuffles on a COARSE hash bucket of
+    (key, window) — (user, window) pairs are near-unique, and Ray's
+    groupby pays per-group Python for every distinct key (the
+    BASELINE.md per-group-overhead rule), so the final sum runs as one
+    vectorized pandas groupby inside each bucket instead."""
+    import pyarrow as pa
+
     win = pd.Timedelta(window)
     sl = pd.Timedelta(slide)
     n_spans = int(win / sl)
+    if num_buckets is None:
+        import ray
 
-    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 32
+
+    def _explode(df: pd.DataFrame) -> pa.Table:
         base = df[ts_col].dt.floor(slide)
         parts = []
         for i in range(n_spans):
@@ -59,14 +72,21 @@ def sliding_window_agg(ds, ts_col="ts", key="user_id", value_col="value",
             out.groupby([key, "window_start"], as_index=False)
             .agg(n=(value_col, "size"), value_sum=(value_col, "sum"))
         )
-        return g
+        g["_cbucket"] = (
+            pd.util.hash_pandas_object(g[[key, "window_start"]], index=False)
+            % num_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def _final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby([key, "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_sum=("value_sum", "sum")
+        )
 
     return (
         ds.map_batches(_explode, batch_format="pandas")
-        .groupby([key, "window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+        .groupby("_cbucket")
+        .map_groups(_final, batch_format="pandas")
     )
 
 

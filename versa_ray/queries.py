@@ -121,7 +121,13 @@ def tpch_linkset(sf_dir: str):
         ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], from_customer),
         ("supplier", ["s_suppkey", "s_name", "s_nationkey"], from_supplier),
     ):
-        ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+        # cap the block count: Ray's default parallelism splits these
+        # small dimension tables into ~64 blocks EACH (~250 rows per
+        # block), and every downstream groupby then pays per-task
+        # overhead x hundreds of near-empty blocks
+        ds = rd.read_parquet(
+            f"{sf_dir}/{name}.parquet", columns=cols, override_num_blocks=8
+        )
         parts.append(ds.map_batches(fn, batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
@@ -348,10 +354,24 @@ def q_nt_roundtrip(sf_dir):
 # -- documents --------------------------------------------------------------
 
 
+def _blocks_for(n_cpus_mult=1):
+    """Sane block count for the small test tables: ~cpus blocks, not
+    Ray's default parallelism (which shreds a 5k-row table into ~200
+    near-empty blocks and drowns every shuffle in per-task overhead)."""
+    import ray
+
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)) * n_cpus_mult)
+    except Exception:
+        return 16
+
+
 def _docs(sf_dir):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=_blocks_for()
+    )
 
 
 def q_doc_exact_dedup(sf_dir):
@@ -439,7 +459,9 @@ def q_knn_cosine(sf_dir):
     import ray.data as rd
 
     vecs, ids = _query_vectors(sf_dir, 8)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=_blocks_for()
+    )
     out = similarity.knn_bruteforce(emb, vecs, ids, k=5).to_pandas()
     return out[["qid", "nid", "rank"]]
 
@@ -495,7 +517,8 @@ def _augmented_embeddings(sf_dir):
     import ray.data as rd
 
     emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=_blocks_for(),
     )
 
     def _plant(tbl: pa.Table) -> pa.Table:
@@ -537,7 +560,9 @@ def q_embedding_near_dups(sf_dir):
 def q_events_tumbling(sf_dir):
     import ray.data as rd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", override_num_blocks=_blocks_for()
+    )
     out = windows.tumbling_window_agg(ev, freq="1D")
     return out.map_batches(
         lambda df: df.assign(
@@ -551,7 +576,9 @@ def q_events_tumbling(sf_dir):
 def q_events_sliding(sf_dir):
     import ray.data as rd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", override_num_blocks=_blocks_for()
+    )
     out = windows.sliding_window_agg(ev, window="2h", slide="1h")
     return out.map_batches(
         lambda df: df.assign(
@@ -565,7 +592,9 @@ def q_events_sliding(sf_dir):
 def q_events_sessions(sf_dir):
     import ray.data as rd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", override_num_blocks=_blocks_for()
+    )
     out = windows.session_windows(ev, gap="2h")
     return out.map_batches(
         lambda df: df.assign(
