@@ -212,42 +212,106 @@ def minhash_signature(text: str, a, b, k: int = 3) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _batch_shingle_hashes(texts, k):
+    """Shingle hashes for a WHOLE batch in one vectorized pass: all
+    words of all docs hashed together, k-gram rolling combine done
+    with global index arithmetic, per-doc boundaries returned as
+    (hashes, counts). Short docs (<k words) collapse to one rolling
+    hash; empty docs contribute zero shingles."""
+    word_lists = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
+                       count=len(word_lists))
+    flat = [w for ws in word_lists for w in ws]
+    wh = _hash_words(flat)
+    doc_start = np.cumsum(lens) - lens
+
+    # full-length shingles for docs with >= k words
+    ns = np.where(lens >= k, lens - k + 1, 0)
+    total = int(ns.sum())
+    counts = ns.copy()
+    if total:
+        seg_start = np.cumsum(ns) - ns
+        pos = np.arange(total) - np.repeat(seg_start, ns)
+        starts = np.repeat(doc_start, ns) + pos
+        acc = wh[starts].copy()
+        for j in range(1, k):
+            acc = acc * _P1 + wh[starts + j] * _P2
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+
+    # short docs (0 < len < k): one whole-text rolling hash each
+    short_ix = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short_ix):
+        order = np.argsort(np.concatenate([
+            np.repeat(np.arange(len(lens)), ns), short_ix
+        ]), kind="stable")
+        shorts = np.empty(len(short_ix), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wraparound is intended
+            for ix, d in enumerate(short_ix):
+                h = wh[doc_start[d]]
+                for x in wh[doc_start[d] + 1: doc_start[d] + lens[d]]:
+                    h = h * _P1 + x
+                shorts[ix] = h
+        counts[short_ix] = 1
+        acc = np.concatenate([acc, shorts])[order]
+    return acc, counts
+
+
 class MinHasher:
-    """Actor-pool stage: per-doc MinHash signature + banded bucket
-    rows. Emits one row per band: (band, band_hash, id, sig)."""
+    """Batch stage: MinHash signatures + banded bucket rows, fully
+    vectorized across the batch (one permutation matmul over all
+    shingles, per-doc mins via minimum.reduceat, multiplicative band
+    hashing — no per-doc Python in the signature path). Emits one row
+    per band: (band, band_hash, id, sig)."""
 
     def __init__(self, num_perm=64, bands=16, k=3, text_col="text", id_col="doc_id"):
         assert num_perm % bands == 0
         self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_bh, out_id, out_sig = [], [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = minhash_signature(text, self.a, self.b, self.k)
-            chunks = sig.reshape(self.bands, self.rows_per_band)
-            # process-stable bucket hash (Python's hash() is salted)
-            import hashlib as _hl
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix."""
+        n = len(texts)
+        sigs = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if not n:
+            return sigs
+        hv, counts = _batch_shingle_hashes(texts, self.k)
+        if not len(hv):
+            return sigs
+        hv = hv % _MERSENNE
+        vals = (
+            np.multiply.outer(self.a, hv, dtype=np.uint64) + self.b[:, None]
+        ) % _MERSENNE  # (num_perm, total_shingles)
+        nonempty = np.flatnonzero(counts > 0)
+        offsets = (np.cumsum(counts) - counts)[nonempty].astype(np.intp)
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (perm, n_nonempty)
+        sigs[nonempty] = mins.T
+        return sigs
 
-            bh = [
-                int.from_bytes(
-                    _hl.blake2b(c.tobytes(), digest_size=8).digest(), "little"
-                )
-                & 0x7FFFFFFFFFFFFFFF
-                for c in chunks
-            ]
-            for band_ix, h in enumerate(bh):
-                out_band.append(band_ix)
-                out_bh.append(h)
-                out_id.append(doc_id)
-                out_sig.append(sig.astype("int64"))
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("").tolist()
+        ids = batch[self.id_col].to_numpy()
+        n = len(texts)
+        sigs = self.signatures(texts)
+        # multiplicative band hash (process-stable; Python hash() is salted)
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        bh = chunks[:, :, 0].copy()
+        for j in range(1, self.rows_per_band):
+            bh = bh * _P1 + chunks[:, :, j] * _P2
+        bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        sig_rows = list(sigs.astype("int64"))
         return pd.DataFrame(
-            {"band": out_band, "band_hash": out_bh,
-             self.id_col: out_id, "sig": out_sig}
+            {
+                "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1),
+                self.id_col: np.repeat(ids, self.bands),
+                "sig": [sig_rows[i] for i in np.repeat(np.arange(n), self.bands)],
+            }
         )
 
 
@@ -621,66 +685,95 @@ def verified_near_dup_pairs(ds, threshold=0.5, est_threshold=0.35, k=3,
         dedup=True, **kw
     )
 
-    def _corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as _pa
+
+    def _corpus_rows(df: pd.DataFrame) -> _pa.Table:
         n = len(df)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "key": df[id_col].to_numpy().astype(np.int64),
                 "other": np.zeros(n, dtype=np.int64),
                 "kind": np.zeros(n, dtype=np.int8),
+                "side": np.zeros(n, dtype=np.int8),
                 "txt": df[text_col].fillna("").astype(str).to_numpy(),
             }
         )
+        out["_cbucket"] = _int_bucket(out["key"].to_numpy(), num_buckets)
+        return _pa.Table.from_pandas(out, preserve_index=False)
 
-    def _pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def _pair_rows(df: pd.DataFrame) -> _pa.Table:
+        # each pair emits TWO rows, keyed by each endpoint, so both
+        # texts attach in the SAME corpus shuffle (one pass, not two)
         if "id_a" not in df.columns or not len(df):
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {"key": np.empty(0, np.int64), "other": np.empty(0, np.int64),
-                 "kind": np.empty(0, np.int8), "txt": np.empty(0, object)}
+                 "kind": np.empty(0, np.int8), "side": np.empty(0, np.int8),
+                 "txt": np.empty(0, object)}
             )
-        n = len(df)
-        return pd.DataFrame(
-            {
-                "key": df["id_a"].to_numpy().astype(np.int64),
-                "other": df["id_b"].to_numpy().astype(np.int64),
-                "kind": np.ones(n, dtype=np.int8),
-                "txt": np.full(n, "", dtype=object),
-            }
+        else:
+            a = df["id_a"].to_numpy().astype(np.int64)
+            b = df["id_b"].to_numpy().astype(np.int64)
+            n = len(df)
+            out = pd.DataFrame(
+                {
+                    "key": np.concatenate([a, b]),
+                    "other": np.concatenate([b, a]),
+                    "kind": np.ones(2 * n, dtype=np.int8),
+                    "side": np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    ),
+                    "txt": np.full(2 * n, "", dtype=object),
+                }
+            )
+        out["_cbucket"] = (
+            _int_bucket(out["key"].to_numpy(), num_buckets)
+            if len(out) else np.empty(0, np.int32)
         )
+        return _pa.Table.from_pandas(out, preserve_index=False)
 
-    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_cbucket"] = _int_bucket(df["key"].to_numpy(), num_buckets)
-        return df
-
-    def _attach_a(bucket: pd.DataFrame) -> pd.DataFrame:
-        # pair rows keyed by id_a pick up text_a, re-key onto id_b
+    def _attach(bucket: pd.DataFrame) -> _pa.Table:
+        # attach each endpoint's text; re-key rows onto the PAIR
+        empty = pd.DataFrame(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+             "side": np.empty(0, np.int8), "txt": np.empty(0, object),
+             "_pbucket": np.empty(0, np.int32)}
+        )
+        if "key" not in bucket.columns or not len(bucket):
+            return _pa.Table.from_pandas(empty, preserve_index=False)
         corpus = bucket[bucket["kind"] == 0][["key", "txt"]].drop_duplicates("key")
         prs = bucket[bucket["kind"] == 1]
         if not len(prs) or not len(corpus):
-            return pd.DataFrame(
-                {"key": np.empty(0, np.int64), "other": np.empty(0, np.int64),
-                 "kind": np.empty(0, np.int8), "txt": np.empty(0, object)}
-            )
-        m = prs[["key", "other"]].merge(
+            return _pa.Table.from_pandas(empty, preserve_index=False)
+        m = prs[["key", "other", "side"]].merge(
             corpus.rename(columns={"txt": "_t"}), on="key", how="inner"
         )
-        n = len(m)
-        return pd.DataFrame(
+        side = m["side"].to_numpy()
+        key = m["key"].to_numpy()
+        other = m["other"].to_numpy()
+        out = pd.DataFrame(
             {
-                "key": m["other"].to_numpy(),
-                "other": m["key"].to_numpy(),
-                "kind": np.ones(n, dtype=np.int8),
+                "id_a": np.where(side == 0, key, other),
+                "id_b": np.where(side == 0, other, key),
+                "side": side,
                 "txt": m["_t"].to_numpy(),
             }
         )
+        out["_pbucket"] = (
+            pd.util.hash_pandas_object(out[["id_a", "id_b"]], index=False)
+            % num_buckets
+        ).astype("int32")
+        return _pa.Table.from_pandas(out, preserve_index=False)
 
-    def _attach_b_verify(bucket: pd.DataFrame) -> pd.DataFrame:
-        corpus = bucket[bucket["kind"] == 0][["key", "txt"]].drop_duplicates("key")
-        prs = bucket[bucket["kind"] == 1]
-        if not len(prs) or not len(corpus):
+    def _verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in bucket.columns or not len(bucket):
             return _empty_pairs("jaccard")
-        m = prs.merge(corpus.rename(columns={"txt": "_t"}), on="key", how="inner")
+        lhs = bucket[bucket["side"] == 0][["id_a", "id_b", "txt"]]
+        rhs = bucket[bucket["side"] == 1][["id_a", "id_b", "txt"]].rename(
+            columns={"txt": "_t"}
+        )
+        m = lhs.merge(rhs, on=["id_a", "id_b"], how="inner")
+        if not len(m):
+            return _empty_pairs("jaccard")
         ja = np.fromiter(
             (ngram_jaccard(ta, tb, k) for ta, tb in zip(m["txt"], m["_t"])),
             dtype=np.float64, count=len(m),
@@ -688,31 +781,22 @@ def verified_near_dup_pairs(ds, threshold=0.5, est_threshold=0.35, k=3,
         keep = ja >= threshold
         return pd.DataFrame(
             {
-                "id_a": m["other"].to_numpy()[keep],
-                "id_b": m["key"].to_numpy()[keep],
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
                 "jaccard": ja[keep],
             }
         )
 
-    def _shuffle(ds_, fn):
-        return (
-            ds_.map_batches(_bucketize, batch_format="pandas")
-            .groupby("_cbucket")
-            .map_groups(
-                lambda b: fn(b.drop(columns=["_cbucket"]))
-                if "key" in b.columns and len(b)
-                else fn(pd.DataFrame(columns=["key", "other", "kind", "txt"])),
-                batch_format="pandas",
-            )
-        )
-
-    corpus1 = ds.map_batches(_corpus_rows, batch_format="pandas")
-    pass1 = _shuffle(
-        corpus1.union(pairs.map_batches(_pair_rows, batch_format="pandas")),
-        _attach_a,
+    both = ds.map_batches(_corpus_rows, batch_format="pandas").union(
+        pairs.map_batches(_pair_rows, batch_format="pandas")
     )
-    corpus2 = ds.map_batches(_corpus_rows, batch_format="pandas")
-    return _shuffle(corpus2.union(pass1), _attach_b_verify)
+    attached = both.groupby("_cbucket").map_groups(
+        _attach, batch_format="pandas"
+    )
+    # second shuffle is PAIR-sized (texts of candidate pairs only)
+    return attached.groupby("_pbucket").map_groups(
+        _verify, batch_format="pandas"
+    )
 
 
 def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
