@@ -1,2 +1,2 @@
 from .micro import MicroModel, newmodel
-from . import vutil
+from . import store, vutil

@@ -196,13 +196,14 @@ def distinct_links(ds, num_buckets=None):
         except Exception:
             num_buckets = 32
 
-    import numpy as np
-
     extra_cols = [n for n in ds.schema().names if n not in QUAD_COLS]
 
     def _prep(tbl: pa.Table) -> pa.Table:
-        # quad key computed batch-locally for pre-dedup + bucketing;
-        # NOT shipped through the shuffle (it is ~2x the quad payload)
+        # composite quad key computed batch-locally; only its 64-bit
+        # HASH ships through the shuffle (string key is ~2x the quad
+        # payload). The hash also does the heavy lifting downstream:
+        # in-bucket sort/dedup compare the int first and touch the
+        # string columns only for hash ties.
         key = pc.binary_join_element_wise(
             _escape_col(tbl["origin"]),
             _escape_col(tbl["rel"]),
@@ -211,21 +212,40 @@ def distinct_links(ds, num_buckets=None):
             tbl["attrs"],
             _KEY_SEP,
         )
-        karr = key.to_numpy(zero_copy_only=False)
-        _, ix = np.unique(karr, return_index=True)
-        if len(ix) < tbl.num_rows:
-            ix = np.sort(ix)
-            tbl = tbl.take(ix)
-            karr = karr[ix]
-        bucket = (
-            pd.util.hash_pandas_object(pd.Series(karr), index=False) % num_buckets
-        ).astype("int32")
-        return tbl.append_column("bucket", pa.array(bucket.to_numpy()))
+        qhash = pd.util.hash_pandas_object(
+            pd.Series(key.to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        # local pre-dedup (combiner), exact: hash-duplicate rows are
+        # re-checked on the true quad columns, so a hash collision can
+        # never drop a distinct quad; rows with unique hashes skip all
+        # string comparisons
+        dup = pd.Series(qhash).duplicated(keep=False).to_numpy()
+        if dup.any():
+            cand_ix = np.flatnonzero(dup)
+            sub = tbl.select(QUAD_COLS).take(cand_ix).to_pandas()
+            sub["_qh"] = qhash[cand_ix]
+            drop_local = sub.duplicated(subset=["_qh"] + QUAD_COLS).to_numpy()
+            if drop_local.any():
+                keep = np.ones(tbl.num_rows, dtype=bool)
+                keep[cand_ix[drop_local]] = False
+                ix = np.flatnonzero(keep)
+                tbl = tbl.take(ix)
+                qhash = qhash[ix]
+        tbl = tbl.append_column(
+            "_qhash", pa.array(qhash.astype("int64"), type=pa.int64())
+        )
+        bucket = (qhash % num_buckets).astype("int32")
+        return tbl.append_column("bucket", pa.array(bucket))
 
     def _dedup_bucket(group: pd.DataFrame) -> pa.Table:
         if extra_cols:
-            group = group.sort_values(QUAD_COLS + extra_cols, kind="stable")
-        out = group.drop_duplicates(subset=QUAD_COLS).drop(columns=["bucket"])
+            # int-first sort: string (lineage) comparisons only happen
+            # for equal hashes, so min-lineage determinism costs O(n)
+            # int comparisons instead of a 5-string-column sort
+            group = group.sort_values(["_qhash"] + extra_cols, kind="stable")
+        out = group.drop_duplicates(subset=["_qhash"] + QUAD_COLS).drop(
+            columns=["bucket", "_qhash"]
+        )
         return pa.Table.from_pandas(out, preserve_index=False)
 
     keyed = ds.map_batches(_prep, batch_format="pyarrow")
