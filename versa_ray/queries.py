@@ -386,7 +386,9 @@ def q_doc_exact_dedup(sf_dir):
 
 def q_doc_token_stats(sf_dir):
     ds = _docs(sf_dir).map_batches(
-        lambda df: textstats.token_stats(df)[["doc_id", "n_chars", "n_tokens", "n_digits"]],
+        lambda df: textstats.token_stats(df)[
+            ["doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "n_digits"]
+        ],
         batch_format="pandas",
     )
     return ds
@@ -505,6 +507,10 @@ def q_knn_lsh_recall(sf_dir):
 
 
 _PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
+
+_STOPWORD_SQL = "[%s]" % ", ".join(
+    "'%s'" % w for w in sorted(textstats.STOPWORDS)
+)
 
 
 def _augmented_embeddings(sf_dir):
@@ -838,6 +844,8 @@ def build_oracles():
             "SELECT doc_id, length(text) AS n_chars, "
             "CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens, "
             "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
             "FROM documents"
         ),
@@ -907,6 +915,25 @@ def build_oracles():
             "ranked AS (SELECT qid, nid, row_number() OVER "
             "(PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
             "SELECT qid, nid, rank FROM ranked WHERE rank <= 5"
+        ),
+        # quality heuristics mirrored exactly: ratios are single IEEE
+        # divisions of integer counts on ASCII text, so values match
+        # bit-for-bit (textstats.quality_scores)
+        "doc_quality": (
+            "WITH t AS (SELECT doc_id, coalesce(text,'') AS tx FROM documents), "
+            "tok AS (SELECT doc_id, tx, CASE WHEN trim(tx) = '' THEN [] "
+            "ELSE regexp_split_to_array(trim(tx), '\\s+') END AS ws FROM t) "
+            "SELECT doc_id, "
+            "len(list_filter(ws, w -> list_contains(" + _STOPWORD_SQL + ", lower(w))))::DOUBLE "
+            "/ greatest(len(ws), 1) AS stopword_ratio, "
+            "CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) END "
+            "AS mean_token_len, "
+            "(length(tx) - length(regexp_replace(tx, '[A-Z]', '', 'g')))::DOUBLE "
+            "/ greatest(length(tx), 1) AS upper_ratio, "
+            "(length(tx) - length(regexp_replace(tx, '[^\\w\\s]', '', 'g')))::DOUBLE "
+            "/ greatest(length(tx), 1) AS punct_ratio "
+            "FROM tok"
         ),
         # exact all-pairs cosine >= 0.9 over the augmented (planted)
         # corpus; LSH recall is 1.0 at this separation so the sets match
