@@ -86,3 +86,52 @@ def test_distinct_dataset_forms(ray_session):
     typed = {r["origin"] for r in
              linkset.all_origins_ds(ds, of_types={"urn:t:Thing"}).take_all()}
     assert typed == want_origins  # every origin is typed Thing
+
+
+def test_update_linkset_incremental(ray_session, tmp_path):
+    """Incremental add: duplicate-refusing merge touches ONLY the
+    partitions the new links hash into; other partition files are
+    byte-identical afterwards."""
+    import glob
+    import hashlib
+    import os
+
+    from versa_ray.model.store import update_linkset
+
+    path = str(tmp_path / "store")
+    base = _sample_links()
+    write_linkset(linkset.from_links(base), path,
+                  num_rel_buckets=8, num_partitions=8)
+    n_base = read_linkset(path).count()
+
+    def _digest_all():
+        out = {}
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    before = _digest_all()
+
+    # delta: some exact duplicates of base + a few new links for ONE origin
+    delta = base[:5] + [("urn:t:7", NAME, "second name"),
+                        ("urn:t:new", TYPE_, "urn:t:Thing")]
+    stats = update_linkset(path, linkset.from_links(delta))
+    assert stats["partitions_updated"] < 64  # strict subset of R x P
+    # dup-refusal: only the 2 genuinely new links appear
+    assert stats["rows_after"] == n_base + 2
+    assert read_linkset(path).count() == n_base + 2
+
+    # untouched partitions byte-identical
+    after = _digest_all()
+    tagged = set()
+    for f, h in before.items():
+        if f in after and after[f] == h:
+            tagged.add(f)
+    changed_dirs = {os.path.dirname(f) for f in set(before) - tagged}
+    unchanged_dirs = {os.path.dirname(f) for f in tagged}
+    assert unchanged_dirs, "some partitions must remain untouched"
+    assert changed_dirs.isdisjoint(unchanged_dirs)
+
+    # the new links are retrievable through the pruned read path
+    row = read_linkset(path, origin="urn:t:7", rel=NAME).to_pandas()
+    assert set(row["target"]) == {"name 7", "second name"}

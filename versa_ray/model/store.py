@@ -109,6 +109,77 @@ def _prune_expr(path: str, rel=None, origin=None):
     return flt
 
 
+def update_linkset(path: str, new_ds, num_buckets=None):
+    """Incremental append-with-dedup against a stored link-set — the
+    at-scale form of the reference's duplicate-refusing add
+    (/root/reference/tools/py/driver/memory.py:179-181) applied to the
+    on-disk KG.
+
+    Only the partitions the new links hash into are read, merged with
+    the new rows, re-deduped (dedup is partition-local because the
+    layout hash-partitions by origin), and rewritten; every other
+    partition directory is untouched. An appended corpus delta
+    therefore costs O(delta + touched partitions), not a full-store
+    rescan. The rewrite is delete-then-write per partition directory
+    (not atomic; callers needing atomicity stage to a new root and
+    swap). Returns {"partitions_updated", "rows_after"}."""
+    import shutil
+
+    import ray.data as rd
+
+    from .linkset import distinct_links
+
+    meta = _read_meta(path)
+    r_b, n_p = meta["num_rel_buckets"], meta["num_partitions"]
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rel_bucket"] = _stable_bucket(df["rel"], r_b)
+        df["part_id"] = _stable_bucket(df["origin"], n_p)
+        return df
+
+    tagged = new_ds.map_batches(_tag, batch_format="pandas").materialize()
+
+    # affected partition list: bounded by R x P, never by data size
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["rel_bucket", "part_id"]].drop_duplicates()
+
+    affected = {
+        (int(r["rel_bucket"]), int(r["part_id"]))
+        for r in tagged.map_batches(_pairs, batch_format="pandas")
+        .take_all()
+    }
+    if not affected:
+        return {"partitions_updated": 0,
+                "rows_after": rd.read_parquet(path).count()}
+
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(path, partitioning="hive")
+    expr = None
+    for rb, pid in sorted(affected):
+        e = (pads.field("rel_bucket") == rb) & (pads.field("part_id") == pid)
+        expr = e if expr is None else expr | e
+    old_files = [f.path for f in dataset.get_fragments(filter=expr)]
+
+    merged = tagged.drop_columns(["rel_bucket", "part_id"])
+    if old_files:
+        merged = merged.union(rd.read_parquet(old_files))
+    merged = distinct_links(merged)
+    merged = merged.map_batches(_tag, batch_format="pandas").materialize()
+
+    for rb, pid in affected:
+        shutil.rmtree(
+            os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}"),
+            ignore_errors=True,
+        )
+    merged.write_parquet(path, partition_cols=list(_PART_COLS))
+    return {
+        "partitions_updated": len(affected),
+        "rows_after": rd.read_parquet(path).count(),
+    }
+
+
 def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None):
     """Predicate-pruned read of a stored link-set.
 

@@ -222,6 +222,27 @@ def q_links_store_match_rel(sf_dir):
     return out.select_columns(LINK_COLS)
 
 
+def q_links_store_incremental(sf_dir):
+    """Incremental duplicate-refusing add against the stored KG
+    (model/store.update_linkset): write everything except the segment
+    links, then apply a delta containing the segment links PLUS exact
+    duplicates of the name links. Only partitions the delta hashes
+    into are rewritten; the final store must equal the full distinct
+    linkset (SQL oracle)."""
+    import shutil
+
+    from .model.store import read_linkset, update_linkset, write_linkset
+
+    path = "/tmp/versa_ray_store_inc_q"
+    shutil.rmtree(path, ignore_errors=True)
+    ls = tpch_linkset(sf_dir)
+    base = linkset.match(ls, rel={TYPE, NAME, IN_REGION, IN_NATION})
+    write_linkset(base, path)
+    delta = linkset.match(ls, rel={SEGMENT, NAME})
+    update_linkset(path, delta)
+    return read_linkset(path).select_columns(LINK_COLS)
+
+
 def q_links_all_origins(sf_dir):
     return linkset.all_origins(tpch_linkset(sf_dir))
 
@@ -724,6 +745,7 @@ def build_queries():
         "links_match_attrs": q_links_match_attrs,
         "links_dedup": q_links_dedup,
         "links_store_match_rel": q_links_store_match_rel,
+        "links_store_incremental": q_links_store_incremental,
         "links_all_origins": q_links_all_origins,
         "links_origins_of_type": q_links_origins_of_type,
         "links_column_targets": q_links_column_targets,
@@ -771,6 +793,7 @@ def build_oracles():
         "links_match_attrs": f"{L} SELECT * FROM links WHERE attrs = '{SRC_ATTRS}'",
         "links_dedup": f"{L} SELECT DISTINCT * FROM links",
         "links_store_match_rel": f"{L} SELECT * FROM links WHERE rel = '{NAME}'",
+        "links_store_incremental": f"{L} SELECT DISTINCT * FROM links",
         "links_all_origins": f"{L} SELECT DISTINCT origin FROM links",
         "links_origins_of_type": (
             f"{L} SELECT DISTINCT origin FROM links "
