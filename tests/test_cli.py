@@ -112,3 +112,34 @@ def test_transform_rulespec_string_test(tmp_path):
     assert "The Catcher in the Rye" in r.stdout
     assert "bibfra.me/isbn" in r.stdout
     assert "bibfra.me/bad" not in r.stdout
+
+
+def test_kgmatch_cli(tmp_path):
+    """kgmatch drives the pruned stored-KG read from the CLI."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import sys
+
+    # build a tiny page corpus + store via the library (one Ray session
+    # inside each CLI subprocess)
+    pages = tmp_path / "pages.parquet"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "from versa_ray.web.synth import write_pages; "
+         f"write_pages({str(pages)!r}, 40)"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    out_dir = tmp_path / "kg"
+    r = _run(["kgbuild", str(pages), str(out_dir)])
+    assert r.returncode == 0, r.stderr
+    r = _run(["kgmatch", str(out_dir / "stage=linkset"),
+              "--rel", "http://bibfra.me/vocab/lite/name", "--limit", "3"])
+    assert r.returncode == 0, r.stderr
+    assert "<http://bibfra.me/vocab/lite/name>" in r.stdout
+    # the footer proves a strict file subset was read
+    import re as _re
+
+    m = _re.search(r"read (\d+)/(\d+) partition files", r.stdout)
+    assert m and int(m.group(1)) < int(m.group(2))

@@ -56,11 +56,26 @@ ORACLES = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(ray_session, con, name):
-    got = _canon(_to_pandas(QUERIES[name](SF)))
-    want = _canon(con.execute(ORACLES[name]).df())
+    raw_got = _to_pandas(QUERIES[name](SF))
+    raw_want = con.execute(ORACLES[name]).df()
+    got = _canon(raw_got)
+    want = _canon(raw_want)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
+    # dtype-KIND parity BEFORE canonicalization: the driver hashes raw
+    # values, so an int64 engine column vs a float64 oracle column
+    # hash-mismatches even when the values are equal (this is exactly
+    # what bit round 1's doc_lang_counts)
+    for col in got.columns:
+        gk = raw_got[col].dtype.kind
+        wk = raw_want[col].dtype.kind
+        gk = "i" if gk == "u" else gk
+        wk = "i" if wk == "u" else wk
+        assert gk == wk, (
+            f"{name}.{col}: engine dtype kind {raw_got[col].dtype} vs "
+            f"oracle {raw_want[col].dtype} — would hash-mismatch in the driver"
+        )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
                                   rtol=1e-6, atol=1e-6)

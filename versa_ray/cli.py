@@ -131,6 +131,32 @@ def cmd_kgbuild(args):
     ray.shutdown()
 
 
+def cmd_kgmatch(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .model.store import pruned_fragments, read_linkset
+
+    frags = pruned_fragments(args.store, rel=args.rel, origin=args.origin)
+    total = len(pruned_fragments(args.store))
+    ds = read_linkset(args.store, rel=args.rel, origin=args.origin)
+    rows = ds.take(args.limit) if args.limit else ds.take_all()
+    for r in rows:
+        tgt = f"<{r['target']}>" if r["target_is_iri"] else f'"{r["target"]}"'
+        print(f"{r['origin']} <{r['rel']}> {tgt}")
+    print(f"# {ds.count()} links; read {len(frags)}/{total} partition files")
+    ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="versa_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -156,6 +182,16 @@ def main(argv=None):
     p.add_argument("out_dir")
     p.add_argument("--check-text", action="store_true")
     p.set_defaults(func=cmd_kgbuild)
+
+    p = sub.add_parser(
+        "kgmatch",
+        help="match links in a stored link-set (partition-pruned read)",
+    )
+    p.add_argument("store", help="stage=linkset directory written by kgbuild")
+    p.add_argument("--rel")
+    p.add_argument("--origin")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(func=cmd_kgmatch)
 
     args = ap.parse_args(argv)
     args.func(args)
