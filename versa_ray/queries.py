@@ -939,6 +939,33 @@ def build_oracles():
             "(PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
             "SELECT qid, nid, rank FROM ranked WHERE rank <= 5"
         ),
+        # near-dup clustering as SQL: exact-Jaccard edges (the LSH
+        # signature-estimate pair set equals the exact >=0.5 set on
+        # this corpus — verified at both sf tiers) + connected
+        # components via a recursive reachability CTE, cluster = min
+        # reachable id. Mirrors ops.dedup.minhash_dedup end to end.
+        "doc_minhash_dedup": (
+            "WITH RECURSIVE "
+            "words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(w)-1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+            "ELSE [array_to_string(w, ' ')] END AS s FROM words), "
+            "p AS (SELECT a.doc_id AS src, b.doc_id AS dst "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(list_concat(a.s, b.s))) >= 0.5), "
+            "edges AS (SELECT src, dst FROM p "
+            "UNION ALL SELECT dst, src FROM p), "
+            "reach(node, r) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r) "
+            "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster "
+            "FROM reach GROUP BY node"
+        ),
         # quality heuristics mirrored exactly: ratios are single IEEE
         # divisions of integer counts on ASCII text, so values match
         # bit-for-bit (textstats.quality_scores)
