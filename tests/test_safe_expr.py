@@ -76,3 +76,47 @@ def test_if_string_test_in_pipeline():
     modout = ppl.run(input_model=modin)
     names = [l[2] for (_, l) in modout if l[1] == str(BF("name"))]
     assert names == ["Keep Me"]
+
+
+def test_safe_eval_differential_vs_python():
+    """Property: on the SAFE subset, safe_eval agrees with Python eval
+    (generated expressions over comparisons / bool ops / arithmetic /
+    str methods)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = {"target": "urn:x:abc", "n": 3, "s": "Hello World", "f": 2.5}
+
+    num_atoms = st.sampled_from(["n", "f", "7", "2.5", "len(s)", "-n"])
+    str_atoms = st.sampled_from(["target", "s", "'lit'", "s.upper()"])
+
+    def cmps(draw_from):
+        return st.builds(
+            lambda a, op, b: f"({a} {op} {b})",
+            draw_from, st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+            draw_from,
+        )
+
+    bool_exprs = st.one_of(
+        cmps(num_atoms),
+        cmps(str_atoms),
+        st.builds(lambda a, b: f"({a} in {b})", str_atoms,
+                  st.sampled_from(["('lit', 'urn:x:abc')", "s.split(' ')"])),
+    )
+    combined = st.recursive(
+        bool_exprs,
+        lambda kids: st.builds(
+            lambda a, op, b: f"({a} {op} {b})",
+            kids, st.sampled_from(["and", "or"]), kids,
+        ) | st.builds(lambda a: f"(not {a})", kids),
+        max_leaves=6,
+    )
+
+    from versa_ray.pipeline.safe_expr import safe_eval
+
+    @settings(max_examples=300, deadline=None)
+    @given(combined)
+    def check(expr):
+        assert safe_eval(expr, names) == eval(expr, {"__builtins__": {"len": len}}, dict(names))
+
+    check()
