@@ -644,6 +644,7 @@ def q_lineitem_agg(sf_dir):
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        override_num_blocks=_blocks_for(),
     )
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -692,7 +693,8 @@ def q_orders_by_segment(sf_dir):
         return df[["c_mktsegment", "o_totalprice"]]
 
     orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_blocks_for(),
     )
     out = (
         orders.map_batches(_join, batch_format="pandas")
