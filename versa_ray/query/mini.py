@@ -184,26 +184,42 @@ def _resolve_arg(arg, ctx):
     raise TypeError(arg)
 
 
-def _model_multimatch(model, origin, rel, target):
-    """Dispatch a component-set scan to a MicroModel or links Dataset."""
-    if hasattr(model, "multimatch"):
-        return list(model.multimatch(origin, rel, target))
-    from ..model import linkset
+_POS_COLS = ("origin", "rel", "target")
 
-    rows = linkset.match(model, origin=origin, rel=rel, target=target).take_all()
-    return [(r["origin"], r["rel"], r["target"], r["attrs"]) for r in rows]
+
+def _match_bindings(model, args, resolved) -> dict:
+    """Binding sets for one ?() call. MicroModel: in-process scan.
+    Dataset: vectorized match, then only the DISTINCT values of the
+    bound positions reach the driver (distributed dedup first) — the
+    driver never materializes match-cardinality rows."""
+    var_pos = {
+        pos: a.name for pos, a in enumerate(args[:3]) if isinstance(a, Var)
+    }
+    result = {name: set() for name in var_pos.values()}
+    if hasattr(model, "multimatch"):
+        for link in model.multimatch(*resolved):
+            for pos, name in var_pos.items():
+                result[name].add(link[pos])
+        return result
+    from ..model import linkset
+    from ..ops.dedup import dedup_rows
+
+    matched = linkset.match(
+        model, origin=resolved[0], rel=resolved[1], target=resolved[2]
+    )
+    if not var_pos:
+        return result
+    cols = [_POS_COLS[p] for p in sorted(var_pos)]
+    for row in dedup_rows(matched.select_columns(cols), cols).take_all():
+        for pos, name in var_pos.items():
+            result[name].add(row[_POS_COLS[pos]])
+    return result
 
 
 def _eval(node, ctx: QueryContext) -> dict:
     if isinstance(node, MatchCall):
         args = [_resolve_arg(a, ctx) for a in node.args[:3]]
-        result = {}
-        for link in _model_multimatch(ctx.model, *args):
-            for pos in range(3):
-                a = node.args[pos]
-                if isinstance(a, Var):
-                    result.setdefault(a.name, set()).add(link[pos])
-        return result
+        return _match_bindings(ctx.model, node.args, args)
     if isinstance(node, BoolOp):
         left = _eval(node.left, ctx)
         if node.op == "and":
