@@ -46,13 +46,26 @@ VFPRINT_REL = I(VERSA_BASEIRI + "fingerprint")
 FROM_EMPTY_64BIT_HASH = "AAAAAAAAAAA"
 
 
+_HASHSTRING_MEMO: dict = {}
+
+
 def simple_hashstring(obj, bits: int = 64) -> str:
-    """Short string hash of ``obj`` (via ``str()``), ``bits`` wide."""
-    basis = hash64_signed(str(obj))[0] >> (64 - bits)
+    """Short string hash of ``obj`` (via ``str()``), ``bits`` wide.
+    Memoized: the pure-Python murmur3 is the costly part, and entity
+    fingerprint strings repeat heavily across documents (head
+    entities)."""
+    key = (str(obj), bits)
+    hit = _HASHSTRING_MEMO.get(key)
+    if hit is not None:
+        return hit
+    basis = hash64_signed(key[0])[0] >> (64 - bits)
     raw = struct.pack("!q", basis)
     if bits != 64:
         raw = raw[: -int((64 - bits) / 8)]
-    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode("ascii")
+    out = base64.urlsafe_b64encode(raw).rstrip(b"=").decode("ascii")
+    if len(_HASHSTRING_MEMO) < 500_000:
+        _HASHSTRING_MEMO[key] = out
+    return out
 
 
 class OrderedJsonEncoder(json.JSONEncoder):

@@ -48,14 +48,17 @@ class definition:
         self._stages_hash = None
 
     def _collect_stages(self):
+        # collected once per instance (run() is called per document in
+        # the hot path; a dir()/getattr scan per run is measurable).
+        # Set _stages_hash = None after adding stages dynamically.
+        if self._stages_hash is not None:
+            return
         names = [k for k in dir(self) if hasattr(getattr(self, k), "pipeline_sort_key")]
-        h = hash(tuple(names))
-        if h != self._stages_hash:
-            stages = [getattr(self, k) for k in names]
-            self._stages = sorted(
-                ((int(s.pipeline_sort_key), s) for s in stages), key=itemgetter(0)
-            )
-            self._stages_hash = h
+        stages = [getattr(self, k) for k in names]
+        self._stages = sorted(
+            ((int(s.pipeline_sort_key), s) for s in stages), key=itemgetter(0)
+        )
+        self._stages_hash = hash(tuple(names))
 
     def run(self, input_model=None, raw_source=None, output_model=None, **kwargs):
         self._collect_stages()
@@ -109,22 +112,37 @@ class definition:
         origins = origins or self.fingerprints
         applied = 0
         types_cache = {}
+        # index rules by rel ONCE: plain rspecs apply to the main
+        # entities, (rel, *types) rspecs to mains+others with a type
+        # check — same matching semantics as the per-link scan, minus
+        # the per-link loop over every rule
+        plain_by_rel = {}
+        typed_by_rel = {}
+        for rspec, rule in rules.items():
+            if isinstance(rspec, tuple):
+                typed_by_rel.setdefault(rspec[0], []).append(
+                    (rule, tuple(rspec[1:]))
+                )
+            else:
+                plain_by_rel.setdefault(rspec, []).append(rule)
+        # fingerprints are fixed during the transform stage; build the
+        # @resource view once (rules read it, never mutate it)
+        resource_map = {k: list(m) for (k, (m, _)) in self.fingerprints.items()}
         for rid in origins:
             mains, others = origins[rid]
             for o, r, t, attribs in self.input_model.match(rid):
                 match_sets = set()
-                for out_rid in itertools.chain(mains, others):
-                    for rspec, rule in rules.items():
-                        if (out_rid in mains) and rspec == r:
+                for rule in plain_by_rel.get(r, ()):
+                    for out_rid in mains:
+                        match_sets.add((rule, out_rid))
+                for rule, typs in typed_by_rel.get(r, ()):
+                    for out_rid in itertools.chain(mains, others):
+                        if out_rid not in types_cache:
+                            types_cache[out_rid] = frozenset(
+                                vutil.resourcetypes(self.output_model, out_rid)
+                            )
+                        if any(typ in types_cache[out_rid] for typ in typs):
                             match_sets.add((rule, out_rid))
-                        elif isinstance(rspec, tuple) and rspec[0] == r:
-                            if out_rid not in types_cache:
-                                types_cache[out_rid] = frozenset(
-                                    vutil.resourcetypes(self.output_model, out_rid)
-                                )
-                            _, *typs = rspec
-                            if any(typ in types_cache[out_rid] for typ in typs):
-                                match_sets.add((rule, out_rid))
                 if not match_sets:
                     if handle_misses:
                         handle_misses((rid, r, t, attribs))
@@ -134,9 +152,7 @@ class definition:
                     variables = root_context.variables.copy()
                     variables["input-resource"] = rid
                     extras = root_context.extras.copy()
-                    extras["@resource"] = {
-                        k: list(m) for (k, (m, _)) in self.fingerprints.items()
-                    }
+                    extras["@resource"] = resource_map
                     ctx = root_context.copy(
                         current_link=link,
                         input_model=self.input_model,
