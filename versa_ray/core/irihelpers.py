@@ -41,18 +41,28 @@ def is_absolute(s: str) -> bool:
     return bool(s) and bool(_ABS_PAT.match(s))
 
 
+_ABSOLUTIZE_MEMO: dict = {}
+
+
 def absolutize(ref: str, base: str | None) -> str:
     """Resolve ``ref`` against ``base`` per RFC 3986 §5.
 
     Absolute refs and null bases pass through unchanged (matching how
     the reference pipeline calls absolutize with a None context base on
-    already-absolute rels).
-    """
+    already-absolute rels). Resolutions are memoized: in RDFa
+    extraction the same (vocab base, term) pairs repeat on every page,
+    and urllib's urljoin is a measurable per-page cost."""
     if ref is None:
         return ref
     if not base or is_absolute(ref):
         return ref
-    return urljoin(base, ref)
+    key = (base, ref)
+    hit = _ABSOLUTIZE_MEMO.get(key)
+    if hit is None:
+        hit = urljoin(base, ref)
+        if len(_ABSOLUTIZE_MEMO) < 100_000:
+            _ABSOLUTIZE_MEMO[key] = hit
+    return hit
 
 
 def relativize(iriref_: str, base: str, sub_path_only: bool = True) -> str | None:
