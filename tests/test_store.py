@@ -135,3 +135,16 @@ def test_update_linkset_incremental(ray_session, tmp_path):
     # the new links are retrievable through the pruned read path
     row = read_linkset(path, origin="urn:t:7", rel=NAME).to_pandas()
     assert set(row["target"]) == {"name 7", "second name"}
+
+
+def test_remove_statements(ray_session):
+    """Distributed remove = anti-join on the quad key (driver remove
+    verb, memory.py:231-243 semantics at Dataset scale)."""
+    links = _sample_links()
+    ds = linkset.from_links(links)
+    victims = [links[0], links[5], ("urn:t:absent", NAME, "nope")]
+    out = linkset.remove_statements(ds, victims)
+    assert out.count() == len(links) - 2
+    remaining = {(r["origin"], r["rel"], r["target"]) for r in out.take_all()}
+    assert (links[0][0], links[0][1], links[0][2]) not in remaining
+    assert (links[5][0], links[5][1], links[5][2]) not in remaining

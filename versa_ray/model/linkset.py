@@ -389,6 +389,35 @@ def replace_values(ds, mapping: dict):
     return ds.map_batches(_rewrite, batch_format="pyarrow")
 
 
+def remove_statements(ds, links):
+    """Distributed remove: anti-join against a (small) set of quads —
+    the Dataset mapping of the driver's remove verb
+    (memory.py:231-243; SURVEY §2.1 "anti-join on quad key"). The
+    removal set is broadcast (ray.put) and each batch filters by
+    composite quad key; for corpus-sized removal sets use a bucket
+    merge instead."""
+    import ray
+
+    keys = set()
+    for l in links:
+        o, r, t = l[0], l[1], l[2]
+        a = l[3] if len(l) > 3 else None
+        row = link_to_row(o, r, t, a)
+        keys.add(
+            (row["origin"], row["rel"], row["target"],
+             row["target_is_iri"], row["attrs"])
+        )
+    ref = ray.put(keys)
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        kset = ray.get(ref)
+        cols = [tbl[c].to_pylist() for c in QUAD_COLS]
+        keep = [tuple(vals) not in kset for vals in zip(*cols)]
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def replace_values_ds(ds, mapping_ds, num_buckets=64):
     """Canonicalization rewrite for CORPUS-PROPORTIONAL mappings.
 
