@@ -50,18 +50,33 @@ def write_linkset(ds, path: str, num_rel_buckets: int = 8,
 
     One directory per (rel_bucket, part_id); a failed run can resume by
     skipping completed partition directories, and every file carries
-    its partition values in the path (lineage)."""
+    its partition values in the path (lineage). Rows are co-located by
+    partition (one shuffle over R x P groups) before the write —
+    without it every input block writes a sliver into every partition
+    directory and the store ends up as tens of thousands of tiny
+    files."""
+    import pyarrow as pa
+
     os.makedirs(path, exist_ok=True)
 
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def _bucket(df: pd.DataFrame) -> "pa.Table":
         df = df.copy()
         df["rel_bucket"] = _stable_bucket(df["rel"], num_rel_buckets)
         df["part_id"] = _stable_bucket(df["origin"], num_partitions)
-        return df
+        df["_pkey"] = (
+            df["rel_bucket"].to_numpy().astype("int64") * num_partitions
+            + df["part_id"].to_numpy()
+        ).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    ds.map_batches(_bucket, batch_format="pandas").write_parquet(
-        path, partition_cols=list(_PART_COLS)
+    grouped = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(
+            lambda df: df.drop(columns=["_pkey"]), batch_format="pandas"
+        )
     )
+    grouped.write_parquet(path, partition_cols=list(_PART_COLS))
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(
             {"num_rel_buckets": num_rel_buckets,
