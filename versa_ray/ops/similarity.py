@@ -63,6 +63,54 @@ def knn_bruteforce(ds, query_vecs, query_ids, k=5, vec_col="embedding",
     return partials.groupby("qid").map_groups(_merge, batch_format="pandas")
 
 
+def train_ivf_centroids(ds, n_cells=16, sample_size=2048, n_iters=10,
+                        vec_col="embedding", seed=17) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means over a bounded SAMPLE of the
+    corpus (driver-side numpy on sample_size rows — never the corpus),
+    spherical (cosine) metric. Deterministic: fixed seed, fixed
+    iteration count, ties broken by lowest centroid index."""
+    sample = ds.limit(sample_size).to_pandas()
+    mat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(ds, query_vecs, query_ids, centroids, k=5, nprobe=4,
+            vec_col="embedding", id_col="vec_id"):
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest centroid cell (broadcast centroids, one matmul per batch);
+    only vectors in any query's ``nprobe`` closest cells survive to the
+    exact rerank. The scale path when hyperplane LSH recall is poor:
+    cells adapt to the data distribution instead of random planes."""
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    qcells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probe = np.unique(qcells)
+    ref = ray.put((cents, probe))
+
+    def _candidates(df: pd.DataFrame) -> pd.DataFrame:
+        c, pr = ray.get(ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        cells = np.argmax(mat @ c.T, axis=1)
+        return df[np.isin(cells, pr)]
+
+    candidates = ds.map_batches(_candidates, batch_format="pandas")
+    return knn_bruteforce(
+        candidates, qmat, qids, k=k, vec_col=vec_col, id_col=id_col
+    )
+
+
 def knn_lsh(ds, query_vecs, query_ids, dim, k=5, n_planes=8, n_tables=4,
             vec_col="embedding", id_col="vec_id", seed=13, multiprobe=True):
     """Approximate top-k: multi-table hyperplane LSH. The corpus is

@@ -527,6 +527,34 @@ def q_knn_lsh_recall(sf_dir):
     return df
 
 
+def q_knn_ivf_recall(sf_dir):
+    """Same recall gate as knn_lsh_recall for the IVF scale path:
+    sampled-k-means coarse quantizer, nprobe cell filter, exact
+    rerank. HARD-FAILS if mean recall@1 vs exact kNN drops below
+    0.8 over the planted-twin corpus."""
+    vecs, ids = _query_vectors(sf_dir, 8)
+    aug = _augmented_embeddings(sf_dir)
+    cents = similarity.train_ivf_centroids(aug, n_cells=16)
+    exact = similarity.knn_bruteforce(aug, vecs, ids, k=5).to_pandas()
+    ivf = similarity.knn_ivf(aug, vecs, ids, cents, k=5, nprobe=4).to_pandas()
+    ex1 = exact[exact["rank"] == 1].groupby("qid")["nid"].apply(set)
+    iv1 = ivf[ivf["rank"] == 1].groupby("qid")["nid"].apply(set)
+    df = pd.DataFrame(
+        {
+            "qid": ex1.index.to_numpy(),
+            "recall_at_1": [
+                len(ex1[q] & iv1.get(q, set())) / len(ex1[q]) for q in ex1.index
+            ],
+        }
+    ).sort_values("qid", ignore_index=True)
+    mean_r1 = float(df["recall_at_1"].mean())
+    if mean_r1 < 0.8:
+        raise AssertionError(
+            f"knn_ivf mean recall@1 {mean_r1:.3f} < 0.8 vs exact kNN"
+        )
+    return df
+
+
 _PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
 
 _STOPWORD_SQL = "[%s]" % ", ".join(
@@ -771,6 +799,7 @@ def build_queries():
         "doc_quality": q_doc_quality,
         "knn_cosine": q_knn_cosine,
         "knn_lsh_recall": q_knn_lsh_recall,
+        "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
