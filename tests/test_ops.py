@@ -338,3 +338,50 @@ def test_knn_ivf_recall(ray_session):
     got = knn_ivf(ds, mat[:5], qids, cents, k=1, nprobe=3).to_pandas()
     for qid in qids:
         assert set(got[got.qid == qid].nid) == {qid + 1000000}
+
+
+def test_incremental_tumbling(ray_session, tmp_path):
+    """Two micro-batches + a late row must converge to the single-batch
+    tumbling result; windows finalize exactly once under the
+    watermark."""
+    import ray.data as rd
+
+    from versa_ray.ops.windows import incremental_tumbling, tumbling_window_agg
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values("ts", ignore_index=True)
+    cut = len(ev) // 2
+    # hold back an event whose window is still OPEN under the first
+    # watermark (within the 3D lag) so it arrives late but folds in
+    late_ix = cut - 5
+    late = ev.iloc[[late_ix]]
+    first = ev.iloc[:cut].drop(index=late_ix)
+    second = pd.concat([ev.iloc[cut:], late])
+    state = str(tmp_path / "wstate")
+
+    wm1 = ev.iloc[:cut]["ts"].max() - pd.Timedelta("3D")
+    f1, open1 = incremental_tumbling(
+        state, rd.from_pandas(first), freq="1D", watermark=wm1
+    )
+    f1 = f1.to_pandas()
+    assert open1 > 0
+    f2, open2 = incremental_tumbling(
+        state, rd.from_pandas(second), freq="1D",
+        watermark=ev["ts"].max() + pd.Timedelta("1D"),
+    )
+    f2 = f2.to_pandas()
+    assert open2 == 0  # watermark past everything -> all finalized
+
+    got = pd.concat([f1, f2], ignore_index=True)
+    want = tumbling_window_agg(rd.from_pandas(ev), freq="1D").to_pandas()
+    key = ["event_type", "window_start"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    # no window emitted twice; totals identical to the batch result
+    assert not got.duplicated(subset=key).any()
+    pd.testing.assert_frame_equal(
+        got[key + ["n"]], want[key + ["n"]], check_dtype=False
+    )
+    assert np.allclose(
+        got["value_sum"].to_numpy(), want["value_sum"].to_numpy()
+    )

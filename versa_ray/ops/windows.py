@@ -90,6 +90,111 @@ def sliding_window_agg(ds, ts_col="ts", key="user_id", value_col="value",
     )
 
 
+def incremental_tumbling(state_dir, delta_ds, freq="1h", ts_col="ts",
+                         keys=("event_type",), value_col="value",
+                         watermark=None, num_buckets=None):
+    """Streaming-style tumbling windows over an APPEND-ONLY corpus:
+    per-batch partials from the delta merge into a persistent
+    (key..., window_start) state store; windows whose end is at or
+    before ``watermark`` are FINALIZED — emitted once and dropped from
+    state — while open windows keep accumulating (late data within the
+    watermark folds in exactly).
+
+    Ray Data is a batch engine; this is the standard emulation: each
+    call is one micro-batch, state is partitioned Parquet, the merge
+    is a coarse-bucket shuffle (near-unique (key, window) keys — same
+    rule as sliding_window_agg), and ``watermark`` is caller-supplied
+    event time (deterministic; no wall-clock). Returns
+    (finalized_ds, n_open). Late rows for already-finalized windows
+    would re-emit a partial window — callers needing exactly-once on
+    top of late data keep a longer watermark lag."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    keys = list(keys)
+    if num_buckets is None:
+        import ray
+
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 32
+
+    def _partial(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["window_start"] = df[ts_col].dt.floor(freq)
+        g = df.groupby(keys + ["window_start"], as_index=False).agg(
+            n=(value_col, "size"), value_sum=(value_col, "sum")
+        )
+        g["_cbucket"] = (
+            pd.util.hash_pandas_object(g[keys + ["window_start"]], index=False)
+            % num_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = delta_ds.map_batches(_partial, batch_format="pandas")
+    state_file = os.path.join(state_dir, "state")
+    if os.path.exists(state_file):
+
+        def _rebucket(df: pd.DataFrame) -> pa.Table:
+            df = df.assign(
+                _cbucket=(
+                    pd.util.hash_pandas_object(
+                        df[keys + ["window_start"]], index=False
+                    ) % num_buckets
+                ).astype("int32")
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = parts.union(
+            rd.read_parquet(state_file).map_batches(
+                _rebucket, batch_format="pandas"
+            )
+        )
+
+    def _merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(keys + ["window_start"], as_index=False).agg(
+            n=("n", "sum"), value_sum=("value_sum", "sum")
+        )
+
+    merged = (
+        parts.groupby("_cbucket").map_groups(_merge, batch_format="pandas")
+        .materialize()
+    )
+
+    wm = pd.Timestamp(watermark) if watermark is not None else None
+    freq_td = pd.Timedelta(freq)
+
+    def _split(df: pd.DataFrame, want_final: bool) -> pd.DataFrame:
+        if wm is None:
+            final_mask = pd.Series(False, index=df.index)
+        else:
+            final_mask = (df["window_start"] + freq_td) <= wm
+        return df[final_mask] if want_final else df[~final_mask]
+
+    finalized = merged.map_batches(
+        lambda df: _split(df, True), batch_format="pandas"
+    )
+    open_state = merged.map_batches(
+        lambda df: _split(df, False), batch_format="pandas"
+    ).materialize()
+
+    os.makedirs(state_dir, exist_ok=True)
+    n_open = open_state.count()
+    tmp = state_file + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if n_open:
+        open_state.write_parquet(tmp)
+        shutil.rmtree(state_file, ignore_errors=True)
+        os.rename(tmp, state_file)
+    else:  # everything finalized: clear the state
+        shutil.rmtree(state_file, ignore_errors=True)
+    return finalized, n_open
+
+
 def session_windows(ds, ts_col="ts", key="user_id", gap="30min"):
     """Session windows per key: events of one key sort by time inside
     the bucket task, split where the gap exceeds the threshold. The

@@ -628,6 +628,49 @@ def q_events_tumbling(sf_dir):
     )
 
 
+def q_events_incremental_tumbling(sf_dir):
+    """Streaming-window emulation, hash-checked: the events table is
+    replayed as two event-time micro-batches through the incremental
+    tumbling operator (persistent state store + watermark); the union
+    of finalized windows must equal the single-batch tumbling result
+    (same SQL oracle as events_tumbling)."""
+    import shutil
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", override_num_blocks=_blocks_for()
+    )
+    lo, hi = ev.min("ts"), ev.max("ts")
+    cutoff = pd.Timestamp(lo) + (pd.Timestamp(hi) - pd.Timestamp(lo)) / 2
+
+    first = ev.map_batches(
+        lambda df: df[df.ts < cutoff], batch_format="pandas"
+    )
+    second = ev.map_batches(
+        lambda df: df[df.ts >= cutoff], batch_format="pandas"
+    )
+
+    from .ops.windows import incremental_tumbling
+
+    state = "/tmp/versa_ray_wstate_q"
+    shutil.rmtree(state, ignore_errors=True)
+    f1, _ = incremental_tumbling(state, first, freq="1D", watermark=cutoff)
+    f2, n_open = incremental_tumbling(
+        state, second, freq="1D",
+        watermark=pd.Timestamp(hi) + pd.Timedelta("1D"),
+    )
+    assert n_open == 0
+    out = f1.union(f2)
+    return out.map_batches(
+        lambda df: df.assign(
+            value_sum=df.value_sum.round(2),
+            window_start=df.window_start.astype("datetime64[us]"),
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_events_sliding(sf_dir):
     import ray.data as rd
 
@@ -802,6 +845,7 @@ def build_queries():
         "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "events_tumbling": q_events_tumbling,
+        "events_incremental_tumbling": q_events_incremental_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
@@ -928,6 +972,12 @@ def build_oracles():
             "WHERE jac >= 0.5"
         ),
         "events_tumbling": (
+            "SELECT event_type, date_trunc('day', ts) AS window_start, "
+            "count(*) AS n, round(sum(value), 2) AS value_sum "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # the replayed micro-batches must converge to the batch result
+        "events_incremental_tumbling": (
             "SELECT event_type, date_trunc('day', ts) AS window_start, "
             "count(*) AS n, round(sum(value), 2) AS value_sum "
             "FROM events GROUP BY 1, 2"
