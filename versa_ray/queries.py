@@ -455,6 +455,28 @@ def q_doc_simhash(sf_dir):
     )
 
 
+def q_doc_simhash_pairs(sf_dir):
+    """SimHash near-dup candidate pairs (pigeonhole chunk bucketing,
+    hamming <= 3), self-gated: recall against the exact-Jaccard>=0.8
+    ground-truth pair set must stay >= 0.6 (simhash at this hamming
+    budget trades recall for a far cheaper shuffle; a silent recall
+    collapse fails the run instead of passing vacuously)."""
+    pairs = dd.simhash_near_dups(_docs(sf_dir), max_hamming=3).to_pandas()
+    truth = dd.verified_near_dup_pairs(
+        _docs(sf_dir), threshold=0.8, concurrency=2
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    want = set(zip(truth["id_a"], truth["id_b"]))
+    if want:
+        recall = len(got & want) / len(want)
+        if recall < 0.6:
+            raise AssertionError(
+                f"simhash hamming<=3 recall {recall:.3f} < 0.6 "
+                f"vs exact-Jaccard>=0.8 pairs"
+            )
+    return pairs.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def q_doc_langid(sf_dir):
     return textstats.langid_ds(_docs(sf_dir), concurrency=2).map_batches(
         lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas"
@@ -838,6 +860,7 @@ def build_queries():
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_near_dup_pairs": q_doc_near_dup_pairs,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
         "knn_cosine": q_knn_cosine,
