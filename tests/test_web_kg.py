@@ -215,3 +215,30 @@ def test_canonicalize_authorities_join_path(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_actor_pool_paths_match_task_paths(ray_session):
+    """extract_links(use_actors=True) and score_entities actor pool
+    must produce exactly the task-path results."""
+    import ray.data as rd
+
+    from versa_ray.model.linkset import distinct_links
+    from versa_ray.web.kgpipeline import extract_links, score_entities
+    from versa_ray.web.synth import author_name, page_batch
+
+    pages = rd.from_arrow(page_batch(42, 0, 60, 60))
+    alias = {author_name(42, 0): "https://authority.example.org/person/0"}
+
+    def run(use_actors):
+        links = extract_links(pages, use_actors=use_actors, concurrency=2)
+        links = score_entities(links, alias, use_actors=use_actors,
+                               concurrency=2)
+        return (
+            distinct_links(links).to_pandas()
+            .sort_values(["origin", "rel", "target", "attrs"], ignore_index=True)
+        )
+
+    import pandas as pd
+
+    lhs, rhs = run(False), run(True)
+    pd.testing.assert_frame_equal(lhs, rhs)

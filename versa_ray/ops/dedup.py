@@ -66,9 +66,7 @@ def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
     def _bucket(df: pd.DataFrame) -> "pd.DataFrame":
         df = df.copy()
         df["_cbucket"] = (
-            pd.util.hash_pandas_object(
-                df[keys].astype(str), index=False
-            )
+            pd.util.hash_pandas_object(df[keys], index=False)
             % num_buckets
         ).astype("int32")
         return _pa.Table.from_pandas(df, preserve_index=False)
@@ -99,7 +97,7 @@ def dedup_rows(ds, subset, num_buckets=64):
     def _local(df: pd.DataFrame) -> "object":
         df = df.drop_duplicates(subset=subset).copy()
         df["_cbucket"] = (
-            pd.util.hash_pandas_object(df[subset].astype(str), index=False)
+            pd.util.hash_pandas_object(df[subset], index=False)
             % num_buckets
         ).astype("int32")
         return _pa.Table.from_pandas(df, preserve_index=False)
@@ -304,13 +302,16 @@ class MinHasher:
         for j in range(1, self.rows_per_band):
             bh = bh * _P1 + chunks[:, :, j] * _P2
         bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        sig_rows = list(sigs.astype("int64"))
+        # signatures travel as BYTES: an object column of ndarrays
+        # converts per-element through every Arrow boundary; a binary
+        # column is zero-copy
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
         return pd.DataFrame(
             {
                 "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
                 "band_hash": bh.reshape(-1),
                 self.id_col: np.repeat(ids, self.bands),
-                "sig": [sig_rows[i] for i in np.repeat(np.arange(n), self.bands)],
+                "sig": [sig_bytes[i] for i in np.repeat(np.arange(n), self.bands)],
             }
         )
 
@@ -349,7 +350,10 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
         # de-dup docs that landed in the bucket multiple times
         _, uniq_ix = np.unique(ids, return_index=True)
         ids = ids[uniq_ix]
-        sig_mat = np.stack(group["sig"].to_numpy()[uniq_ix])
+        sig_raw = group["sig"].to_numpy()[uniq_ix]
+        sig_mat = np.frombuffer(b"".join(sig_raw), dtype=np.uint64).reshape(
+            len(sig_raw), -1
+        )
         if len(ids) > max_bucket:  # hot-bucket cap (see docstring)
             order = np.argsort(ids)[:max_bucket]
             ids, sig_mat = ids[order], sig_mat[order]
