@@ -165,3 +165,28 @@ def test_partition_metrics(ray_session, tmp_path):
     assert sum(m["rows"] for m in metrics) == ds.count()
     meta = json.load(open(os.path.join(path, "_linkset_meta.json")))
     assert meta["partitions"] == metrics
+
+
+def test_read_linkset_column_pruning(ray_session, tmp_path):
+    path = str(tmp_path / "store")
+    write_linkset(linkset.from_links(_sample_links()), path)
+    out = read_linkset(path, rel=NAME, columns=["origin", "target"])
+    assert set(out.schema().names) == {"origin", "target"}
+    assert out.count() == 40
+
+
+def test_update_linkset_schema_alignment(ray_session, tmp_path):
+    """A delta without the store's lineage columns merges cleanly
+    (null-filled), and vice versa."""
+    from versa_ray.model.store import update_linkset
+
+    path = str(tmp_path / "store")
+    base = linkset.from_links(_sample_links(), extra_cols={"src_url": "https://s/1"})
+    write_linkset(base, path)
+    delta = linkset.from_links([("urn:t:new", TYPE_, "urn:t:Thing")])
+    stats = update_linkset(path, delta)
+    assert stats["rows_after"] == 121
+    back = read_linkset(path)
+    assert "src_url" in back.schema().names
+    row = back.to_pandas()
+    assert row[row.origin == "urn:t:new"]["src_url"].isna().all()

@@ -207,7 +207,23 @@ def update_linkset(path: str, new_ds, num_buckets=None):
 
     merged = tagged.drop_columns(["rel_bucket", "part_id"])
     if old_files:
-        merged = merged.union(rd.read_parquet(old_files))
+        old = rd.read_parquet(old_files)
+        # schema-align the two sides: a delta without the store's
+        # lineage columns (or vice versa) null-fills the difference
+        new_cols = list(merged.schema().names)
+        old_cols = list(old.schema().names)
+        all_cols = new_cols + [c for c in old_cols if c not in new_cols]
+        if set(new_cols) != set(old_cols):
+
+            def _align(df: pd.DataFrame) -> pd.DataFrame:
+                for c in all_cols:
+                    if c not in df.columns:
+                        df = df.assign(**{c: None})
+                return df[all_cols]
+
+            merged = merged.map_batches(_align, batch_format="pandas")
+            old = old.map_batches(_align, batch_format="pandas")
+        merged = merged.union(old)
     merged = distinct_links(merged)
     merged = merged.map_batches(_tag, batch_format="pandas").materialize()
 
@@ -229,29 +245,47 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     }
 
 
-def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None):
+def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
+                 columns=None):
     """Predicate-pruned read of a stored link-set.
 
     rel / origin constraints prune whole partition DIRECTORIES: the
     Hive partition metadata (file paths only, no data) selects the
     matching file subset driver-side, and read_parquet opens just
-    those files. The exact row-level match then runs as the usual
-    Arrow mask. Returns the canonical five link columns."""
+    those files. ``columns`` prunes at the Parquet column level on top
+    (only requested columns leave storage). The exact row-level match
+    then runs as the usual Arrow mask. Returns the canonical five link
+    columns (or the requested subset)."""
     import ray.data as rd
 
+    read_cols = None
+    if columns is not None:
+        need = set(columns)
+        if rel is not None:
+            need.add("rel")
+        if origin is not None:
+            need.add("origin")
+        if target is not None:
+            need.add("target")
+        if attrs:
+            need.add("attrs")
+        read_cols = sorted(need)
     if rel is not None or origin is not None:
         paths = pruned_fragments(path, rel=rel, origin=origin)
         if not paths:
             from ..core.canon import LINK_SCHEMA
 
-            return rd.from_arrow(LINK_SCHEMA.empty_table())
-        ds = rd.read_parquet(paths)
+            empty = rd.from_arrow(LINK_SCHEMA.empty_table())
+            return empty.select_columns(list(columns)) if columns else empty
+        ds = rd.read_parquet(paths, columns=read_cols)
     else:
-        ds = rd.read_parquet(path)
+        ds = rd.read_parquet(path, columns=read_cols)
     have = set(ds.schema().names)
     drop = [c for c in _PART_COLS if c in have]
     if drop:
         ds = ds.drop_columns(drop)
     if rel is not None or origin is not None or target is not None or attrs:
         ds = match(ds, origin=origin, rel=rel, target=target, attrs=attrs)
+    if columns is not None and set(ds.schema().names) != set(columns):
+        ds = ds.select_columns(list(columns))
     return ds
