@@ -190,3 +190,45 @@ def test_update_linkset_schema_alignment(ray_session, tmp_path):
     assert "src_url" in back.schema().names
     row = back.to_pandas()
     assert row[row.origin == "urn:t:new"]["src_url"].isna().all()
+
+
+def test_write_ntriples_ds_roundtrip(ray_session, tmp_path):
+    """Distributed NT sink round-trips through the NT parser."""
+    import glob
+
+    from versa_ray.model.linkset import write_ntriples_ds
+    from versa_ray.serial.ntriples import parse_links
+
+    links = [l for l in _sample_links() if l[1] != TYPE_]
+    ds = linkset.from_links(links)
+    out = str(tmp_path / "nt")
+    files = write_ntriples_ds(ds, out)
+    assert files and all(f.endswith(".nt") for f in files)
+    got = set()
+    for f in glob.glob(out + "/*.nt"):
+        for o, r, t, a in parse_links(open(f).read()):
+            got.add((str(o), str(r), str(t)))
+    assert got == {(o, r, t) for (o, r, t) in links}
+
+
+def test_write_jsonld_ds(ray_session, tmp_path):
+    """Distributed flat JSON-LD sink: one node per origin, IRI targets
+    as @id refs, types collected."""
+    import glob
+    import json
+
+    from versa_ray.model.linkset import write_jsonld_ds
+
+    ds = linkset.from_links(_sample_links())
+    out = str(tmp_path / "jsonld")
+    write_jsonld_ds(ds, out, context={"@vocab": "http://bibfra.me/vocab/lite/"})
+    nodes = {}
+    for f in glob.glob(out + "/*.jsonld"):
+        doc = json.load(open(f))
+        assert doc["@context"]["@vocab"].startswith("http://")
+        for n in doc["@graph"]:
+            nodes[n["@id"]] = n
+    assert len(nodes) == 40
+    n7 = nodes["urn:t:7"]
+    assert n7["@type"] == ["urn:t:Thing"]
+    assert n7[NAME] == "name 7"

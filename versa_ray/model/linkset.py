@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core import EMPTY_ATTRS, VTYPE_REL, attrs_to_json
+from ..core import EMPTY_ATTRS, I, VTYPE_REL, attrs_to_json
 from ..core.canon import LINK_COLUMNS, LINK_SCHEMA, link_to_row
 
 QUAD_COLS = ["origin", "rel", "target", "target_is_iri", "attrs"]
@@ -623,6 +623,94 @@ def write_literate_ds(ds, path: str):
         return pd.DataFrame({"file": [fpath]})
 
     files = adj.map_batches(_render, batch_format="pandas").take_all()
+    return [r["file"] for r in files]
+
+
+def write_ntriples_ds(ds, path: str):
+    """Distributed NTriples sink: one rendered shard per block (the
+    at-scale form of serial/ntriples.write; same VTYPE->rdf:type and
+    resource mapping). Returns the shard file list."""
+    import hashlib
+    import os
+
+    from ..serial.ntriples import RESOURCE_MAPPING, _strconv
+    from ..core import RDF_TYPE_REL
+
+    os.makedirs(path, exist_ok=True)
+    vtype = str(VTYPE_REL)
+    rdf_type = str(RDF_TYPE_REL)
+
+    def _render(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"file": []})
+        lines = []
+        for o, r, t, is_iri in zip(
+            df["origin"], df["rel"], df["target"], df["target_is_iri"]
+        ):
+            r = str(RESOURCE_MAPPING.get(r, r))
+            t_out = RESOURCE_MAPPING.get(t, t)
+            if r == vtype:
+                r = rdf_type
+            tgt = _strconv(I(t_out)) if is_iri else _strconv(t_out)
+            lines.append(f"{_strconv(I(o))} {_strconv(I(r))} {tgt} .")
+        shard = hashlib.md5(
+            (str(df["origin"].iloc[0]) + str(len(df))).encode()
+        ).hexdigest()[:16]
+        fpath = os.path.join(path, f"part-{shard}.nt")
+        with open(fpath, "w") as fp:
+            fp.write("\n".join(lines) + "\n")
+        return pd.DataFrame({"file": [fpath]})
+
+    files = ds.map_batches(_render, batch_format="pandas").take_all()
+    return [r["file"] for r in files]
+
+
+def write_jsonld_ds(ds, path: str, context=None):
+    """Distributed FLAT JSON-LD sink: one node object per origin
+    (origin_adjacency shuffle), IRI targets as {"@id": ...}
+    references. Deliberately flat — the reference binder's
+    first-use inlining (serial/jsonld.py) needs global ordering
+    state, which a driver-side pass provides for small graphs; at
+    corpus scale flat node objects + id refs are the JSON-LD-standard
+    equivalent (expand/flatten round-trip identical). Returns shard
+    file list; each shard is a JSON array of node objects."""
+    import hashlib
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    vtype = str(VTYPE_REL)
+
+    def _render(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"file": []})
+        nodes = []
+        for origin, adjacency in zip(df["origin"], df["adjacency"]):
+            obj = {"@id": str(origin)}
+            for r, t, is_iri, attrs_json in json.loads(adjacency):
+                if r == vtype:
+                    obj.setdefault("@type", []).append(str(t))
+                    continue
+                val = {"@id": str(t)} if is_iri else t
+                if r in obj and isinstance(obj[r], list):
+                    obj[r].append(val)
+                elif r in obj:
+                    obj[r] = [obj[r], val]
+                else:
+                    obj[r] = val
+            nodes.append(obj)
+        shard = hashlib.md5(str(df["origin"].iloc[0]).encode()).hexdigest()[:16]
+        fpath = os.path.join(path, f"part-{shard}.jsonld")
+        doc = {"@graph": nodes}
+        if context:
+            doc["@context"] = context
+        with open(fpath, "w") as fp:
+            json.dump(doc, fp, ensure_ascii=False)
+        return pd.DataFrame({"file": [fpath]})
+
+    files = origin_adjacency(ds).map_batches(
+        _render, batch_format="pandas"
+    ).take_all()
     return [r["file"] for r in files]
 
 
