@@ -232,3 +232,57 @@ def test_write_jsonld_ds(ray_session, tmp_path):
     n7 = nodes["urn:t:7"]
     assert n7["@type"] == ["urn:t:Thing"]
     assert n7[NAME] == "name 7"
+
+
+def test_read_literate_ds(ray_session, tmp_path):
+    """Distributed literate ingestion parses each file doc-locally and
+    matches the driver-side parser link for link."""
+    from versa_ray.serial.literate import parse, read_literate_ds
+
+    docs = {}
+    for i in range(6):
+        text = (
+            f"# urn:d:{i} [<urn:d:Doc>]\n\n"
+            f"* <{NAME}>: doc number {i}\n\n"
+        )
+        p = tmp_path / f"doc{i}.vlit"
+        p.write_text(text)
+        docs[str(p)] = text
+
+    ds = read_literate_ds(str(tmp_path))
+    rows = ds.take_all()
+    assert len(rows) == 12  # 2 links per doc
+    assert {r["src_doc"] for r in rows} == set(docs)
+    want = set()
+    for text in docs.values():
+        for o, r, t, a in parse(text).match():
+            want.add((o, r, str(t)))
+    got = {(r["origin"], r["rel"], r["target"]) for r in rows}
+    assert got == want
+
+
+def test_write_csv_ds(ray_session, tmp_path):
+    """Distributed CSV projection matches the driver-side writer's row
+    semantics (multi-values joined with '|', typeless rows dropped)."""
+    import csv
+    import glob
+
+    from versa_ray.model.linkset import write_csv_ds
+
+    links = _sample_links() + [("urn:t:7", NAME, "alt name"),
+                               ("urn:untyped", NAME, "no type here")]
+    ds = linkset.from_links(links)
+    out = str(tmp_path / "csv")
+    write_csv_ds(ds, out, [(NAME, "name")])
+    rows = {}
+    for f in glob.glob(out + "/*.csv"):
+        with open(f) as fp:
+            r = csv.reader(fp)
+            header = next(r)
+            assert header == ["id", "type", "name"]
+            for row in r:
+                rows[row[0]] = row
+    assert "urn:untyped" not in rows  # typeless dropped
+    assert len(rows) == 40
+    assert rows["urn:t:7"][1] == "urn:t:Thing"
+    assert set(rows["urn:t:7"][2].split("|")) == {"name 7", "alt name"}

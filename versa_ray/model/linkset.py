@@ -714,6 +714,62 @@ def write_jsonld_ds(ds, path: str, context=None):
     return [r["file"] for r in files]
 
 
+def write_csv_ds(ds, path: str, rulelist):
+    """Distributed CSV projection sink (the at-scale form of
+    serial/csvrec.write): origins pivot to rows via the
+    origin-adjacency shuffle, (property, header) rules project
+    columns, multi-values join with '|', typeless or empty rows drop —
+    same row semantics as the driver-side writer. One CSV shard per
+    adjacency block, each with the header."""
+    import csv
+    import hashlib
+    import json
+    import os
+
+    from ..core import RDF_TYPE_REL
+
+    os.makedirs(path, exist_ok=True)
+    properties = [str(k) for (k, v) in rulelist]
+    headers = [v for (k, v) in rulelist]
+    vtype = str(VTYPE_REL)
+    rdf_type = str(RDF_TYPE_REL)
+
+    def _render(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"file": []})
+        rows = []
+        for origin, adjacency in zip(df["origin"], df["adjacency"]):
+            props: dict = {}
+            for r, t, is_iri, attrs_json in json.loads(adjacency):
+                props.setdefault(r, []).append(t)
+            rtypes = props.get(rdf_type) or props.get(vtype)
+            if not rtypes:
+                continue
+            row = [origin, "|".join(rtypes)] + [None] * len(properties)
+            wrote = False
+            for ix, p in enumerate(properties):
+                v = props.get(p)
+                if v:
+                    row[ix + 2] = "|".join(str(x) for x in v)
+                    wrote = True
+            if wrote:
+                rows.append(row)
+        if not rows:
+            return pd.DataFrame({"file": []})
+        shard = hashlib.md5(str(df["origin"].iloc[0]).encode()).hexdigest()[:16]
+        fpath = os.path.join(path, f"part-{shard}.csv")
+        with open(fpath, "w", newline="") as fp:
+            w = csv.writer(fp)
+            w.writerow(["id", "type"] + headers)
+            w.writerows(rows)
+        return pd.DataFrame({"file": [fpath]})
+
+    files = origin_adjacency(ds).map_batches(
+        _render, batch_format="pandas"
+    ).take_all()
+    return [r["file"] for r in files]
+
+
 def zoom_in(ds, focus, depth=1, max_rels=0):
     """Iterative frontier expansion: links reachable from focus within
     `depth` hops (util.py:226-253). Each hop is a broadcast semi-join

@@ -225,6 +225,37 @@ def parse(vlit: str, model: MicroModel | None = None, config: dict | None = None
     return model
 
 
+def read_literate_ds(paths, config: dict | None = None):
+    """Distributed Versa Literate ingestion: every .vlit/.md file
+    parses doc-locally inside map_batches (one micro-model per
+    document — the reference's model-per-doc unit made physical) and
+    emits canonical link rows plus a ``src_doc`` lineage column.
+    ``paths`` is a file, directory, or list accepted by
+    ray.data.read_binary_files."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..core.canon import LINK_SCHEMA, link_to_row
+
+    out_schema = pa.schema(list(LINK_SCHEMA) + [pa.field("src_doc", pa.string())])
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        cols = {name: [] for name in out_schema.names}
+        for path, data in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            model = parse(data.decode("utf-8"), config=config)
+            for o, r, t, a in model.match():
+                row = link_to_row(o, r, t, a)
+                for k, v in row.items():
+                    cols[k].append(v)
+                cols["src_doc"].append(path)
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    files = rd.read_binary_files(paths, include_paths=True)
+    return files.map_batches(_parse, batch_format="pyarrow")
+
+
 def _process_docheader(props, model, doc: _Doc):
     outer = -1
     section = None
