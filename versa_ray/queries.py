@@ -336,6 +336,34 @@ def q_csv_template_links(sf_dir):
     return out
 
 
+def q_literate_corpus(sf_dir):
+    """Distributed Versa Literate ingestion over a corpus of FILES:
+    one .vlit document per nation is written to scratch, parsed
+    doc-locally by read_literate_ds (one micro-model per file), and
+    the union of links is checked against the SQL oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .serial.literate import read_literate_ds
+
+    root = "/tmp/versa_ray_vlit_corpus_q"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    for k, name in zip(tbl["n_nationkey"].to_pylist(), tbl["n_name"].to_pylist()):
+        with open(os.path.join(root, f"nation{k}.vlit"), "w") as f:
+            f.write(
+                f"# urn:versa:nation:{k} [<urn:versa:Nation>]\n\n"
+                f"* <{NAME}>: {name}\n\n"
+            )
+    out = read_literate_ds(root)
+    return out.select_columns(LINK_COLS)
+
+
 def q_nt_roundtrip(sf_dir):
     """NTriples codec at scale: render NT lines from rows inside one
     map_batches, parse them back with the NT parser in the next."""
@@ -852,6 +880,7 @@ def build_queries():
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
         "csv_template_links": q_csv_template_links,
+        "literate_corpus": q_literate_corpus,
         "nt_roundtrip": q_nt_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
@@ -955,6 +984,14 @@ def build_oracles():
         "nt_roundtrip": (
             "SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR) AS origin, "
             f"'{NAME}' AS rel, s_name AS target FROM supplier"
+        ),
+        "literate_corpus": (
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR) AS origin, "
+            f"'{TYPE}' AS rel, 'urn:versa:Nation' AS target, TRUE AS target_is_iri, "
+            "'{}' AS attrs FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), "
+            f"'{NAME}', n_name, FALSE, '{{}}' FROM nation"
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id, text FROM ("
