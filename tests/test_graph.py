@@ -1,0 +1,73 @@
+"""Graph analytics: degrees vs pandas, PageRank vs a dense numpy
+reference implementing the exact same iteration scheme."""
+
+import numpy as np
+import pandas as pd
+
+from versa_ray.ops.graph import out_degrees, pagerank
+
+
+def _graph_links():
+    # small directed graph with a dangling node (d) and a literal link
+    edges = [
+        ("urn:g:a", "urn:g:b"), ("urn:g:a", "urn:g:c"),
+        ("urn:g:b", "urn:g:c"), ("urn:g:c", "urn:g:a"),
+        ("urn:g:e", "urn:g:d"),  # d is dangling
+        ("urn:g:c", "urn:g:d"),
+    ]
+    links = [(s, "urn:g:rel", t) for s, t in edges]
+    links.append(("urn:g:a", "urn:g:name", "literal label"))  # non-IRI
+    return links, edges
+
+
+def _links_ds(links):
+    import pyarrow as pa
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "origin": [o for o, r, t in links],
+            "rel": [r for o, r, t in links],
+            "target": [t for o, r, t in links],
+            "target_is_iri": [not t.startswith("literal") for o, r, t in links],
+            "attrs": ["{}"] * len(links),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+def _dense_pagerank(edges, damping=0.85, n_iters=20):
+    nodes = sorted({s for s, t in edges} | {t for s, t in edges})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, t in edges:
+        out_deg[ix[s]] += 1
+    r = np.full(n, 1.0 / n)
+    # the distributed loop performs n_iters-1 updates after the seed
+    for _ in range(n_iters - 1):
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[ix[t]] += r[ix[s]] / out_deg[ix[s]]
+        dangling = r[out_deg == 0].sum()
+        r = (1.0 - damping) / n + damping * (inflow + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def test_out_degrees(ray_session):
+    links, edges = _graph_links()
+    ds = _links_ds(links)
+    got = {r["origin"]: r["out_degree"] for r in out_degrees(ds).take_all()}
+    want = pd.Series([o for o, _, _ in links]).value_counts().to_dict()
+    assert got == want
+
+
+def test_pagerank_matches_dense(ray_session):
+    links, edges = _graph_links()
+    ds = _links_ds(links)
+    got = {r["node"]: r["rank"] for r in pagerank(ds, n_iters=15).take_all()}
+    want = _dense_pagerank(edges, n_iters=15)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, (n, got[n], want[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -297,6 +297,38 @@ def q_links_duplicate_statements(sf_dir):
     return linkset.duplicate_statements(ls, f"{URN}customer:1", f"{URN}customer:copy-1")
 
 
+def q_links_out_degrees(sf_dir):
+    """Per-origin out-degree over the linkset (ops/graph.out_degrees:
+    per-batch partial counts + coarse-bucket merge)."""
+    from .ops.graph import out_degrees
+
+    return out_degrees(tpch_linkset(sf_dir))
+
+
+def q_kg_pagerank(sf_dir):
+    """PageRank over the linkset's IRI-target entity graph (iterative,
+    one fused bucket shuffle per round — not SQL-expressible).
+    Self-gated: ranks must sum to 1 and the most-referenced entities
+    (nations/regions) must outrank leaf customers."""
+    from .ops.graph import pagerank
+
+    out = pagerank(tpch_linkset(sf_dir), n_iters=10).to_pandas()
+    total = float(out["rank"].sum())
+    if abs(total - 1.0) > 1e-6:
+        raise AssertionError(f"pagerank mass {total} != 1")
+    ranks = dict(zip(out["node"], out["rank"]))
+    some_nation = max(
+        (v for k, v in ranks.items() if ":nation:" in k), default=0.0
+    )
+    some_customer = max(
+        (v for k, v in ranks.items() if ":customer:" in k), default=1.0
+    )
+    if some_nation <= some_customer:
+        raise AssertionError("nations must outrank leaf customers")
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node", ignore_index=True)
+
+
 def q_miniquery_conj(sf_dir):
     from .query import evaluate
 
@@ -877,6 +909,8 @@ def build_queries():
         "links_zoom": q_links_zoom,
         "links_replace_values": q_links_replace_values,
         "links_duplicate_statements": q_links_duplicate_statements,
+        "links_out_degrees": q_links_out_degrees,
+        "kg_pagerank": q_kg_pagerank,
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
         "csv_template_links": q_csv_template_links,
@@ -962,6 +996,9 @@ def build_oracles():
             f"{L} SELECT * FROM links UNION ALL "
             "SELECT 'urn:versa:customer:copy-1' AS origin, rel, target, "
             "target_is_iri, attrs FROM links WHERE origin = 'urn:versa:customer:1'"
+        ),
+        "links_out_degrees": (
+            f"{L} SELECT origin, count(*) AS out_degree FROM links GROUP BY origin"
         ),
         "miniquery_conj": (
             "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
