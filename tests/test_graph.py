@@ -71,3 +71,35 @@ def test_pagerank_matches_dense(ray_session):
     for n in want:
         assert abs(got[n] - want[n]) < 1e-12, (n, got[n], want[n])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_transitive_closure_ds(ray_session):
+    """Dataset-scale closure matches the driver-frontier form on a
+    chain + cycle + branch graph; seeds appear only when a cycle
+    returns to them."""
+    from versa_ray.model import linkset
+
+    links = [
+        ("urn:c:a", "urn:c:next", "urn:c:b"),
+        ("urn:c:b", "urn:c:next", "urn:c:c"),
+        ("urn:c:c", "urn:c:next", "urn:c:d"),
+        ("urn:c:x", "urn:c:next", "urn:c:y"),   # disconnected
+        ("urn:c:p", "urn:c:next", "urn:c:q"),   # cycle p->q->p
+        ("urn:c:q", "urn:c:next", "urn:c:p"),
+        ("urn:c:a", "urn:c:other", "urn:c:z"),  # different rel
+    ]
+    ds = linkset.from_links(links)
+
+    got = {r["node"] for r in
+           linkset.transitive_closure_ds(ds, {"urn:c:a"}, "urn:c:next").take_all()}
+    want = linkset.transitive_closure(ds, "urn:c:a", "urn:c:next")
+    assert got == want == {"urn:c:b", "urn:c:c", "urn:c:d"}
+
+    got_cycle = {r["node"] for r in
+                 linkset.transitive_closure_ds(ds, {"urn:c:p"}, "urn:c:next").take_all()}
+    assert got_cycle == {"urn:c:p", "urn:c:q"}  # cycle returns to seed
+
+    # multi-seed form
+    got_multi = {r["node"] for r in linkset.transitive_closure_ds(
+        ds, {"urn:c:a", "urn:c:x"}, "urn:c:next").take_all()}
+    assert got_multi == {"urn:c:b", "urn:c:c", "urn:c:d", "urn:c:y"}

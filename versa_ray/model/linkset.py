@@ -803,6 +803,131 @@ def zoom_in(ds, focus, depth=1, max_rels=0):
     return rd.from_items(parts), True
 
 
+def transitive_closure_ds(ds, seeds, rel, max_iters=50, num_buckets=None):
+    """Fully distributed transitive closure over one rel: the frontier
+    lives in the Dataset, never on the driver (the driver-side
+    ``transitive_closure`` caps its frontier and raises; this form is
+    the large-frontier path). One fused coarse-bucket shuffle per hop
+    over a tagged working set: kind 0 = visited marker (flag 1 once
+    the node was REACHED via an edge — the reference semantics return
+    reached targets, so a seed only appears in the output if a cycle
+    returns to it), kind 1 = edge keyed by src, kind 2 = traversal
+    token. Returns a Dataset with one ``node`` column of reached
+    nodes. Convergence = a per-round scalar of new activations."""
+    import ray
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_buckets = 16
+    import ray.data as rd
+
+    edge_ds = match(ds, rel=rel)
+
+    def _init(tbl: pa.Table) -> pa.Table:
+        src = tbl["origin"].to_pylist()
+        dst = tbl["target"].to_pylist()
+        n = len(src)
+        return pa.table(
+            {
+                "key": pa.array(src, type=pa.string()),
+                "kind": pa.array([1] * n, type=pa.int8()),
+                "other": pa.array(dst, type=pa.string()),
+                "flag": pa.array([0] * n, type=pa.int8()),
+                "c": pa.array([0] * n, type=pa.int8()),
+            }
+        )
+
+    seed_list = sorted({str(s) for s in seeds})
+    seed_tbl = pa.table(
+        {
+            "key": pa.array(seed_list, type=pa.string()),
+            "kind": pa.array([2] * len(seed_list), type=pa.int8()),
+            "other": pa.array([None] * len(seed_list), type=pa.string()),
+            "flag": pa.array([0] * len(seed_list), type=pa.int8()),
+            "c": pa.array([0] * len(seed_list), type=pa.int8()),
+        }
+    )
+    work = edge_ds.map_batches(_init, batch_format="pyarrow").union(
+        rd.from_arrow(seed_tbl)
+    )
+
+    def _bucketize(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["key"], index=False) % num_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _hop(bucket: pd.DataFrame) -> pd.DataFrame:
+        visited = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        toks = bucket[bucket["kind"] == 2]
+        vis_flag = dict(zip(visited["key"], visited["flag"]))
+        newly_active = []
+        for key, flag in zip(toks["key"], toks["flag"]):
+            prev = vis_flag.get(key)
+            if prev is None:
+                vis_flag[key] = int(flag)
+                newly_active.append(key)
+            elif flag and not prev:
+                vis_flag[key] = 1  # reached upgrade; no re-expansion
+        out = [
+            pd.DataFrame(
+                {"key": list(vis_flag), "kind": np.int8(0), "other": None,
+                 "flag": np.array(list(vis_flag.values()), dtype=np.int8),
+                 "c": np.zeros(len(vis_flag), dtype=np.int8)}
+            ),
+            edg[["key", "kind", "other", "flag", "c"]],
+        ]
+        if newly_active:
+            active = set(newly_active)
+            hits = edg[edg["key"].isin(active)]
+            n_h = len(hits)
+            out.append(
+                pd.DataFrame(
+                    {"key": hits["other"].to_numpy(), "kind": np.int8(2),
+                     "other": None, "flag": np.ones(n_h, dtype=np.int8),
+                     "c": np.zeros(n_h, dtype=np.int8)}
+                )
+            )
+            # activation counter rows (scalar convergence signal)
+            out.append(
+                pd.DataFrame(
+                    {"key": ["__new__"], "kind": np.int8(4), "other": None,
+                     "flag": np.int8(0),
+                     "c": np.array([min(len(newly_active), 127)], dtype=np.int8)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    for _ in range(max_iters):
+        work = (
+            work.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_hop, batch_format="pandas")
+            .materialize()
+        )
+        new_count = work.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(df.loc[df["kind"] == 4, "c"].sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("n")
+        work = work.map_batches(
+            lambda df: df[df["kind"] != 4], batch_format="pandas"
+        )
+        if not new_count:
+            break
+
+    def _reached(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[(df["kind"] == 0) & (df["flag"] == 1)]
+        return pd.DataFrame({"node": hit["key"].to_numpy()})
+
+    return work.map_batches(_reached, batch_format="pandas")
+
+
 def transitive_closure(ds, orig, rel, max_frontier=100_000):
     """Fixpoint frontier iteration over one rel (broadcast semi-join
     per hop). The frontier lives driver-side: when it outgrows
