@@ -47,7 +47,8 @@ def _empty_pairs(extra_col=None, extra_dtype="float64"):
     return pd.DataFrame(cols)
 
 
-def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
+def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None,
+                         min_group_size=1):
     """groupby(keys) + per-group function, shuffled on a COARSE hash
     bucket of the keys instead of the keys themselves.
 
@@ -56,6 +57,11 @@ def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
     dominates wall time. Hashing the keys into `num_buckets` balanced
     buckets keeps the shuffle group count tiny and pays the per-group
     Python inside the bucket task (a local pandas groupby loop).
+
+    ``min_group_size``: groups smaller than this are dropped with one
+    VECTORIZED size filter before the per-group loop — pair-generating
+    callers (LSH buckets are overwhelmingly singletons) skip the
+    Python loop for the long tail entirely.
 
     fn: group DataFrame -> DataFrame (may be empty).
     """
@@ -72,8 +78,12 @@ def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None):
         return _pa.Table.from_pandas(df, preserve_index=False)
 
     def _apply(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        work_df = bucket_df
+        if min_group_size > 1 and len(work_df):
+            sizes = work_df.groupby(keys, sort=False)[keys[0]].transform("size")
+            work_df = work_df[sizes >= min_group_size]
         outs = []
-        for _, group in bucket_df.groupby(keys, sort=False):
+        for _, group in work_df.groupby(keys, sort=False):
             res = fn(group.drop(columns=["_cbucket"]))
             if res is not None and len(res):
                 outs.append(res)
@@ -368,7 +378,9 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
     # surviving pairs are deduped the same way. Consumers that tolerate
     # duplicate edges (cluster assembly: min-label propagation is
     # idempotent) pass dedup=False and save a shuffle.
-    pairs = bucketed_group_apply(sigs, ["band", "band_hash"], _bucket_pairs)
+    pairs = bucketed_group_apply(
+        sigs, ["band", "band_hash"], _bucket_pairs, min_group_size=2
+    )
     return dedup_rows(pairs, ["id_a", "id_b"]) if dedup else pairs
 
 
@@ -875,7 +887,9 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
         return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[keep]})
 
     exploded = sigs.map_batches(_explode, batch_format="pandas")
-    pairs = bucketed_group_apply(exploded, ["chunk", "chunk_val"], _pairs)
+    pairs = bucketed_group_apply(
+        exploded, ["chunk", "chunk_val"], _pairs, min_group_size=2
+    )
     return dedup_rows(pairs, ["id_a", "id_b"])
 
 
@@ -972,5 +986,7 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs[keep]})
 
     bucketed = ds.map_batches(_bucket, batch_format="pandas")
-    pairs = bucketed_group_apply(bucketed, ["table", "bucket"], _pairs)
+    pairs = bucketed_group_apply(
+        bucketed, ["table", "bucket"], _pairs, min_group_size=2
+    )
     return dedup_rows(pairs, ["id_a", "id_b"])
