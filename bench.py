@@ -149,7 +149,10 @@ def _scaling_block(lo: int = 8, hi: int = 32) -> dict:
     import subprocess
 
     sf = _sf_factor(SF_DIR)
-    scale_pages = 2 * _pages_for(sf)
+    base_pages = _pages_for(sf)
+    # double only small workloads; large ones already amortize the
+    # per-run fixed cost (and must stay inside the run budget)
+    scale_pages = 2 * base_pages if base_pages < 400_000 else base_pages
 
     def run(ncpu: int) -> dict:
         env = dict(
