@@ -114,3 +114,42 @@ def test_quad_key_codec_lossless(origin, rel, target, is_iri, attrs):
     assert out["target"][0].as_py() == target
     assert out["target_is_iri"][0].as_py() == is_iri
     assert out["attrs"][0].as_py() == attrs
+
+
+def test_literate_roundtrip_property():
+    """Property: random link-sets survive canonical-write -> parse
+    round-trips (IRIs/literals from a constrained but adversarial
+    alphabet: spaces, colons, unicode, digits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.serial import literate
+
+    iri = st.from_regex(r"urn:x:[A-Za-z0-9_.-]{1,12}", fullmatch=True)
+    literal = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_characters="\n\r\"",
+            exclude_categories=("Cs", "Cc"),
+        ),
+        min_size=0, max_size=24,
+    ).filter(lambda s: s.strip() == s)
+    link = st.tuples(iri, iri, st.one_of(iri.map(lambda s: ("iri", s)),
+                                         literal.map(lambda s: ("lit", s))))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(link, min_size=1, max_size=12))
+    def check(links):
+        m = MicroModel()
+        for o, r, (kind, t) in links:
+            from versa_ray.core import I
+
+            m.add(o, r, I(t) if kind == "iri" else t)
+        text = literate.write_string(m, canonical=True)
+        m2 = literate.parse(text)
+        got = {(o, r, str(t)) for o, r, t, a in m2.match()}
+        want = {(o, r, str(t)) for o, r, t, a in m.match()}
+        assert got == want, (sorted(want - got), sorted(got - want), text)
+
+    check()
