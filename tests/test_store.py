@@ -286,3 +286,23 @@ def test_write_csv_ds(ray_session, tmp_path):
     assert len(rows) == 40
     assert rows["urn:t:7"][1] == "urn:t:Thing"
     assert set(rows["urn:t:7"][2].split("|")) == {"name 7", "alt name"}
+
+
+def test_read_ntriples_ds(ray_session, tmp_path):
+    """Distributed NT ingestion matches the driver-side parser,
+    including rel filters."""
+    from versa_ray.model.linkset import write_ntriples_ds
+    from versa_ray.serial.ntriples import read_ntriples_ds
+
+    links = [l for l in _sample_links() if l[1] != TYPE_]
+    out = str(tmp_path / "nt")
+    write_ntriples_ds(linkset.from_links(links), out)
+
+    back = read_ntriples_ds(out)
+    got = {(r["origin"], r["rel"], r["target"]) for r in back.take_all()}
+    assert got == set(links)
+
+    only_name = read_ntriples_ds(out, only_rel={NAME})
+    assert only_name.count() == 40
+    no_name = read_ntriples_ds(out, exclude_rel={NAME})
+    assert no_name.count() == len(links) - 40

@@ -92,6 +92,30 @@ def write(models, out=None, base=None):
             print(_strconv(s), _strconv(p), _strconv(o), ".", file=out)
 
 
+def read_ntriples_ds(paths, only_rel=None, exclude_rel=None):
+    """Distributed NTriples ingestion: files split into line batches,
+    each parsed vectorized-per-line inside map_batches with the same
+    only_rel/exclude_rel predicate filters as the driver-side parser;
+    emits canonical link rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..core.canon import LINK_SCHEMA, link_to_row
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        cols = {name: [] for name in LINK_SCHEMA.names}
+        text = "\n".join(batch["text"].to_pylist())
+        for o, r, t, a in parse_links(
+            text, only_rel=only_rel, exclude_rel=exclude_rel
+        ):
+            row = link_to_row(o, r, t, a)
+            for k, v in row.items():
+                cols[k].append(v)
+        return pa.Table.from_pydict(cols, schema=LINK_SCHEMA)
+
+    return rd.read_text(paths).map_batches(_parse, batch_format="pyarrow")
+
+
 def write_string(models) -> str:
     import io
 
