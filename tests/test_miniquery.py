@@ -58,3 +58,32 @@ def test_dataset_backed_evaluation(ray_session):
         "a": {"http://uche.ogbuji.net/ndewo/"},
         "b": {"http://uche.ogbuji.net/"},
     }
+
+
+def test_miniquery_dataset_or_and_parens(ray_session):
+    """or / parenthesized conjunction over a Dataset linkset binds the
+    same sets as the MicroModel path."""
+    from versa_ray.model import linkset
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.query import evaluate
+
+    links = [
+        ("urn:q:1", "urn:q:type", "urn:q:A"),
+        ("urn:q:2", "urn:q:type", "urn:q:B"),
+        ("urn:q:3", "urn:q:type", "urn:q:A"),
+        ("urn:q:1", "urn:q:tag", "hot"),
+        ("urn:q:2", "urn:q:tag", "hot"),
+    ]
+    q = "(?($x, T, 'urn:q:A') or ?($x, T, 'urn:q:B')) and ?($x, G, 'hot')"
+    consts = {"T": "urn:q:type", "G": "urn:q:tag"}
+
+    m = MicroModel()
+    for o, r, t in links:
+        m.add(o, r, t)
+    want = evaluate(q, m, consts)
+
+    ds = linkset.from_links(links)
+    got = evaluate(q, ds, consts)
+    assert {k: set(v) for k, v in got.items()} == \
+        {k: set(v) for k, v in want.items()}
+    assert got["x"] == {"urn:q:1", "urn:q:2"}

@@ -306,3 +306,15 @@ def test_read_ntriples_ds(ray_session, tmp_path):
     assert only_name.count() == 40
     no_name = read_ntriples_ds(out, exclude_rel={NAME})
     assert no_name.count() == len(links) - 40
+
+
+def test_store_rel_set_pruning(ray_session, tmp_path):
+    """A rel SET prunes to the union of the rels' hash buckets."""
+    path = str(tmp_path / "store")
+    ds = linkset.from_links(_sample_links())
+    write_linkset(ds, path, num_rel_buckets=8, num_partitions=4)
+    both = read_linkset(path, rel={NAME, TYPE_}).to_pandas()
+    assert set(both["rel"]) == {NAME, TYPE_}
+    assert len(both) == 80
+    frags = pruned_fragments(path, rel={NAME, TYPE_})
+    assert 0 < len(frags) < len(pruned_fragments(path))
