@@ -40,16 +40,16 @@ def _pages_for(sf: float) -> int:
 
 
 def run_headline(n_pages: int):
-    """Flagship: synthetic pages -> extract+transform -> score -> dedup."""
+    """Flagship: synthetic pages -> fused extract+transform+score ->
+    global dedup."""
     from versa_ray.model.linkset import distinct_links
-    from versa_ray.web.kgpipeline import extract_links, score_entities
+    from versa_ray.web.kgpipeline import extract_and_score_links
     from versa_ray.web.synth import author_name, pages_dataset
 
     pages = pages_dataset(n_pages)
-    links = extract_links(pages, check_text=True)
     alias = {author_name(42, a): f"https://authority.example.org/person/{a}"
              for a in range(16)}
-    links = score_entities(links, alias)
+    links = extract_and_score_links(pages, alias, check_text=True)
     final = distinct_links(links)
     n_triples = final.count()
     return n_triples

@@ -242,3 +242,31 @@ def test_actor_pool_paths_match_task_paths(ray_session):
 
     lhs, rhs = run(False), run(True)
     pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_fused_extract_score_equals_separate(ray_session):
+    import ray.data as rd
+
+    from versa_ray.model.linkset import distinct_links
+    from versa_ray.web.kgpipeline import (
+        extract_and_score_links,
+        extract_links,
+        score_entities,
+    )
+    from versa_ray.web.synth import author_name, page_batch
+
+    pages = rd.from_arrow(page_batch(42, 0, 80, 80))
+    alias = {author_name(42, 0): "https://authority.example.org/person/0"}
+    sep = distinct_links(
+        score_entities(extract_links(pages, check_text=True), alias)
+    ).to_pandas()
+    fused = distinct_links(
+        extract_and_score_links(pages, alias, check_text=True)
+    ).to_pandas()
+    key = ["origin", "rel", "target", "attrs", "src_url"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        sep[key].sort_values(key, ignore_index=True),
+        fused[key].sort_values(key, ignore_index=True),
+    )

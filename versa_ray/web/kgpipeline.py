@@ -303,6 +303,46 @@ def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=Non
     return links_ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
 
 
+def extract_and_score_links(pages_ds, alias_table, check_text=False,
+                            batch_size=None, rules=None):
+    """Fused extract+score: one map stage runs the page extractor and
+    the entity scorer back to back on each batch, so the full link
+    stream never takes an extra object-store round trip between the
+    two stages (~200 B/link — 1.7 GB at 1M pages). Semantically
+    identical to extract_links -> score_entities (equality-tested);
+    use the separate stages when you want the checkpoint boundary
+    between them (build_kg does)."""
+    import ray
+
+    if not alias_table:
+        return extract_links(pages_ds, check_text=check_text,
+                             batch_size=batch_size, rules=rules)
+    ref = ray.put(alias_table)
+    cols = {"url", "html"} | ({"text"} if check_text else set())
+    have = set(pages_ds.schema().names)
+    if cols <= have and have - cols:
+        pages_ds = pages_ds.select_columns(sorted(cols))
+    cache_key = (
+        getattr(rules, "__qualname__", None) or repr(rules) if rules else "default",
+        bool(check_text), ref.hex(),
+    )
+
+    def _fused(batch: pa.Table) -> pa.Table:
+        pair = _EXTRACTOR_CACHE.get(cache_key)
+        if pair is None:
+            pair = (
+                PageKGExtractor(rules=rules, check_text=check_text),
+                EntityScorer(alias_ref=ref),
+            )
+            _EXTRACTOR_CACHE[cache_key] = pair
+        ex, scorer = pair
+        return scorer(ex(batch))
+
+    return pages_ds.map_batches(
+        _fused, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 # ---------------------------------------------------------------------------
 # Checkpointed end-to-end run
 
