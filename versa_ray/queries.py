@@ -865,18 +865,27 @@ def q_orders_by_segment(sf_dir):
 
 
 def q_kg_linkset(sf_dir):
-    """Flagship KG pipeline over the synthetic page corpus (size scaled
-    loosely to the sf tier); rows-only check (HTML->triples is not
-    SQL-expressible)."""
-    import ray.data as rd
-
-    from .web.kgpipeline import PageKGExtractor, extract_links
+    """Flagship KG pipeline over the synthetic page corpus; rows-only
+    check (HTML->triples is not SQL-expressible) but SELF-GATED: the
+    200-page seed-42 corpus deterministically yields exactly 1,717
+    distinct triples (independently ground-truthed at P/R=1.0 in
+    tests/test_precision_recall.py), and the query raises on any
+    drift — extraction/transform/dedup regressions fail loudly
+    instead of shifting a row count nobody checks."""
+    from .web.kgpipeline import extract_links
     from .web.synth import pages_dataset
 
     n = 200
     pages = pages_dataset(n)
     links = extract_links(pages, check_text=True, concurrency=2)
-    return linkset.distinct_links(links)
+    out = linkset.distinct_links(links).materialize()
+    n_triples = out.count()
+    if n_triples != 1717:
+        raise AssertionError(
+            f"flagship KG drift: {n_triples} triples != expected 1717 "
+            "for the 200-page seed-42 corpus"
+        )
+    return out
 
 
 def q_multimodal_features(sf_dir):
