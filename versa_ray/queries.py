@@ -889,12 +889,24 @@ def q_kg_linkset(sf_dir):
 
 
 def q_multimodal_features(sf_dir):
+    """Multimodal decode/feature plumbing (codec deterministically
+    faked — no PIL/opencv in the environment); rows-only but
+    SELF-GATED: every feature vector must be 64-dim and L1-normalized,
+    so a broken decode/actor signature fails instead of passing as an
+    arbitrary row count."""
     import ray.data as rd
 
     from .ops.multimodal import decode_features, synth_media_batch
 
     media = rd.from_arrow(synth_media_batch(0, 64))
-    return decode_features(media)
+    out = decode_features(media).materialize()
+    feats = out.take_all()
+    if len(feats) != 64 or any(
+        len(f["feature"]) != 64 or abs(sum(f["feature"]) - 1.0) > 1e-5
+        for f in feats
+    ):
+        raise AssertionError("multimodal feature plumbing drift")
+    return out
 
 
 # ---------------------------------------------------------------------------
