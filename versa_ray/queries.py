@@ -508,11 +508,18 @@ def q_doc_near_dup_pairs(sf_dir):
 
 
 def q_doc_simhash(sf_dir):
-    return dd.simhash_ds(_docs(sf_dir)).map_batches(
+    """Rows-only, lightly gated: a broken signature path typically
+    collapses to zeros or constants — require nonzero signatures for
+    nonempty docs and near-full distinctness."""
+    out = dd.simhash_ds(_docs(sf_dir)).map_batches(
         lambda df: df.assign(simhash=df.simhash.astype("uint64").astype("int64")
                              if df.simhash.dtype != "int64" else df.simhash),
         batch_format="pandas",
-    )
+    ).materialize()
+    sig = out.to_pandas()["simhash"]
+    if (sig == 0).any() or sig.nunique() < 0.9 * len(sig):
+        raise AssertionError("simhash signature collapse")
+    return out
 
 
 def q_doc_simhash_pairs(sf_dir):
@@ -538,9 +545,18 @@ def q_doc_simhash_pairs(sf_dir):
 
 
 def q_doc_langid(sf_dir):
-    return textstats.langid_ds(_docs(sf_dir), concurrency=2).map_batches(
+    """Rows-only, lightly gated: predictions must come from the known
+    profile set (the synthetic corpus' lang labels are random, so
+    accuracy against them is meaningless — see COVERAGE; the
+    classifier's own pytest uses real multilingual text)."""
+    out = textstats.langid_ds(_docs(sf_dir), concurrency=2).map_batches(
         lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas"
-    )
+    ).materialize()
+    preds = set(out.to_pandas()["lang_pred"])
+    allowed = set(textstats.LangID.PROFILES) | {"und"}
+    if not preds or not preds <= allowed:
+        raise AssertionError(f"langid emitted unknown labels: {preds - allowed}")
+    return out
 
 
 def q_doc_quality(sf_dir):
