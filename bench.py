@@ -69,7 +69,9 @@ def run_query_suite(sf_dir: str) -> dict:
         "doc_near_dup_pairs",
         "doc_token_stats",
         "knn_cosine",
+        "embedding_near_dups",
         "events_tumbling",
+        "events_sliding",
     ]
     qmap = Q.build_queries()
     out = {}
