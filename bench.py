@@ -163,7 +163,8 @@ def _scaling_block(lo: int = 8, hi: int = 32) -> dict:
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_HEADLINE_ONLY="1",
             GRAFT_BENCH_PAGES=str(scale_pages),
-            GRAFT_BENCH_REPS="1",
+            # min-of-2 on each leg unless the workload is already large
+            GRAFT_BENCH_REPS="1" if scale_pages >= 400_000 else "2",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
