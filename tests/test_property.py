@@ -130,7 +130,7 @@ def test_literate_roundtrip_property():
     literal = st.text(
         alphabet=st.characters(
             codec="utf-8",
-            exclude_characters="\n\r\"",
+            exclude_characters="\n\r",
             exclude_categories=("Cs", "Cc"),
         ),
         min_size=0, max_size=24,
@@ -148,6 +148,42 @@ def test_literate_roundtrip_property():
             m.add(o, r, I(t) if kind == "iri" else t)
         text = literate.write_string(m, canonical=True)
         m2 = literate.parse(text)
+        got = {(o, r, str(t)) for o, r, t, a in m2.match()}
+        want = {(o, r, str(t)) for o, r, t, a in m.match()}
+        assert got == want, (sorted(want - got), sorted(got - want), text)
+
+    check()
+
+
+def test_ntriples_roundtrip_property():
+    """Property: literals with quotes/backslashes/tabs survive NT
+    write -> parse (our codec escapes ECHARs; the reference writer
+    does not — documented divergence, serial/ntriples.py)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from versa_ray.core import I
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.serial import ntriples
+
+    iri = st.from_regex(r"urn:x:[A-Za-z0-9_.-]{1,12}", fullmatch=True)
+    literal = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        min_size=0, max_size=24,
+    )
+    link = st.tuples(iri, iri, st.one_of(iri.map(lambda s: ("iri", s)),
+                                         literal.map(lambda s: ("lit", s))))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(link, min_size=1, max_size=12))
+    def check(links):
+        m = MicroModel()
+        for o, r, (kind, t) in links:
+            m.add(I(o), I(r), I(t) if kind == "iri" else t)
+        text = ntriples.write_string(m)
+        m2 = ntriples.parse(text)
         got = {(o, r, str(t)) for o, r, t, a in m2.match()}
         want = {(o, r, str(t)) for o, r, t, a in m.match()}
         assert got == want, (sorted(want - got), sorted(got - want), text)

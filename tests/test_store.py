@@ -318,3 +318,48 @@ def test_store_rel_set_pruning(ray_session, tmp_path):
     assert len(both) == 80
     frags = pruned_fragments(path, rel={NAME, TYPE_})
     assert 0 < len(frags) < len(pruned_fragments(path))
+
+
+def test_sink_custom_filesystem(ray_session, tmp_path):
+    """Text sinks route shard writes through a pyarrow FileSystem, so a
+    non-local-path target (here a SubTreeFileSystem rooted elsewhere)
+    receives every shard — the multi-node contract."""
+    import glob
+
+    import pyarrow.fs as pafs
+
+    from versa_ray.model.linkset import write_ntriples_ds, write_literate_ds
+    from versa_ray.serial.ntriples import parse_links
+
+    links = [l for l in _sample_links() if l[1] != TYPE_]
+    ds = linkset.from_links(links)
+    subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    files = write_ntriples_ds(ds, "nt_sub", filesystem=subfs)
+    assert files and not any(f.startswith("/") for f in files)
+    got = set()
+    for f in glob.glob(str(tmp_path / "nt_sub" / "*.nt")):
+        for o, r, t, a in parse_links(open(f).read()):
+            got.add((str(o), str(r), str(t)))
+    assert got == {(o, r, t) for (o, r, t) in links}
+
+    write_literate_ds(linkset.from_links(_sample_links()), "vlit_sub", filesystem=subfs)
+    assert glob.glob(str(tmp_path / "vlit_sub" / "*.vlit"))
+
+
+def test_literate_ds_escaping(ray_session, tmp_path):
+    """Distributed literate sink escapes backslash/quote the same way
+    the driver-side writer does, so pathological targets round-trip."""
+    from versa_ray.model.linkset import write_literate_ds
+    from versa_ray.serial.literate import parse
+
+    links = [
+        ("urn:t:1", NAME, 'tricky \\ back "quoted"'),
+        ("urn:t:1", TYPE_, "urn:t:Thing"),
+        ("urn:t:2", NAME, "ends with backslash\\"),
+    ]
+    out = str(tmp_path / "vlit")
+    files = write_literate_ds(linkset.from_links(links), out)
+    text = "".join(open(f).read() for f in files)
+    got = {(str(o), str(r), str(t)) for (o, r, t, a) in parse(text).match()}
+    assert got == {(o, r, t) for (o, r, t) in links}

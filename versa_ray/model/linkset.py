@@ -579,7 +579,36 @@ def origin_adjacency(ds, num_buckets=64):
     return bucketed_group_apply(ds, ["origin"], _adj, num_buckets=num_buckets)
 
 
-def write_literate_ds(ds, path: str):
+def _resolve_sink(path, filesystem=None):
+    """Resolve (filesystem, root) for a text sink. Accepts a plain
+    path, a ``file://`` / ``s3://``-style URI, or an explicit pyarrow
+    FileSystem (e.g. a SubTreeFileSystem in tests). Shards are opened
+    through the filesystem abstraction inside map_batches, so on a
+    multi-node cluster every worker writes to the ONE target
+    filesystem instead of scattering worker-local files."""
+    import pyarrow.fs as pafs
+
+    if filesystem is None:
+        filesystem, path = pafs.FileSystem.from_uri(path)
+    filesystem.create_dir(path, recursive=True)
+    return filesystem, path
+
+
+def _write_shard(filesystem, root: str, ext: str, text: str) -> str:
+    """Write one uniquely-named shard through the resolved filesystem
+    and return its path. The shard token is a uuid — batch-content
+    derived names can collide (an origin spanning consecutive full
+    batches yields identical first-origin+len keys)."""
+    import posixpath
+    import uuid
+
+    fpath = posixpath.join(root, f"part-{uuid.uuid4().hex[:16]}{ext}")
+    with filesystem.open_output_stream(fpath) as fp:
+        fp.write(text.encode("utf-8"))
+    return fpath
+
+
+def write_literate_ds(ds, path: str, filesystem=None):
     """Canonical Versa Literate rendering at scale: global sort by
     origin (the canonical writer's ordering, serial/literate.py:101-117)
     -> vectorized per-block rendering -> sharded text files. Each
@@ -587,13 +616,10 @@ def write_literate_ds(ds, path: str):
     import json
 
     from ..core import VTYPE_REL
+    from ..serial.literate import escape_text
 
     adj = origin_adjacency(ds).sort("origin")
-
-    import hashlib
-    import os
-
-    os.makedirs(path, exist_ok=True)
+    fs_, root = _resolve_sink(path, filesystem)
 
     def _render(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -608,35 +634,32 @@ def write_literate_ds(ds, path: str):
             for r, t, is_iri, attrs_json in rels:
                 if first_type and r == str(VTYPE_REL) and t == first_type:
                     continue
-                val = f"<{t}>" if is_iri else f'"{t if t is not None else ""}"'
+                val = (
+                    f"<{t}>"
+                    if is_iri
+                    else f'"{escape_text(t if t is not None else "")}"'
+                )
                 lines.append(f"* <{r}>: {val}\n")
                 for k, v in sorted(json.loads(attrs_json).items()):
-                    lines.append(f"    * {k}: \"{v}\"\n")
+                    lines.append(f"    * {k}: \"{escape_text(v)}\"\n")
             lines.append("\n")
             out.append("".join(lines))
         if not out:
             return pd.DataFrame({"file": []})
-        shard = hashlib.md5(str(df["origin"].iloc[0]).encode()).hexdigest()[:16]
-        fpath = os.path.join(path, f"part-{shard}.vlit")
-        with open(fpath, "w") as fp:
-            fp.write("".join(out))
-        return pd.DataFrame({"file": [fpath]})
+        return pd.DataFrame({"file": [_write_shard(fs_, root, ".vlit", "".join(out))]})
 
     files = adj.map_batches(_render, batch_format="pandas").take_all()
     return [r["file"] for r in files]
 
 
-def write_ntriples_ds(ds, path: str):
+def write_ntriples_ds(ds, path: str, filesystem=None):
     """Distributed NTriples sink: one rendered shard per block (the
     at-scale form of serial/ntriples.write; same VTYPE->rdf:type and
     resource mapping). Returns the shard file list."""
-    import hashlib
-    import os
-
     from ..serial.ntriples import RESOURCE_MAPPING, _strconv
     from ..core import RDF_TYPE_REL
 
-    os.makedirs(path, exist_ok=True)
+    fs_, root = _resolve_sink(path, filesystem)
     vtype = str(VTYPE_REL)
     rdf_type = str(RDF_TYPE_REL)
 
@@ -653,19 +676,15 @@ def write_ntriples_ds(ds, path: str):
                 r = rdf_type
             tgt = _strconv(I(t_out)) if is_iri else _strconv(t_out)
             lines.append(f"{_strconv(I(o))} {_strconv(I(r))} {tgt} .")
-        shard = hashlib.md5(
-            (str(df["origin"].iloc[0]) + str(len(df))).encode()
-        ).hexdigest()[:16]
-        fpath = os.path.join(path, f"part-{shard}.nt")
-        with open(fpath, "w") as fp:
-            fp.write("\n".join(lines) + "\n")
-        return pd.DataFrame({"file": [fpath]})
+        return pd.DataFrame(
+            {"file": [_write_shard(fs_, root, ".nt", "\n".join(lines) + "\n")]}
+        )
 
     files = ds.map_batches(_render, batch_format="pandas").take_all()
     return [r["file"] for r in files]
 
 
-def write_jsonld_ds(ds, path: str, context=None):
+def write_jsonld_ds(ds, path: str, context=None, filesystem=None):
     """Distributed FLAT JSON-LD sink: one node object per origin
     (origin_adjacency shuffle), IRI targets as {"@id": ...}
     references. Deliberately flat — the reference binder's
@@ -674,11 +693,9 @@ def write_jsonld_ds(ds, path: str, context=None):
     corpus scale flat node objects + id refs are the JSON-LD-standard
     equivalent (expand/flatten round-trip identical). Returns shard
     file list; each shard is a JSON array of node objects."""
-    import hashlib
     import json
-    import os
 
-    os.makedirs(path, exist_ok=True)
+    fs_, root = _resolve_sink(path, filesystem)
     vtype = str(VTYPE_REL)
 
     def _render(df: pd.DataFrame) -> pd.DataFrame:
@@ -699,14 +716,16 @@ def write_jsonld_ds(ds, path: str, context=None):
                 else:
                     obj[r] = val
             nodes.append(obj)
-        shard = hashlib.md5(str(df["origin"].iloc[0]).encode()).hexdigest()[:16]
-        fpath = os.path.join(path, f"part-{shard}.jsonld")
         doc = {"@graph": nodes}
         if context:
             doc["@context"] = context
-        with open(fpath, "w") as fp:
-            json.dump(doc, fp, ensure_ascii=False)
-        return pd.DataFrame({"file": [fpath]})
+        return pd.DataFrame(
+            {
+                "file": [
+                    _write_shard(fs_, root, ".jsonld", json.dumps(doc, ensure_ascii=False))
+                ]
+            }
+        )
 
     files = origin_adjacency(ds).map_batches(
         _render, batch_format="pandas"
@@ -714,7 +733,7 @@ def write_jsonld_ds(ds, path: str, context=None):
     return [r["file"] for r in files]
 
 
-def write_csv_ds(ds, path: str, rulelist):
+def write_csv_ds(ds, path: str, rulelist, filesystem=None):
     """Distributed CSV projection sink (the at-scale form of
     serial/csvrec.write): origins pivot to rows via the
     origin-adjacency shuffle, (property, header) rules project
@@ -722,13 +741,12 @@ def write_csv_ds(ds, path: str, rulelist):
     same row semantics as the driver-side writer. One CSV shard per
     adjacency block, each with the header."""
     import csv
-    import hashlib
+    import io
     import json
-    import os
 
     from ..core import RDF_TYPE_REL
 
-    os.makedirs(path, exist_ok=True)
+    fs_, root = _resolve_sink(path, filesystem)
     properties = [str(k) for (k, v) in rulelist]
     headers = [v for (k, v) in rulelist]
     vtype = str(VTYPE_REL)
@@ -756,13 +774,11 @@ def write_csv_ds(ds, path: str, rulelist):
                 rows.append(row)
         if not rows:
             return pd.DataFrame({"file": []})
-        shard = hashlib.md5(str(df["origin"].iloc[0]).encode()).hexdigest()[:16]
-        fpath = os.path.join(path, f"part-{shard}.csv")
-        with open(fpath, "w", newline="") as fp:
-            w = csv.writer(fp)
-            w.writerow(["id", "type"] + headers)
-            w.writerows(rows)
-        return pd.DataFrame({"file": [fpath]})
+        buf = io.StringIO(newline="")
+        w = csv.writer(buf)
+        w.writerow(["id", "type"] + headers)
+        w.writerows(rows)
+        return pd.DataFrame({"file": [_write_shard(fs_, root, ".csv", buf.getvalue())]})
 
     files = origin_adjacency(ds).map_batches(
         _render, batch_format="pandas"

@@ -377,10 +377,17 @@ def _abbreviate(rel, bases):
     return I(rel)
 
 
+def escape_text(val) -> str:
+    """Escape a data value for double-quoted Literate output so the
+    parser's ``_QUOTED_PAT`` + unescape (above) round-trips exactly:
+    backslash first, then the quote character."""
+    return str(val).replace("\\", "\\\\").replace('"', '\\"')
+
+
 def _value_format(val):
     if isinstance(val, I):
         return f"<{val}>"
-    return f'"{val}"'
+    return f'"{escape_text(val)}"'
 
 
 def write(model, out=sys.stdout, base=None, schema=None, shorteners=None, canonical=False):

@@ -16,8 +16,28 @@ from ..model.micro import MicroModel
 __all__ = ["parse", "write", "write_string", "parse_links"]
 
 NT_LINE_PAT = re.compile(
-    r'^((<([^>]+)>)|(_:\w+))\s+<([^>]+)>\s+((<([^>]+)>)|"([^"]*)"|(_:\w+))\s+\.\s*'
+    r'^((<([^>]+)>)|(_:\w+))\s+<([^>]+)>\s+((<([^>]+)>)|"((?:[^"\\]|\\.)*)"|(_:\w+))\s+\.\s*'
 )
+
+# N-Triples literal string escapes (the spec's ECHAR subset we emit).
+# NB divergence from the reference writer, which quotes without
+# escaping (serial/ntriples.py:103-110 `strconv`) and so cannot
+# round-trip literals containing '"' or '\'; ours does.
+_NT_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+_NT_UNESCAPE_PAT = re.compile(r'\\([\\"nrt])')
+_NT_UNESCAPE_MAP = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+
+
+def _nt_escape(s: str) -> str:
+    for raw, esc in _NT_ESCAPES:
+        s = s.replace(raw, esc)
+    return s
+
+
+def _nt_unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+    return _NT_UNESCAPE_PAT.sub(lambda m: _NT_UNESCAPE_MAP[m.group(1)], s)
 
 RESOURCE_MAPPING = {
     I(VERSA_BASEIRI + "Resource"): I(RDFS_NS + "Class"),
@@ -40,7 +60,9 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
         only_rel.add(VTYPE_REL)
     seen = set()
 
-    lines = nt.splitlines() if isinstance(nt, str) else nt
+    # split on LF only — splitlines() also splits on NEL/LS/PS, which
+    # are legal raw inside NT literals
+    lines = nt.split("\n") if isinstance(nt, str) else nt
     for line in lines:
         m = NT_LINE_PAT.match(line.strip())
         if not m:
@@ -56,7 +78,7 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
                 continue
         elif p_iri in exclude_rel:
             continue
-        target = I(o_iri) if o_iri else o_str
+        target = I(o_iri) if o_iri else _nt_unescape(o_str)
         parts = (I(s_iri), p_iri, target, ())
         if parts in seen or parts in disjoint:
             continue
@@ -74,7 +96,7 @@ def parse(nt, model: MicroModel | None = None, only_rel=None, exclude_rel=None, 
 def _strconv(item):
     if isinstance(item, I):
         return "<" + str(item) + ">"
-    return '"' + str(item) + '"'
+    return '"' + _nt_escape(str(item)) + '"'
 
 
 def write(models, out=None, base=None):
