@@ -347,3 +347,30 @@ def test_new_entity_hook_fires_twice():
     ppl = generic_pipeline(FINGERPRINT_RULES, TRANSFORM_RULES, LABELIZE_RULES, root_ctx=root_ctx)
     ppl.run(input_model=modin, output_model=modout)
     assert len(list(modout.match(None, "http://example.org/materializedBy", None))) == 2
+
+
+def test_dynamic_stage_invalidates_cache():
+    """A @stage callable attached to an INSTANCE after the first run
+    must be picked up on the next run (cache invalidates on set)."""
+    from versa_ray.pipeline.runner import definition, stage
+
+    calls = []
+
+    class P(definition):
+        @stage(1)
+        def first(self):
+            calls.append("first")
+            return True
+
+    p = P()
+    p.run()
+    assert calls == ["first"]
+
+    @stage(2)
+    def extra():
+        calls.append("extra")
+        return True
+
+    p.extra = extra
+    p.run()
+    assert calls == ["first", "first", "extra"]

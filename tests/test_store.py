@@ -363,3 +363,25 @@ def test_literate_ds_escaping(ray_session, tmp_path):
     text = "".join(open(f).read() for f in files)
     got = {(str(o), str(r), str(t)) for (o, r, t, a) in parse(text).match()}
     assert got == {(o, r, t) for (o, r, t) in links}
+
+
+def test_read_ntriples_ds_distinct_and_disjoint(ray_session, tmp_path):
+    """distinct=True dedups triples across batch boundaries; disjoint
+    drops listed links at parse time."""
+    from versa_ray.serial.ntriples import read_ntriples_ds
+
+    line = f'<urn:t:1> <{NAME}> "dup" .\n'
+    # two files -> separate read tasks -> the dup straddles batches
+    (tmp_path / "a.nt").write_text(line * 3 + f'<urn:t:2> <{NAME}> "x" .\n')
+    (tmp_path / "b.nt").write_text(line)
+
+    raw = read_ntriples_ds(str(tmp_path))
+    # per-batch dedup only: cross-batch dups survive the raw read
+    assert 2 < raw.count() <= 5
+    dedup = read_ntriples_ds(str(tmp_path), distinct=True)
+    assert dedup.count() == 2
+
+    disj = read_ntriples_ds(
+        str(tmp_path), disjoint={("urn:t:1", NAME, "dup", ())}
+    )
+    assert {r["origin"] for r in disj.take_all()} == {"urn:t:2"}

@@ -85,12 +85,22 @@ def match(ds, origin=None, rel=None, target=None, attrs=None):
         if attr_items and tbl.num_rows:
             import json
 
-            col = tbl["attrs"].to_pylist()
-            keep = []
-            for s in col:
-                d = json.loads(s) if s and s != EMPTY_ATTRS else {}
-                keep.append(all(d.get(k) == v for k, v in attr_items))
-            tbl = tbl.filter(pa.array(keep))
+            # vectorized prefilter: canonical attrs JSON must contain
+            # each requested key's encoded form, so rows without it
+            # never reach the per-row JSON parse
+            pre = None
+            for k, _v in attr_items:
+                m = pc.match_substring(tbl["attrs"], json.dumps(k, ensure_ascii=False))
+                pre = m if pre is None else pc.and_(pre, m)
+            cand = tbl.filter(pre)
+            if cand.num_rows:
+                col = cand["attrs"].to_pylist()
+                keep = []
+                for s in col:
+                    d = json.loads(s) if s and s != EMPTY_ATTRS else {}
+                    keep.append(all(d.get(k) == v for k, v in attr_items))
+                cand = cand.filter(pa.array(keep))
+            tbl = cand
         return tbl
 
     return ds.map_batches(_filter, batch_format="pyarrow")
@@ -135,14 +145,7 @@ def with_quad_key(ds, key_col="qkey"):
     import numpy as np
 
     def _key(tbl: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            _escape_col(tbl["origin"]),
-            _escape_col(tbl["rel"]),
-            pc.coalesce(_escape_col(tbl["target"]), pa.scalar(_NULL_SENTINEL)),
-            pc.cast(tbl["target_is_iri"], pa.string()),
-            _escape_col(tbl["attrs"]),
-            _KEY_SEP,
-        )
+        key = _quad_key_expr(tbl)
         _, ix = np.unique(key.to_numpy(zero_copy_only=False), return_index=True)
         tbl = tbl.append_column(key_col, key)
         if len(ix) < tbl.num_rows:
@@ -389,13 +392,33 @@ def replace_values(ds, mapping: dict):
     return ds.map_batches(_rewrite, batch_format="pyarrow")
 
 
+def _escape_str(s: str) -> str:
+    """Driver-side scalar twin of _escape_col."""
+    return s.replace(_ESC, _ESC + _ESC).replace(_KEY_SEP, _ESC + "~")
+
+
+def _quad_key_expr(tbl: pa.Table):
+    """The composite quad key as an Arrow expression over a batch
+    (shared by with_quad_key and the vectorized anti-join below)."""
+    return pc.binary_join_element_wise(
+        _escape_col(tbl["origin"]),
+        _escape_col(tbl["rel"]),
+        pc.coalesce(_escape_col(tbl["target"]), pa.scalar(_NULL_SENTINEL)),
+        pc.cast(tbl["target_is_iri"], pa.string()),
+        _escape_col(tbl["attrs"]),
+        _KEY_SEP,
+    )
+
+
 def remove_statements(ds, links):
     """Distributed remove: anti-join against a (small) set of quads —
     the Dataset mapping of the driver's remove verb
     (memory.py:231-243; SURVEY §2.1 "anti-join on quad key"). The
-    removal set is broadcast (ray.put) and each batch filters by
-    composite quad key; for corpus-sized removal sets use a bucket
-    merge instead."""
+    removal set is encoded to composite quad keys driver-side and
+    broadcast (ray.put); each batch computes its quad keys vectorized
+    and drops rows via one ``index_in`` — no per-row tuple
+    materialization. For corpus-sized removal sets use a bucket merge
+    instead."""
     import ray
 
     keys = set()
@@ -403,17 +426,24 @@ def remove_statements(ds, links):
         o, r, t = l[0], l[1], l[2]
         a = l[3] if len(l) > 3 else None
         row = link_to_row(o, r, t, a)
+        tgt = _NULL_SENTINEL if row["target"] is None else _escape_str(row["target"])
         keys.add(
-            (row["origin"], row["rel"], row["target"],
-             row["target_is_iri"], row["attrs"])
+            _KEY_SEP.join(
+                (
+                    _escape_str(row["origin"]),
+                    _escape_str(row["rel"]),
+                    tgt,
+                    "true" if row["target_is_iri"] else "false",
+                    _escape_str(row["attrs"]),
+                )
+            )
         )
-    ref = ray.put(keys)
+    ref = ray.put(pa.array(sorted(keys), type=pa.string()))
 
     def _filter(tbl: pa.Table) -> pa.Table:
-        kset = ray.get(ref)
-        cols = [tbl[c].to_pylist() for c in QUAD_COLS]
-        keep = [tuple(vals) not in kset for vals in zip(*cols)]
-        return tbl.filter(pa.array(keep))
+        karr = ray.get(ref)
+        idx = pc.index_in(_quad_key_expr(tbl), value_set=karr)
+        return tbl.filter(pc.is_null(idx))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
@@ -918,6 +948,7 @@ def transitive_closure_ds(ds, seeds, rel, max_iters=50, num_buckets=None):
             )
         return pd.concat(out, ignore_index=True)
 
+    new_count = 0
     for _ in range(max_iters):
         work = (
             work.map_batches(_bucketize, batch_format="pandas")
@@ -936,6 +967,13 @@ def transitive_closure_ds(ds, seeds, rel, max_iters=50, num_buckets=None):
         )
         if not new_count:
             break
+    if new_count:
+        # mirror the driver-side form's contract: never return a
+        # silently truncated closure
+        raise RuntimeError(
+            f"transitive_closure_ds did not converge in {max_iters} hops "
+            f"({new_count} activations still pending); raise max_iters"
+        )
 
     def _reached(df: pd.DataFrame) -> pd.DataFrame:
         hit = df[(df["kind"] == 0) & (df["flag"] == 1)]

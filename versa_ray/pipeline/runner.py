@@ -47,10 +47,19 @@ class definition:
         self._stages = []
         self._stages_hash = None
 
+    def __setattr__(self, name, value):
+        # adding a @stage(N) callable to an INSTANCE after a run must
+        # invalidate the cached stage list (run() is per-document hot
+        # path, so no dir() rescan per run; class-level monkeypatching
+        # after the first run still needs an explicit
+        # `inst._stages_hash = None`)
+        if hasattr(value, "pipeline_sort_key"):
+            self.__dict__["_stages_hash"] = None
+        object.__setattr__(self, name, value)
+
     def _collect_stages(self):
         # collected once per instance (run() is called per document in
         # the hot path; a dir()/getattr scan per run is measurable).
-        # Set _stages_hash = None after adding stages dynamically.
         if self._stages_hash is not None:
             return
         names = [k for k in dir(self) if hasattr(getattr(self, k), "pipeline_sort_key")]

@@ -114,28 +114,44 @@ def write(models, out=None, base=None):
             print(_strconv(s), _strconv(p), _strconv(o), ".", file=out)
 
 
-def read_ntriples_ds(paths, only_rel=None, exclude_rel=None):
+def read_ntriples_ds(paths, only_rel=None, exclude_rel=None, disjoint=None,
+                     distinct=False):
     """Distributed NTriples ingestion: files split into line batches,
     each parsed vectorized-per-line inside map_batches with the same
     only_rel/exclude_rel predicate filters as the driver-side parser;
-    emits canonical link rows."""
+    emits canonical link rows.
+
+    Dedup semantics: parse_links' ``seen`` set is per-batch, so
+    duplicate triples that straddle batch boundaries survive the raw
+    read — pass ``distinct=True`` for the driver-side parse() dedup
+    semantics (one distinct_links shuffle). ``disjoint`` (a SMALL set
+    of (origin, rel, target, ()) tuples, broadcast into each task)
+    drops matching links at parse time; for a corpus-scale disjoint
+    set use ``linkset.remove_statements`` downstream instead."""
     import pyarrow as pa
     import ray.data as rd
 
     from ..core.canon import LINK_SCHEMA, link_to_row
 
+    disjoint = frozenset(disjoint or ())
+
     def _parse(batch: pa.Table) -> pa.Table:
         cols = {name: [] for name in LINK_SCHEMA.names}
         text = "\n".join(batch["text"].to_pylist())
         for o, r, t, a in parse_links(
-            text, only_rel=only_rel, exclude_rel=exclude_rel
+            text, only_rel=only_rel, exclude_rel=exclude_rel, disjoint=disjoint
         ):
             row = link_to_row(o, r, t, a)
             for k, v in row.items():
                 cols[k].append(v)
         return pa.Table.from_pydict(cols, schema=LINK_SCHEMA)
 
-    return rd.read_text(paths).map_batches(_parse, batch_format="pyarrow")
+    out = rd.read_text(paths).map_batches(_parse, batch_format="pyarrow")
+    if distinct:
+        from ..model.linkset import distinct_links
+
+        out = distinct_links(out)
+    return out
 
 
 def write_string(models) -> str:
