@@ -385,3 +385,50 @@ def test_incremental_tumbling(ray_session, tmp_path):
     assert np.allclose(
         got["value_sum"].to_numpy(), want["value_sum"].to_numpy()
     )
+
+
+def test_simhash_batch_matches_per_doc():
+    """Vectorized batch simhash is bit-identical to the per-doc form."""
+    import numpy as np
+
+    from versa_ray.ops.dedup import simhash64, simhash64_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "single",
+        "the quick brown fox jumps over the lazy cat",
+        "   ",
+        "a b c d e f g " * 30,
+    ]
+    got = simhash64_batch(texts)
+    want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_verify_pairs_threshold_switch(ray_session):
+    """verify_pairs_jaccard gives identical results on both sides of
+    broadcast_threshold (broadcast fast path vs distributed verify)."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import verify_pairs_jaccard
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base + " mu", base.replace("alpha", "omega"),
+                     "unrelated words entirely different content here now"],
+        }
+    )
+    ds = rd.from_pandas(rows)
+    cand = [{"id_a": 1, "id_b": 2}, {"id_a": 1, "id_b": 3},
+            {"id_a": 1, "id_b": 4}, {"id_a": 2, "id_b": 3}]
+
+    via_broadcast = verify_pairs_jaccard(ds, cand, threshold=0.5,
+                                         broadcast_threshold=100)
+    via_distributed = verify_pairs_jaccard(ds, cand, threshold=0.5,
+                                           broadcast_threshold=2)
+    key = lambda ps: sorted((p["id_a"], p["id_b"], round(p["jaccard"], 9)) for p in ps)
+    assert key(via_broadcast) == key(via_distributed)
+    assert {(p["id_a"], p["id_b"]) for p in via_broadcast} >= {(1, 2)}

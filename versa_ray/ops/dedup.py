@@ -686,10 +686,7 @@ def verified_near_dup_pairs(ds, threshold=0.5, est_threshold=0.35, k=3,
                             num_buckets=64, **kw):
     """Near-duplicate pairs with EXACT n-gram-Jaccard verification,
     fully distributed: LSH candidate pairs (generous estimate
-    threshold for recall) are joined against the corpus texts by two
-    bucket-merge passes — attach text of id_a, reshuffle on id_b,
-    attach text of id_b — then the exact word-k-shingle Jaccard is
-    computed per pair and filtered at ``threshold``.
+    threshold for recall) verified by verify_pairs_jaccard_ds.
 
     Texts travel as payload, never as join/shuffle keys, and the
     corpus is scanned (not broadcast): this replaces the driver-side
@@ -700,7 +697,19 @@ def verified_near_dup_pairs(ds, threshold=0.5, est_threshold=0.35, k=3,
         ds, threshold=est_threshold, text_col=text_col, id_col=id_col,
         dedup=True, **kw
     )
+    return verify_pairs_jaccard_ds(
+        ds, pairs, threshold=threshold, k=k, text_col=text_col,
+        id_col=id_col, num_buckets=num_buckets,
+    )
 
+
+def verify_pairs_jaccard_ds(ds, pairs, threshold=0.5, k=3, text_col="text",
+                            id_col="doc_id", num_buckets=64):
+    """Distributed exact-Jaccard verification of a candidate-pair
+    Dataset (integer ids): texts attach to pair endpoints in ONE
+    corpus bucket-merge pass (each pair emits two endpoint-keyed
+    rows), then a pair-sized shuffle joins both texts and computes the
+    exact word-k-shingle Jaccard."""
     import pyarrow as _pa
 
     def _corpus_rows(df: pd.DataFrame) -> _pa.Table:
@@ -843,9 +852,32 @@ def simhash64(text: str) -> int:
     return int.from_bytes(packed.tobytes(), "big")
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Batch simhash: ONE flat word-hash pass over the whole batch and
+    a per-document ``add.reduceat`` over the +/-1 bit matrix —
+    bit-identical to per-doc ``simhash64`` (pytest-checked), no
+    per-document Python loop."""
+    word_lists = [t.split() for t in texts]
+    counts = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+    out = np.zeros(len(word_lists), dtype=np.uint64)
+    flat = [w for ws in word_lists for w in ws]
+    if not flat:
+        return out
+    hv = _hash_words(flat)
+    pm = 2 * ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32) - 1
+    nz = counts > 0
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
+    v = np.add.reduceat(pm, offs, axis=0)
+    sig = (
+        (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    ).sum(axis=1, dtype=np.uint64)
+    out[nz] = sig
+    return out
+
+
 def simhash_ds(ds, text_col="text", id_col="doc_id"):
     def _sim(df: pd.DataFrame) -> pd.DataFrame:
-        df["simhash"] = [simhash64(t) for t in df[text_col].fillna("")]
+        df["simhash"] = simhash64_batch(df[text_col].fillna("").tolist())
         return df[[id_col, "simhash"]]
 
     return ds.map_batches(_sim, batch_format="pandas")
@@ -860,16 +892,21 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
     bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"chunk": [], "chunk_val": [], id_col: [], "simhash": []}
-        for doc_id, sh in zip(df[id_col], df["simhash"]):
-            for c in range(n_chunks):
-                lo, hi = bounds[c], bounds[c + 1]
-                val = (sh >> int(lo)) & ((1 << int(hi - lo)) - 1)
-                rows["chunk"].append(c)
-                rows["chunk_val"].append(val)
-                rows[id_col].append(doc_id)
-                rows["simhash"].append(sh)
-        return pd.DataFrame(rows)
+        # vectorized shift/mask per chunk over the signature column
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        ids = df[id_col].to_numpy()
+        n = len(sh)
+        frames = []
+        for c in range(n_chunks):
+            lo, hi = int(bounds[c]), int(bounds[c + 1])
+            val = (sh >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+            frames.append(
+                pd.DataFrame(
+                    {"chunk": np.full(n, c, dtype=np.int8), "chunk_val": val,
+                     id_col: ids, "simhash": sh}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
@@ -880,7 +917,12 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
         hs = group["simhash"].to_numpy()[uix].astype(np.uint64)
         a_ix, b_ix = np.triu_indices(len(ids), k=1)
         x = hs[a_ix] ^ hs[b_ix]
-        ham = np.array([bin(int(v)).count("1") for v in x])
+        # vectorized popcount: bytes view -> unpackbits -> row sums
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
         keep = ham <= max_hamming
         lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
         hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
@@ -907,10 +949,30 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
-                         threshold=0.5):
+                         threshold=0.5, broadcast_threshold=10_000):
     """Exact-Jaccard verification of candidate pairs: broadcast the
-    candidate docs' texts (small side), verify inside map_batches."""
+    candidate docs' texts (small side), verify inside map_batches.
+
+    Above ``broadcast_threshold`` pairs this auto-switches to the
+    distributed ``verify_pairs_jaccard_ds`` (texts attached by bucket
+    merge, never broadcast driver-side) — mirroring assign_clusters'
+    guard, so callers can't accidentally broadcast a corpus-sized
+    candidate text set."""
     import ray
+
+    n_pairs = len(pairs) if isinstance(pairs, list) else pairs.count()
+    if n_pairs > broadcast_threshold:
+        import ray.data as rd
+
+        pairs_ds = rd.from_items(pairs) if isinstance(pairs, list) else pairs
+        out_ds = verify_pairs_jaccard_ds(
+            ds, pairs_ds, threshold=threshold, k=k,
+            text_col=text_col, id_col=id_col,
+        )
+        return [
+            {"id_a": r["id_a"], "id_b": r["id_b"], "jaccard": r["jaccard"]}
+            for r in out_ds.take_all()
+        ]
 
     cand_ids = set()
     pair_list = pairs if isinstance(pairs, list) else pairs.take_all()
@@ -938,13 +1000,19 @@ def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
 
 
 def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
-                        n_planes=12, n_tables=6, threshold=0.95, seed=11):
+                        n_planes=12, n_tables=6, threshold=0.95, seed=11,
+                        num_buckets=64):
     """Random-hyperplane LSH with OR-amplification: ``n_tables``
     independent plane sets; a pair is a candidate if it collides in ANY
     table (miss probability (1-p^n_planes)^n_tables, p = 1 - theta/pi),
-    then exact in-bucket cosine verification. Each vector emits one row
-    per table — the vector payload is duplicated n_tables times through
-    the shuffle, the standard multi-table LSH space/recall trade."""
+    then exact cosine verification.
+
+    Shuffle-byte diet (round-3): bucketing rows carry (table, code,
+    id) ONLY — the vector payload is NOT duplicated n_tables times
+    through the LSH shuffle. Candidate pairs are deduped pair-sized,
+    then vectors attach to pair endpoints in one corpus bucket-merge
+    pass (verify_pairs_cosine_ds, the verified_near_dup_pairs attach
+    pattern) where the exact cosine is computed."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(dim, n_planes * n_tables)
     import ray
@@ -963,30 +1031,143 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
             out.append(
                 pd.DataFrame(
                     {"table": np.full(len(ids), t, dtype=np.int8),
-                     "bucket": codes.astype("int64"), id_col: ids,
-                     vec_col: list(mat)}
+                     "bucket": codes.astype("int64"), id_col: ids}
                 )
             )
         return pd.concat(out, ignore_index=True)
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
+    def _cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group[id_col].to_numpy())
         if len(ids) < 2:
-            return _empty_pairs("cosine")
-        mat = np.stack(group[vec_col].to_numpy())
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
-        sims = mat @ mat.T
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
         a_ix, b_ix = np.triu_indices(len(ids), k=1)
-        cs = sims[a_ix, b_ix]
-        keep = cs >= threshold
-        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
-        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs[keep]})
+        return pd.DataFrame({"id_a": ids[a_ix], "id_b": ids[b_ix]})
 
     bucketed = ds.map_batches(_bucket, batch_format="pandas")
-    pairs = bucketed_group_apply(
-        bucketed, ["table", "bucket"], _pairs, min_group_size=2
+    cand = bucketed_group_apply(
+        bucketed, ["table", "bucket"], _cand_pairs, min_group_size=2
     )
-    return dedup_rows(pairs, ["id_a", "id_b"])
+    cand = dedup_rows(cand, ["id_a", "id_b"])
+    return verify_pairs_cosine_ds(
+        ds, cand, threshold=threshold, vec_col=vec_col, id_col=id_col,
+        num_buckets=num_buckets,
+    )
+
+
+def verify_pairs_cosine_ds(ds, pairs, threshold=0.95, vec_col="embedding",
+                           id_col="vec_id", num_buckets=64):
+    """Distributed exact-cosine verification of a candidate-pair
+    Dataset (integer ids): vectors (float64 bytes payload) attach to
+    pair endpoints in ONE corpus bucket-merge pass, then a pair-sized
+    shuffle joins both vectors and computes the exact cosine. Output:
+    (id_a, id_b, cosine) with id_a < id_b."""
+    import pyarrow as _pa
+
+    def _corpus_rows(df: pd.DataFrame) -> _pa.Table:
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        n = len(df)
+        out = pd.DataFrame(
+            {
+                "key": df[id_col].to_numpy().astype(np.int64),
+                "other": np.zeros(n, dtype=np.int64),
+                "kind": np.zeros(n, dtype=np.int8),
+                "side": np.zeros(n, dtype=np.int8),
+                "pay": [m.tobytes() for m in mat],
+            }
+        )
+        out["_cbucket"] = _int_bucket(out["key"].to_numpy(), num_buckets)
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    def _pair_rows(df: pd.DataFrame) -> _pa.Table:
+        if "id_a" not in df.columns or not len(df):
+            out = pd.DataFrame(
+                {"key": np.empty(0, np.int64), "other": np.empty(0, np.int64),
+                 "kind": np.empty(0, np.int8), "side": np.empty(0, np.int8),
+                 "pay": np.empty(0, object)}
+            )
+        else:
+            a = df["id_a"].to_numpy().astype(np.int64)
+            b = df["id_b"].to_numpy().astype(np.int64)
+            n = len(df)
+            out = pd.DataFrame(
+                {
+                    "key": np.concatenate([a, b]),
+                    "other": np.concatenate([b, a]),
+                    "kind": np.ones(2 * n, dtype=np.int8),
+                    "side": np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    ),
+                    "pay": np.full(2 * n, b"", dtype=object),
+                }
+            )
+        out["_cbucket"] = (
+            _int_bucket(out["key"].to_numpy(), num_buckets)
+            if len(out) else np.empty(0, np.int32)
+        )
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    def _attach(bucket: pd.DataFrame) -> _pa.Table:
+        empty = pd.DataFrame(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+             "side": np.empty(0, np.int8), "pay": np.empty(0, object),
+             "_pbucket": np.empty(0, np.int32)}
+        )
+        if "key" not in bucket.columns or not len(bucket):
+            return _pa.Table.from_pandas(empty, preserve_index=False)
+        corpus = bucket[bucket["kind"] == 0][["key", "pay"]].drop_duplicates("key")
+        prs = bucket[bucket["kind"] == 1]
+        if not len(prs) or not len(corpus):
+            return _pa.Table.from_pandas(empty, preserve_index=False)
+        m = prs[["key", "other", "side"]].merge(
+            corpus.rename(columns={"pay": "_p"}), on="key", how="inner"
+        )
+        side = m["side"].to_numpy()
+        key = m["key"].to_numpy()
+        other = m["other"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "id_a": np.where(side == 0, key, other),
+                "id_b": np.where(side == 0, other, key),
+                "side": side,
+                "pay": m["_p"].to_numpy(),
+            }
+        )
+        out["_pbucket"] = (
+            pd.util.hash_pandas_object(out[["id_a", "id_b"]], index=False)
+            % num_buckets
+        ).astype("int32")
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    def _verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in bucket.columns or not len(bucket):
+            return _empty_pairs("cosine")
+        lhs = bucket[bucket["side"] == 0][["id_a", "id_b", "pay"]]
+        rhs = bucket[bucket["side"] == 1][["id_a", "id_b", "pay"]].rename(
+            columns={"pay": "_p"}
+        )
+        m = lhs.merge(rhs, on=["id_a", "id_b"], how="inner")
+        if not len(m):
+            return _empty_pairs("cosine")
+        va = np.stack([np.frombuffer(b, dtype=np.float64) for b in m["pay"]])
+        vb = np.stack([np.frombuffer(b, dtype=np.float64) for b in m["_p"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cs = (va * vb).sum(axis=1) / (na * nb)
+        keep = cs >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
+                "cosine": cs[keep],
+            }
+        )
+
+    both = ds.map_batches(_corpus_rows, batch_format="pandas").union(
+        pairs.map_batches(_pair_rows, batch_format="pandas")
+    )
+    attached = both.groupby("_cbucket").map_groups(_attach, batch_format="pandas")
+    return attached.groupby("_pbucket").map_groups(_verify, batch_format="pandas")
