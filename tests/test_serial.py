@@ -220,3 +220,118 @@ def test_doc1_abbreviation_equivalence_reference_fixtures():
             {I("http://www.w3.org/TR/html5/link/description"): "Uche Ogbuji"},
         ) in results
     assert m1 == m2
+
+
+def _flatten_jsonld(objs):
+    """Expand nested node objects to a set of (id, key, value) triples
+    (value = @id for object values), for order/nesting-insensitive
+    comparison of binder outputs."""
+    triples = set()
+
+    def walk(obj):
+        oid = obj.get("@id", "_:b")
+        t = obj.get("@type")
+        if t:
+            for tt in [t] if isinstance(t, str) else t:
+                triples.add((oid, "@type", tt))
+        for k, v in obj.items():
+            if k in ("@id", "@type"):
+                continue
+            for item in v if isinstance(v, list) else [v]:
+                if isinstance(item, dict):
+                    triples.add((oid, k, item.get("@id", "?")))
+                    walk(item)
+                else:
+                    triples.add((oid, k, item))
+
+    for o in objs:
+        walk(o)
+    return triples
+
+
+def test_bind_ds_matches_driver_binder(ray_session):
+    """Distributed inlined binder == driver-side binder after
+    expansion (flatten-triple equality) on a model with single-ref
+    chains, a multi-ref node, literals, and pruned types."""
+    import json
+
+    from versa_ray.core import I
+    from versa_ray.model import linkset
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.serial.jsonld import bind, bind_ds
+
+    V = "http://eg.org/v/"
+    T = str
+    links = [
+        # chain: a -> b -> c (each single-ref)
+        ("urn:a", V + "type", I(V + "Doc")),
+        ("urn:a", V + "name", "doc a"),
+        ("urn:a", V + "part", I("urn:b")),
+        ("urn:b", V + "name", "part b"),
+        ("urn:b", V + "sub", I("urn:c")),
+        ("urn:c", V + "name", "leaf c"),
+        # multi-ref node m (referenced by a and d)
+        ("urn:a", V + "uses", I("urn:m")),
+        ("urn:d", V + "uses", I("urn:m")),
+        ("urn:m", V + "name", "shared m"),
+        ("urn:d", V + "name", "doc d"),
+        # dangling ref (target has no links of its own)
+        ("urn:d", V + "see", I("urn:nowhere")),
+        # pruned type: p is ignored; refs to p must disappear
+        ("urn:p", V + "type", I(V + "Secret")),
+        ("urn:p", V + "name", "hidden"),
+        ("urn:d", V + "leak", I("urn:p")),
+    ]
+    from versa_ray.core import VTYPE_REL
+
+    m = MicroModel()
+    for o, r, t in links:
+        rel = VTYPE_REL if r == V + "type" else I(r)
+        m.add(I(o), rel, t if isinstance(t, str) and not isinstance(t, I) else I(str(t)))
+
+    want_objs = bind(m, ignore_oftypes=[V + "Secret"])
+    ds = linkset.from_links(
+        [(o, str(VTYPE_REL) if r == V + "type" else r, t) for (o, r, t) in links]
+    )
+    got_rows = bind_ds(ds, ignore_oftypes=[V + "Secret"]).take_all()
+    got_objs = [json.loads(r["node"]) for r in got_rows]
+
+    assert _flatten_jsonld(got_objs) == _flatten_jsonld(want_objs)
+    # inlining actually happened: the chain head embeds a nested object
+    a_node = next(json.loads(r["node"]) for r in got_rows if r["origin"] == "urn:a")
+    assert isinstance(a_node[V + "part"], dict)
+    assert isinstance(a_node[V + "part"][V + "sub"], dict)  # depth 2
+    # pruned node gone and its inbound ref stripped
+    assert all(r["origin"] != "urn:p" for r in got_rows)
+    d_node = next(json.loads(r["node"]) for r in got_rows if r["origin"] == "urn:d")
+    assert V + "leak" not in d_node
+
+
+def test_bind_ds_cycle_safe(ray_session):
+    """Reference cycles stay as id refs (no hang, nothing dropped) —
+    the driver binder cannot serialize cycles at all."""
+    import json
+
+    from versa_ray.model import linkset
+    from versa_ray.serial.jsonld import bind_ds
+
+    V = "http://eg.org/v/"
+    links = [
+        ("urn:x", V + "next", ("iri", "urn:y")),
+        ("urn:y", V + "next", ("iri", "urn:x")),
+        ("urn:x", V + "name", ("lit", "node x")),
+        ("urn:y", V + "name", ("lit", "node y")),
+    ]
+    rows = [
+        (o, r, t if kind == "lit" else t)
+        for (o, r, (kind, t)) in links
+    ]
+    from versa_ray.core import I
+
+    ds = linkset.from_links(
+        [(o, r, I(t) if kind == "iri" else t) for (o, r, (kind, t)) in links]
+    )
+    out = bind_ds(ds).take_all()
+    assert {r["origin"] for r in out} == {"urn:x", "urn:y"}
+    x = json.loads(next(r["node"] for r in out if r["origin"] == "urn:x"))
+    assert x[V + "next"] == "urn:y"  # collapsed id ref, not embedded

@@ -329,6 +329,57 @@ def q_kg_pagerank(sf_dir):
     return out.sort_values("node", ignore_index=True)
 
 
+def q_links_jsonld_nested(sf_dir):
+    """Distributed INLINED JSON-LD binder over the linkset (iterative
+    leaf-inlining shuffle — not SQL-expressible). Self-gated by
+    exactness: the nested output, flattened back to (id, key, value)
+    triples, must equal the triple set derived directly from the
+    deduped links; raises on any lost/duplicated/misplaced edge."""
+    import json
+
+    from .core import RDF_TYPE_REL
+    from .serial.jsonld import bind_ds
+
+    ds = tpch_linkset(sf_dir)
+    rows = bind_ds(ds).take_all()
+
+    got = set()
+
+    def _walk(obj):
+        oid = obj.get("@id", "_:b")
+        t = obj.get("@type")
+        if t:
+            for tt in [t] if isinstance(t, str) else t:
+                got.add((oid, "@type", tt))
+        for k, v in obj.items():
+            if k in ("@id", "@type"):
+                continue
+            for item in v if isinstance(v, list) else [v]:
+                if isinstance(item, dict):
+                    got.add((oid, k, item.get("@id", "?")))
+                    _walk(item)
+                else:
+                    got.add((oid, k, item))
+
+    for r in rows:
+        _walk(json.loads(r["node"]))
+
+    type_rels = {TYPE, str(RDF_TYPE_REL)}
+    want = set()
+    for l in linkset.distinct_links(ds).take_all():
+        key = "@type" if l["rel"] in type_rels else l["rel"]
+        want.add((l["origin"], key, l["target"]))
+    if got != want:
+        raise AssertionError(
+            f"nested binder expansion drift: {len(got - want)} extra, "
+            f"{len(want - got)} missing triples"
+        )
+    out = pd.DataFrame(
+        {"origin": [r["origin"] for r in rows], "node": [r["node"] for r in rows]}
+    )
+    return out.sort_values("origin", ignore_index=True)
+
+
 def q_miniquery_conj(sf_dir):
     from .query import evaluate
 
@@ -948,6 +999,7 @@ def build_queries():
         "links_duplicate_statements": q_links_duplicate_statements,
         "links_out_degrees": q_links_out_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "links_jsonld_nested": q_links_jsonld_nested,
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
         "csv_template_links": q_csv_template_links,

@@ -1,12 +1,14 @@
 """JSON-LD binder: nested objects from origin-grouped links
-(reference serial/jsonld.py:17-103 semantics)."""
+(reference serial/jsonld.py:17-103 semantics), plus the distributed
+INLINED form ``bind_ds`` (ref-count shuffle + iterative leaf inlining)
+for corpus-scale graphs."""
 
 from __future__ import annotations
 
 from ..core import I, RDF_TYPE_REL, VTYPE_REL, relativize
 from ..model import vutil
 
-__all__ = ["bind"]
+__all__ = ["bind", "bind_ds", "write_jsonld_nested_ds"]
 
 _BLANK_PREFIX = "__VERSABLANKNODE__"
 
@@ -105,3 +107,358 @@ def bind(models, context=None, ignore_oftypes=None, type_rel=None):
     if context and context.get("@output", True):
         return {"@context": context, "@graph": top_objs}
     return top_objs
+
+
+# ---------------------------------------------------------------------------
+# Distributed inlined binder
+
+
+def _collapse_id_only(obj):
+    """Recursively collapse {"@id": x} dict values to plain strings
+    (driver binder's final pass, serial/jsonld.py:95-99 semantics)."""
+    for k, v in list(obj.items()):
+        if isinstance(v, dict):
+            if len(v) == 1 and "@id" in v:
+                obj[k] = v["@id"]
+            else:
+                _collapse_id_only(v)
+        elif isinstance(v, list):
+            new = []
+            for item in v:
+                if isinstance(item, dict):
+                    if len(item) == 1 and "@id" in item:
+                        new.append(item["@id"])
+                    else:
+                        _collapse_id_only(item)
+                        new.append(item)
+                else:
+                    new.append(item)
+            obj[k] = new
+    return obj
+
+
+def _obj_append(obj, r, val):
+    if r in obj and isinstance(obj[r], list):
+        obj[r].append(val)
+    elif r in obj:
+        obj[r] = [obj[r], val]
+    else:
+        obj[r] = val
+
+
+def _embed_child(parent, child_id, child_obj):
+    """Replace every {"@id": child_id} value in parent with child_obj."""
+    ref = {"@id": child_id}
+    for k, v in list(parent.items()):
+        if v == ref:
+            parent[k] = child_obj
+        elif isinstance(v, list):
+            parent[k] = [child_obj if item == ref else item for item in v]
+    return parent
+
+
+def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
+            num_buckets=32):
+    """Distributed INLINED JSON-LD binder: the at-scale form of
+    ``bind`` (reference serial/jsonld.py:17-103). Two-pass ref-count
+    shuffle: (1) edges group by target to compute each node's
+    reference count and, for single-ref nodes, the unique referrer;
+    (2) ``max_depth`` leaf-inlining rounds, each one coarse-bucket
+    shuffle, embed single-ref leaf nodes into their referrer.
+    ``ignore_oftypes`` nodes are pruned and references to them removed
+    (one extra keyed pass), mirroring the driver binder.
+
+    Documented divergences from the driver-side binder (all
+    flatten-equivalent JSON-LD): multi-referenced nodes stay
+    top-level with id refs instead of inlining at first use; all
+    types are kept (sorted, scalar when single) instead of only the
+    first; single-ref chains deeper than ``max_depth`` and reference
+    cycles stay as id refs; ``@id`` values stay absolute even when
+    ``@vocab`` relativizes rels/types.
+
+    Returns a Dataset of rows ``{origin, node}`` (node = JSON text of
+    one top-level object)."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from ..model.linkset import origin_adjacency
+
+    context = context or {}
+    vocab = context.get("@vocab")
+    ignore = {str(t) for t in (ignore_oftypes or [])}
+    type_rels = {str(RDF_TYPE_REL), str(VTYPE_REL)}
+
+    adj = origin_adjacency(links_ds)
+
+    def _rel(r):
+        if vocab:
+            return str(relativize(r, vocab) or r)
+        return str(r)
+
+    # ---- node + edge construction (pruned nodes emit no edges) ----------
+    def _mknodes(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"key": [], "kind": [], "s1": [], "s2": [], "n": []}
+        for origin, adjacency in zip(df["origin"], df["adjacency"]):
+            rels = json.loads(adjacency)
+            types = sorted({str(t) for (r, t, ii, a) in rels if r in type_rels})
+            pruned = bool(ignore) and any(t in ignore for t in types)
+            obj = {"@id": str(origin)}
+            if types:
+                tl = [_rel(t) for t in types]
+                obj["@type"] = tl[0] if len(tl) == 1 else tl
+            refs = set()
+            for r, t, is_iri, attrs_json in rels:
+                if r in type_rels:
+                    continue
+                if is_iri and t is not None and t != origin:
+                    val = {"@id": str(t)}
+                    refs.add(str(t))
+                else:
+                    val = t
+                _obj_append(obj, _rel(r), val)
+            if pruned:
+                continue
+            # node row keyed by self
+            rows["key"].append(str(origin))
+            rows["kind"].append(0)
+            rows["s1"].append(json.dumps(obj, ensure_ascii=False))
+            rows["s2"].append("")
+            rows["n"].append(0)
+            # edge rows keyed by TARGET (phase A groups by target)
+            for t in sorted(refs):
+                rows["key"].append(t)
+                rows["kind"].append(1)
+                rows["s1"].append(str(origin))  # src
+                rows["s2"].append("")
+                rows["n"].append(0)
+        out = pd.DataFrame(rows)
+        out["kind"] = out["kind"].astype("int8")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tagged = adj.map_batches(_mknodes, batch_format="pandas")
+
+    # ---- phase A: group by target -> refcount / unique referrer /
+    # removal rows for refs to pruned-or-self; node rows re-keyed to
+    # phase B (origin) unchanged -------------------------------------
+    def _phase_a(group: pd.DataFrame) -> pd.DataFrame:
+        key = group["key"].iloc[0]
+        nodes = group[group["kind"] == 0]
+        edges = group[group["kind"] == 1]
+        out = {"key": [], "kind": [], "s1": [], "s2": [], "n": []}
+        # node passes through (keyed by self either way)
+        for s1 in nodes["s1"]:
+            out["key"].append(key)
+            out["kind"].append(0)
+            out["s1"].append(s1)
+            out["s2"].append("")
+            out["n"].append(0)
+        n_edges = len(edges)
+        if n_edges:
+            in_pool = len(nodes) > 0
+            if in_pool:
+                # info row -> the target node learns its refcount and
+                # (when single-ref) its unique referrer
+                out["key"].append(key)
+                out["kind"].append(10)
+                out["s1"].append(edges["s1"].iloc[0] if n_edges == 1 else "")
+                out["s2"].append("")
+                out["n"].append(n_edges)
+                if n_edges == 1:
+                    # eligible-edge row -> referrer's pending count
+                    out["key"].append(edges["s1"].iloc[0])
+                    out["kind"].append(12)
+                    out["s1"].append(key)
+                    out["s2"].append("")
+                    out["n"].append(0)
+            elif ignore:
+                # target absent from the pool: either pruned (strip the
+                # ref from each referrer) or dangling. Distinguishing
+                # needs the pruned-id set; pruned ids were dropped
+                # before this phase, so emit removals only when an
+                # ignore list exists AND the target matched it — we
+                # can't know here, so removal rows are emitted from
+                # _mknodes instead (see _prune_removals below).
+                pass
+        return pd.DataFrame(out)
+
+    # removals: refs to pruned nodes must be stripped from referrers.
+    # Recompute pruned ids cheaply from the adjacency (same shuffle
+    # product) and key removal rows by the REFERRER.
+    def _prune_removals(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"key": [], "kind": [], "s1": [], "s2": [], "n": []}
+        if not ignore:
+            return pd.DataFrame(out)
+        pruned_ids = []
+        for origin, adjacency in zip(df["origin"], df["adjacency"]):
+            rels = json.loads(adjacency)
+            types = {str(t) for (r, t, ii, a) in rels if r in type_rels}
+            if types & ignore:
+                pruned_ids.append(str(origin))
+        for pid in pruned_ids:
+            out["key"].append(pid)
+            out["kind"].append(20)  # pruned marker, keyed by pruned id
+            out["s1"].append("")
+            out["s2"].append("")
+            out["n"].append(0)
+        return pd.DataFrame(out)
+
+    from ..ops.dedup import bucketed_group_apply
+
+    work = tagged
+    if ignore:
+        # join pruned markers against edges (both keyed by target id):
+        # edges to pruned ids become kind-11 removal rows keyed by src
+        marks = adj.map_batches(_prune_removals, batch_format="pandas")
+        work = work.union(marks)
+
+    def _phase_a_full(group: pd.DataFrame) -> pd.DataFrame:
+        base = _phase_a(group[group["kind"] != 20])
+        if ignore and (group["kind"] == 20).any():
+            # every edge into this pruned id -> removal at the referrer
+            edges = group[group["kind"] == 1]
+            if len(edges):
+                rem = pd.DataFrame(
+                    {
+                        "key": edges["s1"].to_numpy(),
+                        "kind": 11,
+                        "s1": group["key"].iloc[0],
+                        "s2": "",
+                        "n": 0,
+                    }
+                )
+                base = pd.concat([base, rem], ignore_index=True)
+        return base
+
+    staged = bucketed_group_apply(
+        work, ["key"], _phase_a_full, num_buckets=num_buckets
+    )
+
+    # ---- phase B: group by origin -> assemble node state ---------------
+    def _phase_b(group: pd.DataFrame) -> pd.DataFrame:
+        nodes = group[group["kind"] == 0]
+        if not len(nodes):
+            return pd.DataFrame(
+                {"origin": [], "node": [], "refcount": [], "referrer": [],
+                 "pending": []}
+            )
+        origin = group["key"].iloc[0]
+        info = group[group["kind"] == 10]
+        removals = group[group["kind"] == 11]
+        pending = int((group["kind"] == 12).sum())
+        refcount = int(info["n"].iloc[0]) if len(info) else 0
+        referrer = str(info["s1"].iloc[0]) if len(info) else ""
+        obj = json.loads(nodes["s1"].iloc[0])
+        if len(removals):
+            for tgt in removals["s1"]:
+                ref = {"@id": tgt}
+                for k, v in list(obj.items()):
+                    if v == ref:
+                        del obj[k]
+                    elif isinstance(v, list):
+                        nv = [item for item in v if item != ref]
+                        obj[k] = nv[0] if len(nv) == 1 else nv
+        return pd.DataFrame(
+            {"origin": [origin], "node": [json.dumps(obj, ensure_ascii=False)],
+             "refcount": np.array([refcount], dtype=np.int64),
+             "referrer": [referrer],
+             "pending": np.array([pending], dtype=np.int64)}
+        )
+
+    state = bucketed_group_apply(staged, ["key"], _phase_b,
+                                 num_buckets=num_buckets)
+
+    # ---- phase C: iterative leaf inlining ------------------------------
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        inline = (
+            (df["refcount"] == 1) & (df["pending"] == 0) & (df["referrer"] != "")
+        )
+        df["_k"] = np.where(inline, df["referrer"], df["origin"])
+        df["_child"] = inline.astype("int8")
+        return df
+
+    def _absorb(group: pd.DataFrame) -> pd.DataFrame:
+        parents = group[group["_child"] == 0]
+        children = group[group["_child"] == 1]
+        if not len(children):
+            return parents.drop(columns=["_k", "_child"])
+        pmap = {o: json.loads(n) for o, n in zip(parents["origin"], parents["node"])}
+        pend = dict(zip(parents["origin"], parents["pending"]))
+        orphans = []
+        for _, ch in children.iterrows():
+            par = pmap.get(ch["referrer"])
+            if par is None:
+                orphans.append(ch)  # referrer routed elsewhere; keep node
+                continue
+            _embed_child(par, ch["origin"], json.loads(ch["node"]))
+            pend[ch["referrer"]] = max(0, pend[ch["referrer"]] - 1)
+        out = pd.DataFrame(
+            {
+                "origin": parents["origin"].to_numpy(),
+                "node": [json.dumps(pmap[o], ensure_ascii=False)
+                         for o in parents["origin"]],
+                "refcount": parents["refcount"].to_numpy(),
+                "referrer": parents["referrer"].to_numpy(),
+                "pending": np.array([pend[o] for o in parents["origin"]],
+                                    dtype=np.int64),
+            }
+        )
+        if orphans:
+            out = pd.concat(
+                [out, pd.DataFrame(orphans).drop(columns=["_k", "_child"])],
+                ignore_index=True,
+            )
+        return out
+
+    for _ in range(max_depth):
+        routed = state.map_batches(_route, batch_format="pandas")
+        state = bucketed_group_apply(routed, ["_k"], _absorb,
+                                     num_buckets=num_buckets)
+
+    # ---- finalize -------------------------------------------------------
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        origins, nodes = [], []
+        for o, n in zip(df["origin"], df["node"]):
+            obj = _collapse_id_only(json.loads(n))
+            if len(obj) == 1 and "@type" in obj:
+                continue  # driver drops @type-only top objects
+            origins.append(o)
+            nodes.append(json.dumps(obj, ensure_ascii=False))
+        return pd.DataFrame({"origin": origins, "node": nodes})
+
+    return state.map_batches(_finalize, batch_format="pandas")
+
+
+def write_jsonld_nested_ds(links_ds, path: str, context=None,
+                           ignore_oftypes=None, max_depth=3, filesystem=None):
+    """Shard-write the distributed inlined binder's output: each shard
+    is one JSON-LD document {@context?, @graph: [nested node objects]}.
+    Cluster-portable via the same pyarrow-FileSystem sink contract as
+    the flat writer (linkset.write_jsonld_ds)."""
+    import json
+
+    import pandas as pd
+
+    from ..model.linkset import _resolve_sink, _write_shard
+
+    nodes = bind_ds(links_ds, context=context, ignore_oftypes=ignore_oftypes,
+                    max_depth=max_depth)
+    fs_, root = _resolve_sink(path, filesystem)
+    ctx = context or {}
+
+    def _render(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"file": []})
+        doc = {"@graph": [json.loads(n) for n in df["node"]]}
+        if ctx:
+            doc["@context"] = ctx
+        return pd.DataFrame(
+            {"file": [_write_shard(fs_, root, ".jsonld",
+                                   json.dumps(doc, ensure_ascii=False))]}
+        )
+
+    files = nodes.map_batches(_render, batch_format="pandas").take_all()
+    return [r["file"] for r in files]
