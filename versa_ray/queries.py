@@ -527,12 +527,13 @@ def q_doc_token_stats(sf_dir):
 
 
 def q_doc_lang_counts(sf_dir):
-    from ray.data.aggregate import Count, Sum
+    """Five-language rollup — small-cardinality combiner path, no
+    sort-shuffle (ops/agg.grouped_agg_small)."""
+    from .ops.agg import grouped_agg_small
 
-    return (
-        _docs(sf_dir)
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    return grouped_agg_small(
+        _docs(sf_dir), ["lang"],
+        {"n_docs": ("n_chars", "size"), "sum_chars": ("n_chars", "sum")},
     )
 
 
@@ -856,32 +857,27 @@ def q_events_sessions(sf_dir):
 
 
 def q_lineitem_agg(sf_dir):
-    """TPC-H Q1-style grouped aggregate with per-batch partial
-    aggregation before the shuffle."""
+    """TPC-H Q1-style grouped aggregate: per-batch partial combine +
+    single-block final combine (grouped_agg_small) — the 6-group
+    rollup never needs Ray's sort-based groupby shuffle and its
+    ~1.5 s fixed cost."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from .ops.agg import grouped_agg_small
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
         override_num_blocks=_blocks_for(),
     )
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            n=("l_quantity", "size"),
-        )
-
-    out = (
-        ds.map_batches(_partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("n", alias_name="n"),
-        )
+    out = grouped_agg_small(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "n": ("l_quantity", "size"),
+        },
     )
     return out.map_batches(
         lambda df: df.assign(
@@ -893,11 +889,13 @@ def q_lineitem_agg(sf_dir):
 
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
-    ray.put), revenue per market segment."""
+    ray.put), revenue per market segment. Join + partial combine are
+    fused into one stage; the 5-segment rollup finishes with a
+    single-block combine (grouped_agg_small pattern) instead of a
+    sort-based groupby shuffle."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -907,21 +905,26 @@ def q_orders_by_segment(sf_dir):
     )
     ref = ray.put(seg_map)
 
-    def _join(df: pd.DataFrame) -> pd.DataFrame:
+    def _join_partial(df: pd.DataFrame) -> pd.DataFrame:
         mp = ray.get(ref)
         df["c_mktsegment"] = df["o_custkey"].map(mp)
-        return df[["c_mktsegment", "o_totalprice"]]
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+        )
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
         override_num_blocks=_blocks_for(),
     )
     out = (
-        orders.map_batches(_join, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
-        )
+        orders.map_batches(_join_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas")
     )
     return out.map_batches(
         lambda df: df.assign(revenue=df.revenue.round(2)), batch_format="pandas"
