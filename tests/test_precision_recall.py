@@ -134,3 +134,74 @@ def test_full_kg_pr(ray_session):
     precision, recall = _pr(got, want)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     assert precision == 1.0 and recall == 1.0
+
+
+def test_strict_rdfa_mode():
+    """strict=True enables the W3C behaviors the lite walker
+    simplifies; default mode keeps the reference walker's traced
+    semantics on the same inputs (hand-derived differential cases —
+    the reference walker's deps aren't installable here, so its
+    behavior is traced from rdfalite.py:78-172 and asserted as the
+    lite expectation)."""
+    from versa_ray.web.extract import extract_rdfa
+
+    BASE = "http://ex.org/doc"
+    V = "http://s.org/"
+
+    # 1) property + resource chaining: W3C chains (parent, prop, res);
+    #    the lite walker overwrites the subject first -> self-triple
+    html = (
+        f'<div vocab="{V}" resource="#r">'
+        f'<span property="knows" resource="#x">x</span></div>'
+    )
+    strict = {(s, p, o) for (s, p, o, _i) in extract_rdfa(html, BASE, strict=True)}
+    lite = {(s, p, o) for (s, p, o, _i) in extract_rdfa(html, BASE)}
+    assert (f"{BASE}#r", V + "knows", f"{BASE}#x") in strict
+    assert (f"{BASE}#x", V + "knows", f"{BASE}#x") in lite  # reference quirk
+
+    # 2) about sets the subject; lite ignores it (subject stays doc)
+    html = f'<div vocab="{V}" about="#me" property="name" content="Uche"></div>'
+    strict = {(s, p, o) for (s, p, o, _i) in extract_rdfa(html, BASE, strict=True)}
+    lite = {(s, p, o) for (s, p, o, _i) in extract_rdfa(html, BASE)}
+    assert strict == {(f"{BASE}#me", V + "name", "Uche")}
+    assert lite == {(BASE, V + "name", "Uche")}
+
+    # 3) CURIE property with prefix but NO vocab: works in strict only
+    html = (
+        '<div prefix="dct: http://purl.org/dc/terms/">'
+        '<span property="dct:title">T</span></div>'
+    )
+    strict = extract_rdfa(html, BASE, strict=True)
+    assert [(s, p, o) for (s, p, o, _i) in strict] == [
+        (BASE, "http://purl.org/dc/terms/title", "T")
+    ]
+    assert extract_rdfa(html, BASE) == []
+
+    # 4) typeof with about types the about subject, not a bnode
+    html = f'<div vocab="{V}" about="#me" typeof="Person"></div>'
+    strict = extract_rdfa(html, BASE, strict=True)
+    assert [(s, p, o) for (s, p, o, _i) in strict] == [
+        (f"{BASE}#me", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         V + "Person")
+    ]
+    lite = extract_rdfa(html, BASE)
+    assert len(lite) == 1 and lite[0][0].startswith("_:b")  # bnode in lite
+
+    # 5) descendants inherit the about subject in strict mode
+    html = (
+        f'<div vocab="{V}" about="#me">'
+        f'<span property="name">N</span></div>'
+    )
+    strict = extract_rdfa(html, BASE, strict=True)
+    assert [(s, p, o) for (s, p, o, _i) in strict] == [(f"{BASE}#me", V + "name", "N")]
+
+    # 6) CURIE typeof resolves through prefixes in strict mode
+    html = (
+        f'<div vocab="{V}" prefix="foo: http://foo.org/" '
+        f'resource="#z" typeof="foo:Bar"></div>'
+    )
+    strict = extract_rdfa(html, BASE, strict=True)
+    assert [(s, p, o) for (s, p, o, _i) in strict] == [
+        (f"{BASE}#z", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://foo.org/Bar")
+    ]

@@ -137,10 +137,19 @@ def text_from_tree(root: _Node) -> str:
     return "\n".join(segments)
 
 
-def extract_rdfa(html, source_uri: str):
+def extract_rdfa(html, source_uri: str, strict: bool = False):
     """RDFa-Lite extraction -> list of (subject, predicate, object,
-    obj_is_iri) tuples, document order, duplicates preserved."""
-    return rdfa_from_tree(parse_html(html), source_uri)
+    obj_is_iri) tuples, document order, duplicates preserved.
+
+    ``strict=True`` enables W3C-RDFa behaviors the reference's lite
+    walker simplifies (rdfalite.py:78-172): the ``about`` attribute
+    sets the element's subject; ``property`` + ``resource`` chains
+    (parent-subject, prop, resource) instead of the lite walker's
+    self-triple (it overwrites the subject with ``resource`` before
+    emitting); ``prefix``/CURIE properties work without a ``vocab``
+    in scope. Default (lite) mode is bit-compatible with the
+    reference walker."""
+    return rdfa_from_tree(parse_html(html), source_uri, strict=strict)
 
 
 def extract_both(html, source_uri: str):
@@ -151,7 +160,10 @@ def extract_both(html, source_uri: str):
     return text_from_tree(root), rdfa_from_tree(root, source_uri)
 
 
-def rdfa_from_tree(root: _Node, source_uri: str):
+_RDFA_ATTRS = ("prefix", "about", "resource", "typeof", "property")
+
+
+def rdfa_from_tree(root: _Node, source_uri: str, strict: bool = False):
     triples = []
     bnode_counter = [0]
     doc_tag = simple_hashstring(source_uri)
@@ -164,30 +176,64 @@ def rdfa_from_tree(root: _Node, source_uri: str):
         prefixes = prefixes or dict(DEFAULT_PREFIXES)
         attrs = elem.attrs
         vocab = attrs.get("vocab", vocab)
-        if vocab:
+        # lite mode gates ALL rdfa processing on a vocab in scope (the
+        # reference walker's behavior); strict processes rdfa
+        # attributes whenever any is present (CURIEs work vocab-less)
+        active = vocab or (strict and any(a in attrs for a in _RDFA_ATTRS))
+        if active:
             prefix = attrs.get("prefix")
             if prefix:
                 bits = prefix.split()
                 for i in range(0, len(bits) - 1, 2):
                     prefixes = dict(prefixes)
                     prefixes[bits[i].strip().rstrip(":")] = bits[i + 1].strip()
+            if strict:
+                about = attrs.get("about")
+                if about:
+                    try:
+                        resource = I(absolutize(about, source_uri))
+                    except ValueError:
+                        pass
+            subject = resource  # the property-triple subject in strict mode
             new_resource = attrs.get("resource")
             if new_resource:
                 try:
-                    resource = new_resource = I(absolutize(new_resource, source_uri))
+                    new_resource = I(absolutize(new_resource, source_uri))
+                    if not strict:
+                        # lite quirk (reference rdfalite.py:106): the
+                        # subject is overwritten BEFORE property
+                        # emission, so property+resource co-occurrence
+                        # yields a self-triple
+                        resource = new_resource
                 except ValueError:
                     new_resource = None
 
             typeof_list = attrs.get("typeof")
             if typeof_list:
                 if not new_resource:
-                    new_resource = bnode()
+                    if strict and "about" in attrs:
+                        # about establishes the typed subject
+                        new_resource = None
+                    else:
+                        new_resource = bnode()
+                type_subj = new_resource or resource
                 for typeof in typeof_list.split():
-                    try:
-                        typ = I(absolutize(typeof, vocab))
-                    except ValueError:
-                        continue
-                    triples.append((new_resource or resource, RDF_TYPE, typ, True))
+                    typ = None
+                    if ":" in typeof:
+                        p, local = typeof.split(":", 1)
+                        if strict and p in prefixes:
+                            try:
+                                typ = I(absolutize(local, prefixes[p]))
+                            except ValueError:
+                                typ = None
+                    if typ is None:
+                        if not vocab:
+                            continue
+                        try:
+                            typ = I(absolutize(typeof, vocab))
+                        except ValueError:
+                            continue
+                    triples.append((type_subj, RDF_TYPE, typ, True))
 
             prop_list = attrs.get("property")
             new_value = None
@@ -206,6 +252,8 @@ def rdfa_from_tree(root: _Node, source_uri: str):
                         except ValueError:
                             continue
                     else:
+                        if not vocab:
+                            continue  # bare terms need a vocab (both modes)
                         try:
                             prop = I(absolutize(raw_prop, vocab))
                         except ValueError:
@@ -224,9 +272,12 @@ def rdfa_from_tree(root: _Node, source_uri: str):
                                 break
                         if value is None:
                             value = elem.text_value()
-                    triples.append((resource, prop, value, isinstance(value, I)))
+                    subj = subject if strict else resource
+                    triples.append((subj, prop, value, isinstance(value, I)))
             if new_value:
                 resource = new_value
+            elif strict and new_resource:
+                resource = new_resource
         for child in elem.children:
             if isinstance(child, _Node):
                 do_parse(child, resource, vocab=vocab, prefixes=prefixes)
