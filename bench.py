@@ -72,6 +72,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "embedding_near_dups",
         "events_tumbling",
         "events_sliding",
+        "links_jsonld_nested",
+        "doc_simhash_pairs",
     ]
     qmap = Q.build_queries()
     out = {}

@@ -590,23 +590,46 @@ def origin_adjacency(ds, num_buckets=64):
     the same per-group-overhead rule as distinct_links)."""
     import json
 
-    from ..ops.dedup import bucketed_group_apply
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["origin"], index=False) % num_buckets
+        ).astype("int32")
+        return df
 
-    def _adj(group: pd.DataFrame) -> pd.DataFrame:
-        if not len(group):
+    def _adj_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # ONE output frame per bucket (a 1-row DataFrame per origin is
+        # ~0.5 ms each — the dominant cost at 10k+ origins); rows are
+        # grouped by a single vectorized sort + itertools slicing
+        if "origin" not in bucket.columns or not len(bucket):
             return pd.DataFrame({"origin": [], "adjacency": []})
-        rows = sorted(
-            zip(group["rel"], group["target"], group["target_is_iri"], group["attrs"]),
-            key=lambda x: (x[0], x[1] or "", x[3]),
+        b = bucket.sort_values(
+            ["origin", "rel", "target", "attrs"], na_position="first"
         )
-        return pd.DataFrame(
-            {
-                "origin": [group["origin"].iloc[0]],
-                "adjacency": [json.dumps([list(r) for r in rows], ensure_ascii=False)],
-            }
+        origins_arr = b["origin"].to_numpy()
+        quads = list(
+            zip(b["rel"], b["target"], b["target_is_iri"], b["attrs"])
         )
+        bounds = np.flatnonzero(
+            np.concatenate(([True], origins_arr[1:] != origins_arr[:-1]))
+        )
+        origins, adjacency = [], []
+        for i, lo in enumerate(bounds):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else len(origins_arr)
+            origins.append(origins_arr[lo])
+            adjacency.append(
+                json.dumps([list(q) for q in quads[lo:hi]], ensure_ascii=False)
+            )
+        return pd.DataFrame({"origin": origins, "adjacency": adjacency})
 
-    return bucketed_group_apply(ds, ["origin"], _adj, num_buckets=num_buckets)
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(
+            lambda b: _adj_bucket(b.drop(columns=["_cbucket"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def _resolve_sink(path, filesystem=None):

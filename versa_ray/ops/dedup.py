@@ -1001,23 +1001,36 @@ def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
 
 def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
                         n_planes=12, n_tables=6, threshold=0.95, seed=11,
-                        num_buckets=64):
+                        num_buckets=64, payload="auto"):
     """Random-hyperplane LSH with OR-amplification: ``n_tables``
     independent plane sets; a pair is a candidate if it collides in ANY
     table (miss probability (1-p^n_planes)^n_tables, p = 1 - theta/pi),
     then exact cosine verification.
 
-    Shuffle-byte diet (round-3): bucketing rows carry (table, code,
-    id) ONLY — the vector payload is NOT duplicated n_tables times
-    through the LSH shuffle. Candidate pairs are deduped pair-sized,
-    then vectors attach to pair endpoints in one corpus bucket-merge
-    pass (verify_pairs_cosine_ds, the verified_near_dup_pairs attach
-    pattern) where the exact cosine is computed."""
+    ``payload`` picks how vectors reach the verifier:
+
+    * ``"inline"`` — each LSH row carries its vector; verification is
+      in-bucket, one shuffle total. Payload is duplicated x n_tables
+      through the shuffle, but the pipeline is 3 stages — fastest for
+      narrow vectors (the two designs' crossover measured ~3x wall at
+      dim=64 / sf0.1 in the inline path's favor).
+    * ``"attach"`` — LSH rows carry (table, code, id) only; candidate
+      pairs dedup pair-sized, then vectors attach to pair endpoints
+      in one corpus bucket-merge pass (verify_pairs_cosine_ds). More
+      stages, but shuffle bytes are O(corpus + pairs) instead of
+      O(corpus x n_tables) — the scale path for wide embeddings.
+    * ``"auto"`` — attach when dim * n_tables exceeds 2048 floats per
+      row, else inline.
+
+    Both paths are equality-tested in pytest."""
+    if payload == "auto":
+        payload = "attach" if dim * n_tables > 2048 else "inline"
     rng = np.random.RandomState(seed)
     planes = rng.randn(dim, n_planes * n_tables)
     import ray
 
     planes_ref = ray.put(planes)
+    inline = payload == "inline"
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         pl = ray.get(planes_ref)
@@ -1028,13 +1041,30 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
         for t in range(n_tables):
             sub = bits[:, t * n_planes:(t + 1) * n_planes]
             codes = (sub * (1 << np.arange(n_planes))).sum(axis=1)
-            out.append(
-                pd.DataFrame(
-                    {"table": np.full(len(ids), t, dtype=np.int8),
-                     "bucket": codes.astype("int64"), id_col: ids}
-                )
-            )
+            cols = {"table": np.full(len(ids), t, dtype=np.int8),
+                    "bucket": codes.astype("int64"), id_col: ids}
+            if inline:
+                cols[vec_col] = list(mat)
+            out.append(pd.DataFrame(cols))
         return pd.concat(out, ignore_index=True)
+
+    def _pairs_inline(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return _empty_pairs("cosine")
+        _, uix = np.unique(ids, return_index=True)
+        ids = ids[uix]
+        mat = np.stack(group[vec_col].to_numpy()[uix])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        a_ix, b_ix = np.triu_indices(len(ids), k=1)
+        cs = sims[a_ix, b_ix]
+        keep = cs >= threshold
+        lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
+        hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs[keep]})
 
     def _cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group[id_col].to_numpy())
@@ -1046,6 +1076,11 @@ def embedding_near_dups(ds, dim: int, vec_col="embedding", id_col="vec_id",
         return pd.DataFrame({"id_a": ids[a_ix], "id_b": ids[b_ix]})
 
     bucketed = ds.map_batches(_bucket, batch_format="pandas")
+    if inline:
+        pairs = bucketed_group_apply(
+            bucketed, ["table", "bucket"], _pairs_inline, min_group_size=2
+        )
+        return dedup_rows(pairs, ["id_a", "id_b"])
     cand = bucketed_group_apply(
         bucketed, ["table", "bucket"], _cand_pairs, min_group_size=2
     )

@@ -138,3 +138,66 @@ def langid_ds(ds, text_col: str = "text", concurrency=4):
         batch_format="pandas",
         concurrency=concurrency,
     )
+
+
+_WS_CLASS = "[ \\t\\r\\n\\f\\v]+"
+
+
+def normalize_text(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Canonical text normalization for training corpora: unicode NFC,
+    lowercase, ASCII-whitespace runs collapsed to one space, trimmed.
+    The whitespace class is explicit (not ``\\s``) so the SQL oracle
+    (DuckDB nfc_normalize/lower/regexp_replace) matches exactly."""
+    import unicodedata
+
+    out = batch.copy()
+    s = out[text_col].fillna("").map(lambda t: unicodedata.normalize("NFC", t))
+    s = s.str.lower()
+    s = s.str.replace(_WS_CLASS, " ", regex=True).str.strip(" ")
+    out["norm_text"] = s
+    return out
+
+
+def top_tokens(ds, k: int = 50, text_col: str = "text", num_buckets: int = 64):
+    """Global top-k whitespace tokens by count (ties broken by token
+    asc). Per-batch vectorized counts (explode + value_counts), token
+    totals merged on a coarse hash bucket, per-bucket top-k (each
+    token's full total lives in one bucket), single final top-k merge
+    over the bounded ``buckets x k`` candidates."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        toks = (
+            df[text_col].fillna("").str.split(_WS_CLASS, regex=True).explode()
+        )
+        toks = toks[toks.astype(bool)]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy()})
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["token"], index=False) % num_buckets
+        ).astype("int32")
+        return df
+
+    def _bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby("token", as_index=False)["n"].sum()
+        return totals.sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).head(k)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas")
+    )

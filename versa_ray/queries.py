@@ -537,6 +537,76 @@ def q_doc_lang_counts(sf_dir):
     )
 
 
+def q_doc_stratified_sample(sf_dir):
+    """Deterministic stratified sample: 20 docs per language by
+    md5(doc_id) rank — reproducible across re-runs/re-executed tasks
+    and SQL-oracle-checkable (DuckDB md5 over row_number window)."""
+    import ray.data as rd
+
+    from .ops.sample import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"],
+        override_num_blocks=_blocks_for(),
+    )
+    return stratified_sample(ds, "lang", 20, "doc_id")
+
+
+def q_doc_uniform_sample(sf_dir):
+    """Deterministic global sample of 50 docs by md5(doc_id) rank."""
+    import ray.data as rd
+
+    from .ops.sample import uniform_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"],
+        override_num_blocks=_blocks_for(),
+    )
+    return uniform_sample(ds, 50, "doc_id")
+
+
+def q_doc_contamination(sf_dir):
+    """Benchmark-contamination flagging: snippets lifted from two
+    corpus documents (deterministic, self-contained) must flag at
+    least their source docs; exact substring containment is the SQL
+    oracle (position(snippet IN text))."""
+    import duckdb
+
+    from .ops.contamination import flag_contaminated
+
+    con = duckdb.connect()
+    snips = [
+        r[0]
+        for r in con.execute(
+            "SELECT substr(text, 11, 30) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE doc_id IN (3, 7) AND length(text) > 10 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    out = flag_contaminated(_docs(sf_dir), snips)
+    df = out.to_pandas()
+    if 3 not in set(df["doc_id"]):
+        raise AssertionError("snippet source doc 3 must flag itself")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def q_doc_norm_text(sf_dir):
+    """Canonical text normalization (NFC + lower + whitespace collapse
+    + trim), vectorized; byte-exact vs the DuckDB oracle."""
+    return _docs(sf_dir).map_batches(
+        lambda df: textstats.normalize_text(df)[["doc_id", "norm_text"]],
+        batch_format="pandas",
+    )
+
+
+def q_doc_top_tokens(sf_dir):
+    """Global top-50 whitespace tokens (count desc, token asc):
+    per-batch vectorized counts, bucket-merged totals, bounded final
+    merge."""
+    return textstats.top_tokens(_docs(sf_dir), k=50)
+
+
 def q_doc_fingerprint(sf_dir):
     return _docs(sf_dir).map_batches(
         lambda df: textstats.md5_fingerprint(df)[["doc_id", "fp_md5"]],
@@ -1010,6 +1080,11 @@ def build_queries():
         "nt_roundtrip": q_nt_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_uniform_sample": q_doc_uniform_sample,
+        "doc_contamination": q_doc_contamination,
+        "doc_norm_text": q_doc_norm_text,
+        "doc_top_tokens": q_doc_top_tokens,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -1140,6 +1215,35 @@ def build_oracles():
             "SELECT lang, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "doc_stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 20"
+        ),
+        "doc_uniform_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50"
+        ),
+        "doc_contamination": (
+            "WITH snips AS (SELECT substr(text, 11, 30) AS s FROM documents "
+            "WHERE doc_id IN (3, 7) AND length(text) > 10) "
+            "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+            "FROM documents d JOIN snips ON position(snips.s IN d.text) > 0 "
+            "GROUP BY d.doc_id"
+        ),
+        "doc_norm_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ') AS norm_text FROM documents"
+        ),
+        "doc_top_tokens": (
+            "SELECT token, n FROM (SELECT token, "
+            "CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest("
+            "regexp_split_to_array(text, '[ \\t\\r\\n\\f\\v]+')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token) "
+            "ORDER BY n DESC, token LIMIT 50"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         # exact word-3-shingle Jaccard over all pairs; mirrors

@@ -240,137 +240,143 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
 
     tagged = adj.map_batches(_mknodes, batch_format="pandas")
 
-    # ---- phase A: group by target -> refcount / unique referrer /
-    # removal rows for refs to pruned-or-self; node rows re-keyed to
-    # phase B (origin) unchanged -------------------------------------
-    def _phase_a(group: pd.DataFrame) -> pd.DataFrame:
-        key = group["key"].iloc[0]
-        nodes = group[group["kind"] == 0]
-        edges = group[group["kind"] == 1]
-        out = {"key": [], "kind": [], "s1": [], "s2": [], "n": []}
-        # node passes through (keyed by self either way)
-        for s1 in nodes["s1"]:
-            out["key"].append(key)
-            out["kind"].append(0)
-            out["s1"].append(s1)
-            out["s2"].append("")
-            out["n"].append(0)
-        n_edges = len(edges)
-        if n_edges:
-            in_pool = len(nodes) > 0
-            if in_pool:
-                # info row -> the target node learns its refcount and
-                # (when single-ref) its unique referrer
-                out["key"].append(key)
-                out["kind"].append(10)
-                out["s1"].append(edges["s1"].iloc[0] if n_edges == 1 else "")
-                out["s2"].append("")
-                out["n"].append(n_edges)
-                if n_edges == 1:
-                    # eligible-edge row -> referrer's pending count
-                    out["key"].append(edges["s1"].iloc[0])
-                    out["kind"].append(12)
-                    out["s1"].append(key)
-                    out["s2"].append("")
-                    out["n"].append(0)
-            elif ignore:
-                # target absent from the pool: either pruned (strip the
-                # ref from each referrer) or dangling. Distinguishing
-                # needs the pruned-id set; pruned ids were dropped
-                # before this phase, so emit removals only when an
-                # ignore list exists AND the target matched it — we
-                # can't know here, so removal rows are emitted from
-                # _mknodes instead (see _prune_removals below).
-                pass
-        return pd.DataFrame(out)
+    def _with_bucket(col):
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_cbucket"] = (
+                pd.util.hash_pandas_object(df[col], index=False) % num_buckets
+            ).astype("int32")
+            return df
 
-    # removals: refs to pruned nodes must be stripped from referrers.
-    # Recompute pruned ids cheaply from the adjacency (same shuffle
-    # product) and key removal rows by the REFERRER.
+        return _fn
+
+    _COLS = ["key", "kind", "s1", "s2", "n"]
+
+    # ---- phase A (one bucket shuffle keyed by target id, fully
+    # vectorized inside the bucket): per-target refcount + unique
+    # referrer, eligible-edge rows for pending counts, removal rows
+    # for edges into pruned ids; node rows pass through ---------------
+    def _phase_a(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({c: [] for c in _COLS})
+        nodes = bucket[bucket["kind"] == 0]
+        edges = bucket[bucket["kind"] == 1]
+        outs = [nodes[_COLS]]
+        if len(edges):
+            if ignore:
+                pruned_ids = set(bucket.loc[bucket["kind"] == 20, "key"])
+                hit = edges[edges["key"].isin(pruned_ids)]
+                if len(hit):
+                    outs.append(
+                        pd.DataFrame(
+                            {"key": hit["s1"].to_numpy(), "kind": 11,
+                             "s1": hit["key"].to_numpy(), "s2": "", "n": 0}
+                        )
+                    )
+            ein = edges[edges["key"].isin(set(nodes["key"]))]
+            if len(ein):
+                agg = ein.groupby("key", sort=False)["s1"].agg(["size", "first"])
+                single = agg[agg["size"] == 1]
+                outs.append(
+                    pd.DataFrame(
+                        {"key": agg.index.to_numpy(), "kind": 10,
+                         "s1": np.where(agg["size"].to_numpy() == 1,
+                                        agg["first"].to_numpy(), ""),
+                         "s2": "", "n": agg["size"].to_numpy().astype(np.int64)}
+                    )
+                )
+                if len(single):
+                    outs.append(
+                        pd.DataFrame(
+                            {"key": single["first"].to_numpy(), "kind": 12,
+                             "s1": single.index.to_numpy(), "s2": "", "n": 0}
+                        )
+                    )
+        out = pd.concat(outs, ignore_index=True)
+        out["kind"] = out["kind"].astype("int8")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    # pruned-id markers (kind 20), keyed by the pruned id so phase A
+    # can turn edges into pruned ids into removal rows at the referrer
     def _prune_removals(df: pd.DataFrame) -> pd.DataFrame:
         out = {"key": [], "kind": [], "s1": [], "s2": [], "n": []}
-        if not ignore:
-            return pd.DataFrame(out)
-        pruned_ids = []
         for origin, adjacency in zip(df["origin"], df["adjacency"]):
             rels = json.loads(adjacency)
             types = {str(t) for (r, t, ii, a) in rels if r in type_rels}
             if types & ignore:
-                pruned_ids.append(str(origin))
-        for pid in pruned_ids:
-            out["key"].append(pid)
-            out["kind"].append(20)  # pruned marker, keyed by pruned id
-            out["s1"].append("")
-            out["s2"].append("")
-            out["n"].append(0)
-        return pd.DataFrame(out)
-
-    from ..ops.dedup import bucketed_group_apply
+                out["key"].append(str(origin))
+                out["kind"].append(20)
+                out["s1"].append("")
+                out["s2"].append("")
+                out["n"].append(0)
+        o = pd.DataFrame(out)
+        o["kind"] = o["kind"].astype("int8")
+        o["n"] = o["n"].astype("int64")
+        return o
 
     work = tagged
     if ignore:
-        # join pruned markers against edges (both keyed by target id):
-        # edges to pruned ids become kind-11 removal rows keyed by src
-        marks = adj.map_batches(_prune_removals, batch_format="pandas")
-        work = work.union(marks)
+        work = work.union(adj.map_batches(_prune_removals, batch_format="pandas"))
 
-    def _phase_a_full(group: pd.DataFrame) -> pd.DataFrame:
-        base = _phase_a(group[group["kind"] != 20])
-        if ignore and (group["kind"] == 20).any():
-            # every edge into this pruned id -> removal at the referrer
-            edges = group[group["kind"] == 1]
-            if len(edges):
-                rem = pd.DataFrame(
-                    {
-                        "key": edges["s1"].to_numpy(),
-                        "kind": 11,
-                        "s1": group["key"].iloc[0],
-                        "s2": "",
-                        "n": 0,
-                    }
-                )
-                base = pd.concat([base, rem], ignore_index=True)
-        return base
-
-    staged = bucketed_group_apply(
-        work, ["key"], _phase_a_full, num_buckets=num_buckets
+    staged = (
+        work.map_batches(_with_bucket("key"), batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(lambda b: _phase_a(b.drop(columns=["_cbucket"])),
+                    batch_format="pandas")
     )
 
-    # ---- phase B: group by origin -> assemble node state ---------------
-    def _phase_b(group: pd.DataFrame) -> pd.DataFrame:
-        nodes = group[group["kind"] == 0]
-        if not len(nodes):
-            return pd.DataFrame(
-                {"origin": [], "node": [], "refcount": [], "referrer": [],
-                 "pending": []}
-            )
-        origin = group["key"].iloc[0]
-        info = group[group["kind"] == 10]
-        removals = group[group["kind"] == 11]
-        pending = int((group["kind"] == 12).sum())
-        refcount = int(info["n"].iloc[0]) if len(info) else 0
-        referrer = str(info["s1"].iloc[0]) if len(info) else ""
-        obj = json.loads(nodes["s1"].iloc[0])
-        if len(removals):
-            for tgt in removals["s1"]:
-                ref = {"@id": tgt}
-                for k, v in list(obj.items()):
-                    if v == ref:
-                        del obj[k]
-                    elif isinstance(v, list):
-                        nv = [item for item in v if item != ref]
-                        obj[k] = nv[0] if len(nv) == 1 else nv
-        return pd.DataFrame(
-            {"origin": [origin], "node": [json.dumps(obj, ensure_ascii=False)],
-             "refcount": np.array([refcount], dtype=np.int64),
-             "referrer": [referrer],
-             "pending": np.array([pending], dtype=np.int64)}
+    # ---- phase B (one bucket shuffle keyed by origin, vectorized
+    # merges; JSON is only parsed for nodes that lose refs) -----------
+    _STATE_COLS = ["origin", "node", "refcount", "referrer", "pending"]
+
+    def _phase_b(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({c: [] for c in _STATE_COLS})
+        nodes = bucket[bucket["kind"] == 0][["key", "s1"]].rename(
+            columns={"key": "origin", "s1": "node"}
         )
+        if not len(nodes):
+            return pd.DataFrame({c: [] for c in _STATE_COLS})
+        info = bucket[bucket["kind"] == 10][["key", "s1", "n"]].drop_duplicates(
+            "key"
+        ).rename(columns={"key": "origin", "s1": "referrer", "n": "refcount"})
+        pend = (
+            bucket[bucket["kind"] == 12].groupby("key", sort=False).size()
+            .rename("pending").reset_index().rename(columns={"key": "origin"})
+        )
+        df = nodes.merge(info, on="origin", how="left").merge(
+            pend, on="origin", how="left"
+        )
+        df["refcount"] = df["refcount"].fillna(0).astype(np.int64)
+        df["referrer"] = df["referrer"].fillna("")
+        df["pending"] = df["pending"].fillna(0).astype(np.int64)
+        removals = bucket[bucket["kind"] == 11]
+        if len(removals):
+            by_origin = removals.groupby("key", sort=False)["s1"].agg(list)
+            idx = df.index[df["origin"].isin(by_origin.index)]
+            for i in idx:
+                obj = json.loads(df.at[i, "node"])
+                for tgt in by_origin[df.at[i, "origin"]]:
+                    ref = {"@id": tgt}
+                    for k, v in list(obj.items()):
+                        if v == ref:
+                            del obj[k]
+                        elif isinstance(v, list):
+                            nv = [item for item in v if item != ref]
+                            obj[k] = nv[0] if len(nv) == 1 else nv
+                df.at[i, "node"] = json.dumps(obj, ensure_ascii=False)
+        return df[_STATE_COLS]
 
-    state = bucketed_group_apply(staged, ["key"], _phase_b,
-                                 num_buckets=num_buckets)
+    state = (
+        staged.map_batches(_with_bucket("key"), batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(lambda b: _phase_b(b.drop(columns=["_cbucket"])),
+                    batch_format="pandas")
+    )
 
-    # ---- phase C: iterative leaf inlining ------------------------------
+    # ---- phase C: iterative leaf inlining (early exit when no node
+    # is inlinable this round — a scalar sum, never node data) --------
     def _route(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         inline = (
@@ -380,43 +386,41 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
         df["_child"] = inline.astype("int8")
         return df
 
-    def _absorb(group: pd.DataFrame) -> pd.DataFrame:
-        parents = group[group["_child"] == 0]
-        children = group[group["_child"] == 1]
+    def _absorb(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "_child" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({c: [] for c in _STATE_COLS})
+        parents = bucket[bucket["_child"] == 0]
+        children = bucket[bucket["_child"] == 1]
         if not len(children):
-            return parents.drop(columns=["_k", "_child"])
-        pmap = {o: json.loads(n) for o, n in zip(parents["origin"], parents["node"])}
-        pend = dict(zip(parents["origin"], parents["pending"]))
+            return parents[_STATE_COLS]
+        out = parents[_STATE_COLS].reset_index(drop=True)
+        pos = {o: i for i, o in enumerate(out["origin"])}
         orphans = []
         for _, ch in children.iterrows():
-            par = pmap.get(ch["referrer"])
-            if par is None:
-                orphans.append(ch)  # referrer routed elsewhere; keep node
+            i = pos.get(ch["referrer"])
+            if i is None:
+                orphans.append(ch)
                 continue
+            par = json.loads(out.at[i, "node"])
             _embed_child(par, ch["origin"], json.loads(ch["node"]))
-            pend[ch["referrer"]] = max(0, pend[ch["referrer"]] - 1)
-        out = pd.DataFrame(
-            {
-                "origin": parents["origin"].to_numpy(),
-                "node": [json.dumps(pmap[o], ensure_ascii=False)
-                         for o in parents["origin"]],
-                "refcount": parents["refcount"].to_numpy(),
-                "referrer": parents["referrer"].to_numpy(),
-                "pending": np.array([pend[o] for o in parents["origin"]],
-                                    dtype=np.int64),
-            }
-        )
+            out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
+            out.at[i, "pending"] = max(0, out.at[i, "pending"] - 1)
         if orphans:
             out = pd.concat(
-                [out, pd.DataFrame(orphans).drop(columns=["_k", "_child"])],
-                ignore_index=True,
+                [out, pd.DataFrame(orphans)[_STATE_COLS]], ignore_index=True
             )
         return out
 
     for _ in range(max_depth):
-        routed = state.map_batches(_route, batch_format="pandas")
-        state = bucketed_group_apply(routed, ["_k"], _absorb,
-                                     num_buckets=num_buckets)
+        routed = state.map_batches(_route, batch_format="pandas").materialize()
+        if not routed.sum("_child"):
+            break
+        state = (
+            routed.map_batches(_with_bucket("_k"), batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(lambda b: _absorb(b.drop(columns=["_cbucket"])),
+                        batch_format="pandas")
+        )
 
     # ---- finalize -------------------------------------------------------
     def _finalize(df: pd.DataFrame) -> pd.DataFrame:
