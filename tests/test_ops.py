@@ -501,3 +501,59 @@ def test_contamination_ngrams(ray_session):
     ds = rd.from_pandas(rows)
     out = flag_contaminated_ngrams(ds, bench, n=8).to_pandas()
     assert set(out["doc_id"]) == {1}  # only the full 8-gram overlap
+
+
+def test_curate_documents_full_flow(ray_session, tmp_path):
+    """Curation composition: filters, normalization, exact dedup,
+    minhash near-dedup representatives, partitioned parquet output."""
+    import glob
+
+    import ray.data as rd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "lang": ["en", "en", "fr", "zz", "en", "en", "en"],
+            "text": [
+                base,                        # keeper
+                base + "  ",                 # exact dup after normalize
+                base,                        # fr keeper
+                base,                        # dropped: lang
+                "1 2 3 4 5 6 7 8 9 10",      # dropped: digit ratio
+                "too short",                 # dropped: token floor
+                base + " mu",                # near-dup of 1
+            ],
+        }
+    )
+    ds = rd.from_pandas(rows)
+    out_dir = str(tmp_path / "curated")
+    out = curate = None
+    from versa_ray.ops.curation import curate_documents
+
+    out = curate_documents(
+        ds, lang_allow=["en", "fr"], min_tokens=5, max_digit_ratio=0.3,
+        near_dedup=True, near_threshold=0.5, out_path=out_dir,
+    ).to_pandas()
+    # 1 survives (2 exact-dup, 7 near-dup clustered under 1); 3 keeps
+    # its own cluster (fr text identical to 1's -> exact dedup keyed on
+    # content keeps min id 1 only)
+    assert sorted(out["doc_id"]) == [1]
+    assert set(out.columns) == {"doc_id", "lang", "norm_text"}
+    assert glob.glob(out_dir + "/lang=*/**/*.parquet", recursive=True)
+
+
+def test_curate_documents_no_near(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.curation import curate_documents
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "lang": ["en", "en"],
+            "text": ["one two three four five six", "one two three four five six"],
+        }
+    )
+    out = curate_documents(rd.from_pandas(rows), min_tokens=3).to_pandas()
+    assert sorted(out["doc_id"]) == [10]

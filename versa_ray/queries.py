@@ -607,6 +607,18 @@ def q_doc_top_tokens(sf_dir):
     return textstats.top_tokens(_docs(sf_dir), k=50)
 
 
+def q_doc_curation(sf_dir):
+    """End-to-end curation composition (lang allow-list -> token
+    floor -> digit-ratio ceiling -> normalize -> exact dedup keeping
+    min id): the full deterministic flow is one SQL oracle."""
+    from .ops.curation import curate_documents
+
+    return curate_documents(
+        _docs(sf_dir), lang_allow=["en", "de", "fr"], min_tokens=5,
+        max_digit_ratio=0.3,
+    )
+
+
 def q_doc_fingerprint(sf_dir):
     return _docs(sf_dir).map_batches(
         lambda df: textstats.md5_fingerprint(df)[["doc_id", "fp_md5"]],
@@ -1084,6 +1096,7 @@ def build_queries():
         "doc_uniform_sample": q_doc_uniform_sample,
         "doc_contamination": q_doc_contamination,
         "doc_norm_text": q_doc_norm_text,
+        "doc_curation": q_doc_curation,
         "doc_top_tokens": q_doc_top_tokens,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1233,6 +1246,22 @@ def build_oracles():
             "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
             "FROM documents d JOIN snips ON position(snips.s IN d.text) > 0 "
             "GROUP BY d.doc_id"
+        ),
+        "doc_curation": (
+            "WITH f AS (SELECT doc_id, lang, text, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+            "AS n_digits, length(text) AS n_chars "
+            "FROM documents WHERE lang IN ('de', 'en', 'fr')), "
+            "g AS (SELECT doc_id, lang, "
+            "trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ') AS norm_text "
+            "FROM f WHERE n_tokens >= 5 AND n_digits <= 0.3 * n_chars) "
+            "SELECT doc_id, lang, norm_text FROM ("
+            "SELECT *, row_number() OVER ("
+            "PARTITION BY norm_text ORDER BY doc_id) AS rn FROM g) "
+            "WHERE rn = 1"
         ),
         "doc_norm_text": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
