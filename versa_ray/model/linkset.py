@@ -199,7 +199,13 @@ def distinct_links(ds, num_buckets=None):
         except Exception:
             num_buckets = 32
 
-    extra_cols = [n for n in ds.schema().names if n not in QUAD_COLS]
+    # schema() on a lazy non-read Dataset EXECUTES it for one row
+    # (~0.5-0.8 s of wasted pipeline warm-up per call); fetch only a
+    # cached/inferable schema and fall back to per-batch detection
+    sch = ds.schema(fetch_if_missing=False)
+    extra_cols = (
+        [n for n in sch.names if n not in QUAD_COLS] if sch is not None else None
+    )
 
     def _prep(tbl: pa.Table) -> pa.Table:
         # composite quad key computed batch-locally; only its 64-bit
@@ -241,11 +247,17 @@ def distinct_links(ds, num_buckets=None):
         return tbl.append_column("bucket", pa.array(bucket))
 
     def _dedup_bucket(group: pd.DataFrame) -> pa.Table:
-        if extra_cols:
+        extras = (
+            extra_cols
+            if extra_cols is not None
+            else [n for n in group.columns
+                  if n not in QUAD_COLS and n not in ("bucket", "_qhash")]
+        )
+        if extras:
             # int-first sort: string (lineage) comparisons only happen
             # for equal hashes, so min-lineage determinism costs O(n)
             # int comparisons instead of a 5-string-column sort
-            group = group.sort_values(["_qhash"] + extra_cols, kind="stable")
+            group = group.sort_values(["_qhash"] + extras, kind="stable")
         out = group.drop_duplicates(subset=["_qhash"] + QUAD_COLS).drop(
             columns=["bucket", "_qhash"]
         )

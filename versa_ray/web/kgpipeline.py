@@ -163,8 +163,13 @@ def extract_links(pages_ds, check_text=False, concurrency=None, batch_size=None,
     class as an actor pool, the right trade when per-worker setup is
     expensive (models, big dictionaries)."""
     cols = {"url", "html"} | ({"text"} if check_text else set())
-    have = set(pages_ds.schema().names)
-    if cols <= have and have - cols:
+    # fetch_if_missing=False: schema() on a lazy non-read Dataset would
+    # execute the upstream pipeline for one row just to prune columns —
+    # costlier than skipping the pruning (parquet reads still prune,
+    # their schema is metadata)
+    sch = pages_ds.schema(fetch_if_missing=False)
+    have = set(sch.names) if sch is not None else None
+    if have is not None and cols <= have and have - cols:
         pages_ds = pages_ds.select_columns(sorted(cols))
     if use_actors:
         return pages_ds.map_batches(
@@ -319,8 +324,9 @@ def extract_and_score_links(pages_ds, alias_table, check_text=False,
                              batch_size=batch_size, rules=rules)
     ref = ray.put(alias_table)
     cols = {"url", "html"} | ({"text"} if check_text else set())
-    have = set(pages_ds.schema().names)
-    if cols <= have and have - cols:
+    sch = pages_ds.schema(fetch_if_missing=False)  # see extract_links
+    have = set(sch.names) if sch is not None else None
+    if have is not None and cols <= have and have - cols:
         pages_ds = pages_ds.select_columns(sorted(cols))
     cache_key = (
         getattr(rules, "__qualname__", None) or repr(rules) if rules else "default",
