@@ -163,9 +163,14 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     layout hash-partitions by origin), and rewritten; every other
     partition directory is untouched. An appended corpus delta
     therefore costs O(delta + touched partitions), not a full-store
-    rescan. The rewrite is delete-then-write per partition directory
-    (not atomic; callers needing atomicity stage to a new root and
-    swap). Returns {"partitions_updated", "rows_after"}."""
+    rescan. The rewrite STAGES the merged partitions to a temp dir
+    under the store root and swaps each affected partition directory
+    by rename — a reader sees the old or the new complete partition,
+    never a half-written one (the old delete-then-rewrite left the
+    partition missing for the whole write). Cross-partition
+    atomicity (one reader seeing pre-update P1 with post-update P2)
+    still needs an epoch/manifest scheme — documented limit.
+    Returns {"partitions_updated", "rows_after"}."""
     import shutil
 
     import ray.data as rd
@@ -227,12 +232,26 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     merged = distinct_links(merged)
     merged = merged.map_batches(_tag, batch_format="pandas").materialize()
 
-    for rb, pid in affected:
-        shutil.rmtree(
-            os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}"),
-            ignore_errors=True,
-        )
-    merged.write_parquet(path, partition_cols=list(_PART_COLS))
+    import uuid
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    merged.write_parquet(staging, partition_cols=list(_PART_COLS))
+    try:
+        for rb, pid in affected:
+            rel_dir = os.path.join(f"rel_bucket={rb}", f"part_id={pid}")
+            staged_dir = os.path.join(staging, rel_dir)
+            target_dir = os.path.join(path, rel_dir)
+            if not os.path.isdir(staged_dir):
+                continue  # defensive: nothing staged for this pair
+            os.makedirs(os.path.dirname(target_dir), exist_ok=True)
+            if os.path.isdir(target_dir):
+                # trash lives under the dot-prefixed staging root, which
+                # pyarrow dataset discovery ignores even after a crash
+                os.rename(target_dir,
+                          os.path.join(staging, f"trash-{rb}-{pid}"))
+            os.rename(staged_dir, target_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(
             {"num_rel_buckets": r_b, "num_partitions": n_p,
