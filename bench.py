@@ -74,6 +74,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "events_sliding",
         "links_jsonld_nested",
         "doc_simhash_pairs",
+        "doc_curation",
+        "doc_top_tokens",
     ]
     qmap = Q.build_queries()
     out = {}

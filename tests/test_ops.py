@@ -557,3 +557,35 @@ def test_curate_documents_no_near(ray_session):
     )
     out = curate_documents(rd.from_pandas(rows), min_tokens=3).to_pandas()
     assert sorted(out["doc_id"]) == [10]
+
+
+def test_simhash_batch_chunked_identical():
+    """Chunked batch simhash (memory bound) is bit-identical to the
+    unchunked path regardless of chunk boundary placement."""
+    import numpy as np
+
+    from versa_ray.ops.dedup import simhash64_batch
+
+    texts = ["word%d alpha beta gamma" % i + " filler" * (i % 7) for i in range(25)]
+    texts[3] = ""
+    full = simhash64_batch(texts)
+    tiny = simhash64_batch(texts, _chunk_words=5)
+    assert (full == tiny).all()
+
+
+def test_verify_pairs_drops_phantom_endpoints(ray_session):
+    """Pairs whose endpoints are absent from the corpus are DROPPED on
+    both sides of the broadcast threshold (was: broadcast path scored
+    jaccard('','') = 1.0 for phantom pairs)."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import verify_pairs_jaccard
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma delta"]})
+    )
+    cand = [{"id_a": 8, "id_b": 9}]  # neither endpoint exists
+    assert verify_pairs_jaccard(ds, cand, threshold=0.0,
+                                broadcast_threshold=100) == []
+    out = verify_pairs_jaccard(ds, cand, threshold=0.0, broadcast_threshold=0)
+    assert out == []

@@ -205,3 +205,20 @@ def test_strict_rdfa_mode():
         (f"{BASE}#z", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
          "http://foo.org/Bar")
     ]
+
+
+def test_strict_rdfa_about_resource_typeof():
+    """RDFa 1.1: @about wins as the typed resource when @resource
+    co-occurs; @resource is the chained object."""
+    from versa_ray.web.extract import extract_rdfa
+
+    BASE = "http://ex.org/doc"
+    V = "http://s.org/"
+    html = (
+        f'<div vocab="{V}" about="#s" resource="#r" typeof="Person" '
+        f'property="knows"></div>'
+    )
+    strict = {(s, p, o) for (s, p, o, _i) in extract_rdfa(html, BASE, strict=True)}
+    assert (f"{BASE}#s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            V + "Person") in strict
+    assert (f"{BASE}#s", V + "knows", f"{BASE}#r") in strict

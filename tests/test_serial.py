@@ -335,3 +335,31 @@ def test_bind_ds_cycle_safe(ray_session):
     assert {r["origin"] for r in out} == {"urn:x", "urn:y"}
     x = json.loads(next(r["node"] for r in out if r["origin"] == "urn:x"))
     assert x[V + "next"] == "urn:y"  # collapsed id ref, not embedded
+
+
+def test_bind_ds_prunes_whole_list_property(ray_session):
+    """When every reference in a multi-valued property points at
+    pruned nodes, the key is deleted (driver-binder semantics), not
+    left as an empty list."""
+    import json
+
+    from versa_ray.core import I, VTYPE_REL
+    from versa_ray.model import linkset
+    from versa_ray.serial.jsonld import bind_ds
+
+    V = "http://eg.org/v/"
+    T = str(VTYPE_REL)
+    links = [
+        ("urn:d", V + "leak", I("urn:p1")),
+        ("urn:d", V + "leak", I("urn:p2")),
+        ("urn:d", V + "name", "doc d"),
+        ("urn:p1", T, I(V + "Secret")),
+        ("urn:p1", V + "name", "s1"),
+        ("urn:p2", T, I(V + "Secret")),
+        ("urn:p2", V + "name", "s2"),
+    ]
+    ds = linkset.from_links(links)
+    rows = bind_ds(ds, ignore_oftypes=[V + "Secret"]).take_all()
+    d = json.loads(next(r["node"] for r in rows if r["origin"] == "urn:d"))
+    assert V + "leak" not in d
+    assert d[V + "name"] == "doc d"

@@ -385,3 +385,35 @@ def test_read_ntriples_ds_distinct_and_disjoint(ray_session, tmp_path):
         str(tmp_path), disjoint={("urn:t:1", NAME, "dup", ())}
     )
     assert {r["origin"] for r in disj.take_all()} == {"urn:t:2"}
+
+
+def test_sink_relative_path(ray_session, tmp_path, monkeypatch):
+    """Plain relative output paths work (FileSystem.from_uri rejects
+    them; the sink absolutizes first)."""
+    import glob
+
+    from versa_ray.model.linkset import write_ntriples_ds
+
+    monkeypatch.chdir(tmp_path)
+    links = [l for l in _sample_links() if l[1] != TYPE_][:6]
+    files = write_ntriples_ds(linkset.from_links(links), "rel_out")
+    assert files and glob.glob(str(tmp_path / "rel_out" / "*.nt"))
+
+
+def test_transitive_closure_ds_converges_at_cap(ray_session):
+    """A frontier that quiesces exactly at max_iters must NOT raise;
+    a genuinely deeper chain must."""
+    import pytest as _pytest
+
+    from versa_ray.core import I
+
+    REL = "urn:r:next"
+    chain = [("urn:n:0", REL, I("urn:n:1"))]
+    ds = linkset.from_links(chain)
+    out = linkset.transitive_closure_ds(ds, {"urn:n:0"}, REL, max_iters=2)
+    assert {r["node"] for r in out.take_all()} == {"urn:n:1"}
+
+    deep = [(f"urn:n:{i}", REL, I(f"urn:n:{i+1}")) for i in range(6)]
+    ds2 = linkset.from_links(deep)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        linkset.transitive_closure_ds(ds2, {"urn:n:0"}, REL, max_iters=2)

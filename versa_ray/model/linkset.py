@@ -646,14 +646,20 @@ def origin_adjacency(ds, num_buckets=64):
 
 def _resolve_sink(path, filesystem=None):
     """Resolve (filesystem, root) for a text sink. Accepts a plain
-    path, a ``file://`` / ``s3://``-style URI, or an explicit pyarrow
-    FileSystem (e.g. a SubTreeFileSystem in tests). Shards are opened
-    through the filesystem abstraction inside map_batches, so on a
-    multi-node cluster every worker writes to the ONE target
-    filesystem instead of scattering worker-local files."""
+    path (relative or absolute), a ``file://`` / ``s3://``-style URI,
+    or an explicit pyarrow FileSystem (e.g. a SubTreeFileSystem in
+    tests). Shards are opened through the filesystem abstraction
+    inside map_batches, so on a multi-node cluster every worker
+    writes to the ONE target filesystem instead of scattering
+    worker-local files."""
+    import os
+
     import pyarrow.fs as pafs
 
     if filesystem is None:
+        if "://" not in str(path):
+            # FileSystem.from_uri rejects relative paths ("empty scheme")
+            path = os.path.abspath(path)
         filesystem, path = pafs.FileSystem.from_uri(path)
     filesystem.create_dir(path, recursive=True)
     return filesystem, path
@@ -973,14 +979,19 @@ def transitive_closure_ds(ds, seeds, rel, max_iters=50, num_buckets=None):
                      "c": np.zeros(n_h, dtype=np.int8)}
                 )
             )
-            # activation counter rows (scalar convergence signal)
-            out.append(
-                pd.DataFrame(
-                    {"key": ["__new__"], "kind": np.int8(4), "other": None,
-                     "flag": np.int8(0),
-                     "c": np.array([min(len(newly_active), 127)], dtype=np.int8)}
+            # convergence signal = EMITTED TOKENS this round (pending
+            # work), not new activations: a round that activates leaf
+            # nodes emits nothing and the loop may stop — counting
+            # activations falsely reported non-convergence whenever the
+            # frontier quiesced exactly at max_iters
+            if n_h:
+                out.append(
+                    pd.DataFrame(
+                        {"key": ["__new__"], "kind": np.int8(4), "other": None,
+                         "flag": np.int8(0),
+                         "c": np.array([min(n_h, 127)], dtype=np.int8)}
+                    )
                 )
-            )
         return pd.concat(out, ignore_index=True)
 
     new_count = 0

@@ -250,7 +250,18 @@ def update_linkset(path: str, new_ds, num_buckets=None):
                 os.rename(target_dir,
                           os.path.join(staging, f"trash-{rb}-{pid}"))
             os.rename(staged_dir, target_dir)
-    finally:
+    except BaseException:
+        # a failed swap must NOT delete the trash — it can hold the
+        # only copy of a partition. Restore any partition whose target
+        # went missing, keep the staging dir for inspection (readers
+        # ignore dot-prefixed dirs), and re-raise.
+        for rb, pid in affected:
+            trash = os.path.join(staging, f"trash-{rb}-{pid}")
+            tgt = os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}")
+            if os.path.isdir(trash) and not os.path.isdir(tgt):
+                os.rename(trash, tgt)
+        raise
+    else:
         shutil.rmtree(staging, ignore_errors=True)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(

@@ -852,26 +852,40 @@ def simhash64(text: str) -> int:
     return int.from_bytes(packed.tobytes(), "big")
 
 
-def simhash64_batch(texts) -> np.ndarray:
-    """Batch simhash: ONE flat word-hash pass over the whole batch and
-    a per-document ``add.reduceat`` over the +/-1 bit matrix —
-    bit-identical to per-doc ``simhash64`` (pytest-checked), no
-    per-document Python loop."""
+def simhash64_batch(texts, _chunk_words: int = 1 << 20) -> np.ndarray:
+    """Batch simhash: flat word-hash passes + per-document
+    ``add.reduceat`` over the +/-1 bit matrix — bit-identical to
+    per-doc ``simhash64`` (pytest-checked), no per-document Python
+    loop. Documents are processed in chunks of ~``_chunk_words``
+    words: the bit matrix costs ~576 B/word, so an unbounded batch
+    (100+ MB of text) would allocate tens of GB — chunking bounds
+    peak memory at ~600 MB without changing any signature."""
     word_lists = [t.split() for t in texts]
+    n = len(word_lists)
     counts = np.array([len(ws) for ws in word_lists], dtype=np.int64)
-    out = np.zeros(len(word_lists), dtype=np.uint64)
-    flat = [w for ws in word_lists for w in ws]
-    if not flat:
-        return out
-    hv = _hash_words(flat)
-    pm = 2 * ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32) - 1
-    nz = counts > 0
-    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
-    v = np.add.reduceat(pm, offs, axis=0)
-    sig = (
-        (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-    ).sum(axis=1, dtype=np.uint64)
-    out[nz] = sig
+    out = np.zeros(n, dtype=np.uint64)
+    lo = 0
+    while lo < n:
+        hi, tot = lo, 0
+        while hi < n and (hi == lo or tot + counts[hi] <= _chunk_words):
+            tot += counts[hi]
+            hi += 1
+        flat = [w for ws in word_lists[lo:hi] for w in ws]
+        if flat:
+            hv = _hash_words(flat)
+            pm = (
+                2 * ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                .astype(np.int32) - 1
+            )
+            c = counts[lo:hi]
+            nz = c > 0
+            offs = np.concatenate(([0], np.cumsum(c)[:-1]))[nz]
+            v = np.add.reduceat(pm, offs, axis=0)
+            sig = (
+                (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            out[lo:hi][nz] = sig
+        lo = hi
     return out
 
 
@@ -960,6 +974,10 @@ def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
     candidate text set."""
     import ray
 
+    if not isinstance(pairs, list):
+        # count() on a lazy Dataset would execute the candidate
+        # pipeline once for the count and AGAIN for the verify
+        pairs = pairs.materialize()
     n_pairs = len(pairs) if isinstance(pairs, list) else pairs.count()
     if n_pairs > broadcast_threshold:
         import ray.data as rd
@@ -989,7 +1007,12 @@ def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
             texts[row[id_col]] = row[text_col]
     out = []
     for p in pair_list:
-        j = ngram_jaccard(texts.get(p["id_a"], ""), texts.get(p["id_b"], ""), k)
+        ta, tb = texts.get(p["id_a"]), texts.get(p["id_b"])
+        if ta is None or tb is None:
+            continue  # endpoint absent from corpus — match the
+            # distributed path's inner-join semantics (was: ''-default,
+            # which scored phantom pairs jaccard('','') = 1.0)
+        j = ngram_jaccard(ta, tb, k)
         if j >= threshold:
             out.append({"id_a": p["id_a"], "id_b": p["id_b"], "jaccard": j})
     return out

@@ -364,7 +364,12 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
                             del obj[k]
                         elif isinstance(v, list):
                             nv = [item for item in v if item != ref]
-                            obj[k] = nv[0] if len(nv) == 1 else nv
+                            if not nv:
+                                del obj[k]  # driver binder deletes, not []
+                            elif len(nv) == 1:
+                                obj[k] = nv[0]
+                            else:
+                                obj[k] = nv
                 df.at[i, "node"] = json.dumps(obj, ensure_ascii=False)
         return df[_STATE_COLS]
 

@@ -187,11 +187,13 @@ def rdfa_from_tree(root: _Node, source_uri: str, strict: bool = False):
                 for i in range(0, len(bits) - 1, 2):
                     prefixes = dict(prefixes)
                     prefixes[bits[i].strip().rstrip(":")] = bits[i + 1].strip()
+            about_subj = None
             if strict:
                 about = attrs.get("about")
                 if about:
                     try:
-                        resource = I(absolutize(about, source_uri))
+                        about_subj = I(absolutize(about, source_uri))
+                        resource = about_subj
                     except ValueError:
                         pass
             subject = resource  # the property-triple subject in strict mode
@@ -210,13 +212,15 @@ def rdfa_from_tree(root: _Node, source_uri: str, strict: bool = False):
 
             typeof_list = attrs.get("typeof")
             if typeof_list:
-                if not new_resource:
-                    if strict and "about" in attrs:
-                        # about establishes the typed subject
-                        new_resource = None
-                    else:
+                if strict and about_subj is not None:
+                    # RDFa 1.1: @about wins as the typed resource even
+                    # when @resource co-occurs (resource is then the
+                    # current OBJECT, not the typed subject)
+                    type_subj = about_subj
+                else:
+                    if not new_resource:
                         new_resource = bnode()
-                type_subj = new_resource or resource
+                    type_subj = new_resource or resource
                 for typeof in typeof_list.split():
                     typ = None
                     if ":" in typeof:
