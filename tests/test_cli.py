@@ -143,3 +143,19 @@ def test_kgmatch_cli(tmp_path):
 
     m = _re.search(r"read (\d+)/(\d+) partition files", r.stdout)
     assert m and int(m.group(1)) < int(m.group(2))
+
+
+def test_curate_cli(tmp_path):
+    """curate drives the corpus-curation pipeline from the CLI and
+    lands lang-partitioned parquet."""
+    import glob
+
+    out_dir = tmp_path / "curated"
+    r = _run([
+        "curate", "/root/testdata/sf0.001/documents.parquet", str(out_dir),
+        "--lang", "en,de", "--min-tokens", "5", "--max-digit-ratio", "0.3",
+    ])
+    assert r.returncode == 0, r.stderr
+    assert "curated rows:" in r.stdout
+    parts = glob.glob(str(out_dir / "lang=*"))
+    assert {p.rsplit("=", 1)[1] for p in parts} <= {"en", "de"} and parts

@@ -131,6 +131,37 @@ def cmd_kgbuild(args):
     ray.shutdown()
 
 
+def cmd_curate(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .ops.curation import curate_documents
+
+    docs = rd.read_parquet(args.docs)
+    out = curate_documents(
+        docs,
+        lang_allow=args.lang.split(",") if args.lang else None,
+        min_tokens=args.min_tokens,
+        max_digit_ratio=args.max_digit_ratio,
+        near_dedup=args.near_dedup,
+        near_threshold=args.near_threshold,
+        out_path=args.out_dir,
+    )
+    print(f"curated rows: {out.count()} -> {args.out_dir}")
+    ray.shutdown()
+
+
 def cmd_kgmatch(args):
     import ray
 
@@ -182,6 +213,20 @@ def main(argv=None):
     p.add_argument("out_dir")
     p.add_argument("--check-text", action="store_true")
     p.set_defaults(func=cmd_kgbuild)
+
+    p = sub.add_parser(
+        "curate",
+        help="curate a documents Parquet corpus (filters -> normalize -> "
+             "dedup -> lang-partitioned parquet)",
+    )
+    p.add_argument("docs", help="documents parquet (doc_id, text, lang)")
+    p.add_argument("out_dir")
+    p.add_argument("--lang", default=None, help="comma-separated allow-list")
+    p.add_argument("--min-tokens", type=int, default=0)
+    p.add_argument("--max-digit-ratio", type=float, default=1.0)
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--near-threshold", type=float, default=0.5)
+    p.set_defaults(func=cmd_curate)
 
     p = sub.add_parser(
         "kgmatch",
