@@ -528,7 +528,6 @@ def test_curate_documents_full_flow(ray_session, tmp_path):
     )
     ds = rd.from_pandas(rows)
     out_dir = str(tmp_path / "curated")
-    out = curate = None
     from versa_ray.ops.curation import curate_documents
 
     out = curate_documents(

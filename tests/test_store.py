@@ -417,3 +417,42 @@ def test_transitive_closure_ds_converges_at_cap(ray_session):
     ds2 = linkset.from_links(deep)
     with _pytest.raises(RuntimeError, match="did not converge"):
         linkset.transitive_closure_ds(ds2, {"urn:n:0"}, REL, max_iters=2)
+
+
+def test_recover_staging_after_crash(ray_session, tmp_path):
+    """A hard crash between the two swap renames parks the partition
+    in the staging dir; the recovery sweep on the next read restores
+    it and clears the stale staging."""
+    import os
+
+    from versa_ray.model.store import _recover_staging
+
+    path = str(tmp_path / "store")
+    write_linkset(linkset.from_links(_sample_links()), path,
+                  num_rel_buckets=4, num_partitions=4)
+    n_all = read_linkset(path).count()
+
+    # simulate the crash window: one partition renamed into a staging
+    # trash slot, target missing, process gone
+    part = None
+    for rb_dir in sorted(os.listdir(path)):
+        if rb_dir.startswith("rel_bucket="):
+            for p_dir in sorted(os.listdir(os.path.join(path, rb_dir))):
+                if p_dir.startswith("part_id="):
+                    part = (rb_dir, p_dir)
+                    break
+        if part:
+            break
+    rb = part[0].split("=")[1]
+    pid = part[1].split("=")[1]
+    staging = os.path.join(path, ".staging-deadbeef")
+    os.makedirs(staging)
+    os.rename(os.path.join(path, *part),
+              os.path.join(staging, f"trash-{rb}-{pid}"))
+
+    assert read_linkset(path).count() == n_all  # sweep restored it
+    assert not os.path.isdir(staging)
+
+    # idempotent on a clean store
+    _recover_staging(path)
+    assert read_linkset(path).count() == n_all

@@ -149,16 +149,19 @@ def cmd_curate(args):
     from .ops.curation import curate_documents
 
     docs = rd.read_parquet(args.docs)
-    out = curate_documents(
+    curate_documents(
         docs,
-        lang_allow=args.lang.split(",") if args.lang else None,
+        lang_allow=[s.strip() for s in args.lang.split(",")] if args.lang else None,
         min_tokens=args.min_tokens,
         max_digit_ratio=args.max_digit_ratio,
         near_dedup=args.near_dedup,
         near_threshold=args.near_threshold,
         out_path=args.out_dir,
     )
-    print(f"curated rows: {out.count()} -> {args.out_dir}")
+    # count the WRITTEN parquet (metadata-only) — counting the returned
+    # lazy dataset would re-execute the whole pipeline a second time
+    n = rd.read_parquet(args.out_dir).count()
+    print(f"curated rows: {n} -> {args.out_dir}")
     ray.shutdown()
 
 

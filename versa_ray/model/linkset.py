@@ -900,7 +900,9 @@ def transitive_closure_ds(ds, seeds, rel, max_iters=50, num_buckets=None):
     reached targets, so a seed only appears in the output if a cycle
     returns to it), kind 1 = edge keyed by src, kind 2 = traversal
     token. Returns a Dataset with one ``node`` column of reached
-    nodes. Convergence = a per-round scalar of new activations."""
+    nodes. Convergence = a per-round scalar of EMITTED traversal
+    tokens (pending work); a round that only activates leaf nodes
+    emits none and the loop stops."""
     import ray
 
     if num_buckets is None:
@@ -1018,7 +1020,7 @@ def transitive_closure_ds(ds, seeds, rel, max_iters=50, num_buckets=None):
         # silently truncated closure
         raise RuntimeError(
             f"transitive_closure_ds did not converge in {max_iters} hops "
-            f"({new_count} activations still pending); raise max_iters"
+            f"({new_count} traversal tokens still pending); raise max_iters"
         )
 
     def _reached(df: pd.DataFrame) -> pd.DataFrame:

@@ -152,6 +152,30 @@ def _prune_expr(path: str, rel=None, origin=None):
     return flt
 
 
+def _recover_staging(path: str):
+    """Repair a store after a hard crash mid-swap: any partition
+    parked as ``trash-<rb>-<pid>`` inside a leftover ``.staging-*``
+    dir whose target directory is missing is restored, then the stale
+    staging dir is removed. Single-writer assumption (a LIVE
+    concurrent update's staging would be swept too)."""
+    import glob
+    import re
+    import shutil
+
+    for staging in glob.glob(os.path.join(path, ".staging-*")):
+        for trash in glob.glob(os.path.join(staging, "trash-*")):
+            m = re.match(r"trash-(\d+)-(\d+)$", os.path.basename(trash))
+            if not m:
+                continue
+            tgt = os.path.join(
+                path, f"rel_bucket={m.group(1)}", f"part_id={m.group(2)}"
+            )
+            if not os.path.isdir(tgt):
+                os.makedirs(os.path.dirname(tgt), exist_ok=True)
+                os.rename(trash, tgt)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def update_linkset(path: str, new_ds, num_buckets=None):
     """Incremental append-with-dedup against a stored link-set — the
     at-scale form of the reference's duplicate-refusing add
@@ -165,11 +189,16 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     therefore costs O(delta + touched partitions), not a full-store
     rescan. The rewrite STAGES the merged partitions to a temp dir
     under the store root and swaps each affected partition directory
-    by rename — a reader sees the old or the new complete partition,
-    never a half-written one (the old delete-then-rewrite left the
-    partition missing for the whole write). Cross-partition
-    atomicity (one reader seeing pre-update P1 with post-update P2)
-    still needs an epoch/manifest scheme — documented limit.
+    by rename — for in-process failures a reader sees the old or the
+    new complete partition, never a half-written one (the old
+    delete-then-rewrite left the partition missing for the whole
+    write). A hard crash BETWEEN the two renames leaves the partition
+    parked in the dot-prefixed staging dir; ``_recover_staging`` (run
+    at the start of every update and pruned read) restores it. The
+    store is single-writer: concurrent updates could recover each
+    other's live staging. Cross-partition atomicity (one reader
+    seeing pre-update P1 with post-update P2) still needs an
+    epoch/manifest scheme — documented limit.
     Returns {"partitions_updated", "rows_after"}."""
     import shutil
 
@@ -234,8 +263,13 @@ def update_linkset(path: str, new_ds, num_buckets=None):
 
     import uuid
 
+    _recover_staging(path)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
-    merged.write_parquet(staging, partition_cols=list(_PART_COLS))
+    try:
+        merged.write_parquet(staging, partition_cols=list(_PART_COLS))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # no partial leak
+        raise
     try:
         for rb, pid in affected:
             rel_dir = os.path.join(f"rel_bucket={rb}", f"part_id={pid}")
@@ -288,6 +322,7 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
     columns (or the requested subset)."""
     import ray.data as rd
 
+    _recover_staging(path)
     read_cols = None
     if columns is not None:
         need = set(columns)

@@ -81,6 +81,12 @@ def curate_documents(ds, *, text_col="text", id_col="doc_id", lang_col="lang",
 
         from .dedup import _int_bucket, minhash_dedup
 
+        # the lazy deduped dataset is consumed three times below
+        # (candidate pairs, cluster assignment, keep_rows) — pin it
+        # once so the filter + dedup shuffle don't re-execute per
+        # consumer (blocks spill to the object store as needed)
+        deduped = deduped.materialize()
+
         clusters = minhash_dedup(
             deduped, text_col=out_text, id_col=id_col,
             threshold=near_threshold, **near_kw
