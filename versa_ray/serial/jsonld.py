@@ -419,6 +419,13 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
     for _ in range(max_depth):
         routed = state.map_batches(_route, batch_format="pandas").materialize()
         if not routed.sum("_child"):
+            # reuse the materialized blocks — leaving `state` as the
+            # lazy pre-route pipeline would re-execute phases A+B in
+            # finalize
+            state = routed.map_batches(
+                lambda df: df.drop(columns=["_k", "_child"]),
+                batch_format="pandas",
+            )
             break
         state = (
             routed.map_batches(_with_bucket("_k"), batch_format="pandas")
