@@ -201,3 +201,45 @@ def top_tokens(ds, k: int = 50, text_col: str = "text", num_buckets: int = 64):
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
     )
+
+
+def gopher_quality(batch: pd.DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_frac: float = 0.8) -> pd.DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, public
+    heuristics): word-count window, mean word length window,
+    symbol-to-word ratio ('#' and '...'), fraction of words containing
+    a letter. Every feature is reproducible in SQL (the doc_gopher
+    oracle), so the whole filter is hash-checked end to end."""
+    import re
+
+    s = batch[text_col].fillna("")
+    tok_lists = s.str.split(_WS_CLASS, regex=True).map(
+        lambda ws: [w for w in ws if w]
+    )
+    n_words = tok_lists.str.len().astype("int64")
+    denom = n_words.clip(lower=1)
+    word_chars = s.str.replace(_WS_CLASS, "", regex=True).str.len()
+    mean_word_len = (word_chars / denom).round(6)
+    n_hash = s.str.count("#")
+    n_ell = (s.str.len() - s.str.replace("...", "", regex=False).str.len()) / 3
+    symbol_ratio = ((n_hash + n_ell) / denom).round(6)
+    has_alpha = re.compile(r"[A-Za-z]")
+    alpha_frac = (
+        tok_lists.map(lambda ws: sum(1 for w in ws if has_alpha.search(w)))
+        / denom
+    ).round(6)
+    out = batch.copy()
+    out["n_words"] = n_words
+    out["mean_word_len"] = mean_word_len
+    out["symbol_ratio"] = symbol_ratio
+    out["alpha_frac"] = alpha_frac
+    out["gopher_pass"] = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_len, max_mean_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+    )
+    return out

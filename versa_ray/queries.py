@@ -607,6 +607,19 @@ def q_doc_top_tokens(sf_dir):
     return textstats.top_tokens(_docs(sf_dir), k=50)
 
 
+def q_doc_gopher_quality(sf_dir):
+    """Gopher-style quality gates, every feature hash-checked against
+    the SQL oracle (word count, mean word length, symbol ratio,
+    alpha-word fraction, combined pass flag)."""
+    return _docs(sf_dir).map_batches(
+        lambda df: textstats.gopher_quality(df)[
+            ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+             "alpha_frac", "gopher_pass"]
+        ],
+        batch_format="pandas",
+    )
+
+
 def q_doc_curation(sf_dir):
     """End-to-end curation composition (lang allow-list -> token
     floor -> digit-ratio ceiling -> normalize -> exact dedup keeping
@@ -1097,6 +1110,7 @@ def build_queries():
         "doc_contamination": q_doc_contamination,
         "doc_norm_text": q_doc_norm_text,
         "doc_curation": q_doc_curation,
+        "doc_gopher_quality": q_doc_gopher_quality,
         "doc_top_tokens": q_doc_top_tokens,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1246,6 +1260,29 @@ def build_oracles():
             "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
             "FROM documents d JOIN snips ON position(snips.s IN d.text) > 0 "
             "GROUP BY d.doc_id"
+        ),
+        "doc_gopher_quality": (
+            "WITH t AS (SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN [] ELSE list_filter("
+            "regexp_split_to_array(trim(text), '[ \\t\\r\\n\\f\\v]+'), "
+            "w -> w <> '') END AS toks, "
+            "length(regexp_replace(text, '[ \\t\\r\\n\\f\\v]', '', 'g')) "
+            "AS word_chars, "
+            "length(text) - length(replace(text, '#', '')) AS n_hash, "
+            "(length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell "
+            "FROM documents), "
+            "f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+            "round(word_chars::DOUBLE / greatest(len(toks), 1), 6) "
+            "AS mean_word_len, "
+            "round((n_hash + n_ell) / greatest(len(toks), 1), 6) "
+            "AS symbol_ratio, "
+            "round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))"
+            "::DOUBLE / greatest(len(toks), 1), 6) AS alpha_frac FROM t) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, "
+            "(n_words BETWEEN 50 AND 100000) AND "
+            "(mean_word_len BETWEEN 3.0 AND 10.0) AND "
+            "(symbol_ratio <= 0.1) AND (alpha_frac >= 0.8) AS gopher_pass "
+            "FROM f"
         ),
         "doc_curation": (
             "WITH f AS (SELECT doc_id, lang, text, "
