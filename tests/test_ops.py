@@ -588,3 +588,39 @@ def test_verify_pairs_drops_phantom_endpoints(ray_session):
                                 broadcast_threshold=100) == []
     out = verify_pairs_jaccard(ds, cand, threshold=0.0, broadcast_threshold=0)
     assert out == []
+
+
+def test_asof_join_directions(ray_session):
+    """asof_join matches pandas merge_asof semantics across partitions
+    and directions; inner=False keeps unmatched left rows."""
+    import ray.data as rd
+
+    from versa_ray.ops.joins import asof_join
+
+    left = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "ts": pd.to_datetime(
+            ["2024-01-01 10:00", "2024-01-01 12:00",
+             "2024-01-02 09:00", "2024-01-01 08:00"]),
+         "user_id": [1, 1, 2, 3]}
+    )
+    right = pd.DataFrame(
+        {"event_id": [10, 11, 12], "ts": pd.to_datetime(
+            ["2024-01-01 09:00", "2024-01-01 11:00", "2024-01-02 08:00"]),
+         "user_id": [1, 1, 2]}
+    )
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+
+    out = asof_join(lds, rds, right_cols=["event_id"]).to_pandas()
+    got = {(r.event_id, r.event_id_r) for r in out.itertuples()}
+    assert got == {(1, 10), (2, 11), (3, 12)}  # user 3 dropped (inner)
+
+    outer = asof_join(lds, rds, right_cols=["event_id"], inner=False).to_pandas()
+    assert len(outer) == 4
+    assert outer.loc[outer.event_id == 4, "ts_r"].isna().all()
+
+    fwd = asof_join(lds, rds, right_cols=["event_id"],
+                    direction="forward").to_pandas()
+    got_f = {(r.event_id, int(r.event_id_r)) for r in fwd.itertuples()}
+    # only event 1 has a same-user right row at-or-after its ts
+    assert got_f == {(1, 11)}

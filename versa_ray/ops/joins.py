@@ -1,0 +1,70 @@
+"""Temporal joins Ray Data lacks natively.
+
+``asof_join``: for each left row, the single most recent right row
+with ``right[on] <= left[on]`` (direction='backward'; 'forward' /
+'nearest' per pandas) sharing the same ``by`` key. One tagged union
+shuffled on a coarse hash bucket of ``by``; inside the bucket a
+sorted ``pandas.merge_asof`` does the per-key matching (C-speed).
+
+PARTITIONING ASSUMPTION (documented): all rows of one ``by`` key
+co-locate in one bucket task — the standard as-of requirement; a
+pathologically hot key needs salting by time range plus a boundary
+pass, which this implementation does not do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left, right, on="ts", by="user_id", right_cols=(),
+              suffix="_r", direction="backward", num_buckets=32,
+              inner=True):
+    """Returns left columns + ``{on}{suffix}`` (the matched right
+    timestamp) + each requested right column renamed with ``suffix``.
+    ``inner=True`` drops left rows with no match (DuckDB ASOF JOIN
+    semantics — the oracle surface); ``inner=False`` keeps them with
+    nulls."""
+    right_cols = [c for c in right_cols if c not in (on, by)]
+
+    def _tag(kind):
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_kind"] = np.int8(kind)
+            df["_cbucket"] = (
+                pd.util.hash_pandas_object(df[by], index=False) % num_buckets
+            ).astype("int32")
+            return df
+
+        return _fn
+
+    out_right = [on + suffix] + [c + suffix for c in right_cols]
+
+    def _join(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "_kind" not in bucket.columns or not len(bucket):
+            return pd.DataFrame()
+        l = bucket[bucket["_kind"] == 1].drop(columns=["_kind", "_cbucket"])
+        r = bucket[bucket["_kind"] == 0]
+        left_cols = [c for c in l.columns if not c.endswith(suffix)]
+        if not len(l):
+            return pd.DataFrame(columns=left_cols + out_right)
+        r = r[[by, on] + right_cols].rename(
+            columns={c: c + suffix for c in [on] + right_cols}
+        )
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(on + suffix, kind="stable")
+        m = pd.merge_asof(
+            l, r, left_on=on, right_on=on + suffix, by=by,
+            direction=direction,
+        )
+        if inner:
+            m = m[m[on + suffix].notna()]
+        return m
+
+    tagged = left.map_batches(_tag(1), batch_format="pandas").union(
+        right.map_batches(_tag(0), batch_format="pandas")
+    )
+    return tagged.groupby("_cbucket").map_groups(_join, batch_format="pandas")

@@ -951,6 +951,40 @@ def q_events_sessions(sf_dir):
 # -- classic aggregates / joins --------------------------------------------
 
 
+def q_events_asof_join(sf_dir):
+    """Distributed AS-OF join (each purchase matched to the user's
+    most recent prior 'view' event): coarse user-bucket shuffle +
+    in-bucket sorted merge_asof; hash-checked against DuckDB's native
+    ASOF JOIN."""
+    import ray.data as rd
+
+    from .ops.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=_blocks_for(),
+    )
+
+    def _typed(t):
+        return lambda df: df.loc[
+            df["event_type"] == t, ["event_id", "ts", "user_id"]
+        ]
+
+    left = ev.map_batches(_typed("purchase"), batch_format="pandas")
+    right = ev.map_batches(_typed("view"), batch_format="pandas")
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=["event_id"])
+    return out.map_batches(
+        lambda df: df.assign(
+            event_id_r=df.event_id_r.astype("int64"),
+            ts=df.ts.astype("datetime64[us]"),
+            ts_r=df.ts_r.astype("datetime64[us]"),
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_lineitem_agg(sf_dir):
     """TPC-H Q1-style grouped aggregate: per-batch partial combine +
     single-block final combine (grouped_agg_small) — the 6-group
@@ -1124,6 +1158,7 @@ def build_queries():
         "knn_lsh_recall": q_knn_lsh_recall,
         "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "events_asof_join": q_events_asof_join,
         "events_tumbling": q_events_tumbling,
         "events_incremental_tumbling": q_events_incremental_tumbling,
         "events_sliding": q_events_sliding,
@@ -1260,6 +1295,15 @@ def build_oracles():
             "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
             "FROM documents d JOIN snips ON position(snips.s IN d.text) > 0 "
             "GROUP BY d.doc_id"
+        ),
+        "events_asof_join": (
+            "SELECT l.event_id, l.ts, l.user_id, r.ts AS ts_r, "
+            "r.event_id AS event_id_r "
+            "FROM (SELECT event_id, ts, user_id FROM events "
+            "WHERE event_type = 'purchase') l "
+            "ASOF JOIN (SELECT event_id, ts, user_id FROM events "
+            "WHERE event_type = 'view') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "doc_gopher_quality": (
             "WITH t AS (SELECT doc_id, "
