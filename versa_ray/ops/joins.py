@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(left, right, on="ts", by="user_id", right_cols=(),
@@ -68,3 +68,39 @@ def asof_join(left, right, on="ts", by="user_id", right_cols=(),
         right.map_batches(_tag(0), batch_format="pandas")
     )
     return tagged.groupby("_cbucket").map_groups(_join, batch_format="pandas")
+
+
+def range_join(left, right, on="ts", by="user_id",
+               start_col="session_start", end_col="session_end",
+               right_cols=(), suffix="_r", num_buckets=32):
+    """Interval join for NON-OVERLAPPING per-key intervals (sessions,
+    validity windows, SCD-style ranges): each left row matches the
+    interval containing ``left[on]``. Because intervals don't overlap
+    per key, this reduces to an as-of backward match on the interval
+    start followed by an end-bound filter — one shuffle, no per-key
+    cartesian product. Overlapping intervals need an interval-tree
+    bucket variant (not implemented; documented limit). Inner-join
+    semantics: rows outside every interval are dropped.
+
+    Output: left columns + ``{start_col}{suffix}`` /
+    ``{end_col}{suffix}`` + requested right columns with ``suffix``."""
+    extra = [c for c in right_cols if c not in (start_col, end_col, by)]
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[by, start_col, end_col] + extra].rename(
+            columns={start_col: on}
+        )
+        return out
+
+    prepped = right.map_batches(_prep, batch_format="pandas")
+    out = asof_join(
+        left, prepped, on=on, by=by, right_cols=[end_col] + extra,
+        suffix=suffix, direction="backward", num_buckets=num_buckets,
+        inner=True,
+    )
+
+    def _bound(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[end_col + suffix] >= df[on]]
+        return df.rename(columns={on + suffix: start_col + suffix})
+
+    return out.map_batches(_bound, batch_format="pandas")

@@ -985,6 +985,42 @@ def q_events_asof_join(sf_dir):
     )
 
 
+def q_events_range_join(sf_dir):
+    """Distributed range (interval) join: every event joined to the
+    session window containing it (sessions are non-overlapping per
+    user, so the join is one as-of pass + end filter, no per-key
+    cartesian). Hash-checked against a SQL BETWEEN join over the
+    window-function session oracle; every event falls in exactly one
+    session, so row count == event count."""
+    import ray.data as rd
+
+    from .ops.joins import range_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        override_num_blocks=_blocks_for(),
+    )
+    sess = windows.session_windows(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", override_num_blocks=_blocks_for()
+        ),
+        gap="2h",
+    )
+    out = range_join(ev, sess, on="ts", by="user_id")
+    return out.map_batches(
+        lambda df: df.assign(
+            # the tagged union null-fills schema differences, which
+            # floats integer left columns — cast back
+            event_id=df.event_id.astype("int64"),
+            user_id=df.user_id.astype("int64"),
+            ts=df.ts.astype("datetime64[us]"),
+            session_start=df.session_start_r.astype("datetime64[us]"),
+            session_end=df.session_end_r.astype("datetime64[us]"),
+        )[["event_id", "user_id", "ts", "session_start", "session_end"]],
+        batch_format="pandas",
+    )
+
+
 def q_lineitem_agg(sf_dir):
     """TPC-H Q1-style grouped aggregate: per-batch partial combine +
     single-block final combine (grouped_agg_small) — the 6-group
@@ -1159,6 +1195,7 @@ def build_queries():
         "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
         "events_incremental_tumbling": q_events_incremental_tumbling,
         "events_sliding": q_events_sliding,
@@ -1304,6 +1341,19 @@ def build_oracles():
             "ASOF JOIN (SELECT event_id, ts, user_id FROM events "
             "WHERE event_type = 'view') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_range_join": (
+            "WITH marked AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sessed AS (SELECT user_id, ts, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM marked), "
+            "s AS (SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end FROM sessed GROUP BY user_id, sess) "
+            "SELECT e.event_id, e.user_id, e.ts, s.session_start, "
+            "s.session_end FROM events e JOIN s ON e.user_id = s.user_id "
+            "AND e.ts BETWEEN s.session_start AND s.session_end"
         ),
         "doc_gopher_quality": (
             "WITH t AS (SELECT doc_id, "
