@@ -47,6 +47,24 @@ def _empty_pairs(extra_col=None, extra_dtype="float64"):
     return pd.DataFrame(cols)
 
 
+def coarse_bucket(df: "pd.DataFrame", cols, num_buckets: int) -> "np.ndarray":
+    """Coarse hash bucket of key columns, dtype-NORMALIZED (integer
+    kinds -> int64) so two datasets hashed separately before a union
+    bucket identically regardless of physical integer width —
+    hash_pandas_object is dtype-sensitive, and mis-bucketed keys in a
+    tagged join silently never co-locate."""
+    key = df[list(cols)]
+    norm = {}
+    for c in key.columns:
+        if key[c].dtype.kind in "iu" and key[c].dtype != np.int64:
+            norm[c] = key[c].astype("int64")
+    if norm:
+        key = key.assign(**norm)
+    return (
+        pd.util.hash_pandas_object(key, index=False) % num_buckets
+    ).astype("int32").to_numpy()
+
+
 def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None,
                          min_group_size=1):
     """groupby(keys) + per-group function, shuffled on a COARSE hash
@@ -71,10 +89,7 @@ def bucketed_group_apply(ds, keys, fn, num_buckets=64, out_schema=None,
 
     def _bucket(df: pd.DataFrame) -> "pd.DataFrame":
         df = df.copy()
-        df["_cbucket"] = (
-            pd.util.hash_pandas_object(df[keys], index=False)
-            % num_buckets
-        ).astype("int32")
+        df["_cbucket"] = coarse_bucket(df, keys, num_buckets)
         return _pa.Table.from_pandas(df, preserve_index=False)
 
     def _apply(bucket_df: pd.DataFrame) -> pd.DataFrame:

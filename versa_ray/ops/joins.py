@@ -27,33 +27,49 @@ def asof_join(left, right, on="ts", by="user_id", right_cols=(),
     timestamp) + each requested right column renamed with ``suffix``.
     ``inner=True`` drops left rows with no match (DuckDB ASOF JOIN
     semantics — the oracle surface); ``inner=False`` keeps them with
-    nulls."""
+    nulls. Right columns are suffixed BEFORE the tagged union, and
+    the union's null-filled right-side columns are dropped from the
+    left inside the bucket, so the output schema is exactly
+    left + suffixed-right. ``by`` keys are bucketed with a
+    dtype-normalized hash (coarse_bucket) so an int32 right key still
+    co-locates with an int64 left key."""
+    from .dedup import coarse_bucket
+
     right_cols = [c for c in right_cols if c not in (on, by)]
-
-    def _tag(kind):
-        def _fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_kind"] = np.int8(kind)
-            df["_cbucket"] = (
-                pd.util.hash_pandas_object(df[by], index=False) % num_buckets
-            ).astype("int32")
-            return df
-
-        return _fn
-
     out_right = [on + suffix] + [c + suffix for c in right_cols]
+
+    sch = left.schema(fetch_if_missing=False)
+    if sch is not None:
+        collide = set(sch.names) & set(out_right)
+        if collide:
+            raise ValueError(
+                f"left columns {sorted(collide)} collide with suffixed "
+                f"right output names; pass a different suffix"
+            )
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kind"] = np.int8(1)
+        df["_cbucket"] = coarse_bucket(df, [by], num_buckets)
+        return df
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[by, on] + right_cols].rename(
+            columns={c: c + suffix for c in [on] + right_cols}
+        )
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = coarse_bucket(out, [by], num_buckets)
+        return out
 
     def _join(bucket: pd.DataFrame) -> pd.DataFrame:
         if "_kind" not in bucket.columns or not len(bucket):
             return pd.DataFrame()
-        l = bucket[bucket["_kind"] == 1].drop(columns=["_kind", "_cbucket"])
-        r = bucket[bucket["_kind"] == 0]
-        left_cols = [c for c in l.columns if not c.endswith(suffix)]
+        drop = ["_kind", "_cbucket"]
+        l = bucket[bucket["_kind"] == 1].drop(columns=drop + out_right,
+                                              errors="ignore")
         if not len(l):
-            return pd.DataFrame(columns=left_cols + out_right)
-        r = r[[by, on] + right_cols].rename(
-            columns={c: c + suffix for c in [on] + right_cols}
-        )
+            return pd.DataFrame(columns=list(l.columns) + out_right)
+        r = bucket[bucket["_kind"] == 0][[by] + out_right]
         l = l.sort_values(on, kind="stable")
         r = r.sort_values(on + suffix, kind="stable")
         m = pd.merge_asof(
@@ -64,8 +80,8 @@ def asof_join(left, right, on="ts", by="user_id", right_cols=(),
             m = m[m[on + suffix].notna()]
         return m
 
-    tagged = left.map_batches(_tag(1), batch_format="pandas").union(
-        right.map_batches(_tag(0), batch_format="pandas")
+    tagged = left.map_batches(_tag_left, batch_format="pandas").union(
+        right.map_batches(_tag_right, batch_format="pandas")
     )
     return tagged.groupby("_cbucket").map_groups(_join, batch_format="pandas")
 

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 
 _WORD_RE = re.compile(r"\S+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 # A BPE-ish token split: word pieces, numbers, punctuation runs
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
@@ -178,10 +179,10 @@ def top_tokens(ds, k: int = 50, text_col: str = "text", num_buckets: int = 64):
                              "n": vc.to_numpy()})
 
     def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import coarse_bucket
+
         df = df.copy()
-        df["_cbucket"] = (
-            pd.util.hash_pandas_object(df["token"], index=False) % num_buckets
-        ).astype("int32")
+        df["_cbucket"] = coarse_bucket(df, ["token"], num_buckets)
         return df
 
     def _bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -213,8 +214,6 @@ def gopher_quality(batch: pd.DataFrame, text_col: str = "text",
     symbol-to-word ratio ('#' and '...'), fraction of words containing
     a letter. Every feature is reproducible in SQL (the doc_gopher
     oracle), so the whole filter is hash-checked end to end."""
-    import re
-
     s = batch[text_col].fillna("")
     tok_lists = s.str.split(_WS_CLASS, regex=True).map(
         lambda ws: [w for w in ws if w]
@@ -226,9 +225,8 @@ def gopher_quality(batch: pd.DataFrame, text_col: str = "text",
     n_hash = s.str.count("#")
     n_ell = (s.str.len() - s.str.replace("...", "", regex=False).str.len()) / 3
     symbol_ratio = ((n_hash + n_ell) / denom).round(6)
-    has_alpha = re.compile(r"[A-Za-z]")
     alpha_frac = (
-        tok_lists.map(lambda ws: sum(1 for w in ws if has_alpha.search(w)))
+        tok_lists.map(lambda ws: sum(1 for w in ws if _ALPHA_RE.search(w)))
         / denom
     ).round(6)
     out = batch.copy()

@@ -977,6 +977,10 @@ def q_events_asof_join(sf_dir):
                     right_cols=["event_id"])
     return out.map_batches(
         lambda df: df.assign(
+            # the tagged union null-fills each side's exclusive
+            # columns, floating integer dtypes — cast back
+            event_id=df.event_id.astype("int64"),
+            user_id=df.user_id.astype("int64"),
             event_id_r=df.event_id_r.astype("int64"),
             ts=df.ts.astype("datetime64[us]"),
             ts_r=df.ts_r.astype("datetime64[us]"),
@@ -1002,7 +1006,8 @@ def q_events_range_join(sf_dir):
     )
     sess = windows.session_windows(
         rd.read_parquet(
-            f"{sf_dir}/events.parquet", override_num_blocks=_blocks_for()
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+            override_num_blocks=_blocks_for(),
         ),
         gap="2h",
     )
@@ -1343,12 +1348,12 @@ def build_oracles():
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "events_range_join": (
-            "WITH marked AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
             "OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "sessed AS (SELECT user_id, ts, sum(new_s) OVER "
-            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess "
-            "FROM marked), "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM marked), "
             "s AS (SELECT user_id, min(ts) AS session_start, "
             "max(ts) AS session_end FROM sessed GROUP BY user_id, sess) "
             "SELECT e.event_id, e.user_id, e.ts, s.session_start, "
@@ -1444,12 +1449,12 @@ def build_oracles():
             ") GROUP BY 1, 2"
         ),
         "events_sessions": (
-            "WITH marked AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
             "OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "sessed AS (SELECT user_id, ts, sum(new_s) OVER "
-            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess "
-            "FROM marked) "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM marked) "
             "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
             "count(*) AS n_events FROM sessed GROUP BY user_id, sess"
         ),
