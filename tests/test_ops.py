@@ -624,3 +624,80 @@ def test_asof_join_directions(ray_session):
     got_f = {(r.event_id, int(r.event_id_r)) for r in fwd.itertuples()}
     # only event 1 has a same-user right row at-or-after its ts
     assert got_f == {(1, 11)}
+
+
+def test_pii_scrub_kinds_and_order():
+    from versa_ray.ops.textstats import pii_scrub
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "mail a.b+c@ex-1.co.uk, host 10.0.4.27, call 555-010-9876.",
+            "ip-like 1.2.3.4.5 still masks a quad; 12.34 does not",
+            None,
+        ],
+    })
+    out = pii_scrub(df)
+    assert out.loc[0, "scrubbed_text"] == \
+        "mail <EMAIL>, host <IP>, call <PHONE>."
+    assert (out.loc[0, ["n_emails", "n_ips", "n_phones"]] == 1).all()
+    # counts are taken AFTER earlier scrubs: the email's domain dots
+    # never count as an IP
+    assert out.loc[1, "n_ips"] == 1 and out.loc[1, "n_phones"] == 0
+    assert out.loc[2, "scrubbed_text"] == ""
+
+
+def test_repetition_stats_handcrafted():
+    from versa_ray.ops.textstats import repetition_stats
+
+    df = pd.DataFrame({
+        "text": ["a b c\na b c\nx y\n \nz", "hello world hello world hello", ""]
+    })
+    r = repetition_stats(df)
+    assert r["dup_line_frac"].tolist() == [0.5, 0.0, 0.0]
+    # dup chars 10/14; top bigram 'hello world'/'world hello' 2*11/29
+    assert abs(r["dup_line_char_frac"][0] - 0.714286) < 1e-9
+    assert abs(r["top_2gram_char_frac"][1] - 0.758621) < 1e-9
+    assert r.iloc[2, -3:].sum() == 0.0
+
+
+def test_remove_boilerplate(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.boilerplate import remove_boilerplate
+
+    df = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [
+            "keep me\nfooter line",
+            "footer line\nalso keep",
+            "footer line",          # only boilerplate -> ''
+            "",                      # empty doc survives as ''
+            " \nreal\n ",            # blank lines always survive
+            "footer line\nfooter line\nunique",
+        ],
+    })
+    out = (
+        remove_boilerplate(rd.from_pandas(df).repartition(3),
+                           min_docs=3, num_buckets=8)
+        .to_pandas().set_index("doc_id")["clean_text"]
+    )
+    assert len(out) == 6  # every doc present, even all-boilerplate ones
+    assert out[0] == "keep me" and out[1] == "also keep"
+    assert out[2] == "" and out[3] == ""
+    assert out[4] == " \nreal\n "
+    assert out[5] == "unique"
+
+
+def test_boilerplate_respects_min_docs(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.boilerplate import boilerplate_lines
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["twice\nonce", "twice\nother", "third"],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    assert set(boilerplate_lines(ds, min_docs=2).to_pandas()["line"]) == {"twice"}
+    assert len(boilerplate_lines(ds, min_docs=3).to_pandas()) == 0

@@ -241,3 +241,122 @@ def gopher_quality(batch: pd.DataFrame, text_col: str = "text",
         & (alpha_frac >= min_alpha_frac)
     )
     return out
+
+
+# -- PII detection / scrubbing ---------------------------------------------
+
+# Patterns kept in the RE2-compatible subset (no lookaround, no
+# backreferences, explicit [0-9] instead of \d so Python's
+# unicode-aware classes can't diverge from DuckDB's ASCII RE2) —
+# the doc_pii_scrub oracle runs the SAME pattern strings through
+# DuckDB regexp_extract_all / regexp_replace.
+PII_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_PAT = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_PAT = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_EMAIL_RE = re.compile(PII_EMAIL_PAT)
+_IP_RE = re.compile(PII_IP_PAT)
+_PHONE_RE = re.compile(PII_PHONE_PAT)
+
+
+def pii_scrub(batch: pd.DataFrame, text_col: str = "text",
+              out_col: str = "scrubbed_text") -> pd.DataFrame:
+    """Detect and mask PII spans (emails, IPv4 addresses, NANP-style
+    phone numbers) with typed placeholder tokens, vectorized pandas
+    regex kernels throughout.
+
+    Scrub ORDER is part of the contract (email -> ip -> phone, each
+    count taken on the text as already scrubbed by the previous
+    stages) so counts never double-report a span and the SQL oracle
+    can replay the exact sequence."""
+    s = batch[text_col].fillna("")
+    out = batch.copy()
+    out["n_emails"] = s.str.count(_EMAIL_RE).astype("int64")
+    s = s.str.replace(_EMAIL_RE, "<EMAIL>", regex=True)
+    out["n_ips"] = s.str.count(_IP_RE).astype("int64")
+    s = s.str.replace(_IP_RE, "<IP>", regex=True)
+    out["n_phones"] = s.str.count(_PHONE_RE).astype("int64")
+    s = s.str.replace(_PHONE_RE, "<PHONE>", regex=True)
+    out[out_col] = s
+    return out
+
+
+# -- repetition signals (Gopher-style) -------------------------------------
+
+
+def _round6(x):
+    """Round to 6 dp half-AWAY-from-zero (nonnegative input) — the SQL
+    round() convention. numpy's .round is half-even and diverges on
+    exact .5 ties (e.g. 9/128 -> 0.070312 vs DuckDB's 0.070313),
+    which breaks value-hash parity."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def repetition_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-document repetition signals (Rae et al. 2021 public
+    heuristics): fraction of non-blank lines that are duplicates of
+    another line in the same document, fraction of line characters in
+    such duplicate lines, and the character coverage of the densest
+    word 2-gram (max over bigrams of count x bigram length, over total
+    chars — reporting the max VALUE sidesteps tie-breaking on which
+    bigram "wins").
+
+    Entirely explode/groupby pandas kernels — no per-document Python
+    loop — so a batch of thousands of docs is a handful of C passes."""
+    s = batch[text_col].fillna("").reset_index(drop=True)
+    n = len(batch)
+    out = batch.copy()
+    zeros = np.zeros(n)
+    if not n:
+        out["dup_line_frac"] = zeros
+        out["dup_line_char_frac"] = zeros
+        out["top_2gram_char_frac"] = zeros
+        return out
+
+    # duplicate-line fractions: explode lines, count per (doc, line)
+    lf = s.str.split("\n").explode().rename("line").reset_index()
+    lf = lf[lf["line"].str.strip() != ""]
+    if len(lf):
+        g = (lf.groupby(["index", "line"], sort=False).size()
+             .rename("c").reset_index())
+        chars = g["line"].str.len().to_numpy() * g["c"].to_numpy()
+        dup = g["c"].to_numpy() > 1
+        agg = pd.DataFrame({
+            "_i": g["index"].to_numpy(),
+            "n_lines": g["c"].to_numpy(),
+            "dupl": np.where(dup, g["c"].to_numpy(), 0),
+            "chars": chars,
+            "dupch": np.where(dup, chars, 0),
+        }).groupby("_i").sum()
+        agg = agg.reindex(range(n), fill_value=0)
+        out["dup_line_frac"] = _round6(
+            agg["dupl"] / agg["n_lines"].clip(lower=1)
+        )
+        out["dup_line_char_frac"] = _round6(
+            agg["dupch"] / agg["chars"].clip(lower=1)
+        )
+    else:
+        out["dup_line_frac"] = zeros
+        out["dup_line_char_frac"] = zeros
+
+    # top word-2-gram char coverage: explode tokens, bigram = tok +
+    # within-doc shift, max(count * len) per doc
+    tf = (s.str.strip().str.split(_WS_CLASS, regex=True)
+          .explode().rename("tok").reset_index())
+    tf = tf[tf["tok"] != ""]
+    same_doc = tf["index"].to_numpy()[:-1] == tf["index"].to_numpy()[1:] \
+        if len(tf) > 1 else np.empty(0, dtype=bool)
+    if same_doc.any():
+        bigram = (tf["tok"].to_numpy()[:-1][same_doc].astype(object)
+                  + " " + tf["tok"].to_numpy()[1:][same_doc].astype(object))
+        bg = pd.DataFrame({"_i": tf["index"].to_numpy()[:-1][same_doc],
+                           "bigram": bigram})
+        bgc = bg.groupby(["_i", "bigram"], sort=False).size().rename("c").reset_index()
+        cov = bgc["c"].to_numpy() * bgc["bigram"].str.len().to_numpy()
+        top = (pd.Series(cov).groupby(bgc["_i"].to_numpy()).max()
+               .reindex(range(n), fill_value=0))
+        out["top_2gram_char_frac"] = _round6(
+            top.to_numpy() / s.str.len().clip(lower=1).to_numpy()
+        )
+    else:
+        out["top_2gram_char_frac"] = zeros
+    return out

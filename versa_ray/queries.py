@@ -713,6 +713,85 @@ def q_doc_quality(sf_dir):
     )
 
 
+def _plant_pii(df):
+    """Deterministically plant PII in 1-of-7 docs (the synthetic
+    corpus contains none) — mirrored verbatim in the SQL oracle."""
+    ids = df["doc_id"]
+    extra = (
+        " Contact user" + ids.astype(str)
+        + "@example.org call 555-010-9876 at 10.0."
+        + (ids % 256).astype(str) + "." + (ids % 100).astype(str) + "."
+    )
+    df = df.copy()
+    df["text"] = df["text"].fillna("") + extra.where(ids % 7 == 0, "")
+    return df
+
+
+def q_doc_pii_scrub(sf_dir):
+    """PII detection + masking (email -> IPv4 -> phone, each counted
+    on the text as scrubbed by the previous stage; RE2-compatible
+    patterns). Counts and the scrubbed text are byte-checked against a
+    DuckDB oracle replaying the same regexes in the same order."""
+    return (
+        _docs(sf_dir)
+        .map_batches(_plant_pii, batch_format="pandas")
+        .map_batches(
+            lambda df: textstats.pii_scrub(df)[
+                ["doc_id", "n_emails", "n_ips", "n_phones", "scrubbed_text"]
+            ],
+            batch_format="pandas",
+        )
+    )
+
+
+def _chunk3(ws):
+    return "\n".join(" ".join(ws[i:i + 3]) for i in range(0, len(ws), 3))
+
+
+def _lineify(df):
+    """Re-chunk each doc into 3-token lines and plant a boilerplate
+    footer on 1-of-3 docs (the synthetic corpus has no newlines, so
+    line-based operators need deterministic line structure) —
+    mirrored verbatim in the SQL oracles."""
+    import numpy as np
+
+    toks = df["text"].fillna("").str.split()
+    footer = np.where(
+        df["doc_id"] % 3 == 0, "\nsubscribe to our newsletter today", ""
+    )
+    df = df.copy()
+    df["text"] = toks.map(_chunk3) + footer
+    return df
+
+
+def _docs_lines(sf_dir):
+    return _docs(sf_dir).map_batches(_lineify, batch_format="pandas")
+
+
+def q_doc_repetition(sf_dir):
+    """Gopher-style repetition signals (duplicate-line fraction,
+    duplicate-line char fraction, densest word-2-gram char coverage)
+    over the line-chunked corpus, every value hash-checked vs SQL."""
+    return _docs_lines(sf_dir).map_batches(
+        lambda df: textstats.repetition_stats(df)[
+            ["doc_id", "dup_line_frac", "dup_line_char_frac",
+             "top_2gram_char_frac"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def q_doc_boilerplate(sf_dir):
+    """Corpus-wide boilerplate line removal (a non-blank line in >= 10
+    distinct docs is stripped from every doc, docs reassembled in
+    order): two line-cardinality bucket shuffles + one doc-cardinality
+    reassembly shuffle, raw text never a shuffle key, nothing
+    corpus-sized on the driver. Full SQL oracle."""
+    from .ops.boilerplate import remove_boilerplate
+
+    return remove_boilerplate(_docs_lines(sf_dir), min_docs=10)
+
+
 # -- embeddings -------------------------------------------------------------
 
 
@@ -804,6 +883,27 @@ _PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
 
 _STOPWORD_SQL = "[%s]" % ", ".join(
     "'%s'" % w for w in sorted(textstats.STOPWORDS)
+)
+
+# documents re-chunked into 3-token lines + boilerplate footer on 1-of-3
+# docs — the SQL mirror of _lineify (CTE named lndocs, column tx)
+_LINEIFIED_SQL = (
+    "t0 AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN [] "
+    "ELSE list_filter(regexp_split_to_array(trim(text), "
+    "'[ \\t\\r\\n\\f\\v]+'), w -> w <> '') END AS toks FROM documents), "
+    "lndocs AS (SELECT doc_id, coalesce(array_to_string(list_transform("
+    "range(CAST(ceil(len(toks)/3.0) AS BIGINT)), "
+    "i -> array_to_string(toks[i*3+1:i*3+3], ' ')), chr(10)), '') "
+    "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+    "'subscribe to our newsletter today' ELSE '' END AS tx FROM t0)"
+)
+
+# the SQL mirror of _plant_pii (CTE named piidocs, column tx)
+_PII_DOCS_SQL = (
+    "piidocs AS (SELECT doc_id, coalesce(text,'') || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' Contact user' || doc_id || "
+    "'@example.org call 555-010-9876 at 10.0.' || (doc_id % 256) || '.' "
+    "|| (doc_id % 100) || '.' ELSE '' END AS tx FROM documents)"
 )
 
 
@@ -1195,6 +1295,9 @@ def build_queries():
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_repetition": q_doc_repetition,
+        "doc_boilerplate": q_doc_boilerplate,
         "knn_cosine": q_knn_cosine,
         "knn_lsh_recall": q_knn_lsh_recall,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -1523,6 +1626,72 @@ def build_oracles():
             "(length(tx) - length(regexp_replace(tx, '[^\\w\\s]', '', 'g')))::DOUBLE "
             "/ greatest(length(tx), 1) AS punct_ratio "
             "FROM tok"
+        ),
+        # PII scrub replayed in the exact engine order (email -> ip ->
+        # phone, each counted on the previously-scrubbed text) with the
+        # same RE2-safe pattern strings the engine compiles
+        "doc_pii_scrub": (
+            "WITH " + _PII_DOCS_SQL + ", "
+            "e AS (SELECT doc_id, len(regexp_extract_all(tx, "
+            f"'{textstats.PII_EMAIL_PAT}')) AS n_emails, "
+            f"regexp_replace(tx, '{textstats.PII_EMAIL_PAT}', '<EMAIL>', 'g') "
+            "AS t1 FROM piidocs), "
+            "i AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, "
+            f"'{textstats.PII_IP_PAT}')) AS n_ips, "
+            f"regexp_replace(t1, '{textstats.PII_IP_PAT}', '<IP>', 'g') "
+            "AS t2 FROM e) "
+            "SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(n_ips AS BIGINT) AS n_ips, "
+            f"CAST(len(regexp_extract_all(t2, '{textstats.PII_PHONE_PAT}')) "
+            "AS BIGINT) AS n_phones, "
+            f"regexp_replace(t2, '{textstats.PII_PHONE_PAT}', '<PHONE>', 'g') "
+            "AS scrubbed_text FROM i"
+        ),
+        "doc_repetition": (
+            "WITH " + _LINEIFIED_SQL + ", "
+            "ls AS (SELECT doc_id, unnest(string_split(tx, chr(10))) AS line "
+            "FROM lndocs), "
+            "nl AS (SELECT doc_id, line, count(*) AS c FROM ls "
+            "WHERE trim(line) <> '' GROUP BY doc_id, line), "
+            "agg AS (SELECT doc_id, sum(c) AS n_lines, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupl, "
+            "sum(c * length(line)) AS chars, "
+            "sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dupch "
+            "FROM nl GROUP BY doc_id), "
+            "tk AS (SELECT doc_id, CASE WHEN trim(tx) = '' THEN [] ELSE "
+            "list_filter(regexp_split_to_array(trim(tx), "
+            "'[ \\t\\r\\n\\f\\v]+'), w -> w <> '') END AS toks FROM lndocs), "
+            "bg AS (SELECT doc_id, unnest(list_transform("
+            "range(greatest(len(toks) - 1, 0)), "
+            "i -> toks[i+1] || ' ' || toks[i+2])) AS bigram FROM tk), "
+            "bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg "
+            "GROUP BY doc_id, bigram), "
+            "topg AS (SELECT doc_id, max(c * length(bigram)) AS cov "
+            "FROM bgc GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "round(coalesce(a.dupl, 0)::DOUBLE / "
+            "greatest(coalesce(a.n_lines, 0), 1), 6) AS dup_line_frac, "
+            "round(coalesce(a.dupch, 0)::DOUBLE / "
+            "greatest(coalesce(a.chars, 0), 1), 6) AS dup_line_char_frac, "
+            "round(coalesce(tg.cov, 0)::DOUBLE / "
+            "greatest(length(d.tx), 1), 6) AS top_2gram_char_frac "
+            "FROM lndocs d LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN topg tg ON d.doc_id = tg.doc_id"
+        ),
+        "doc_boilerplate": (
+            "WITH " + _LINEIFIED_SQL + ", "
+            "l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, "
+            "unnest(ls) AS line FROM (SELECT doc_id, "
+            "string_split(tx, chr(10)) AS ls FROM lndocs)), "
+            "bp AS (SELECT line FROM (SELECT line, "
+            "count(DISTINCT doc_id) AS c FROM l WHERE trim(line) <> '' "
+            "GROUP BY line) WHERE c >= 10), "
+            "kept AS (SELECT * FROM l WHERE trim(line) = '' OR "
+            "line NOT IN (SELECT line FROM bp)) "
+            "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) "
+            "ORDER BY k.pos), '') AS clean_text "
+            "FROM lndocs d LEFT JOIN kept k ON d.doc_id = k.doc_id "
+            "GROUP BY d.doc_id"
         ),
         # exact all-pairs cosine >= 0.9 over the augmented (planted)
         # corpus; LSH recall is 1.0 at this separation so the sets match
