@@ -76,6 +76,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "doc_simhash_pairs",
         "doc_curation",
         "doc_top_tokens",
+        "doc_repetition",
+        "doc_boilerplate",
     ]
     qmap = Q.build_queries()
     out = {}

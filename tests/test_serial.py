@@ -306,6 +306,13 @@ def test_bind_ds_matches_driver_binder(ray_session):
     d_node = next(json.loads(r["node"]) for r in got_rows if r["origin"] == "urn:d")
     assert V + "leak" not in d_node
 
+    # shuffle absorb path (threshold 0 forces it) == broadcast path
+    got_shuffle = bind_ds(ds, ignore_oftypes=[V + "Secret"],
+                          inline_broadcast_threshold=0).take_all()
+    assert sorted(
+        (r["origin"], r["node"]) for r in got_shuffle
+    ) == sorted((r["origin"], r["node"]) for r in got_rows)
+
 
 def test_bind_ds_cycle_safe(ray_session):
     """Reference cycles stay as id refs (no hang, nothing dropped) —

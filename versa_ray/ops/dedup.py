@@ -633,8 +633,10 @@ def assign_clusters(ds, pairs, id_col="doc_id", num_buckets=None,
 
     pairs = pairs.materialize()
     if pairs.count() <= broadcast_threshold:
+        from ..core.dsutil import rows_of
+
         label_map = cluster_pairs(
-            pairs.select_columns(["id_a", "id_b"]).take_all()
+            rows_of(pairs.select_columns(["id_a", "id_b"]))
         )
         ref = ray.put(label_map)
 
@@ -1002,23 +1004,27 @@ def verify_pairs_jaccard(ds, pairs, text_col="text", id_col="doc_id", k=3,
             ds, pairs_ds, threshold=threshold, k=k,
             text_col=text_col, id_col=id_col,
         )
+        from ..core.dsutil import rows_of
+
         return [
             {"id_a": r["id_a"], "id_b": r["id_b"], "jaccard": r["jaccard"]}
-            for r in out_ds.take_all()
+            for r in rows_of(out_ds)
         ]
 
     cand_ids = set()
-    pair_list = pairs if isinstance(pairs, list) else pairs.take_all()
+    from ..core.dsutil import rows_of
+
+    pair_list = pairs if isinstance(pairs, list) else rows_of(pairs)
     for p in pair_list:
         cand_ids.add(p["id_a"])
         cand_ids.add(p["id_b"])
     texts = {}
     if cand_ids:
         id_arr = sorted(cand_ids)
-        for row in ds.map_batches(
+        for row in rows_of(ds.map_batches(
             lambda df: df[df[id_col].isin(id_arr)][[id_col, text_col]],
             batch_format="pandas",
-        ).take_all():
+        )):
             texts[row[id_col]] = row[text_col]
     out = []
     for p in pair_list:

@@ -340,8 +340,10 @@ def q_links_jsonld_nested(sf_dir):
     from .core import RDF_TYPE_REL
     from .serial.jsonld import bind_ds
 
+    from .core.dsutil import rows_of
+
     ds = tpch_linkset(sf_dir)
-    rows = bind_ds(ds).take_all()
+    rows = rows_of(bind_ds(ds))
 
     got = set()
 
@@ -366,7 +368,7 @@ def q_links_jsonld_nested(sf_dir):
 
     type_rels = {TYPE, str(RDF_TYPE_REL)}
     want = set()
-    for l in linkset.distinct_links(ds).take_all():
+    for l in rows_of(linkset.distinct_links(ds)):
         key = "@type" if l["rel"] in type_rels else l["rel"]
         want.add((l["origin"], key, l["target"]))
     if got != want:

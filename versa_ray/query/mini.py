@@ -210,7 +210,9 @@ def _match_bindings(model, args, resolved) -> dict:
     if not var_pos:
         return result
     cols = [_POS_COLS[p] for p in sorted(var_pos)]
-    for row in dedup_rows(matched.select_columns(cols), cols).take_all():
+    from ..core.dsutil import rows_of
+
+    for row in rows_of(dedup_rows(matched.select_columns(cols), cols)):
         for pos, name in var_pos.items():
             result[name].add(row[_POS_COLS[pos]])
     return result

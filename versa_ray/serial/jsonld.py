@@ -158,7 +158,7 @@ def _embed_child(parent, child_id, child_obj):
 
 
 def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
-            num_buckets=32):
+            num_buckets=32, inline_broadcast_threshold=100_000):
     """Distributed INLINED JSON-LD binder: the at-scale form of
     ``bind`` (reference serial/jsonld.py:17-103). Two-pass ref-count
     shuffle: (1) edges group by target to compute each node's
@@ -416,17 +416,59 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
             )
         return out
 
+    def _drop_route_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_k", "_child"])
+
+    def _absorb_broadcast(cmap_ref):
+        import ray as _ray
+
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            cmap = _ray.get(cmap_ref)
+            out = df[df["_child"] == 0][_STATE_COLS].reset_index(drop=True)
+            hit = out.index[out["origin"].isin(cmap)]
+            for i in hit:
+                kids = cmap[out.at[i, "origin"]]
+                par = json.loads(out.at[i, "node"])
+                for child_id, child_node in kids:
+                    _embed_child(par, child_id, json.loads(child_node))
+                out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
+                out.at[i, "pending"] = max(0, out.at[i, "pending"] - len(kids))
+            return out
+
+        return _fn
+
     for _ in range(max_depth):
         routed = state.map_batches(_route, batch_format="pandas").materialize()
-        if not routed.sum("_child"):
+        n_child = int(routed.sum("_child") or 0)
+        if not n_child:
             # reuse the materialized blocks — leaving `state` as the
             # lazy pre-route pipeline would re-execute phases A+B in
             # finalize
-            state = routed.map_batches(
-                lambda df: df.drop(columns=["_k", "_child"]),
-                batch_format="pandas",
-            )
+            state = routed.map_batches(_drop_route_cols, batch_format="pandas")
             break
+        if n_child <= inline_broadcast_threshold:
+            # few inlinable leaves this round: ship THEM (bounded by
+            # the threshold) to every task via ray.put instead of
+            # sort-shuffling the whole corpus-sized node state. A
+            # leaf's referrer is never itself inlinable in the same
+            # round (its pending count is still nonzero), so every
+            # child finds its parent in the surviving state.
+            import ray as _ray
+
+            from ..core.dsutil import rows_of
+
+            kids = rows_of(routed.map_batches(
+                lambda df: df[df["_child"] == 1][
+                    ["origin", "node", "referrer"]],
+                batch_format="pandas",
+            ))
+            cmap: dict = {}
+            for row in kids:
+                cmap.setdefault(row["referrer"], []).append(
+                    (row["origin"], row["node"]))
+            state = routed.map_batches(
+                _absorb_broadcast(_ray.put(cmap)), batch_format="pandas")
+            continue
         state = (
             routed.map_batches(_with_bucket("_k"), batch_format="pandas")
             .groupby("_cbucket")
