@@ -712,7 +712,9 @@ def verified_near_dup_pairs(ds, threshold=0.5, est_threshold=0.35, k=3,
 
     pairs = minhash_candidate_pairs(
         ds, threshold=est_threshold, text_col=text_col, id_col=id_col,
-        dedup=True, **kw
+        # duplicate candidate edges are collapsed inside the verify
+        # shuffle itself (_attach drop_duplicates) — no dedup shuffle
+        dedup=False, **kw
     )
     return verify_pairs_jaccard_ds(
         ds, pairs, threshold=threshold, k=k, text_col=text_col,
@@ -783,7 +785,11 @@ def verify_pairs_jaccard_ds(ds, pairs, threshold=0.5, k=3, text_col="text",
         if "key" not in bucket.columns or not len(bucket):
             return _pa.Table.from_pandas(empty, preserve_index=False)
         corpus = bucket[bucket["kind"] == 0][["key", "txt"]].drop_duplicates("key")
-        prs = bucket[bucket["kind"] == 1]
+        # every copy of a duplicate candidate pair lands in this bucket
+        # (endpoint-keyed), so deduping here lets callers skip a whole
+        # dedup_rows sort shuffle on the pair set
+        prs = bucket[bucket["kind"] == 1].drop_duplicates(
+            ["key", "other", "side"])
         if not len(prs) or not len(corpus):
             return _pa.Table.from_pandas(empty, preserve_index=False)
         m = prs[["key", "other", "side"]].merge(

@@ -677,10 +677,21 @@ def q_doc_simhash_pairs(sf_dir):
     ground-truth pair set must stay >= 0.6 (simhash at this hamming
     budget trades recall for a far cheaper shuffle; a silent recall
     collapse fails the run instead of passing vacuously)."""
-    pairs = dd.simhash_near_dups(_docs(sf_dir), max_hamming=3).to_pandas()
-    truth = dd.verified_near_dup_pairs(
-        _docs(sf_dir), threshold=0.8, concurrency=2
-    ).to_pandas()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # the candidate pipeline and the ground-truth gate pipeline are
+    # independent — build them serially (read_parquet schema inference
+    # is not thread-safe) but CONSUME them concurrently so Ray
+    # interleaves their stages instead of paying two full fixed-cost
+    # sequences back to back
+    pairs_ds = dd.simhash_near_dups(_docs(sf_dir), max_hamming=3)
+    truth_ds = dd.verified_near_dup_pairs(
+        _docs(sf_dir), threshold=0.8, concurrency=2)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_pairs = pool.submit(pairs_ds.to_pandas)
+        fut_truth = pool.submit(truth_ds.to_pandas)
+        pairs = fut_pairs.result()
+        truth = fut_truth.result()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     want = set(zip(truth["id_a"], truth["id_b"]))
     if want:
