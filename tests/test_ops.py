@@ -689,6 +689,32 @@ def test_remove_boilerplate(ray_session):
     assert out[5] == "unique"
 
 
+def test_doc_perplexity_paths_and_values(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from versa_ray.ops.lm import doc_perplexity
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat", "the the the", "", "rare unique zebra"],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    b = (doc_perplexity(ds, min_count=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    d = (doc_perplexity(ds, min_count=2, broadcast_threshold=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, d[b.columns], check_dtype=False)
+    # tokens: the×4 cat sat rare unique zebra -> T=9, vocab={the}, V=1
+    # denom=11; p(the)=5/11, p_oov=1/11
+    lp_the, lp_oov = math.log(5 / 11), math.log(1 / 11)
+    assert b.loc[0, "n_tokens"] == 3
+    assert abs(b.loc[0, "log_ppl"] - round(-(lp_the + 2 * lp_oov) / 3, 6)) < 2e-6
+    assert abs(b.loc[1, "log_ppl"] + lp_the) < 2e-6
+    assert b.loc[2, "n_tokens"] == 0 and b.loc[2, "log_ppl"] == 0.0
+
+
 def test_boilerplate_respects_min_docs(ray_session):
     import ray.data as rd
 

@@ -726,6 +726,17 @@ def q_doc_quality(sf_dir):
     )
 
 
+def q_doc_lm_perplexity(sf_dir):
+    """Corpus-trained unigram-LM log-perplexity per document (CCNet-
+    style quality signal, add-one smoothing, OOV below min_count=2):
+    one token-cardinality count shuffle trains the LM, scoring
+    attaches log-probs by broadcast (distributed token-join above the
+    vocabulary threshold). Full SQL oracle replays the exact model."""
+    from .ops.lm import doc_perplexity
+
+    return doc_perplexity(_docs(sf_dir), min_count=2)
+
+
 def _plant_pii(df):
     """Deterministically plant PII in 1-of-7 docs (the synthetic
     corpus contains none) — mirrored verbatim in the SQL oracle."""
@@ -1308,6 +1319,7 @@ def build_queries():
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "doc_boilerplate": q_doc_boilerplate,
@@ -1639,6 +1651,32 @@ def build_oracles():
             "(length(tx) - length(regexp_replace(tx, '[^\\w\\s]', '', 'g')))::DOUBLE "
             "/ greatest(length(tx), 1) AS punct_ratio "
             "FROM tok"
+        ),
+        # the unigram LM replayed exactly: same tokenization, same
+        # add-one smoothing with OOV below min_count=2, same per-doc
+        # -mean-log-prob (terms summed as m * ln p, matching the
+        # engine's per-(doc,token) products)
+        "doc_lm_perplexity": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "coalesce(text,''), '[ \\t\\r\\n\\f\\v]+')) AS token "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, token FROM tok WHERE token <> ''), "
+            "cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token), "
+            "scal AS (SELECT sum(c) AS t, "
+            "sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS v FROM cnt), "
+            "dtc AS (SELECT doc_id, token, count(*) AS m FROM tk "
+            "GROUP BY doc_id, token), "
+            "terms AS (SELECT d.doc_id, d.m, CASE WHEN c.c >= 2 THEN "
+            "ln((c.c + 1.0) / (s.t + s.v + 1.0)) ELSE "
+            "ln(1.0 / (s.t + s.v + 1.0)) END AS lp "
+            "FROM dtc d JOIN cnt c USING (token) CROSS JOIN scal s), "
+            "agg AS (SELECT doc_id, sum(m) AS n_tokens, sum(m * lp) AS slp "
+            "FROM terms GROUP BY doc_id) "
+            "SELECT doc.doc_id, "
+            "CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "round(CASE WHEN coalesce(a.n_tokens, 0) > 0 "
+            "THEN -a.slp / a.n_tokens ELSE 0.0 END, 6) AS log_ppl "
+            "FROM documents doc LEFT JOIN agg a USING (doc_id)"
         ),
         # PII scrub replayed in the exact engine order (email -> ip ->
         # phone, each counted on the previously-scrubbed text) with the
