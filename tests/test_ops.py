@@ -689,6 +689,42 @@ def test_remove_boilerplate(ray_session):
     assert out[5] == "unique"
 
 
+def test_parse_urls_rules():
+    from versa_ray.ops.urltools import parse_urls
+
+    df = pd.DataFrame({"url": [
+        "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#frag",
+        "https://news.example.co.uk:8443",
+        "https://a.b.example.org/x/?fbclid=q&z=1",
+        "not a url",
+        None,
+    ]})
+    p = parse_urls(df)
+    assert p.loc[0, "scheme"] == "http" and p.loc[0, "host"] == "example.com"
+    assert p.loc[0, "port"] == ""  # default port stripped
+    assert p.loc[0, "query"] == "a=1&b=2"  # utm dropped, sorted
+    assert p.loc[0, "canonical_url"] == "http://example.com/a?a=1&b=2"
+    assert p.loc[1, "port"] == "8443" and p.loc[1, "path"] == "/"
+    assert p.loc[1, "reg_domain"] == "example.co.uk"  # 2-level suffix
+    assert p.loc[2, "reg_domain"] == "example.org"
+    assert p.loc[2, "canonical_url"] == "https://a.b.example.org/x/?z=1"
+    assert p.loc[3, "canonical_url"] == "" and p.loc[4, "canonical_url"] == ""
+
+
+def test_host_doc_counts(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.urltools import host_doc_counts
+
+    df = pd.DataFrame({"url": [
+        "https://a.example.com/1", "https://b.example.com/2",
+        "https://x.example.co.uk/3",
+    ]})
+    out = (host_doc_counts(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("reg_domain")["n_docs"])
+    assert out.to_dict() == {"example.com": 2, "example.co.uk": 1}
+
+
 def test_doc_perplexity_paths_and_values(ray_session):
     import math
 

@@ -726,6 +726,87 @@ def q_doc_quality(sf_dir):
     )
 
 
+_URL_HOSTS = [
+    "Example.COM", "news.Example.co.uk", "a.b.example.org",
+    "shop.example.com.au", "CDN.example.io:8080", "www.example.de",
+    "example.net",
+]
+
+
+def _plant_urls(df):
+    """Deterministic synthetic URLs exercising every normalization
+    rule (case, default/explicit ports, empty paths, tracking params,
+    unsorted params, fragments) — mirrored verbatim in the SQL
+    oracles."""
+    import numpy as np
+
+    ids = df["doc_id"]
+    host = pd.Series(np.array(_URL_HOSTS, dtype=object)[ids % 7],
+                     index=df.index)
+    scheme = pd.Series(np.where(ids % 5 == 0, "HTTP", "https"),
+                       index=df.index)
+    port = pd.Series(
+        np.where((ids % 11 == 0) & (ids % 7 != 4),
+                 np.where(ids % 5 == 0, ":80", ":443"), ""),
+        index=df.index)
+    path = pd.Series(
+        np.where(ids % 13 == 0, "", "/p/" + (ids % 13).astype(str)),
+        index=df.index)
+    q = pd.Series(
+        np.select([ids % 3 == 0, ids % 3 == 1],
+                  ["?utm_source=x&b=2&a=1&fbclid=zz", "?z=9&a=1"], ""),
+        index=df.index)
+    frag = pd.Series(np.where(ids % 4 == 0, "#top", ""), index=df.index)
+    df = df.copy()
+    df["url"] = scheme + "://" + host + port + path + q + frag
+    return df
+
+
+# the SQL mirror of _plant_urls (CTE named u, column url)
+_URL_DOCS_SQL = (
+    "u AS (SELECT doc_id, "
+    "(CASE WHEN doc_id % 5 = 0 THEN 'HTTP' ELSE 'https' END) || '://' || "
+    "(['" + "', '".join(_URL_HOSTS) + "'])[(doc_id % 7) + 1] || "
+    "(CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 4 THEN "
+    "(CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END) ELSE '' END) || "
+    "(CASE WHEN doc_id % 13 = 0 THEN '' ELSE '/p/' || (doc_id % 13) END) || "
+    "(CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&b=2&a=1&fbclid=zz' "
+    "WHEN 1 THEN '?z=9&a=1' ELSE '' END) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url "
+    "FROM documents)"
+)
+
+
+def q_doc_url_normalize(sf_dir):
+    """URL parsing + canonicalization (lowercase scheme/host, default-
+    port strip, fragment drop, tracking-param removal, query-param
+    sort, registered-domain extraction) over deterministically planted
+    URLs; every component byte-checked against the SQL oracle."""
+    from .ops.urltools import parse_urls
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_plant_urls, batch_format="pandas")
+        .map_batches(
+            lambda df: parse_urls(df)[
+                ["doc_id", "scheme", "host", "port", "path", "query",
+                 "reg_domain", "canonical_url"]
+            ],
+            batch_format="pandas",
+        )
+    )
+
+
+def q_host_doc_counts(sf_dir):
+    """Documents per registered domain (partial combine + single
+    merge — domain cardinality is tiny next to the corpus)."""
+    from .ops.urltools import host_doc_counts
+
+    return host_doc_counts(
+        _docs(sf_dir).map_batches(_plant_urls, batch_format="pandas")
+    )
+
+
 def q_doc_lm_perplexity(sf_dir):
     """Corpus-trained unigram-LM log-perplexity per document (CCNet-
     style quality signal, add-one smoothing, OOV below min_count=2):
@@ -1320,6 +1401,8 @@ def build_queries():
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_url_normalize": q_doc_url_normalize,
+        "host_doc_counts": q_host_doc_counts,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "doc_boilerplate": q_doc_boilerplate,
@@ -1651,6 +1734,66 @@ def build_oracles():
             "(length(tx) - length(regexp_replace(tx, '[^\\w\\s]', '', 'g')))::DOUBLE "
             "/ greatest(length(tx), 1) AS punct_ratio "
             "FROM tok"
+        ),
+        # URL canonicalization replayed rule-for-rule: same regexes
+        # (regexp_extract returns '' on no match, matching the
+        # engine's fillna('')), same tracking-param filter, same
+        # lexicographic param sort, same two-level-suffix
+        # registered-domain rule
+        "doc_url_normalize": (
+            "WITH " + _URL_DOCS_SQL + ", "
+            "p0 AS (SELECT doc_id, "
+            "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) "
+            "AS scheme, regexp_replace(url, '#.*$', '') AS nofrag FROM u), "
+            "p1 AS (SELECT *, regexp_replace(nofrag, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest FROM p0), "
+            "p2 AS (SELECT *, lower(coalesce(regexp_extract(rest, '^([^/?]*)', 1), '')) "
+            "AS hostport, regexp_replace(rest, '^[^/?]*', '') AS tail "
+            "FROM p1), "
+            "p3 AS (SELECT *, coalesce(regexp_extract(hostport, '^([^:]*)', 1), '') AS host, "
+            "CASE WHEN coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') = "
+            "(CASE scheme WHEN 'http' THEN '80' WHEN 'https' THEN '443' "
+            "ELSE '' END) THEN '' ELSE "
+            "coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') END AS port, "
+            "CASE WHEN coalesce(regexp_extract(tail, '^([^?]*)', 1), '') = '' THEN '/' "
+            "ELSE coalesce(regexp_extract(tail, '^([^?]*)', 1), '') END AS path, "
+            "coalesce(array_to_string(list_sort(list_filter(list_filter("
+            "string_split(coalesce(regexp_extract(tail, '\\?(.*)$', 1), ''), '&'), "
+            "x -> x <> ''), x -> NOT (starts_with(x, 'utm_') OR "
+            "coalesce(regexp_extract(x, '^([^=]*)', 1), '') IN ('fbclid', 'gclid')))), "
+            "'&'), '') AS q FROM p2), "
+            "p4 AS (SELECT *, "
+            "coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS last2, "
+            "coalesce(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1), '') AS last3 "
+            "FROM p3) "
+            "SELECT doc_id, scheme, host, port, path, q AS \"query\", "
+            "CASE WHEN last2 IN ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', "
+            "'com.au', 'net.au', 'org.au', 'co.jp', 'ne.jp', 'or.jp', "
+            "'com.br', 'com.cn', 'co.in', 'co.nz', 'co.za') "
+            "AND last3 <> '' THEN last3 "
+            "WHEN last2 <> '' THEN last2 ELSE host END AS reg_domain, "
+            "CASE WHEN scheme <> '' AND host <> '' THEN "
+            "scheme || '://' || host || "
+            "(CASE WHEN port <> '' THEN ':' || port ELSE '' END) || path || "
+            "(CASE WHEN q <> '' THEN '?' || q ELSE '' END) "
+            "ELSE '' END AS canonical_url FROM p4"
+        ),
+        "host_doc_counts": (
+            "WITH " + _URL_DOCS_SQL + ", "
+            "h AS (SELECT doc_id, lower(coalesce(regexp_extract(regexp_extract("
+            "regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1), "
+            "'^([^:]*)', 1), '')) AS host FROM u), "
+            "d AS (SELECT doc_id, "
+            "coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS last2, "
+            "coalesce(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1), '') AS last3, "
+            "host FROM h) "
+            "SELECT CASE WHEN last2 IN ('co.uk', 'org.uk', 'ac.uk', "
+            "'gov.uk', 'com.au', 'net.au', 'org.au', 'co.jp', 'ne.jp', "
+            "'or.jp', 'com.br', 'com.cn', 'co.in', 'co.nz', 'co.za') "
+            "AND last3 <> '' THEN last3 "
+            "WHEN last2 <> '' THEN last2 ELSE host END AS reg_domain, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1"
         ),
         # the unigram LM replayed exactly: same tokenization, same
         # add-one smoothing with OOV below min_count=2, same per-doc
