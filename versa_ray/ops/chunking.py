@@ -1,0 +1,109 @@
+"""Training-window text chunking.
+
+Splits each document into fixed-size token windows with overlap — the
+standard pretraining-data shaping step between curation and
+tokenization. Chunk boundaries are whitespace-token indices (same
+tokenization as ``textstats``/``lm``), so the op is fully
+deterministic and SQL-replayable (the ``doc_chunks`` oracle slices
+the same token arrays in DuckDB).
+
+One ``map_batches`` pass, rows out = chunks: per-batch the token
+lists explode through numpy repeat/slice arithmetic — no per-document
+Python loop. Chunking is embarrassingly parallel (no shuffle), so it
+streams at any corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .textstats import _WS_CLASS
+
+
+def chunk_text(batch: pd.DataFrame, chunk_tokens: int = 256,
+               overlap: int = 32, text_col: str = "text",
+               id_col: str = "doc_id", drop_empty: bool = True,
+               ) -> pd.DataFrame:
+    """``(id_col, chunk_id, chunk_text, n_tokens)`` rows; chunk i
+    covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``. The final window is emitted
+    only if it starts before the end of the document (no empty tail
+    windows); documents shorter than one window yield one chunk.
+    ``drop_empty=False`` keeps token-less documents as one empty
+    chunk."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    s = batch[text_col].fillna("").reset_index(drop=True)
+    ids = batch[id_col].reset_index(drop=True)
+    # single-space-normalized text per doc + vectorized token char
+    # offsets, so each chunk below is one O(len) char slice — no
+    # per-chunk join, no per-token Python
+    norm = (s.str.strip().str.replace(_WS_CLASS, " ", regex=True))
+    ex = norm.str.split(" ").explode()
+    ex = ex[ex != ""]
+    tok_len = ex.str.len().to_numpy().astype("int64")
+    tok_doc = ex.index.to_numpy().astype("int64")
+    n_tok = np.zeros(len(s), dtype="int64")
+    if len(tok_doc):
+        np.add.at(n_tok, tok_doc, 1)
+    doc_base = np.cumsum(n_tok) - n_tok  # flat index of doc's token 0
+    # char start of each token within its doc's normalized text
+    csum = np.cumsum(tok_len + 1)
+    tok_start = np.concatenate(([0], csum[:-1]))
+    if len(tok_doc):
+        tok_start = tok_start - tok_start[doc_base[tok_doc]]
+    norm_arr = norm.str.strip(" ").to_numpy()
+
+    # number of windows whose start < n (>=1 so empty docs survive
+    # when drop_empty=False)
+    n_chunks = np.maximum((n_tok + stride - 1) // stride, 1)
+    starts_of = np.cumsum(n_chunks) - n_chunks
+    total = int(n_chunks.sum())
+
+    rep = np.repeat(np.arange(len(s)), n_chunks)
+    chunk_id = (np.arange(total) - starts_of[rep]).astype("int64")
+    lo = np.minimum(chunk_id * stride, n_tok[rep])
+    hi = np.minimum(lo + chunk_tokens, n_tok[rep])
+    lens = (hi - lo).astype("int64")
+
+    flat_lo = doc_base[rep] + lo
+    flat_last = doc_base[rep] + np.maximum(hi - 1, lo)
+    char_lo = np.where(lens > 0, tok_start[np.minimum(
+        flat_lo, len(tok_start) - 1 if len(tok_start) else 0)], 0)
+    char_hi = np.where(
+        lens > 0,
+        tok_start[np.minimum(flat_last,
+                             len(tok_start) - 1 if len(tok_start) else 0)]
+        + (tok_len[np.minimum(flat_last, len(tok_len) - 1)]
+           if len(tok_len) else 0),
+        0,
+    )
+    texts = np.empty(total, dtype=object)
+    for j in range(total):  # one C-level char slice per chunk
+        texts[j] = norm_arr[rep[j]][char_lo[j]:char_hi[j]]
+
+    out = pd.DataFrame({
+        id_col: ids.to_numpy()[rep],
+        "chunk_id": chunk_id,
+        "chunk_text": texts,
+        "n_tokens": lens,
+    })
+    if drop_empty:
+        out = out[out["n_tokens"] > 0].reset_index(drop=True)
+    return out
+
+
+def chunk_documents(ds, chunk_tokens: int = 256, overlap: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    drop_empty: bool = True):
+    """Dataset form of :func:`chunk_text` — one stateless
+    ``map_batches`` pass, no shuffle."""
+    return ds.map_batches(
+        lambda df: chunk_text(df, chunk_tokens=chunk_tokens,
+                              overlap=overlap, text_col=text_col,
+                              id_col=id_col, drop_empty=drop_empty),
+        batch_format="pandas",
+    )

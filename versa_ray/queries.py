@@ -602,6 +602,16 @@ def q_doc_norm_text(sf_dir):
     )
 
 
+def q_doc_chunks(sf_dir):
+    """Training-window chunking (32-token windows, 8-token overlap):
+    vectorized whitespace-token slicing via precomputed char offsets,
+    one shuffle-free map_batches pass; byte-exact vs the DuckDB
+    list-slicing oracle."""
+    from .ops.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), chunk_tokens=32, overlap=8)
+
+
 def q_doc_top_tokens(sf_dir):
     """Global top-50 whitespace tokens (count desc, token asc):
     per-batch vectorized counts, bucket-merged totals, bounded final
@@ -1389,6 +1399,7 @@ def build_queries():
         "doc_uniform_sample": q_doc_uniform_sample,
         "doc_contamination": q_doc_contamination,
         "doc_norm_text": q_doc_norm_text,
+        "doc_chunks": q_doc_chunks,
         "doc_curation": q_doc_curation,
         "doc_gopher_quality": q_doc_gopher_quality,
         "doc_top_tokens": q_doc_top_tokens,
@@ -1593,6 +1604,23 @@ def build_oracles():
             "(mean_word_len BETWEEN 3.0 AND 10.0) AND "
             "(symbol_ratio <= 0.1) AND (alpha_frac >= 0.8) AS gopher_pass "
             "FROM f"
+        ),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '[ \\t\\r\\n\\f\\v]+') "
+            "END AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) "
+            "AS ntok FROM t), "
+            "c AS (SELECT doc_id, toks, ntok, "
+            "unnest(range(0, CAST(ceil(ntok / 24.0) AS BIGINT))) "
+            "AS chunk_id FROM n WHERE ntok > 0) "
+            "SELECT doc_id, chunk_id, "
+            "array_to_string(toks[chunk_id * 24 + 1 : "
+            "CAST(least(chunk_id * 24 + 32, ntok) AS BIGINT)], ' ') "
+            "AS chunk_text, "
+            "least(chunk_id * 24 + 32, ntok) - chunk_id * 24 AS n_tokens "
+            "FROM c"
         ),
         "doc_curation": (
             "WITH f AS (SELECT doc_id, lang, text, "
