@@ -103,3 +103,78 @@ def test_transitive_closure_ds(ray_session):
     got_multi = {r["node"] for r in linkset.transitive_closure_ds(
         ds, {"urn:c:a", "urn:c:x"}, "urn:c:next").take_all()}
     assert got_multi == {"urn:c:b", "urn:c:c", "urn:c:d", "urn:c:y"}
+
+
+def test_wcc_components_and_rel_filter(ray_session):
+    from versa_ray.ops.graph import weakly_connected_components
+
+    links = [
+        ("urn:g:b", "urn:g:rel", "urn:g:a"),
+        ("urn:g:c", "urn:g:rel", "urn:g:b"),
+        ("urn:g:e", "urn:g:rel", "urn:g:d"),
+        ("urn:g:x", "urn:g:other", "urn:g:y"),
+        ("urn:g:a", "urn:g:name", "literal label"),
+    ]
+    ds = _links_ds(links)
+    out = weakly_connected_components(ds).to_pandas()
+    comp = dict(zip(out.node, out.component))
+    assert comp == {
+        "urn:g:a": "urn:g:a", "urn:g:b": "urn:g:a", "urn:g:c": "urn:g:a",
+        "urn:g:d": "urn:g:d", "urn:g:e": "urn:g:d",
+        "urn:g:x": "urn:g:x", "urn:g:y": "urn:g:x",
+    }
+    # rel filter drops the other-rel edge; literal targets never edge
+    out2 = weakly_connected_components(ds, rels=["urn:g:rel"]).to_pandas()
+    assert set(out2.node) == {"urn:g:a", "urn:g:b", "urn:g:c",
+                              "urn:g:d", "urn:g:e"}
+
+
+def test_wcc_union_find_equivalence(ray_session):
+    """Random graph vs a driver-side union-find ground truth."""
+    import numpy as np
+
+    from versa_ray.ops.graph import weakly_connected_components
+
+    rng = np.random.RandomState(7)
+    n = 200
+    edges = [(f"urn:n:{a:03d}", f"urn:n:{b:03d}")
+             for a, b in rng.randint(0, n, size=(300, 2)) if a != b]
+    links = [(s, "urn:g:rel", t) for s, t in edges]
+    ds = _links_ds(links)
+    out = weakly_connected_components(ds).to_pandas()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in edges:
+        parent[find(s)] = find(t)
+    want = {}
+    for s, t in edges:
+        for v in (s, t):
+            want.setdefault(find(v), []).append(v)
+    truth = {}
+    for members in want.values():
+        m = min(set(members))
+        for v in set(members):
+            truth[v] = m
+    got = dict(zip(out.node, out.component))
+    assert got == truth
+
+
+def test_wcc_raises_on_iteration_budget(ray_session):
+    import pytest
+
+    from versa_ray.ops.graph import weakly_connected_components
+
+    # a chain deeper than the iteration budget
+    links = [(f"urn:c:{i:02d}", "urn:g:rel", f"urn:c:{i + 1:02d}")
+             for i in range(12)]
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        weakly_connected_components(
+            _links_ds(links), max_iters=4
+        ).materialize()

@@ -239,3 +239,149 @@ def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None):
         )
 
     return work.map_batches(_final, batch_format="pandas")
+
+
+def weakly_connected_components(links_ds, rels=None, max_iters=50,
+                                num_buckets=None):
+    """(node, component) over the undirected entity graph: component =
+    lexicographic-min node IRI, via distributed min-label propagation
+    (the string-keyed sibling of ops.dedup.cluster_pairs_ds).
+
+    ``rels`` optionally restricts which link relations contribute
+    edges; only IRI-target links ever do. One fused bucket shuffle per
+    iteration (labels update from incoming messages AND re-emit along
+    edges in the same group pass); the driver sees only a scalar
+    changed-count. Raises RuntimeError if the label fixpoint is not
+    reached within ``max_iters`` — a silent partial labeling would be
+    indistinguishable from a converged one downstream.
+
+    Covers every node incident to at least one edge; isolated origins
+    are their own components and can be unioned in by the caller if
+    needed. Diameter-bound iterations: D shuffles for a diameter-D
+    graph, so typical entity graphs (shallow hierarchies) converge in
+    a handful of rounds regardless of corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 32
+
+    rel_set = None if rels is None else set(rels)
+
+    def _edges(tbl: pa.Table) -> pa.Table:
+        mask = pc.and_(tbl["target_is_iri"], pc.is_valid(tbl["target"]))
+        if rel_set is not None:
+            mask = pc.and_(
+                mask, pc.is_in(tbl["rel"], value_set=pa.array(sorted(rel_set)))
+            )
+        sub = tbl.filter(mask)
+        return pa.table({"src": sub["origin"], "dst": sub["target"]})
+
+    def _wf(key, kind, a, c=None):
+        key = np.asarray(key, dtype=object)
+        n = len(key)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "kind": np.full(n, kind, dtype=np.int8),
+                "a": np.asarray(a, dtype=object),
+                "c": np.zeros(n, np.int8) if c is None
+                else np.asarray(c, np.int8),
+            }
+        )
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        if "src" not in df.columns or not len(df):
+            return _wf([], 0, [])
+        a = df["src"].to_numpy(dtype=object)
+        b = df["dst"].to_numpy(dtype=object)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        nodes = np.unique(src.astype(str)).astype(object)
+        return pd.concat(
+            [_wf(src, 1, dst), _wf(nodes, 0, nodes)], ignore_index=True
+        )
+
+    def _step(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in bucket.columns or not len(bucket):
+            return _wf([], 0, [])
+        lab = bucket[bucket["kind"] == 0].groupby("key", as_index=False)["a"].min()
+        edg = bucket[bucket["kind"] == 1]
+        msgs = bucket[bucket["kind"] == 2]
+        old = lab["a"].to_numpy(dtype=object)
+        if len(msgs) and len(lab):
+            nbr = msgs.groupby("key", as_index=False)["a"].min().rename(
+                columns={"a": "_nbr"}
+            )
+            lab = lab.merge(nbr, on="key", how="left")
+            nbr_vals = lab["_nbr"].fillna(lab["a"]).to_numpy(dtype=object)
+            new = np.minimum(old, nbr_vals)
+            changed = (new < old).astype(np.int8)
+        else:
+            new = old
+            changed = np.zeros(len(lab), dtype=np.int8)
+        newlab = pd.DataFrame({"key": lab["key"].to_numpy(object), "_label": new})
+        out_msgs = edg.merge(newlab, on="key", how="inner")
+        return pd.concat(
+            [
+                _wf(lab["key"].to_numpy(object), 0, new, changed),
+                _wf(edg["key"].to_numpy(object), 1, edg["a"].to_numpy(object)),
+                _wf(out_msgs["a"].to_numpy(object), 2,
+                    out_msgs["_label"].to_numpy(object)),
+            ],
+            ignore_index=True,
+        )
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["key"].astype(str), index=False)
+            % num_buckets
+        ).astype("int32")
+        return df
+
+    def _apply(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in bucket.columns or not len(bucket):
+            return _wf([], 0, [])
+        return _step(bucket.drop(columns=["_cbucket"]))
+
+    work = links_ds.map_batches(_edges, batch_format="pyarrow").map_batches(
+        _init, batch_format="pandas"
+    )
+    converged = False
+    for it in range(max_iters):
+        work = (
+            work.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_apply, batch_format="pandas")
+            .materialize()
+        )
+        if it == 0:
+            if work.count() == 0:
+                return rd.from_arrow(
+                    pa.table({"node": pa.array([], type=pa.string()),
+                              "component": pa.array([], type=pa.string())})
+                )
+            continue  # round 0 only seeds messages
+        if not work.sum("c"):
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"weakly_connected_components: no fixpoint in {max_iters} "
+            "iterations (graph diameter exceeds the budget)"
+        )
+
+    def _labels_only(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0]
+        return pd.DataFrame(
+            {"node": lab["key"].to_numpy(object),
+             "component": lab["a"].to_numpy(object)}
+        )
+
+    return work.map_batches(_labels_only, batch_format="pandas")

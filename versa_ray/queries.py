@@ -329,6 +329,19 @@ def q_kg_pagerank(sf_dir):
     return out.sort_values("node", ignore_index=True)
 
 
+def q_graph_wcc(sf_dir):
+    """Weakly connected components over the linkset's geography edges
+    (inNation/inRegion): distributed string min-label propagation, one
+    fused bucket shuffle per round. Component = lexicographic-min node
+    IRI; hash-checked against a DuckDB recursive-CTE reachability
+    oracle."""
+    from .ops.graph import weakly_connected_components
+
+    return weakly_connected_components(
+        tpch_linkset(sf_dir), rels=[IN_NATION, IN_REGION]
+    )
+
+
 def q_links_jsonld_nested(sf_dir):
     """Distributed INLINED JSON-LD binder over the linkset (iterative
     leaf-inlining shuffle — not SQL-expressible). Self-gated by
@@ -1387,6 +1400,7 @@ def build_queries():
         "links_duplicate_statements": q_links_duplicate_statements,
         "links_out_degrees": q_links_out_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "graph_wcc": q_graph_wcc,
         "links_jsonld_nested": q_links_jsonld_nested,
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
@@ -1496,6 +1510,26 @@ def build_oracles():
         "miniquery_conj": (
             "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
             "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "graph_wcc": (
+            "WITH RECURSIVE e0 AS ("
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR) AS a, "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) AS b "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), "
+            "'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR), "
+            "'urn:versa:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier"
+            "), edges AS ("
+            "SELECT a, b FROM e0 UNION SELECT b, a FROM e0"
+            "), reach(node, lab) AS ("
+            "SELECT DISTINCT a, a FROM edges "
+            "UNION "
+            "SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node"
+            ") "
+            "SELECT node, min(lab) AS component FROM reach GROUP BY node"
         ),
         "transitive_closure": (
             "SELECT 'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR) AS node "
