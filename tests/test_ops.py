@@ -77,6 +77,36 @@ def test_simhash_and_jaccard(ray_session):
     assert ngram_jaccard(rows.text[0], rows.text[2]) == 0.0
 
 
+def test_simhash_hot_bucket_prefilter_exact(ray_session):
+    """The rotated-pigeonhole second-level split in hot buckets is an
+    exact prefilter: pair set identical to the quadratic path."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import simhash_near_dups
+
+    rng = np.random.RandomState(11)
+    words = ["w%d" % i for i in range(400)]
+    texts = []
+    for i in range(80):
+        base = [words[j] for j in rng.choice(400, 30, replace=False)]
+        texts.append(" ".join(base))
+        if i % 4 == 0:  # planted near-dup: one word swapped
+            mut = list(base)
+            mut[rng.randint(30)] = words[rng.randint(400)]
+            texts.append(" ".join(mut))
+    rows = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(rows)
+
+    def key(df):
+        return set(zip(df.id_a, df.id_b))
+
+    quad = key(simhash_near_dups(ds, max_hamming=8).to_pandas())
+    split = key(
+        simhash_near_dups(ds, max_hamming=8, hot_bucket=2).to_pandas()
+    )
+    assert quad == split and len(quad) > 0
+
+
 def test_knn_bruteforce_matches_numpy(ray_session):
     import ray.data as rd
 

@@ -471,7 +471,12 @@ def replace_values_ds(ds, mapping_ds, num_buckets=64):
     bucket of the join key (links and mapping rows co-bucketed, pandas
     merge inside the bucket). Attr-VALUE rewriting (rare path) is not
     applied here — use the broadcast form when the mapping fits."""
-    link_cols = list(ds.schema().names)
+    # schema() on a lazy non-read Dataset executes it for one row;
+    # use the cached/inferable schema when available and pay the
+    # one-row probe only when it is not (extra columns beyond the
+    # quad must be preserved, so guessing QUAD_COLS is not safe).
+    sch = ds.schema(fetch_if_missing=False)
+    link_cols = list(sch.names) if sch is not None else list(ds.schema().names)
 
     def _mapping_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({c: pd.Series([""] * len(df), dtype=object)

@@ -33,6 +33,8 @@ import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
 _MINHASHER_CACHE: dict = {}
+# per-byte popcount lookup table (Hamming distance on packed uint64)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _empty_pairs(extra_col=None, extra_dtype="float64"):
@@ -920,10 +922,13 @@ def simhash_ds(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(_sim, batch_format="pandas")
 
 
-def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
+def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3,
+                      hot_bucket=1024):
     """Candidate pairs with Hamming distance <= max_hamming via chunk
     bucketing with max_hamming+1 chunks (pigeonhole: any pair within
-    the distance budget must agree on at least one whole chunk)."""
+    the distance budget must agree on at least one whole chunk).
+    Buckets larger than ``hot_bucket`` get a second-level exact
+    prefilter (rotated-chunk pigeonhole) before the all-pairs XOR."""
     sigs = simhash_ds(ds, text_col, id_col)
     n_chunks = max_hamming + 1
     bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
@@ -945,18 +950,13 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
             )
         return pd.concat(frames, ignore_index=True)
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        if len(ids) < 2:
-            return _empty_pairs("hamming", "int64")
-        _, uix = np.unique(ids, return_index=True)
-        ids = ids[uix]
-        hs = group["simhash"].to_numpy()[uix].astype(np.uint64)
+    def _quad_pairs(ids, hs):
         a_ix, b_ix = np.triu_indices(len(ids), k=1)
         x = hs[a_ix] ^ hs[b_ix]
-        # vectorized popcount: bytes view -> unpackbits -> row sums
+        # vectorized popcount: bytes view -> per-byte LUT -> row sums
+        # (8x less scratch memory than unpackbits on big buckets)
         ham = (
-            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)]
             .sum(axis=1)
             .astype(np.int64)
         )
@@ -964,6 +964,41 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3):
         lo = np.minimum(ids[a_ix[keep]], ids[b_ix[keep]])
         hi = np.maximum(ids[a_ix[keep]], ids[b_ix[keep]])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[keep]})
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return _empty_pairs("hamming", "int64")
+        _, uix = np.unique(ids, return_index=True)
+        ids = ids[uix]
+        hs = group["simhash"].to_numpy()[uix].astype(np.uint64)
+        if len(ids) <= hot_bucket:
+            return _quad_pairs(ids, hs)
+        # Hot bucket: re-apply the pigeonhole on a ROTATED chunking.
+        # Any partition of the 64 bits into max_hamming+1 parts leaves
+        # at least one part with zero differing bits for a pair within
+        # the Hamming budget, so sub-grouping by rotated chunk values
+        # is exact (no recall loss), and the rotation (8 bits) makes
+        # the sub-chunks cut across the primary chunk that keyed this
+        # bucket. Output pairs dedupe downstream on (id_a, id_b).
+        rot = ((hs << np.uint64(8)) | (hs >> np.uint64(56))).astype(np.uint64)
+        outs = []
+        for c in range(n_chunks):
+            lo_b, hi_b = int(bounds[c]), int(bounds[c + 1])
+            sub = (rot >> np.uint64(lo_b)) & np.uint64((1 << (hi_b - lo_b)) - 1)
+            order = np.argsort(sub, kind="stable")
+            sv = sub[order]
+            starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+            ends = np.r_[starts[1:], len(sv)]
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                sel = order[s:e]
+                outs.append(_quad_pairs(ids[sel], hs[sel]))
+        if not outs:
+            return _empty_pairs("hamming", "int64")
+        out = pd.concat(outs, ignore_index=True)
+        return out.drop_duplicates(["id_a", "id_b"], ignore_index=True)
 
     exploded = sigs.map_batches(_explode, batch_format="pandas")
     pairs = bucketed_group_apply(
