@@ -107,6 +107,34 @@ def test_simhash_hot_bucket_prefilter_exact(ray_session):
     assert quad == split and len(quad) > 0
 
 
+def test_bm25_search(ray_session):
+    """BM25 ranks the doc with more query-term mass first; docs with
+    no query terms never appear; rare terms outweigh common ones."""
+    import ray.data as rd
+
+    from versa_ray.ops.retrieval import bm25_search, tokenize
+
+    assert tokenize("Spark-Merge JOIN!") == ["spark", "merge", "join"]
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spark merge spark merge spark",   # heavy on both terms
+                "spark filler filler filler one",  # one hit
+                "nothing relevant here at all",    # no hits
+                "merge once common common common",  # one hit, other term
+            ],
+        }
+    )
+    out = bm25_search(
+        rd.from_pandas(rows), ["spark merge"], k=10
+    ).to_pandas().sort_values("rank")
+    assert out.doc_id.tolist()[0] == 1          # both terms, high tf
+    assert 3 not in set(out.doc_id)             # zero-hit doc excluded
+    assert set(out.qid) == {0}
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
 def test_knn_bruteforce_matches_numpy(ray_session):
     import ray.data as rd
 

@@ -1,0 +1,168 @@
+"""Sparse (lexical) retrieval over a text corpus: BM25 top-k search.
+
+The dense side of similarity search lives in ``ops.similarity``
+(brute-force / LSH / IVF cosine over embeddings); this module is the
+sparse sibling a training-data pipeline needs for keyword retrieval
+and benchmark-query mining.
+
+Design (Ray-Data-first, no inverted index materialized):
+
+* The query set is tiny and the term vocabulary it touches is
+  bounded, so everything corpus-sized stays inside ``map_batches``:
+
+  - **stats pass** — one streaming pass emits per-batch partial
+    rows (per-term document frequency + corpus doc count / token
+    count); a two-phase ``grouped_agg_small`` reduce (the term set
+    is bounded by the queries, never corpus vocabulary) yields
+    ``N``, ``avgdl`` and ``df`` per query term.
+  - **score pass** — ``(idf, avgdl, query term lists)`` broadcast
+    once via ``ray.put``; each batch computes per-term tf with
+    vectorized pandas ``str.count`` kernels (loop over the bounded
+    term set, never over rows), BM25-scores all queries with numpy,
+    and emits its LOCAL top-k per query. A final tiny per-query
+    merge ranks ``queries x k x blocks`` rows — the only data that
+    ever leaves the corpus stream.
+
+Tokenizer contract (shared with the DuckDB oracle): tokens are
+maximal runs of ``[a-z0-9]`` on the lowercased text; everything else
+is a separator. BM25 uses the Lucene idf variant
+``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive) with
+``k1=1.2, b=0.75``; duplicate terms within one query count once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RUN = r"[a-z0-9]+"
+
+
+def tokenize(text: str) -> list[str]:
+    """Driver-side tokenizer (query strings, tests)."""
+    return re.findall(_TOKEN_RUN, (text or "").lower())
+
+
+def _term_pattern(term: str) -> str:
+    # whole-token match on the raw lowercased text: the token must not
+    # be flanked by other token characters
+    return r"(?<![a-z0-9])" + re.escape(term) + r"(?![a-z0-9])"
+
+
+def corpus_term_stats(ds, terms, text_col="text"):
+    """One streaming pass: per-term document frequency over ``terms``
+    plus corpus doc count and total token count. Returns
+    ``(n_docs, avgdl, {term: df})`` — driver-side result is bounded
+    by ``len(terms)``, never corpus vocabulary."""
+    from .agg import grouped_agg_small
+
+    terms = sorted(set(terms))
+    pats = {t: _term_pattern(t) for t in terms}
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].fillna("").str.lower()
+        dl = low.str.count(_TOKEN_RUN)
+        rows = {"term": [""], "df": [0],
+                "docs": [len(df)], "toklen": [int(dl.sum())]}
+        for t in terms:
+            rows["term"].append(t)
+            rows["df"].append(int((low.str.count(pats[t]) > 0).sum()))
+            rows["docs"].append(0)
+            rows["toklen"].append(0)
+        return pd.DataFrame(rows)
+
+    agg = grouped_agg_small(
+        ds.map_batches(_partial, batch_format="pandas"),
+        ["term"],
+        {"df": ("df", "sum"), "docs": ("docs", "sum"),
+         "toklen": ("toklen", "sum")},
+    ).to_pandas()
+    corpus = agg[agg["term"] == ""]
+    n_docs = int(corpus["docs"].sum())
+    total_len = int(corpus["toklen"].sum())
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    df_map = {
+        r.term: int(r.df) for r in agg[agg["term"] != ""].itertuples()
+    }
+    return n_docs, avgdl, df_map
+
+
+def bm25_search(ds, queries, k=10, k1=1.2, b=0.75, text_col="text",
+                id_col="doc_id", round_to=9):
+    """Top-k BM25 retrieval for each query string in ``queries``.
+
+    Returns a Dataset of ``(qid, doc_id, rank)`` — qid is the query's
+    index in ``queries``, rank 1..k by score desc (scores rounded to
+    ``round_to`` decimals before ranking, ties broken by doc_id asc).
+    Only docs matching at least one query term are ranked."""
+    import ray
+
+    qterms = [sorted(set(tokenize(q))) for q in queries]
+    vocab = sorted({t for ts in qterms for t in ts})
+    if not vocab:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}))
+
+    n_docs, avgdl, df_map = corpus_term_stats(ds, vocab, text_col)
+    idf = {
+        t: float(np.log((n_docs - df_map.get(t, 0) + 0.5)
+                        / (df_map.get(t, 0) + 0.5) + 1.0))
+        for t in vocab
+    }
+    bref = ray.put({"idf": idf, "qterms": qterms, "avgdl": float(avgdl)})
+    pats = {t: _term_pattern(t) for t in vocab}
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bc = ray.get(bref)
+        low = df[text_col].fillna("").str.lower()
+        ids = df[id_col].to_numpy()
+        dl = low.str.count(_TOKEN_RUN).to_numpy(dtype=np.float64)
+        ad = bc["avgdl"] or 1.0
+        denom_base = k1 * (1.0 - b + b * dl / ad)
+        tf = {t: low.str.count(p).to_numpy(dtype=np.float64)
+              for t, p in pats.items()}
+        out = {"qid": [], "doc_id": [], "score": []}
+        for qid, ts in enumerate(bc["qterms"]):
+            score = np.zeros(len(df))
+            for t in ts:
+                tft = tf[t]
+                score += bc["idf"][t] * tft * (k1 + 1.0) / (tft + denom_base)
+            hit = np.flatnonzero(score > 0)
+            if not len(hit):
+                continue
+            if len(hit) > k:
+                part = hit[np.argpartition(-score[hit], k - 1)[:k]]
+            else:
+                part = hit
+            part = part[np.lexsort((ids[part], -score[part]))]
+            out["qid"].extend([qid] * len(part))
+            out["doc_id"].extend(ids[part].tolist())
+            out["score"].extend(score[part].tolist())
+        if not out["qid"]:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")})
+        o = pd.DataFrame(out)
+        o["qid"] = o["qid"].astype("int64")
+        o["doc_id"] = o["doc_id"].astype("int64")
+        return o
+
+    partials = ds.map_batches(_local_topk, batch_format="pandas")
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["score"] = g["score"].round(round_to)
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "doc_id", "rank"]]
+
+    return partials.groupby("qid").map_groups(_merge, batch_format="pandas")

@@ -632,6 +632,28 @@ def q_doc_top_tokens(sf_dir):
     return textstats.top_tokens(_docs(sf_dir), k=50)
 
 
+# query strings for the sparse-retrieval entry; drawn from the
+# synthetic corpus vocabulary so each query has real matches
+BM25_QUERIES = [
+    "spark merge join",
+    "window batch stream",
+    "customer line order",
+    "slow scan filter",
+]
+
+
+def q_doc_bm25(sf_dir):
+    """BM25 top-10 lexical retrieval for four fixed queries: one
+    bounded stats pass (per-term df + corpus length via the two-phase
+    small-agg), then one scoring pass with vectorized per-term
+    str.count kernels and per-block local top-k; rank ties broken by
+    doc_id after rounding scores to 9 decimals (mirrored in the SQL
+    oracle)."""
+    from .ops.retrieval import bm25_search
+
+    return bm25_search(_docs(sf_dir), BM25_QUERIES, k=10)
+
+
 def q_doc_gopher_quality(sf_dir):
     """Gopher-style quality gates, every feature hash-checked against
     the SQL oracle (word count, mean word length, symbol ratio,
@@ -1417,6 +1439,7 @@ def build_queries():
         "doc_curation": q_doc_curation,
         "doc_gopher_quality": q_doc_gopher_quality,
         "doc_top_tokens": q_doc_top_tokens,
+        "doc_bm25": q_doc_bm25,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -1682,6 +1705,40 @@ def build_oracles():
             "regexp_split_to_array(text, '[ \\t\\r\\n\\f\\v]+')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token) "
             "ORDER BY n DESC, token LIMIT 50"
+        ),
+        # BM25 (Lucene idf variant, k1=1.2 b=0.75) over [a-z0-9]+
+        # tokens of lowercased text; scores rounded to 9 decimals
+        # before ranking, ties by doc_id — mirrors ops.retrieval
+        "doc_bm25": (
+            "WITH q(qid, qtext) AS (VALUES "
+            + ", ".join(
+                f"({i}::BIGINT, '{s}')" for i, s in enumerate(BM25_QUERIES)
+            )
+            + "), "
+            "qt AS (SELECT DISTINCT qid, t AS term FROM (SELECT qid, "
+            "unnest(string_split_regex(lower(qtext), '[^a-z0-9]+')) AS t "
+            "FROM q) WHERE t <> ''), "
+            "toks AS (SELECT doc_id, t AS term FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+            "FROM documents) WHERE t <> ''), "
+            "dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl "
+            "FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id "
+            "GROUP BY d.doc_id), "
+            "s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks "
+            "WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df "
+            "FROM tf GROUP BY term), "
+            "sc AS (SELECT qt.qid, tf.doc_id, "
+            "SUM(ln((s.n - df.df + 0.5)/(df.df + 0.5) + 1) * "
+            "tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))) "
+            "AS score FROM qt JOIN tf USING (term) JOIN df USING (term) "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s "
+            "GROUP BY qt.qid, tf.doc_id) "
+            "SELECT qid, doc_id, rank FROM (SELECT qid, doc_id, "
+            "row_number() OVER (PARTITION BY qid "
+            "ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
+            "WHERE rank <= 10 ORDER BY qid, rank"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         # exact word-3-shingle Jaccard over all pairs; mirrors
