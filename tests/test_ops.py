@@ -135,6 +135,38 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_entail_types(ray_session):
+    """Transitive supertypes are entailed; subclass cycles don't hang
+    and don't self-entail beyond the cycle members."""
+    import ray.data as rd
+
+    from versa_ray.ops.graph import entail_types
+
+    links = pd.DataFrame(
+        {
+            "origin": ["e1", "e2", "e1"],
+            "rel": ["http://purl.org/versa/type"] * 2 + ["other"],
+            "target": ["A", "C", "ignored"],
+            "target_is_iri": [True, True, True],
+            "attrs": ["{}"] * 3,
+        }
+    )
+    out = entail_types(
+        rd.from_pandas(links),
+        [("A", "B"), ("B", "C"), ("C", "A"),  # cycle A->B->C->A
+         ("C", "D")],
+        type_rel="http://purl.org/versa/type",
+    ).to_pandas()
+    got = set(zip(out.origin, out.cls))
+    # e1: direct A plus cycle members B, C and C's parent D
+    assert {("e1", "A"), ("e1", "B"), ("e1", "C"), ("e1", "D")} <= got
+    # e2: direct C plus A, B (via cycle) and D
+    assert {("e2", "C"), ("e2", "D"), ("e2", "A"), ("e2", "B")} <= got
+    # the non-type link contributes nothing
+    assert not any(o == "e1" and c == "ignored" for o, c in got)
+    assert len(got) == len(out)  # distinct
+
+
 def test_knn_bruteforce_matches_numpy(ray_session):
     import ray.data as rd
 

@@ -385,3 +385,61 @@ def weakly_connected_components(links_ds, rels=None, max_iters=50,
         )
 
     return work.map_batches(_labels_only, batch_format="pandas")
+
+
+def entail_types(links_ds, subclass_pairs, type_rel=None, num_buckets=64):
+    """RDFS-style type entailment: every entity typed ``C`` is also
+    typed with every (transitive) superclass of ``C``.
+
+    The class hierarchy is schema-sized — orders of magnitude smaller
+    than the instance data — so its transitive closure is computed
+    driver-side (cycle-safe DFS) and broadcast once via ``ray.put``;
+    the corpus-sized type links stream through one ``map_batches``
+    (vectorized map + explode) and a coarse-bucket distinct. No
+    corpus-cardinality shuffle keys on class membership (hot classes
+    like urn:versa:Customer would be maximally skewed keys).
+
+    ``subclass_pairs``: iterable of ``(child_class, parent_class)``.
+    Returns a Dataset of distinct ``(origin, cls)`` rows covering the
+    direct type and all entailed supertypes.
+    """
+    import ray
+
+    from ..core import VTYPE_REL
+    from .dedup import dedup_rows
+
+    type_rel = str(type_rel or VTYPE_REL)
+
+    parents: dict[str, set] = {}
+    for c, p in subclass_pairs:
+        parents.setdefault(str(c), set()).add(str(p))
+
+    def _ancestors(c, seen):
+        out = set()
+        for p in parents.get(c, ()):
+            if p in seen:
+                continue  # cycle guard
+            out.add(p)
+            out |= _ancestors(p, seen | {p})
+        return out
+
+    closure = {c: sorted(_ancestors(c, {c})) for c in parents}
+    cref = ray.put(closure)
+
+    def _entail(df: pd.DataFrame) -> pd.DataFrame:
+        cl = ray.get(cref)
+        t = df[df["rel"] == type_rel]
+        if not len(t):
+            return pd.DataFrame(
+                {"origin": pd.Series([], dtype=object),
+                 "cls": pd.Series([], dtype=object)})
+        origin = t["origin"].to_numpy(object)
+        cls = t["target"].to_numpy(object)
+        sup = pd.Series(cls).map(lambda c: cl.get(c, ()))
+        e = sup.explode().dropna()
+        return pd.DataFrame(
+            {"origin": np.concatenate([origin, origin[e.index.to_numpy()]]),
+             "cls": np.concatenate([cls, e.to_numpy(object)])})
+
+    out = links_ds.map_batches(_entail, batch_format="pandas")
+    return dedup_rows(out, ["origin", "cls"], num_buckets=num_buckets)

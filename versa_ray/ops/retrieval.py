@@ -166,3 +166,79 @@ def bm25_search(ds, queries, k=10, k1=1.2, b=0.75, text_col="text",
         return g[["qid", "doc_id", "rank"]]
 
     return partials.groupby("qid").map_groups(_merge, batch_format="pandas")
+
+
+def tfidf_keywords(ds, top_m=3, text_col="text", id_col="doc_id",
+                   num_buckets=64, round_to=9):
+    """Top-m TF-IDF keywords per document: ``(doc_id, term, rank)``.
+
+    Unlike BM25 the vocabulary here is CORPUS-cardinality, so df
+    cannot be broadcast — the design is two coarse-bucket shuffles:
+
+    1. Per-doc term frequencies are exact within the batch (a doc is
+       one row), so the first shuffle keys on **term**: every
+       (doc, term, tf) row for a term lands in one bucket, giving the
+       global df(term) as an in-bucket group size AND attaching it to
+       the doc rows in the same pass — no separate df aggregation or
+       join stage.
+    2. The second shuffle keys on **doc_id** for the per-doc top-m.
+
+    Score = (tf / doc_len) * ln(N / df); rounded to ``round_to``
+    decimals before ranking, ties by term asc. N (corpus row count)
+    comes from dataset metadata, not a data pass."""
+    from .dedup import bucketed_group_apply
+
+    n_docs = float(ds.count())
+
+    def _doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        low = df[text_col].fillna("").str.lower()
+        toks = low.str.findall(_TOKEN_RUN)
+        dl = toks.str.len().to_numpy(dtype=np.int64)
+        e = toks.explode().dropna()
+        if not len(e):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "term": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype="int64"),
+                 "dl": pd.Series([], dtype="int64")})
+        tf = (
+            pd.DataFrame({"pos": e.index.to_numpy(), "term": e.to_numpy()})
+            .groupby(["pos", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        ids = df[id_col].to_numpy()
+        pos = tf["pos"].to_numpy()
+        return pd.DataFrame(
+            {"doc_id": ids[pos], "term": tf["term"].to_numpy(),
+             "tf": tf["tf"].to_numpy(dtype=np.int64), "dl": dl[pos]})
+
+    doc_terms = ds.map_batches(_doc_terms, batch_format="pandas")
+
+    def _score_term_group(group: pd.DataFrame) -> pd.DataFrame:
+        # all rows for this term are here: group size IS the global df
+        df_t = float(len(group))
+        g = group.copy()
+        g["score"] = (
+            g["tf"].to_numpy(dtype=np.float64)
+            / g["dl"].to_numpy(dtype=np.float64)
+            * np.log(n_docs / df_t)
+        )
+        return g[["doc_id", "term", "score"]]
+
+    scored = bucketed_group_apply(
+        doc_terms, ["term"], _score_term_group, num_buckets=num_buckets
+    )
+
+    def _topm(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["score"] = g["score"].round(round_to)
+        g = g.sort_values(["score", "term"], ascending=[False, True]).head(
+            top_m)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "term", "rank"]]
+
+    return bucketed_group_apply(
+        scored, ["doc_id"], _topm, num_buckets=num_buckets
+    )

@@ -342,6 +342,29 @@ def q_graph_wcc(sf_dir):
     )
 
 
+# schema-sized class hierarchy for the entailment query (broadcast
+# side; the corpus-sized type links stream through map_batches)
+SUBCLASS_PAIRS = [
+    ("urn:versa:Customer", "urn:versa:Agent"),
+    ("urn:versa:Supplier", "urn:versa:Agent"),
+    ("urn:versa:Agent", "urn:versa:Entity"),
+    ("urn:versa:Nation", "urn:versa:Place"),
+    ("urn:versa:Region", "urn:versa:Place"),
+    ("urn:versa:Place", "urn:versa:Entity"),
+]
+
+
+def q_kg_type_entailment(sf_dir):
+    """RDFS-style type entailment: distinct (origin, cls) for direct
+    types plus all transitive supertypes from the schema-sized
+    subclass hierarchy (driver closure + broadcast; no class-keyed
+    shuffle — hot classes are maximally skewed keys). Hash-checked
+    against a DuckDB recursive-CTE oracle."""
+    from .ops.graph import entail_types
+
+    return entail_types(tpch_linkset(sf_dir), SUBCLASS_PAIRS)
+
+
 def q_links_jsonld_nested(sf_dir):
     """Distributed INLINED JSON-LD binder over the linkset (iterative
     leaf-inlining shuffle — not SQL-expressible). Self-gated by
@@ -652,6 +675,16 @@ def q_doc_bm25(sf_dir):
     from .ops.retrieval import bm25_search
 
     return bm25_search(_docs(sf_dir), BM25_QUERIES, k=10)
+
+
+def q_doc_tfidf(sf_dir):
+    """Top-3 TF-IDF keywords per document. Corpus-vocabulary df is
+    computed and attached in ONE term-keyed coarse-bucket shuffle
+    (the in-bucket group size is the global df); a second doc-keyed
+    shuffle ranks per-doc top-m. Rank-exact vs the SQL oracle."""
+    from .ops.retrieval import tfidf_keywords
+
+    return tfidf_keywords(_docs(sf_dir), top_m=3)
 
 
 def q_doc_gopher_quality(sf_dir):
@@ -1423,6 +1456,7 @@ def build_queries():
         "links_out_degrees": q_links_out_degrees,
         "kg_pagerank": q_kg_pagerank,
         "graph_wcc": q_graph_wcc,
+        "kg_type_entailment": q_kg_type_entailment,
         "links_jsonld_nested": q_links_jsonld_nested,
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
@@ -1440,6 +1474,7 @@ def build_queries():
         "doc_gopher_quality": q_doc_gopher_quality,
         "doc_top_tokens": q_doc_top_tokens,
         "doc_bm25": q_doc_bm25,
+        "doc_tfidf": q_doc_tfidf,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -1533,6 +1568,21 @@ def build_oracles():
         "miniquery_conj": (
             "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
             "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "kg_type_entailment": (
+            f"WITH RECURSIVE links AS ({LINKSET_SQL}), "
+            "sub(c, p) AS (VALUES "
+            + ", ".join(f"('{c}', '{p}')" for c, p in SUBCLASS_PAIRS)
+            + "), "
+            "closure(c, p) AS (SELECT c, p FROM sub UNION "
+            "SELECT closure.c, sub.p FROM closure "
+            "JOIN sub ON closure.p = sub.c), "
+            f"types AS (SELECT origin, target AS cls FROM links "
+            f"WHERE rel = '{TYPE}') "
+            "SELECT DISTINCT origin, cls FROM ("
+            "SELECT origin, cls FROM types UNION ALL "
+            "SELECT t.origin, c.p AS cls FROM types t "
+            "JOIN closure c ON t.cls = c.c)"
         ),
         "graph_wcc": (
             "WITH RECURSIVE e0 AS ("
@@ -1739,6 +1789,28 @@ def build_oracles():
             "row_number() OVER (PARTITION BY qid "
             "ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
             "WHERE rank <= 10 ORDER BY qid, rank"
+        ),
+        # TF-IDF top-3 keywords per doc: score = (tf/dl)*ln(N/df)
+        # over [a-z0-9]+ tokens of lowercased text; scores rounded to
+        # 9 decimals before ranking, ties by term asc
+        "doc_tfidf": (
+            "WITH toks AS (SELECT doc_id, t AS term FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+            "FROM documents) WHERE t <> ''), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks "
+            "GROUP BY doc_id, term), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks "
+            "GROUP BY doc_id), "
+            "dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            "GROUP BY term), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.term, "
+            "(tf.tf/dl.dl)*ln(n.n/dft.df) AS score FROM tf "
+            "JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN n) "
+            "SELECT doc_id, term, rank FROM (SELECT doc_id, term, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY round(score, 9) DESC, term) AS rank FROM sc) "
+            "WHERE rank <= 3 ORDER BY doc_id, rank"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         # exact word-3-shingle Jaccard over all pairs; mirrors
