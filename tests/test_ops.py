@@ -135,6 +135,39 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_salted_join_equals_plain(ray_session):
+    """salted_join returns exactly the plain hash join's rows on a
+    hot-key workload (one key is half the left side)."""
+    import ray.data as rd
+
+    from versa_ray.ops.joins import salted_join
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    keys = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 50, n))
+    left = pd.DataFrame({"k": keys.astype("int64"), "v": np.arange(n)})
+    right = pd.DataFrame(
+        {"k": np.arange(50, dtype="int64"), "label": [f"r{i}" for i in range(50)]}
+    )
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    plain = (
+        lds.join(rds, join_type="inner", num_partitions=4, on=("k",))
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_join(lds, rds, on="k", salt=4, num_partitions=4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[sorted(plain.columns)], salted[sorted(salted.columns)]
+    )
+    assert (plain.k == 7).sum() > n // 3  # the hot key actually dominates
+
+
 def test_entail_types(ray_session):
     """Transitive supertypes are entailed; subclass cycles don't hang
     and don't self-entail beyond the cycle members."""

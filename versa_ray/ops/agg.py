@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["grouped_agg_small"]
+__all__ = ["grouped_agg_small", "grouped_topk"]
 
 _FINAL_HOW = {"sum": "sum", "size": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -41,4 +41,43 @@ def grouped_agg_small(ds, keys, spec):
         ds.map_batches(_partial, batch_format="pandas")
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
+    )
+
+
+def grouped_topk(ds, keys, order_by, k=1, ascending=False, tie_cols=None,
+                 num_buckets=64):
+    """Top-k rows per group — the "best N docs per domain/language"
+    primitive. Two-phase: every batch keeps its LOCAL top-k per group
+    (combiner — at most ``groups x k`` rows per batch survive), then
+    one coarse-bucket shuffle on the group keys finalizes. Adds a
+    ``rank`` column (1..k; ties broken by ``tie_cols``, which default
+    to the group keys' complement of order_by — pass explicitly for
+    deterministic output).
+    """
+    from .dedup import bucketed_group_apply
+
+    keys = list(keys)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    ties = list(tie_cols or [])
+    sort_cols = order_cols + ties
+    asc = [ascending] * len(order_cols) + [True] * len(ties)
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = group.sort_values(sort_cols, ascending=asc,
+                              kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return bucketed_group_apply(
+        ds.map_batches(_local, batch_format="pandas"), keys, _final,
+        num_buckets=num_buckets,
     )

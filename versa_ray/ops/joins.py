@@ -120,3 +120,59 @@ def range_join(left, right, on="ts", by="user_id",
         return df.rename(columns={on + suffix: start_col + suffix})
 
     return out.map_batches(_bound, batch_format="pandas")
+
+
+def salted_join(left, right, on, right_on=None, salt=8, num_partitions=None,
+                join_type="inner"):
+    """Skew-robust inner join for a HOT-KEY left side.
+
+    A plain hash join sends every row of a hot key to one partition —
+    at web scale a single head entity (or head domain) can be a
+    double-digit percentage of the corpus, and that one partition
+    becomes the wall-clock. Standard remedy, implemented here:
+
+    * LEFT rows get a deterministic salt in ``[0, salt)`` derived from
+      a row-content hash (hot-key rows spread across ``salt``
+      partitions; full-duplicate rows co-locate, which is harmless).
+    * RIGHT rows are replicated ``salt`` times, once per salt value —
+      the right side of a skewed join is the dimension-sized side, so
+      the replication factor is bounded and known.
+    * The join keys become ``(key, _salt)``.
+
+    Result equals ``left.join(right)`` row-for-row (equality-tested in
+    tests/test_ops.py); only the partition layout changes. For a
+    right side small enough to broadcast, prefer a broadcast lookup
+    inside map_batches instead of any shuffle join.
+    """
+    import numpy as np
+    import ray
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 16
+    right_on = right_on or on
+
+    def _salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_salt"] = (
+            pd.util.hash_pandas_object(df, index=False) % salt
+        ).astype("int32")
+        return df
+
+    def _replicate_right(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = df.iloc[np.tile(np.arange(n), salt)].copy()
+        out["_salt"] = np.repeat(
+            np.arange(salt, dtype=np.int32), n)
+        return out
+
+    joined = left.map_batches(_salt_left, batch_format="pandas").join(
+        right.map_batches(_replicate_right, batch_format="pandas"),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on, "_salt"),
+        right_on=(right_on, "_salt"),
+    )
+    return joined.drop_columns(["_salt"])

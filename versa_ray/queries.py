@@ -677,6 +677,19 @@ def q_doc_bm25(sf_dir):
     return bm25_search(_docs(sf_dir), BM25_QUERIES, k=10)
 
 
+def q_doc_top_per_group(sf_dir):
+    """Grouped top-k (best-N-docs-per-domain primitive): top-2 docs
+    per (lang, source) by n_chars desc, doc_id tie-break. Per-batch
+    local top-k combiner, one coarse-bucket shuffle to finalize."""
+    from .ops.agg import grouped_topk
+
+    out = grouped_topk(
+        _docs(sf_dir), ["lang", "source"], "n_chars", k=2,
+        ascending=False, tie_cols=["doc_id"],
+    )
+    return out.select_columns(["lang", "source", "doc_id", "n_chars", "rank"])
+
+
 def q_doc_tfidf(sf_dir):
     """Top-3 TF-IDF keywords per document. Corpus-vocabulary df is
     computed and attached in ONE term-keyed coarse-bucket shuffle
@@ -1475,6 +1488,7 @@ def build_queries():
         "doc_top_tokens": q_doc_top_tokens,
         "doc_bm25": q_doc_bm25,
         "doc_tfidf": q_doc_tfidf,
+        "doc_top_per_group": q_doc_top_per_group,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -1789,6 +1803,13 @@ def build_oracles():
             "row_number() OVER (PARTITION BY qid "
             "ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
             "WHERE rank <= 10 ORDER BY qid, rank"
+        ),
+        "doc_top_per_group": (
+            "SELECT lang, source, doc_id, n_chars, rank FROM ("
+            "SELECT lang, source, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY lang, source "
+            "ORDER BY n_chars DESC, doc_id) AS rank FROM documents) "
+            "WHERE rank <= 2 ORDER BY lang, source, rank"
         ),
         # TF-IDF top-3 keywords per doc: score = (tf/dl)*ln(N/df)
         # over [a-z0-9]+ tokens of lowercased text; scores rounded to
