@@ -135,6 +135,32 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_pq_encode_and_search(ray_session):
+    """PQ codes are m uint8s per vector; ADC search recovers planted
+    exact-duplicate neighbors at rank 1."""
+    import ray.data as rd
+
+    from versa_ray.ops.similarity import (
+        knn_pq, pq_encode, train_pq_codebooks)
+
+    rng = np.random.RandomState(5)
+    dim, n = 16, 300
+    base = rng.randn(n, dim)
+    base[1] = base[0]  # planted twin of vector 0
+    rows = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": list(base)}
+    )
+    ds = rd.from_pandas(rows)
+    books = train_pq_codebooks(ds, dim=dim, m=4, nbits=6, sample_size=n)
+    assert books.shape == (4, 64, 4)
+    codes = pq_encode(ds, books).to_pandas()
+    assert len(codes) == n
+    assert all(len(c) == 4 for c in codes["code"])
+    out = knn_pq(ds, [base[0]], [0], books, k=3).to_pandas()
+    top1 = out[out["rank"] == 1]
+    assert top1["nid"].iloc[0] == 1  # the twin, self excluded
+
+
 def test_salted_join_equals_plain(ray_session):
     """salted_join returns exactly the plain hash join's rows on a
     hot-key workload (one key is half the left side)."""

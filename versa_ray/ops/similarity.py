@@ -158,3 +158,117 @@ def knn_lsh(ds, query_vecs, query_ids, dim, k=5, n_planes=8, n_tables=4,
     return knn_bruteforce(
         candidates, qmat, qids, k=k, vec_col=vec_col, id_col=id_col
     )
+
+
+def train_pq_codebooks(ds, dim, m=8, nbits=8, sample_size=2048, n_iters=10,
+                       vec_col="embedding", seed=29) -> np.ndarray:
+    """Product-quantization codebooks: k-means per subspace over a
+    bounded driver-side SAMPLE (never the corpus), L2 metric on
+    unit-normalized vectors. Returns ``(m, 2**nbits, dim//m)``.
+    Deterministic (fixed seed/iters, lowest-index tie-break). PQ is
+    the memory side of the scale story: a float32 vector of ``dim``
+    compresses to ``m`` bytes, so a 100-TB embedding column's codes
+    fit in cluster RAM for ADC scans."""
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    ncent = 1 << nbits
+    sample = ds.limit(sample_size).to_pandas()
+    mat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, min(ncent, len(mat)), sub))
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        cents = x[rng.choice(len(x), size=books.shape[1], replace=False)]
+        for _ in range(n_iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(ds, codebooks, vec_col="embedding", id_col="vec_id"):
+    """Encode the corpus to PQ codes: ``(vec_id, code)`` with code a
+    uint8 list of length m. One broadcast + one streaming pass; per
+    batch the assignment is a vectorized argmin against each
+    subspace's codebook."""
+    import ray
+
+    ref = ray.put(np.asarray(codebooks))
+
+    def _encode(df: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(ref)
+        m, _, sub = books.shape
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        codes = np.empty((len(df), m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub:(j + 1) * sub]
+            # ||x-c||^2 argmin == argmax(2 x.c - ||c||^2)
+            dots = x @ books[j].T
+            codes[:, j] = np.argmax(
+                2 * dots - (books[j] ** 2).sum(axis=1), axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "code": list(codes),
+        })
+
+    return ds.map_batches(_encode, batch_format="pandas")
+
+
+def knn_pq(ds, query_vecs, query_ids, codebooks, k=5,
+           vec_col="embedding", id_col="vec_id", exclude_self=True):
+    """Approximate top-k via asymmetric distance computation (ADC):
+    each query precomputes an ``(m, ncent)`` table of subspace inner
+    products; per batch the corpus is PQ-encoded (in a real
+    deployment the stored codes are read instead) and a query's score
+    for a vector is ``m`` table lookups summed — no full-dimension
+    math against the corpus. Candidates = per-block local top-k, then
+    the standard tiny per-query merge."""
+    import ray
+
+    books = np.asarray(codebooks)
+    m, ncent, sub = books.shape
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    # tables[q, j, c] = q_sub(j) . codebook[j][c]
+    tables = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), m, sub),
+                       books)
+    ref = ray.put((books, tables))
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bks, tbl = ray.get(ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        ids = df[id_col].to_numpy()
+        codes = np.empty((len(df), m), dtype=np.int64)
+        for j in range(m):
+            x = mat[:, j * sub:(j + 1) * sub]
+            codes[:, j] = np.argmax(
+                2 * (x @ bks[j].T) - (bks[j] ** 2).sum(axis=1), axis=1)
+        # ADC: score[q, i] = sum_j tbl[q, j, codes[i, j]]
+        nq = tbl.shape[0]
+        out = {"qid": [], "nid": [], "sim": []}
+        kk = min(k + (1 if exclude_self else 0), len(df))
+        for qx in range(nq):
+            score = tbl[qx][np.arange(m)[None, :], codes].sum(axis=1)
+            top = np.argpartition(-score, kk - 1)[:kk]
+            top = top[np.lexsort((ids[top], -score[top]))]
+            for ix in top:
+                if exclude_self and ids[ix] == qids[qx]:
+                    continue
+                out["qid"].append(qids[qx])
+                out["nid"].append(ids[ix])
+                out["sim"].append(score[ix])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(_local_topk, batch_format="pandas")
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return partials.groupby("qid").map_groups(_merge, batch_format="pandas")

@@ -1075,6 +1075,36 @@ def q_knn_ivf_recall(sf_dir):
     return df
 
 
+def q_knn_pq_recall(sf_dir):
+    """Recall gate for the product-quantization path: sampled
+    per-subspace codebooks, ADC table-lookup scan, no full-dimension
+    math against the corpus. HARD-FAILS if mean recall@1 vs exact kNN
+    drops below 0.8 over the planted-twin corpus (the same bar as the
+    LSH and IVF paths)."""
+    vecs, ids = _query_vectors(sf_dir, 8)
+    aug = _augmented_embeddings(sf_dir)
+    dim = len(vecs[0])
+    books = similarity.train_pq_codebooks(aug, dim=dim, m=8, nbits=6)
+    exact = similarity.knn_bruteforce(aug, vecs, ids, k=5).to_pandas()
+    pq = similarity.knn_pq(aug, vecs, ids, books, k=5).to_pandas()
+    ex1 = exact[exact["rank"] == 1].groupby("qid")["nid"].apply(set)
+    pq1 = pq[pq["rank"] == 1].groupby("qid")["nid"].apply(set)
+    df = pd.DataFrame(
+        {
+            "qid": ex1.index.to_numpy(),
+            "recall_at_1": [
+                len(ex1[q] & pq1.get(q, set())) / len(ex1[q]) for q in ex1.index
+            ],
+        }
+    ).sort_values("qid", ignore_index=True)
+    mean_r1 = float(df["recall_at_1"].mean())
+    if mean_r1 < 0.8:
+        raise AssertionError(
+            f"knn_pq mean recall@1 {mean_r1:.3f} < 0.8 vs exact kNN"
+        )
+    return df
+
+
 _PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
 
 _STOPWORD_SQL = "[%s]" % ", ".join(
@@ -1506,6 +1536,7 @@ def build_queries():
         "knn_cosine": q_knn_cosine,
         "knn_lsh_recall": q_knn_lsh_recall,
         "knn_ivf_recall": q_knn_ivf_recall,
+        "knn_pq_recall": q_knn_pq_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
