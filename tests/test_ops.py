@@ -135,6 +135,43 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_incremental_exact_dedup(ray_session, tmp_path):
+    """Replay semantics: first-seen wins across calls, within-call min
+    id wins, state survives a simulated crash mid-swap."""
+    import os
+
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "state")
+    b1 = pd.DataFrame({"doc_id": [5, 2, 9], "text": ["aa", "bb", "aa"]})
+    new1, n1 = incremental_exact_dedup(state, rd.from_pandas(b1))
+    got1 = new1.to_pandas().sort_values("doc_id")
+    assert n1 == 2
+    assert got1.doc_id.tolist() == [2, 5]  # min id per text within call
+
+    b2 = pd.DataFrame({"doc_id": [1, 7], "text": ["aa", "cc"]})
+    new2, n2 = incremental_exact_dedup(state, rd.from_pandas(b2))
+    got2 = new2.to_pandas()
+    assert n2 == 1 and got2.text.tolist() == ["cc"]  # "aa" already seen
+
+    # simulated crash: bucket renamed to .old.tmp with no live dir
+    buckets = [d for d in os.listdir(state) if d.startswith("bucket=")]
+    victim = os.path.join(state, buckets[0])
+    os.rename(victim, victim + ".old.tmp")
+    b3 = pd.DataFrame({"doc_id": [3], "text": ["dd"]})
+    new3, _ = incremental_exact_dedup(state, rd.from_pandas(b3))
+    new3.materialize()
+    assert os.path.isdir(victim)  # restored by the sweep
+
+    # full replay: nothing new
+    allb = pd.DataFrame(
+        {"doc_id": [50, 51, 52, 53], "text": ["aa", "bb", "cc", "dd"]})
+    _, n4 = incremental_exact_dedup(state, rd.from_pandas(allb))
+    assert n4 == 0
+
+
 def test_pq_encode_and_search(ray_session):
     """PQ codes are m uint8s per vector; ADC search recovers planted
     exact-duplicate neighbors at rank 1."""

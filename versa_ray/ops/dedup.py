@@ -1291,3 +1291,158 @@ def verify_pairs_cosine_ds(ds, pairs, threshold=0.95, vec_col="embedding",
     )
     attached = both.groupby("_cbucket").map_groups(_attach, batch_format="pandas")
     return attached.groupby("_pbucket").map_groups(_verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) exact dedup
+
+
+def _partition_files(state_dir, buckets):
+    """Parquet files under the given bucket partitions (read_parquet
+    accepts a LIST only of file paths, not directories)."""
+    import os
+
+    out = []
+    for b in buckets:
+        d = os.path.join(state_dir, f"bucket={b}")
+        out.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def incremental_exact_dedup(state_dir, delta_ds, key: str = "text",
+                            id_col: str = "doc_id", num_buckets: int = 16):
+    """Exact dedup of an APPEND-ONLY corpus across micro-batches: each
+    call dedups ``delta_ds`` against everything any previous call saw,
+    returning ``(new_docs_ds, n_new)``. The continuous-crawl shape of
+    ``exact_dedup`` — replaying deltas through this converges to the
+    batch result (equality-tested in tests and oracle-checked by the
+    doc_incremental_dedup query).
+
+    State = one Hive partition per content-hash bucket
+    (``bucket=N/``), each row a 16-byte md5 of the content plus its
+    64-bit fingerprint — content is NEVER stored or shuffled, and
+    state grows at fingerprint (not corpus-byte) cardinality. A delta
+    touches only the buckets its own hashes land in: untouched
+    partitions are neither read nor rewritten (same pruned-update
+    discipline as model/store.update_linkset), so a small delta
+    against a huge state does bounded work. Touched partitions are
+    staged and swapped via rename; a crashed run leaves ``.tmp``
+    stages that the next call sweeps.
+
+    Duplicate detection is by content md5 within a fingerprint bucket
+    (collision odds ~2^-64 per pair); within one delta the min
+    ``id_col`` wins, matching ``exact_dedup``."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    os.makedirs(state_dir, exist_ok=True)
+    # crash-window sweep: a crash between the two swap renames leaves
+    # `bucket=N.old.tmp` with no `bucket=N` — restore it (old state is
+    # strictly better than lost state); everything else staged is junk
+    for name in os.listdir(state_dir):
+        path = os.path.join(state_dir, name)
+        if name.endswith(".old.tmp"):
+            dst = path[: -len(".old.tmp")]
+            if not os.path.isdir(dst):
+                os.rename(path, dst)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        elif name.endswith(".tmp"):
+            shutil.rmtree(path, ignore_errors=True)
+
+    def _local(df: pd.DataFrame) -> pa.Table:
+        out = df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]].copy()
+        fp = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+        out["_fp"] = fp.astype("int64")
+        out["_md5"] = [
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in out[key]
+        ]
+        out["bucket"] = (fp % num_buckets).astype("int64")
+        out["_kind"] = np.int8(0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    delta = delta_ds.map_batches(_local, batch_format="pandas").materialize()
+    touched = sorted(
+        int(b) for b in delta.unique("bucket")
+    )  # bounded by num_buckets
+    parts = delta
+    existing = [
+        b for b in touched
+        if os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
+    ]
+    if existing:
+
+        def _tag_state(df: pd.DataFrame) -> pa.Table:
+            # bucket is the hive dir name, not a file column: re-derive
+            # from the stored fingerprint
+            df = df.copy()
+            df[id_col] = np.int64(-1)
+            df[key] = ""
+            df["bucket"] = (
+                df["_fp"].to_numpy().astype(np.uint64) % num_buckets
+            ).astype("int64")
+            df["_kind"] = np.int8(1)
+            return pa.Table.from_pandas(
+                df[[id_col, key, "_fp", "_md5", "bucket", "_kind"]],
+                preserve_index=False)
+
+        state = rd.read_parquet(
+            _partition_files(state_dir, existing)
+        ).map_batches(_tag_state, batch_format="pandas")
+        parts = parts.union(state)
+
+    def _merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        seen = set(bucket.loc[bucket["_kind"] == 1, "_md5"])
+        d = bucket[bucket["_kind"] == 0]
+        d = d.loc[d.groupby("_md5", sort=False)[id_col].idxmin()]
+        return d[~d["_md5"].isin(seen)][
+            [id_col, key, "_fp", "_md5", "bucket"]]
+
+    new_docs = (
+        parts.groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+        .materialize()
+    )
+    n_new = new_docs.count()
+
+    # rewrite ONLY touched buckets: old rows of the bucket + new hashes
+    if touched:
+        stage = os.path.join(state_dir, "_stage.tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        upd = new_docs.select_columns(["_fp", "_md5", "bucket"])
+        if existing:
+            upd = upd.union(
+                rd.read_parquet(_partition_files(state_dir, existing))
+            )
+        # state files carry only (_fp, _md5); (re-)derive the
+        # partition column uniformly before the partitioned write
+        upd = upd.map_batches(
+            lambda df: df.assign(
+                bucket=(
+                    df["_fp"].to_numpy().astype(np.uint64) % num_buckets
+                ).astype("int64")
+            ),
+            batch_format="pandas",
+        )
+        upd.write_parquet(stage, partition_cols=["bucket"])
+        for b in touched:
+            src = os.path.join(stage, f"bucket={b}")
+            dst = os.path.join(state_dir, f"bucket={b}")
+            if not os.path.isdir(src):
+                continue
+            old = dst + ".old.tmp"
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return new_docs.select_columns([id_col, key]), n_new

@@ -554,6 +554,33 @@ def q_doc_exact_dedup(sf_dir):
     return dd.exact_dedup(docs.union(shifted), key="text", id_col="doc_id")
 
 
+def q_doc_incremental_dedup(sf_dir):
+    """Cross-run exact dedup replay: the corpus (plus shifted-id
+    duplicates) arrives as two micro-batches through a persistent
+    fingerprint-bucket state store; the union of 'new' docs from both
+    calls must equal the one-shot batch dedup — hash-checked against
+    the same SQL oracle shape as doc_exact_dedup. Only touched state
+    partitions are read/rewritten per call."""
+    import shutil
+    import tempfile
+
+    docs = _docs(sf_dir)
+    shifted = docs.map_batches(
+        lambda df: df.assign(doc_id=df.doc_id + 1000000), batch_format="pandas"
+    )
+    state = tempfile.mkdtemp(prefix="vr_incdedup_")
+    try:
+        first, _ = dd.incremental_exact_dedup(
+            state, docs, key="text", id_col="doc_id")
+        first = first.materialize()  # consume before state mutates again
+        second, _ = dd.incremental_exact_dedup(
+            state, shifted, key="text", id_col="doc_id")
+        out = first.union(second.materialize()).to_pandas()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out[["doc_id", "text"]]
+
+
 def q_doc_token_stats(sf_dir):
     ds = _docs(sf_dir).map_batches(
         lambda df: textstats.token_stats(df)[
@@ -1507,6 +1534,7 @@ def build_queries():
         "literate_corpus": q_literate_corpus,
         "nt_roundtrip": q_nt_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_uniform_sample": q_doc_uniform_sample,
@@ -1676,6 +1704,13 @@ def build_oracles():
             f"'{NAME}', n_name, FALSE, '{{}}' FROM nation"
         ),
         "doc_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, text FROM ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) GROUP BY text"
+        ),
+        # replaying (docs, shifted-dups) through the persistent state
+        # converges to the same batch answer
+        "doc_incremental_dedup": (
             "SELECT min(doc_id) AS doc_id, text FROM ("
             "SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) GROUP BY text"
