@@ -137,6 +137,54 @@ def test_update_linkset_incremental(ray_session, tmp_path):
     assert set(row["target"]) == {"name 7", "second name"}
 
 
+def test_compact_linkset(ray_session, tmp_path):
+    """Repeated updates fragment partitions into multiple files;
+    compaction rewrites ONLY over-threshold partitions down to one
+    file each with identical contents."""
+    import glob
+    import os
+
+    from versa_ray.model.store import compact_linkset, update_linkset
+
+    path = str(tmp_path / "store")
+    base = _sample_links()
+    write_linkset(linkset.from_links(base), path,
+                  num_rel_buckets=4, num_partitions=4)
+    # two updates targeting the same origins -> fragmented partitions
+    update_linkset(path, linkset.from_links(
+        [("urn:t:7", NAME, "extra one")]))
+    update_linkset(path, linkset.from_links(
+        [("urn:t:7", NAME, "extra two")]))
+
+    before_rows = (
+        read_linkset(path).to_pandas()
+        .sort_values(["origin", "rel", "target"]).reset_index(drop=True)
+    )
+    n_files = len(glob.glob(os.path.join(path, "**", "*.parquet"),
+                            recursive=True))
+    stats = compact_linkset(path, max_files=1)
+    assert stats["partitions_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"] == n_files
+
+    # every partition now holds at most one file
+    for d in glob.glob(os.path.join(path, "rel_bucket=*", "part_id=*")):
+        assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) <= 1
+
+    after_rows = (
+        read_linkset(path).to_pandas()
+        .sort_values(["origin", "rel", "target"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before_rows, after_rows)
+
+    # idempotent: a second compact is a no-op
+    stats2 = compact_linkset(path, max_files=1)
+    assert stats2["partitions_compacted"] == 0
+
+    # pruned reads still work against the compacted layout
+    row = read_linkset(path, origin="urn:t:7", rel=NAME).to_pandas()
+    assert {"extra one", "extra two"} <= set(row["target"])
+
+
 def test_remove_statements(ray_session):
     """Distributed remove = anti-join on the quad key (driver remove
     verb, memory.py:231-243 semantics at Dataset scale)."""

@@ -354,3 +354,103 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
     if columns is not None and set(ds.schema().names) != set(columns):
         ds = ds.select_columns(list(columns))
     return ds
+
+
+def compact_linkset(path: str, max_files: int = 1):
+    """Merge fragmented partitions back to at most ``max_files``
+    parquet files each. Repeated ``update_linkset`` calls append a
+    fresh file set per touched partition; at crawl cadence a hot
+    partition accumulates hundreds of small files and pruned reads
+    pay per-file open cost. Compaction is the standard maintenance
+    pass: ONLY partitions over the threshold are read and rewritten
+    (bounded by fragmentation, not store size), with the same
+    stage-and-swap crash discipline as ``update_linkset`` — a reader
+    sees the old or the new complete partition, never a mix.
+    Single-writer, like update. Returns
+    {"partitions_compacted", "files_before", "files_after"}."""
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    meta = _read_meta(path)
+    _recover_staging(path)
+
+    victims = []  # (rel_bucket, part_id, [files])
+    files_before = 0
+    for rb_name in sorted(os.listdir(path)):
+        if not rb_name.startswith("rel_bucket="):
+            continue
+        for pid_name in sorted(os.listdir(os.path.join(path, rb_name))):
+            pdir = os.path.join(path, rb_name, pid_name)
+            if not os.path.isdir(pdir):
+                continue
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            files_before += len(files)
+            if len(files) > max_files:
+                victims.append((
+                    int(rb_name.split("=")[1]), int(pid_name.split("=")[1]),
+                    [os.path.join(pdir, f) for f in sorted(files)]))
+    if not victims:
+        return {"partitions_compacted": 0, "files_before": files_before,
+                "files_after": files_before}
+
+    merged = rd.read_parquet([f for _, _, fs in victims for f in fs])
+
+    r_b, n_p = meta["num_rel_buckets"], meta["num_partitions"]
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rel_bucket"] = _stable_bucket(df["rel"], r_b)
+        df["part_id"] = _stable_bucket(df["origin"], n_p)
+        return df
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    try:
+        # group rows by their partition before the write: each
+        # partition's rows land wholly in one block, so the staged
+        # write emits ONE file per compacted partition
+        merged.map_batches(_tag, batch_format="pandas").groupby(
+            list(_PART_COLS)
+        ).map_groups(lambda df: df, batch_format="pandas").write_parquet(
+            staging, partition_cols=list(_PART_COLS),
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    try:
+        for rb, pid, _fs in victims:
+            rel_dir = os.path.join(f"rel_bucket={rb}", f"part_id={pid}")
+            staged_dir = os.path.join(staging, rel_dir)
+            target_dir = os.path.join(path, rel_dir)
+            if not os.path.isdir(staged_dir):
+                continue
+            os.rename(target_dir, os.path.join(staging, f"trash-{rb}-{pid}"))
+            os.rename(staged_dir, target_dir)
+    except BaseException:
+        for rb, pid, _fs in victims:
+            trash = os.path.join(staging, f"trash-{rb}-{pid}")
+            tgt = os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}")
+            if os.path.isdir(trash) and not os.path.isdir(tgt):
+                os.rename(trash, tgt)
+        raise
+    else:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    files_after = 0
+    for rb_name in os.listdir(path):
+        if not rb_name.startswith("rel_bucket="):
+            continue
+        for pid_name in os.listdir(os.path.join(path, rb_name)):
+            pdir = os.path.join(path, rb_name, pid_name)
+            if os.path.isdir(pdir):
+                files_after += len(
+                    [f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(
+            {"num_rel_buckets": r_b, "num_partitions": n_p,
+             "partitions": partition_metrics(path)},
+            f,
+        )
+    return {"partitions_compacted": len(victims),
+            "files_before": files_before, "files_after": files_after}

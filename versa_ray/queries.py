@@ -365,6 +365,24 @@ def q_kg_type_entailment(sf_dir):
     return entail_types(tpch_linkset(sf_dir), SUBCLASS_PAIRS)
 
 
+def q_links_shacl(sf_dir):
+    """SHACL-lite shape validation: one origin-keyed bucket shuffle of
+    tagged type rows + rule-bounded property-count partials. Rules
+    chosen to exercise all three outcomes — a missing-property rule
+    (customers lack inRegion), an excess rule (nations may not have a
+    name), and a conforming rule (customers have exactly one name →
+    no rows). Hash-checked against a SQL oracle."""
+    from .ops.validate import validate_shapes
+
+    rules = [
+        {"target_type": f"{URN}Customer", "property": IN_REGION, "min": 1},
+        {"target_type": f"{URN}Nation", "property": NAME, "max": 0},
+        {"target_type": f"{URN}Customer", "property": NAME,
+         "min": 1, "max": 1},
+    ]
+    return validate_shapes(tpch_linkset(sf_dir), rules)
+
+
 def q_links_jsonld_nested(sf_dir):
     """Distributed INLINED JSON-LD binder over the linkset (iterative
     leaf-inlining shuffle — not SQL-expressible). Self-gated by
@@ -1527,6 +1545,7 @@ def build_queries():
         "kg_pagerank": q_kg_pagerank,
         "graph_wcc": q_graph_wcc,
         "kg_type_entailment": q_kg_type_entailment,
+        "links_shacl": q_links_shacl,
         "links_jsonld_nested": q_links_jsonld_nested,
         "miniquery_conj": q_miniquery_conj,
         "transitive_closure": q_transitive_closure,
@@ -1641,6 +1660,42 @@ def build_oracles():
         "miniquery_conj": (
             "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
             "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "links_shacl": (
+            f"WITH links AS ({LINKSET_SQL}), "
+            f"types AS (SELECT origin, target AS cls FROM links "
+            f"WHERE rel = '{TYPE}' "
+            f"AND target IN ('{URN}Customer', '{URN}Nation')), "
+            f"counts AS (SELECT origin, rel AS prop, "
+            f"CAST(count(*) AS BIGINT) AS n FROM links "
+            f"WHERE rel IN ('{IN_REGION}', '{NAME}') "
+            "GROUP BY origin, rel) "
+            # rule 1: Customer min 1 inRegion -> all customers missing
+            f"SELECT t.origin, t.cls, '{IN_REGION}' AS prop, "
+            "coalesce(c.n, 0) AS n, 'missing' AS kind FROM types t "
+            f"LEFT JOIN counts c ON c.origin = t.origin "
+            f"AND c.prop = '{IN_REGION}' "
+            f"WHERE t.cls = '{URN}Customer' AND coalesce(c.n, 0) < 1 "
+            "UNION ALL "
+            # rule 2: Nation max 0 name -> all nations excess
+            f"SELECT t.origin, t.cls, '{NAME}' AS prop, "
+            "coalesce(c.n, 0) AS n, 'excess' AS kind FROM types t "
+            f"LEFT JOIN counts c ON c.origin = t.origin "
+            f"AND c.prop = '{NAME}' "
+            f"WHERE t.cls = '{URN}Nation' AND coalesce(c.n, 0) > 0 "
+            "UNION ALL "
+            # rule 3 (conforming): Customer name in [1, 1] -> no rows
+            f"SELECT t.origin, t.cls, '{NAME}' AS prop, "
+            "coalesce(c.n, 0) AS n, 'missing' AS kind FROM types t "
+            f"LEFT JOIN counts c ON c.origin = t.origin "
+            f"AND c.prop = '{NAME}' "
+            f"WHERE t.cls = '{URN}Customer' AND (coalesce(c.n, 0) < 1) "
+            "UNION ALL "
+            f"SELECT t.origin, t.cls, '{NAME}' AS prop, "
+            "coalesce(c.n, 0) AS n, 'excess' AS kind FROM types t "
+            f"LEFT JOIN counts c ON c.origin = t.origin "
+            f"AND c.prop = '{NAME}' "
+            f"WHERE t.cls = '{URN}Customer' AND coalesce(c.n, 0) > 1"
         ),
         "kg_type_entailment": (
             f"WITH RECURSIVE links AS ({LINKSET_SQL}), "
