@@ -78,6 +78,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "doc_top_tokens",
         "doc_repetition",
         "doc_boilerplate",
+        "doc_tfidf",
+        "doc_bm25",
     ]
     qmap = Q.build_queries()
     out = {}
