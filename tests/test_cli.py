@@ -145,6 +145,65 @@ def test_kgmatch_cli(tmp_path):
     assert m and int(m.group(1)) < int(m.group(2))
 
 
+def test_validate_cli(tmp_path):
+    """validate runs SHACL-lite shape checks from the CLI."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    links = tmp_path / "links.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "origin": ["urn:x:1", "urn:x:1", "urn:x:2"],
+                "rel": ["http://bibfra.me/purl/versa/type",
+                        "http://ex.org/name",
+                        "http://bibfra.me/purl/versa/type"],
+                "target": ["urn:x:Thing", "n1", "urn:x:Thing"],
+                "target_is_iri": [True, False, True],
+                "attrs": ["{}"] * 3,
+            }
+        ),
+        links,
+    )
+    shapes = tmp_path / "shapes.json"
+    shapes.write_text(json.dumps(
+        [{"target_type": "urn:x:Thing", "property": "http://ex.org/name",
+          "min": 1}]))
+    r = _run(["validate", str(links), str(shapes)])
+    assert r.returncode == 0, r.stderr
+    assert "missing\turn:x:2" in r.stdout
+    assert "# 1 violations" in r.stdout
+
+
+def test_kgcompact_cli(tmp_path):
+    """kgcompact reports and performs store compaction from the CLI."""
+    import sys
+
+    store = tmp_path / "store"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "import ray; ray.init(address='local', num_cpus=4, "
+         "include_dashboard=False, logging_level='ERROR'); "
+         "from versa_ray.model import linkset; "
+         "from versa_ray.model.store import write_linkset, update_linkset; "
+         "links = [(f'urn:t:{i}', 'http://ex.org/name', f'n{i}') "
+         "for i in range(20)]; "
+         f"write_linkset(linkset.from_links(links), {str(store)!r}, "
+         "num_rel_buckets=2, num_partitions=2); "
+         f"update_linkset({str(store)!r}, "
+         "linkset.from_links([('urn:t:1', 'http://ex.org/name', 'extra')])); "
+         "ray.shutdown()"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r = _run(["kgcompact", str(store)])
+    assert r.returncode == 0, r.stderr
+    assert "compacted" in r.stdout and "-> " in r.stdout
+
+
 def test_curate_cli(tmp_path):
     """curate drives the corpus-curation pipeline from the CLI and
     lands lang-partitioned parquet."""

@@ -191,6 +191,61 @@ def cmd_kgmatch(args):
     ray.shutdown()
 
 
+def cmd_kgcompact(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .model.store import compact_linkset
+
+    stats = compact_linkset(args.store, max_files=args.max_files)
+    print(
+        f"# compacted {stats['partitions_compacted']} partitions; "
+        f"{stats['files_before']} -> {stats['files_after']} files"
+    )
+    ray.shutdown()
+
+
+def cmd_validate(args):
+    import json as _json
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .ops.validate import validate_shapes
+
+    with open(args.shapes) as f:
+        rules = _json.load(f)
+    ds = rd.read_parquet(args.links)
+    out = validate_shapes(ds, rules)
+    rows = out.take(args.limit) if args.limit else out.take_all()
+    for r in rows:
+        print(
+            f"{r['kind']}\t{r['origin']}\t{r['cls']}\t{r['prop']}\tn={r['n']}"
+        )
+    print(f"# {out.count()} violations")
+    ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="versa_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -240,6 +295,24 @@ def main(argv=None):
     p.add_argument("--origin")
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(func=cmd_kgmatch)
+
+    p = sub.add_parser(
+        "kgcompact",
+        help="compact fragmented store partitions (post-update maintenance)",
+    )
+    p.add_argument("store", help="linkset store directory")
+    p.add_argument("--max-files", type=int, default=1)
+    p.set_defaults(func=cmd_kgcompact)
+
+    p = sub.add_parser(
+        "validate",
+        help="SHACL-lite shape validation of a links parquet dataset",
+    )
+    p.add_argument("links", help="parquet path with quad-schema links")
+    p.add_argument("shapes", help="JSON list of shape rules "
+                   '[{"target_type":..,"property":..,"min":..,"max":..}]')
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(func=cmd_validate)
 
     args = ap.parse_args(argv)
     args.func(args)
