@@ -135,6 +135,28 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_approx_quantiles(ray_session):
+    """Mergeable per-batch summary lands within 2% of exact quantiles
+    on a multi-block skewed distribution."""
+    import ray.data as rd
+
+    from versa_ray.ops.agg import approx_quantiles
+
+    rng = np.random.RandomState(9)
+    v = np.exp(rng.randn(40_000))  # lognormal: heavy right tail
+    frames = [pd.DataFrame({"x": v[i::8]}) for i in range(8)]
+    ds = rd.from_pandas(frames)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    # heavy-tail p99 needs a denser summary: rank error is
+    # O(batch_rows / samples) per batch
+    approx = approx_quantiles(ds, "x", qs, per_batch_samples=1024)
+    exact = np.quantile(v, qs, method="linear")
+    assert all(
+        abs(a - e) / e <= 0.02 for a, e in zip(approx, exact)
+    ), (approx, list(exact))
+    assert approx == sorted(approx)  # monotone
+
+
 def test_incremental_exact_dedup(ray_session, tmp_path):
     """Replay semantics: first-seen wins across calls, within-call min
     id wins, state survives a simulated crash mid-swap."""

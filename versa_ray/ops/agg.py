@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["grouped_agg_small", "grouped_topk"]
+__all__ = ["grouped_agg_small", "grouped_topk", "approx_quantiles"]
 
 _FINAL_HOW = {"sum": "sum", "size": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -81,3 +81,50 @@ def grouped_topk(ds, keys, order_by, k=1, ascending=False, tie_cols=None,
         ds.map_batches(_local, batch_format="pandas"), keys, _final,
         num_buckets=num_buckets,
     )
+
+
+def approx_quantiles(ds, col, qs, per_batch_samples=256):
+    """Approximate quantiles of a numeric column via a mergeable
+    per-batch summary: each batch contributes its min/max plus
+    ``per_batch_samples`` equally-spaced order statistics weighted by
+    ``batch_rows / samples``. Driver-side merge cost is
+    ``blocks x samples`` rows — bounded by the block count, never the
+    corpus. Monotone in qs; per-batch rank error is O(1/samples).
+
+    Returns a list of floats aligned with ``qs``."""
+    import numpy as np
+
+    k = int(per_batch_samples)
+
+    def _summary(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[col], errors="coerce").dropna().to_numpy(
+            dtype=float)
+        if not len(v):
+            return pd.DataFrame({"value": [], "weight": []})
+        v.sort()
+        if len(v) <= k:
+            return pd.DataFrame(
+                {"value": v, "weight": np.ones(len(v))})
+        # stratum-CENTER order statistics: each sample represents the
+        # stratum around it, so its weight centroid is unbiased —
+        # edge sampling (including the batch max) biases tail
+        # quantiles high by up to a stratum width
+        idx = ((np.arange(k) + 0.5) * len(v) / k).astype(int)
+        return pd.DataFrame(
+            {"value": v[idx], "weight": np.full(k, len(v) / k)})
+
+    parts = ds.map_batches(_summary, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return [float("nan")] * len(qs)
+    order = np.argsort(parts["value"].to_numpy())
+    vals = parts["value"].to_numpy()[order]
+    w = parts["weight"].to_numpy()[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # centroid positions (cum - w/2): the standard weighted-percentile
+    # convention — picking the first sample with cum >= q*total has a
+    # systematic +half-sample-weight bias that shows up in heavy tails
+    pos = cum - w / 2.0
+    return [
+        float(np.interp(q * total, pos, vals)) for q in qs
+    ]

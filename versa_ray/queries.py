@@ -1397,6 +1397,39 @@ def q_events_range_join(sf_dir):
     )
 
 
+def q_lineitem_quantiles(sf_dir):
+    """Approximate quantiles of l_extendedprice from the mergeable
+    per-batch summary (driver merge is blocks x samples, never the
+    column). SELF-GATED: raises unless every approx quantile is
+    within 2% relative error of the exact driver-computed quantile —
+    the exact side is test-scale-only truth, the operator itself
+    never materializes the column."""
+    import ray.data as rd
+
+    from .ops.agg import approx_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"],
+        override_num_blocks=_blocks_for(),
+    )
+    approx = approx_quantiles(ds, "l_extendedprice", qs)
+    exact = (
+        ds.to_pandas()["l_extendedprice"].astype(float)
+        .quantile(qs, interpolation="linear").to_numpy()
+    )
+    rel = [abs(a - e) / max(abs(e), 1e-12) for a, e in zip(approx, exact)]
+    if max(rel) > 0.02:
+        raise AssertionError(
+            f"approx_quantiles rel error {max(rel):.4f} > 0.02 "
+            f"(approx={approx}, exact={list(exact)})"
+        )
+    return pd.DataFrame(
+        {"q": qs, "approx": [round(a, 2) for a in approx],
+         "rel_err_ok": [r <= 0.02 for r in rel]}
+    )
+
+
 def q_lineitem_agg(sf_dir):
     """TPC-H Q1-style grouped aggregate: per-batch partial combine +
     single-block final combine (grouped_agg_small) — the 6-group
@@ -1592,6 +1625,7 @@ def build_queries():
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
+        "lineitem_quantiles": q_lineitem_quantiles,
         "orders_by_segment": q_orders_by_segment,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
