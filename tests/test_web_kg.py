@@ -270,3 +270,48 @@ def test_fused_extract_score_equals_separate(ray_session):
         sep[key].sort_values(key, ignore_index=True),
         fused[key].sort_values(key, ignore_index=True),
     )
+
+
+def test_warc_roundtrip_and_kgbuild(ray_session, tmp_path):
+    """Synth pages -> WARC (plain + gzip) -> read_warc_ds recovers
+    url/ts/html byte-identically, and the WARC-read corpus drives the
+    flagship pipeline to the same linkset as the parquet path."""
+    import pyarrow.parquet as pq
+
+    from versa_ray.web.kgpipeline import build_kg
+    from versa_ray.web.synth import write_pages
+    from versa_ray.web.warc import read_warc_ds, write_warc
+
+    pages_pq = str(tmp_path / "pages.parquet")
+    write_pages(pages_pq, 30)
+    tbl = pq.read_table(pages_pq)
+    rows = tbl.to_pylist()
+
+    plain = write_warc(rows, str(tmp_path / "a.warc"))
+    gz = write_warc(rows, str(tmp_path / "b.warc.gz"), compress=True)
+
+    got = read_warc_ds([plain]).to_pandas().sort_values(
+        "url", ignore_index=True)
+    want = tbl.to_pandas().sort_values("url", ignore_index=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert [bytes(h) for h in got["html"]] == [
+        bytes(h) for h in want["html"]]
+    assert (
+        got["warc_ts"].dt.floor("s").tolist()
+        == want["warc_ts"].dt.floor("s").tolist()
+    )
+
+    got_gz = read_warc_ds([gz]).to_pandas()
+    assert len(got_gz) == len(rows)
+
+    kg_a = build_kg(
+        pages_path=pages_pq, out_dir=str(tmp_path / "kg_pq"),
+    ).to_pandas()
+    kg_b = build_kg(
+        pages_ds=read_warc_ds([plain]), out_dir=str(tmp_path / "kg_warc"),
+    ).to_pandas()
+    key = ["origin", "rel", "target"]
+    assert (
+        kg_a[key].sort_values(key, ignore_index=True).equals(
+            kg_b[key].sort_values(key, ignore_index=True))
+    )
