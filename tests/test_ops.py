@@ -135,6 +135,35 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_split_by_hash(ray_session):
+    """Split assignment is a pure function of the id: identical
+    across repartitions and runs, proportions near the weights, and
+    salt changes reshuffle membership."""
+    import ray.data as rd
+
+    from versa_ray.ops.sample import split_by_hash
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype="int64")})
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = (
+        split_by_hash(rd.from_pandas(df), w, "doc_id")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        split_by_hash(
+            rd.from_pandas([df.iloc[:1234], df.iloc[1234:]]), w, "doc_id")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert a["split"].tolist() == b["split"].tolist()  # partition-invariant
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    c = split_by_hash(rd.from_pandas(df), w, "doc_id", salt="s2").to_pandas()
+    c = c.sort_values("doc_id", ignore_index=True)
+    assert (c["split"] != a["split"]).mean() > 0.1  # salt reshuffles
+
+
 def test_approx_quantiles(ray_session):
     """Mergeable per-batch summary lands within 2% of exact quantiles
     on a multi-block skewed distribution."""

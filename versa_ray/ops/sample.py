@@ -17,7 +17,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["stratified_sample", "uniform_sample"]
+__all__ = ["stratified_sample", "uniform_sample", "split_by_hash"]
 
 
 def _rank_keys(ids) -> np.ndarray:
@@ -73,3 +73,57 @@ def uniform_sample(ds, n: int, id_col: str):
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
     )
+
+
+def split_by_hash(ds, weights, id_col: str, salt: str = ""):
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of ``md5(salt + id)``, so it is reproducible across
+    runs, re-executed tasks, repartitions, and engines. No shuffle at
+    all — one streaming map; a row's fate never depends on any other
+    row.
+
+    ``weights``: ordered dict/list of (split_name, weight). The first
+    16 hex digits of the md5 are compared AS INTEGERS against the
+    cumulative-weight boundaries scaled to 16^16 — integer compare on
+    both sides, so a SQL oracle reproduces it with a fixed-width
+    hex-string comparison (same order as the integers), no float
+    edge cases (see ``split_bound_hex``)."""
+    import hashlib as _hl
+
+    items = list(weights.items()) if isinstance(weights, dict) else list(weights)
+    names = [n for n, _ in items]
+    total = float(sum(w for _, w in items))
+    acc = np.cumsum([w / total for _, w in items])
+    bound_ints = [min(int(b * 16**16), 16**16) for b in acc]
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(split=pd.Series([], dtype=object))
+        u = [
+            int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:16], 16)
+            for i in df[id_col]
+        ]
+        ix = np.array(
+            [
+                next(
+                    k for k, b in enumerate(bound_ints)
+                    if v < b or k == len(bound_ints) - 1
+                )
+                for v in u
+            ]
+        )
+        return df.assign(split=np.array(names, dtype=object)[ix])
+
+    return ds.map_batches(_assign, batch_format="pandas")
+
+
+def split_bound_hex(weights):
+    """The 16-hex-digit boundary strings matching ``split_by_hash`` —
+    for SQL oracles: split k iff ``left(md5(id), 16) <`` bound k (and
+    not below bound k-1)."""
+    items = list(weights.items()) if isinstance(weights, dict) else list(weights)
+    total = float(sum(w for _, w in items))
+    acc = np.cumsum([w / total for _, w in items])
+    return [format(min(int(b * 16**16), 16**16), "017x")[-16:]
+            if int(b * 16**16) < 16**16 else "g" * 16
+            for b in acc]

@@ -360,3 +360,25 @@ def repetition_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     else:
         out["top_2gram_char_frac"] = zeros
     return out
+
+
+def compression_ratio(batch: pd.DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Deflate compression ratio per document — the classic cheap
+    repetitiveness signal in web-corpus curation (highly repetitive
+    or templated text compresses far below prose). Ratio =
+    compressed bytes / utf-8 bytes at zlib level 6; empty docs get
+    ratio 1.0. Per-doc deflate is an inherently per-row codec (like
+    langid) — stdlib zlib in a streaming map, no shuffle."""
+    import zlib
+
+    ratios = []
+    for t in batch[text_col].fillna(""):
+        raw = t.encode("utf-8")
+        if not raw:
+            ratios.append(1.0)
+            continue
+        ratios.append(len(zlib.compress(raw, 6)) / len(raw))
+    return pd.DataFrame(
+        {id_col: batch[id_col].to_numpy(),
+         "compression_ratio": np.array(ratios, dtype=np.float64)})

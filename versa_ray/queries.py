@@ -722,6 +722,20 @@ def q_doc_bm25(sf_dir):
     return bm25_search(_docs(sf_dir), BM25_QUERIES, k=10)
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_doc_split(sf_dir):
+    """Deterministic train/val/test split by md5(doc_id) — pure
+    streaming map, no shuffle, partition/rerun-invariant; the hex
+    boundary comparison is integer-exact on both sides (SQL oracle
+    compares the same fixed-width hex strings)."""
+    from .ops.sample import split_by_hash
+
+    out = split_by_hash(_docs(sf_dir), SPLIT_WEIGHTS, id_col="doc_id")
+    return out.select_columns(["doc_id", "split"])
+
+
 def q_doc_top_per_group(sf_dir):
     """Grouped top-k (best-N-docs-per-domain primitive): top-2 docs
     per (lang, source) by n_chars desc, doc_id tie-break. Per-batch
@@ -1007,6 +1021,35 @@ def _lineify(df):
 
 def _docs_lines(sf_dir):
     return _docs(sf_dir).map_batches(_lineify, batch_format="pandas")
+
+
+def q_doc_compression(sf_dir):
+    """Deflate compression-ratio quality signal per doc (no SQL
+    deflate — SELF-GATED): ratios must be finite in (0, 1.5], take
+    many distinct values, and the corpus's most word-repetitive
+    decile must compress strictly better on average than the least
+    repetitive decile (the property curation relies on)."""
+    out = _docs(sf_dir).map_batches(
+        lambda df: textstats.compression_ratio(df), batch_format="pandas"
+    ).to_pandas()
+    r = out["compression_ratio"]
+    if not ((r > 0).all() and (r <= 1.5).all()):
+        raise AssertionError("compression ratios out of range")
+    if r.nunique() < 20:
+        raise AssertionError("compression ratios suspiciously coarse")
+    docs = _docs(sf_dir).to_pandas()[["doc_id", "text"]]
+    m = docs.merge(out, on="doc_id")
+    uniq_frac = m["text"].map(
+        lambda t: len(set(t.split())) / max(1, len(t.split())))
+    rep = m.loc[uniq_frac.nsmallest(len(m) // 10).index,
+                "compression_ratio"].mean()
+    var = m.loc[uniq_frac.nlargest(len(m) // 10).index,
+                "compression_ratio"].mean()
+    if not rep < var:
+        raise AssertionError(
+            f"repetitive decile compresses worse ({rep:.3f} >= {var:.3f})")
+    out["compression_ratio"] = out["compression_ratio"].round(6)
+    return out
 
 
 def q_doc_repetition(sf_dir):
@@ -1598,6 +1641,7 @@ def build_queries():
         "doc_top_tokens": q_doc_top_tokens,
         "doc_bm25": q_doc_bm25,
         "doc_tfidf": q_doc_tfidf,
+        "doc_split": q_doc_split,
         "doc_top_per_group": q_doc_top_per_group,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1612,6 +1656,7 @@ def build_queries():
         "host_doc_counts": q_host_doc_counts,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
+        "doc_compression": q_doc_compression,
         "doc_boilerplate": q_doc_boilerplate,
         "knn_cosine": q_knn_cosine,
         "knn_lsh_recall": q_knn_lsh_recall,
@@ -1958,6 +2003,19 @@ def build_oracles():
             "row_number() OVER (PARTITION BY qid "
             "ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
             "WHERE rank <= 10 ORDER BY qid, rank"
+        ),
+        # boundaries derived from ops.sample.split_bound_hex(
+        # SPLIT_WEIGHTS) so the oracle tracks the query's weights
+        "doc_split": (
+            "SELECT doc_id, CASE "
+            "WHEN left(md5(cast(doc_id AS varchar)), 16) < '{}' "
+            "THEN 'train' "
+            "WHEN left(md5(cast(doc_id AS varchar)), 16) < '{}' "
+            "THEN 'val' ELSE 'test' END AS split FROM documents".format(
+                *__import__(
+                    "versa_ray.ops.sample", fromlist=["split_bound_hex"]
+                ).split_bound_hex(SPLIT_WEIGHTS)[:2]
+            )
         ),
         "doc_top_per_group": (
             "SELECT lang, source, doc_id, n_chars, rank FROM ("
