@@ -236,7 +236,9 @@ def cmd_validate(args):
     with open(args.shapes) as f:
         rules = _json.load(f)
     ds = rd.read_parquet(args.links)
-    out = validate_shapes(ds, rules)
+    # materialize once: take() and count() would each re-run the
+    # lazy corpus scan + shuffle otherwise
+    out = validate_shapes(ds, rules).materialize()
     rows = out.take(args.limit) if args.limit else out.take_all()
     for r in rows:
         print(

@@ -176,6 +176,64 @@ def _recover_staging(path: str):
         shutil.rmtree(staging, ignore_errors=True)
 
 
+
+def _partition_tagger(r_b: int, n_p: int):
+    """The store's one partition-assignment rule (rel bucket + origin
+    partition), shared by write/update/compact so layouts can't
+    drift."""
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rel_bucket"] = _stable_bucket(df["rel"], r_b)
+        df["part_id"] = _stable_bucket(df["origin"], n_p)
+        return df
+
+    return _tag
+
+
+def _write_meta(path: str, r_b: int, n_p: int) -> None:
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(
+            {"num_rel_buckets": r_b, "num_partitions": n_p,
+             "partitions": partition_metrics(path)},
+            f,
+        )
+
+
+def _swap_staged_partitions(path: str, staging: str, pairs) -> None:
+    """Swap staged partition dirs into the store with the crash
+    discipline both update and compact rely on: the displaced old
+    partition is parked as ``trash-<rb>-<pid>`` INSIDE the
+    dot-prefixed staging root (invisible to pyarrow discovery, and
+    the format ``_recover_staging`` restores after a hard crash). On
+    an in-process failure any partition whose target went missing is
+    restored from its trash and the staging dir is KEPT for
+    inspection; on success staging (with the trash) is removed."""
+    import shutil
+
+    try:
+        for rb, pid in pairs:
+            rel_dir = os.path.join(f"rel_bucket={rb}", f"part_id={pid}")
+            staged_dir = os.path.join(staging, rel_dir)
+            target_dir = os.path.join(path, rel_dir)
+            if not os.path.isdir(staged_dir):
+                continue  # defensive: nothing staged for this pair
+            os.makedirs(os.path.dirname(target_dir), exist_ok=True)
+            if os.path.isdir(target_dir):
+                os.rename(target_dir,
+                          os.path.join(staging, f"trash-{rb}-{pid}"))
+            os.rename(staged_dir, target_dir)
+    except BaseException:
+        for rb, pid in pairs:
+            trash = os.path.join(staging, f"trash-{rb}-{pid}")
+            tgt = os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}")
+            if os.path.isdir(trash) and not os.path.isdir(tgt):
+                os.rename(trash, tgt)
+        raise
+    else:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def update_linkset(path: str, new_ds, num_buckets=None):
     """Incremental append-with-dedup against a stored link-set — the
     at-scale form of the reference's duplicate-refusing add
@@ -209,12 +267,7 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     meta = _read_meta(path)
     r_b, n_p = meta["num_rel_buckets"], meta["num_partitions"]
 
-    def _tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rel_bucket"] = _stable_bucket(df["rel"], r_b)
-        df["part_id"] = _stable_bucket(df["origin"], n_p)
-        return df
-
+    _tag = _partition_tagger(r_b, n_p)
     tagged = new_ds.map_batches(_tag, batch_format="pandas").materialize()
 
     # affected partition list: bounded by R x P, never by data size
@@ -270,39 +323,8 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)  # no partial leak
         raise
-    try:
-        for rb, pid in affected:
-            rel_dir = os.path.join(f"rel_bucket={rb}", f"part_id={pid}")
-            staged_dir = os.path.join(staging, rel_dir)
-            target_dir = os.path.join(path, rel_dir)
-            if not os.path.isdir(staged_dir):
-                continue  # defensive: nothing staged for this pair
-            os.makedirs(os.path.dirname(target_dir), exist_ok=True)
-            if os.path.isdir(target_dir):
-                # trash lives under the dot-prefixed staging root, which
-                # pyarrow dataset discovery ignores even after a crash
-                os.rename(target_dir,
-                          os.path.join(staging, f"trash-{rb}-{pid}"))
-            os.rename(staged_dir, target_dir)
-    except BaseException:
-        # a failed swap must NOT delete the trash — it can hold the
-        # only copy of a partition. Restore any partition whose target
-        # went missing, keep the staging dir for inspection (readers
-        # ignore dot-prefixed dirs), and re-raise.
-        for rb, pid in affected:
-            trash = os.path.join(staging, f"trash-{rb}-{pid}")
-            tgt = os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}")
-            if os.path.isdir(trash) and not os.path.isdir(tgt):
-                os.rename(trash, tgt)
-        raise
-    else:
-        shutil.rmtree(staging, ignore_errors=True)
-    with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump(
-            {"num_rel_buckets": r_b, "num_partitions": n_p,
-             "partitions": partition_metrics(path)},
-            f,
-        )
+    _swap_staged_partitions(path, staging, affected)
+    _write_meta(path, r_b, n_p)
     return {
         "partitions_updated": len(affected),
         "rows_after": rd.read_parquet(path).count(),
@@ -398,12 +420,7 @@ def compact_linkset(path: str, max_files: int = 1):
     merged = rd.read_parquet([f for _, _, fs in victims for f in fs])
 
     r_b, n_p = meta["num_rel_buckets"], meta["num_partitions"]
-
-    def _tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rel_bucket"] = _stable_bucket(df["rel"], r_b)
-        df["part_id"] = _stable_bucket(df["origin"], n_p)
-        return df
+    _tag = _partition_tagger(r_b, n_p)
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
@@ -418,24 +435,8 @@ def compact_linkset(path: str, max_files: int = 1):
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    try:
-        for rb, pid, _fs in victims:
-            rel_dir = os.path.join(f"rel_bucket={rb}", f"part_id={pid}")
-            staged_dir = os.path.join(staging, rel_dir)
-            target_dir = os.path.join(path, rel_dir)
-            if not os.path.isdir(staged_dir):
-                continue
-            os.rename(target_dir, os.path.join(staging, f"trash-{rb}-{pid}"))
-            os.rename(staged_dir, target_dir)
-    except BaseException:
-        for rb, pid, _fs in victims:
-            trash = os.path.join(staging, f"trash-{rb}-{pid}")
-            tgt = os.path.join(path, f"rel_bucket={rb}", f"part_id={pid}")
-            if os.path.isdir(trash) and not os.path.isdir(tgt):
-                os.rename(trash, tgt)
-        raise
-    else:
-        shutil.rmtree(staging, ignore_errors=True)
+    _swap_staged_partitions(
+        path, staging, [(rb, pid) for rb, pid, _fs in victims])
 
     files_after = 0
     for rb_name in os.listdir(path):
@@ -446,11 +447,6 @@ def compact_linkset(path: str, max_files: int = 1):
             if os.path.isdir(pdir):
                 files_after += len(
                     [f for f in os.listdir(pdir) if f.endswith(".parquet")])
-    with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump(
-            {"num_rel_buckets": r_b, "num_partitions": n_p,
-             "partitions": partition_metrics(path)},
-            f,
-        )
+    _write_meta(path, r_b, n_p)
     return {"partitions_compacted": len(victims),
             "files_before": files_before, "files_after": files_after}

@@ -50,9 +50,9 @@ def grouped_topk(ds, keys, order_by, k=1, ascending=False, tie_cols=None,
     primitive. Two-phase: every batch keeps its LOCAL top-k per group
     (combiner — at most ``groups x k`` rows per batch survive), then
     one coarse-bucket shuffle on the group keys finalizes. Adds a
-    ``rank`` column (1..k; ties broken by ``tie_cols``, which default
-    to the group keys' complement of order_by — pass explicitly for
-    deterministic output).
+    ``rank`` column (1..k). Ties on ``order_by`` are broken by
+    ``tie_cols`` when given; with no tie_cols the order among ties is
+    partition-dependent — pass tie_cols for deterministic output.
     """
     from .dedup import bucketed_group_apply
 
@@ -85,11 +85,13 @@ def grouped_topk(ds, keys, order_by, k=1, ascending=False, tie_cols=None,
 
 def approx_quantiles(ds, col, qs, per_batch_samples=256):
     """Approximate quantiles of a numeric column via a mergeable
-    per-batch summary: each batch contributes its min/max plus
-    ``per_batch_samples`` equally-spaced order statistics weighted by
-    ``batch_rows / samples``. Driver-side merge cost is
-    ``blocks x samples`` rows — bounded by the block count, never the
-    corpus. Monotone in qs; per-batch rank error is O(1/samples).
+    per-batch summary: each batch contributes
+    ``per_batch_samples`` stratum-center order statistics weighted by
+    ``batch_rows / samples`` (extreme quantiles are therefore
+    interpolated within the outer strata, not the exact min/max).
+    Driver-side merge cost is ``blocks x samples`` rows — bounded by
+    the block count, never the corpus. Monotone in qs; per-batch rank
+    error is O(1/samples).
 
     Returns a list of floats aligned with ``qs``."""
     import numpy as np

@@ -147,6 +147,12 @@ def salted_join(left, right, on, right_on=None, salt=8, num_partitions=None,
     import numpy as np
     import ray
 
+    if join_type not in ("inner", "left_outer"):
+        # right/full outer would emit `salt` null-extended copies of
+        # every unmatched right row (one per replica)
+        raise ValueError(
+            "salted_join supports inner/left_outer only; "
+            f"got {join_type!r}")
     if num_partitions is None:
         try:
             num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))

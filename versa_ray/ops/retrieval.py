@@ -136,11 +136,12 @@ def bm25_search(ds, queries, k=10, k1=1.2, b=0.75, text_col="text",
             hit = np.flatnonzero(score > 0)
             if not len(hit):
                 continue
-            if len(hit) > k:
-                part = hit[np.argpartition(-score[hit], k - 1)[:k]]
-            else:
-                part = hit
-            part = part[np.lexsort((ids[part], -score[part]))]
+            # truncate with the SAME comparator as the final merge
+            # (rounded score desc, doc_id asc) — an argpartition on
+            # raw scores could drop the tie-breaking lowest doc_id at
+            # the block boundary, which the merge can never recover
+            part = hit[np.lexsort((ids[hit], -score[hit].round(round_to)))]
+            part = part[:k]
             out["qid"].extend([qid] * len(part))
             out["doc_id"].extend(ids[part].tolist())
             out["score"].extend(score[part].tolist())

@@ -88,8 +88,6 @@ def split_by_hash(ds, weights, id_col: str, salt: str = ""):
     both sides, so a SQL oracle reproduces it with a fixed-width
     hex-string comparison (same order as the integers), no float
     edge cases (see ``split_bound_hex``)."""
-    import hashlib as _hl
-
     items = list(weights.items()) if isinstance(weights, dict) else list(weights)
     names = [n for n, _ in items]
     total = float(sum(w for _, w in items))

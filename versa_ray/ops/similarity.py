@@ -190,6 +190,21 @@ def train_pq_codebooks(ds, dim, m=8, nbits=8, sample_size=2048, n_iters=10,
     return books
 
 
+
+def _pq_assign_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-subspace nearest-centroid codes for unit-normalized rows —
+    the ONE assignment rule shared by the encoder and the ADC search
+    (they must never drift apart). ``||x-c||^2`` argmin computed as
+    ``argmax(2 x.c - ||c||^2)``."""
+    m, _, sub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        codes[:, j] = np.argmax(
+            2 * (x @ books[j].T) - (books[j] ** 2).sum(axis=1), axis=1)
+    return codes
+
+
 def pq_encode(ds, codebooks, vec_col="embedding", id_col="vec_id"):
     """Encode the corpus to PQ codes: ``(vec_id, code)`` with code a
     uint8 list of length m. One broadcast + one streaming pass; per
@@ -201,15 +216,8 @@ def pq_encode(ds, codebooks, vec_col="embedding", id_col="vec_id"):
 
     def _encode(df: pd.DataFrame) -> pd.DataFrame:
         books = ray.get(ref)
-        m, _, sub = books.shape
         mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-        codes = np.empty((len(df), m), dtype=np.uint8)
-        for j in range(m):
-            x = mat[:, j * sub:(j + 1) * sub]
-            # ||x-c||^2 argmin == argmax(2 x.c - ||c||^2)
-            dots = x @ books[j].T
-            codes[:, j] = np.argmax(
-                2 * dots - (books[j] ** 2).sum(axis=1), axis=1)
+        codes = _pq_assign_codes(mat, books)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "code": list(codes),
@@ -242,11 +250,7 @@ def knn_pq(ds, query_vecs, query_ids, codebooks, k=5,
         bks, tbl = ray.get(ref)
         mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         ids = df[id_col].to_numpy()
-        codes = np.empty((len(df), m), dtype=np.int64)
-        for j in range(m):
-            x = mat[:, j * sub:(j + 1) * sub]
-            codes[:, j] = np.argmax(
-                2 * (x @ bks[j].T) - (bks[j] ** 2).sum(axis=1), axis=1)
+        codes = _pq_assign_codes(mat, bks).astype(np.int64)
         # ADC: score[q, i] = sum_j tbl[q, j, codes[i, j]]
         nq = tbl.shape[0]
         out = {"qid": [], "nid": [], "sim": []}
