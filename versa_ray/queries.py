@@ -448,6 +448,39 @@ def q_miniquery_conj(sf_dir):
     return pd.DataFrame({"a": sorted(result.get("a", set()))})
 
 
+def q_miniquery_store(sf_dir):
+    """The same conjunctive mini-query evaluated against the STORED
+    link-set: each ?() conjunct becomes a partition-PRUNED
+    read_linkset call (literal rel -> rel_bucket file pruning; a
+    var bound by the left conjunct prunes the right conjunct's origin
+    partitions). Same SQL oracle as miniquery_conj — the pruned plan
+    must not change the answer. Raises unless each conjunct's read
+    actually opened a strict subset of the store's files."""
+    import shutil
+    import tempfile
+
+    from .model.store import pruned_fragments, write_linkset
+    from .query import evaluate
+    from .query.mini import StoreModel
+
+    store = tempfile.mkdtemp(prefix="vr_mqstore_")
+    try:
+        write_linkset(tpch_linkset(sf_dir), store,
+                      num_rel_buckets=8, num_partitions=8)
+        total = len(pruned_fragments(store))
+        pruned = len(pruned_fragments(store, rel=NAME))
+        if not pruned < total:
+            raise AssertionError("store mini-query did not prune files")
+        result = evaluate(
+            "?($a, NAME, *) and ?($a, SEG, 'BUILDING')",
+            StoreModel(store),
+            {"NAME": NAME, "SEG": SEGMENT},
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return pd.DataFrame({"a": sorted(result.get("a", set()))})
+
+
 def q_transitive_closure(sf_dir):
     ls = tpch_linkset(sf_dir)
     # inNation then inRegion form a 2-level hierarchy; closure from a customer
@@ -1624,6 +1657,7 @@ def build_queries():
         "links_shacl": q_links_shacl,
         "links_jsonld_nested": q_links_jsonld_nested,
         "miniquery_conj": q_miniquery_conj,
+        "miniquery_store": q_miniquery_store,
         "transitive_closure": q_transitive_closure,
         "csv_template_links": q_csv_template_links,
         "literate_corpus": q_literate_corpus,
@@ -1737,6 +1771,11 @@ def build_oracles():
             f"{L} SELECT origin, count(*) AS out_degree FROM links GROUP BY origin"
         ),
         "miniquery_conj": (
+            "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
+            "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        # same answer through the stored, partition-pruned plan
+        "miniquery_store": (
             "SELECT DISTINCT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS a "
             "FROM customer WHERE c_mktsegment = 'BUILDING'"
         ),

@@ -204,9 +204,14 @@ def _match_bindings(model, args, resolved) -> dict:
     from ..model import linkset
     from ..ops.dedup import dedup_rows
 
-    matched = linkset.match(
-        model, origin=resolved[0], rel=resolved[1], target=resolved[2]
-    )
+    if hasattr(model, "pruned_match"):
+        # StoreModel: the conjunct's literal rel/origin constraints
+        # push down to Hive partition pruning — the index-aware path
+        matched = model.pruned_match(resolved[0], resolved[1], resolved[2])
+    else:
+        matched = linkset.match(
+            model, origin=resolved[0], rel=resolved[1], target=resolved[2]
+        )
     if not var_pos:
         return result
     cols = [_POS_COLS[p] for p in sorted(var_pos)]
@@ -246,3 +251,22 @@ def evaluate(query, model, variables=None) -> dict:
     """Parse (if needed) and evaluate; returns {var: set(values)}."""
     node = miniparse(query) if isinstance(query, str) else query
     return _eval(node, QueryContext(model, variables))
+
+
+class StoreModel:
+    """Mini-query adapter over a STORED link-set: each ``?()``
+    conjunct becomes one partition-pruned ``read_linkset`` call, so a
+    conjunct whose rel (or origin) is a literal — or a variable
+    already bound by an earlier conjunct — opens only the matching
+    Hive partition files instead of scanning the store. This is the
+    engine's analogue of the reference sqlite driver's (subj, pred)
+    index consultation per query clause."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def pruned_match(self, origin, rel, target):
+        from ..model.store import read_linkset
+
+        return read_linkset(
+            self.path, origin=origin, rel=rel, target=target)
