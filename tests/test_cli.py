@@ -177,6 +177,19 @@ def test_validate_cli(tmp_path):
     assert "# 1 violations" in r.stdout
 
 
+def test_corpusstats_cli():
+    """corpusstats prints one JSON line with counts, dup rate, lang
+    distribution and length quantiles."""
+    r = _run(["corpusstats", "/root/testdata/sf0.001/documents.parquet"])
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == 500 and rep["distinct_texts"] <= 500
+    assert set(rep["lang_counts"]) >= {"en", "de"}
+    assert sum(rep["lang_counts"].values()) == 500
+    q = rep["n_chars_quantiles"]
+    assert q["0.1"] <= q["0.5"] <= q["0.9"] <= q["0.99"]
+
+
 def test_kgcompact_cli(tmp_path):
     """kgcompact reports and performs store compaction from the CLI."""
     import sys

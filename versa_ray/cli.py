@@ -248,6 +248,45 @@ def cmd_validate(args):
     ray.shutdown()
 
 
+def cmd_corpusstats(args):
+    import json as _json
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .ops.agg import approx_quantiles, grouped_agg_small
+    from .ops.dedup import exact_dedup
+
+    ds = rd.read_parquet(args.docs)
+    n = ds.count()
+    langs = grouped_agg_small(
+        ds, ["lang"], {"n": ("doc_id", "size")}
+    ).to_pandas().sort_values("lang")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    chars = approx_quantiles(ds, "n_chars", qs)
+    distinct = exact_dedup(ds, key="text", id_col="doc_id").count()
+    print(_json.dumps({
+        "docs": int(n),
+        "distinct_texts": int(distinct),
+        "dup_rate": round(1 - distinct / n, 4) if n else 0.0,
+        "lang_counts": dict(zip(langs["lang"], langs["n"].astype(int))),
+        "n_chars_quantiles": {
+            str(q): round(v, 1) for q, v in zip(qs, chars)},
+    }, sort_keys=True))
+    ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="versa_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -297,6 +336,14 @@ def main(argv=None):
     p.add_argument("--origin")
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(func=cmd_kgmatch)
+
+    p = sub.add_parser(
+        "corpusstats",
+        help="one-line JSON corpus report (counts, langs, dup rate, "
+             "length quantiles)",
+    )
+    p.add_argument("docs", help="documents parquet (doc_id, text, lang, n_chars)")
+    p.set_defaults(func=cmd_corpusstats)
 
     p = sub.add_parser(
         "kgcompact",
