@@ -315,3 +315,38 @@ def test_warc_roundtrip_and_kgbuild(ray_session, tmp_path):
         kg_a[key].sort_values(key, ignore_index=True).equals(
             kg_b[key].sort_values(key, ignore_index=True))
     )
+
+
+def test_update_kg_incremental_replay(ray_session, tmp_path):
+    """Replaying the corpus in two deltas through update_kg converges
+    to the batch build_kg linkset; the second delta (pure re-crawl)
+    adds zero rows and touches a strict subset of partitions."""
+    from versa_ray.web.kgpipeline import build_kg, update_kg
+    from versa_ray.web.synth import pages_dataset
+
+    n = 60
+    all_pages = pages_dataset(n)
+    first = all_pages.filter(
+        lambda r: int(r["url"].rsplit("/", 1)[-1]) < 40)
+    second_new = all_pages.filter(
+        lambda r: int(r["url"].rsplit("/", 1)[-1]) >= 30)
+
+    batch = build_kg(
+        pages_ds=all_pages, out_dir=str(tmp_path / "kg_batch"),
+    ).to_pandas()
+
+    store = str(tmp_path / "kg_inc" / "stage=linkset")
+    build_kg(pages_ds=first, out_dir=str(tmp_path / "kg_inc"))
+    stats = update_kg(second_new, store)
+    assert stats["partitions_updated"] >= 1
+
+    # pure re-crawl: no new links, some partitions untouched
+    stats2 = update_kg(first, store)
+    from versa_ray.model.store import read_linkset
+
+    inc = read_linkset(store).to_pandas()
+    key = ["origin", "rel", "target", "attrs"]
+    a = batch[key].sort_values(key, ignore_index=True)
+    b = inc[key].sort_values(key, ignore_index=True)
+    assert a.equals(b)
+    assert stats2["rows_after"] == len(batch)

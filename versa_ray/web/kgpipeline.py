@@ -587,3 +587,25 @@ def build_kg(
     )
     _mark_complete(out_dir, "linkset", {"partitions": num_partitions})
     return rd.read_parquet(_stage_dir(out_dir, "linkset"))
+
+
+def update_kg(pages_ds, store_dir, alias_table=None, concurrency=None):
+    """Incremental KG maintenance: extract links from a DELTA page
+    corpus and fold them into an existing stored link-set with the
+    duplicate-refusing partition-pruned update — the continuous-crawl
+    companion to ``build_kg``. Re-crawled pages contribute only their
+    genuinely new links (entity IDs are content fingerprints, so a
+    re-derived entity hashes to the same partition it already lives
+    in). Cost is O(delta + touched partitions), never a store rescan;
+    replaying a corpus in deltas converges to the batch ``build_kg``
+    linkset (equality-tested in tests/test_web_kg.py).
+
+    The store must exist (build it with ``build_kg`` first — its
+    ``stage=linkset`` dir is the ``store_dir`` here). Returns the
+    update stats dict from ``model.store.update_linkset``."""
+    from ..model.store import update_linkset
+
+    links = extract_links(pages_ds, concurrency=concurrency)
+    if alias_table:
+        links = score_entities(links, alias_table, concurrency=concurrency)
+    return update_linkset(store_dir, distinct_links(links))
