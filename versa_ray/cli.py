@@ -248,6 +248,32 @@ def cmd_validate(args):
     ray.shutdown()
 
 
+def cmd_kgupdate(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .web.kgpipeline import update_kg
+
+    pages = rd.read_parquet(args.pages, columns=["url", "html"])
+    stats = update_kg(pages, args.store)
+    print(
+        f"# updated {stats['partitions_updated']} partitions; "
+        f"{stats['rows_after']} links after"
+    )
+    ray.shutdown()
+
+
 def cmd_corpusstats(args):
     import json as _json
 
@@ -336,6 +362,14 @@ def main(argv=None):
     p.add_argument("--origin")
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(func=cmd_kgmatch)
+
+    p = sub.add_parser(
+        "kgupdate",
+        help="fold a delta page corpus into an existing stored link-set",
+    )
+    p.add_argument("pages", help="delta pages parquet (url, html)")
+    p.add_argument("store", help="stage=linkset directory written by kgbuild")
+    p.set_defaults(func=cmd_kgupdate)
 
     p = sub.add_parser(
         "corpusstats",
