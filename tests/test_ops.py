@@ -135,6 +135,35 @@ def test_bm25_search(ray_session):
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
 
 
+def test_write_jsonl_ds(ray_session, tmp_path, docs_ds):
+    """JSONL sink round-trips through ray read_json with the selected
+    columns, and honors an explicit (subtree) filesystem."""
+    import json
+    import os
+
+    import pyarrow.fs as pafs
+    import ray.data as rd
+
+    from versa_ray.ops.io import write_jsonl_ds
+
+    out = str(tmp_path / "docs_jsonl")
+    files = write_jsonl_ds(docs_ds, out, columns=["doc_id", "text", "lang"])
+    assert files and all(f.endswith(".jsonl") for f in files)
+    back = rd.read_json(out).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    orig = docs_ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert back["text"].tolist() == orig["text"].tolist()
+    assert sorted(back.columns) == ["doc_id", "lang", "text"]
+
+    # explicit subtree filesystem: paths stay relative to the subtree
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    files2 = write_jsonl_ds(
+        docs_ds, "sub_jsonl", columns=["doc_id"], filesystem=sub)
+    assert files2
+    with open(os.path.join(str(tmp_path), files2[0])) as f:
+        assert json.loads(f.readline())["doc_id"] is not None
+
+
 def test_split_by_hash(ray_session):
     """Split assignment is a pure function of the id: identical
     across repartitions and runs, proportions near the weights, and
