@@ -311,6 +311,30 @@ def test_salted_join_equals_plain(ray_session):
     assert (plain.k == 7).sum() > n // 3  # the hot key actually dominates
 
 
+def test_bloom_semi_filter(ray_session):
+    """No false negatives (every true match survives the bloom
+    prefilter) and the false-positive rate stays near the design
+    point."""
+    import ray.data as rd
+
+    from versa_ray.ops.joins import bloom_semi_filter, build_bloom
+
+    keys = pd.DataFrame({"k": [f"key-{i}" for i in range(5000)]})
+    big = pd.DataFrame(
+        {"k": [f"key-{i}" if i % 10 == 0 else f"other-{i}"
+               for i in range(50000)],
+         "v": np.arange(50000)}
+    )
+    bloom = build_bloom(rd.from_pandas(keys), "k", num_bits=1 << 20)
+    out = bloom_semi_filter(
+        rd.from_pandas([big.iloc[:25000], big.iloc[25000:]]), bloom, "k"
+    ).to_pandas()
+    true_matches = set(big[big["k"].isin(set(keys["k"]))]["v"])
+    assert true_matches <= set(out["v"])  # no false negatives
+    fpp = (len(out) - len(true_matches)) / (len(big) - len(true_matches))
+    assert fpp < 0.05, fpp
+
+
 def test_entail_types(ray_session):
     """Transitive supertypes are entailed; subclass cycles don't hang
     and don't self-entail beyond the cycle members."""
