@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "salted_join", "build_bloom", "bloom_semi_filter"]
 
 
 def asof_join(left, right, on="ts", by="user_id", right_cols=(),
