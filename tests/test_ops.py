@@ -333,6 +333,10 @@ def test_bloom_semi_filter(ray_session):
     assert true_matches <= set(out["v"])  # no false negatives
     fpp = (len(out) - len(true_matches)) / (len(big) - len(true_matches))
     assert fpp < 0.05, fpp
+    # corrupt/mismatched bloom params are rejected, not silently wrong
+    bad = dict(bloom, num_bits=1 << 19)
+    with pytest.raises(ValueError):
+        bloom_semi_filter(rd.from_pandas(big), bad, "k")
 
 
 def test_entail_types(ray_session):

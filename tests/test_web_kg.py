@@ -344,6 +344,18 @@ def test_update_kg_incremental_replay(ray_session, tmp_path):
     stats2 = update_kg(first, store)
     from versa_ray.model.store import read_linkset
 
+    # a TINY re-crawl delta must touch a strict subset of partitions
+    # (the O(touched partitions) claim; the 40-page delta above is
+    # large enough to hash into nearly every partition)
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(store, "_linkset_meta.json")))
+    total_parts = meta["num_rel_buckets"] * meta["num_partitions"]
+    tiny = all_pages.filter(lambda r: int(r["url"].rsplit("/", 1)[-1]) < 2)
+    stats3 = update_kg(tiny, store)
+    assert 0 < stats3["partitions_updated"] < total_parts
+
     inc = read_linkset(store).to_pandas()
     key = ["origin", "rel", "target", "attrs"]
     a = batch[key].sort_values(key, ignore_index=True)

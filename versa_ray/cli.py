@@ -265,8 +265,9 @@ def cmd_kgupdate(args):
 
     from .web.kgpipeline import update_kg
 
-    pages = rd.read_parquet(args.pages, columns=["url", "html"])
-    stats = update_kg(pages, args.store)
+    cols = ["url", "html"] + (["text"] if args.check_text else [])
+    pages = rd.read_parquet(args.pages, columns=cols)
+    stats = update_kg(pages, args.store, check_text=args.check_text)
     print(
         f"# updated {stats['partitions_updated']} partitions; "
         f"{stats['rows_after']} links after"
@@ -294,7 +295,11 @@ def cmd_corpusstats(args):
     from .ops.agg import approx_quantiles, grouped_agg_small
     from .ops.dedup import exact_dedup
 
-    ds = rd.read_parquet(args.docs)
+    # one column-pruned read, materialized once — the four metrics
+    # below would otherwise each re-scan the corpus (text included)
+    ds = rd.read_parquet(
+        args.docs, columns=["doc_id", "text", "lang", "n_chars"]
+    ).materialize()
     n = ds.count()
     langs = grouped_agg_small(
         ds, ["lang"], {"n": ("doc_id", "size")}
@@ -369,6 +374,8 @@ def main(argv=None):
     )
     p.add_argument("pages", help="delta pages parquet (url, html)")
     p.add_argument("store", help="stage=linkset directory written by kgbuild")
+    p.add_argument("--check-text", action="store_true",
+                   help="validate extracted text against the golden column")
     p.set_defaults(func=cmd_kgupdate)
 
     p = sub.add_parser(

@@ -17,7 +17,13 @@ def write_jsonl_ds(ds, path: str, columns=None, filesystem=None):
     ``part-<uuid>.jsonl`` files). ``columns`` restricts the output
     fields. Returns the list of shard paths (file-count cardinality,
     safe to collect). Binary columns are not JSON-serializable —
-    select or decode them first."""
+    select or decode them first.
+
+    Retry caveat (inherited from the text-sink pattern): a Ray task
+    retried after its shard write succeeded leaves an orphan
+    part-<uuid> file. Consume the RETURNED path list, or write to a
+    fresh directory per attempt, rather than globbing the directory
+    after a run with failures."""
     import json
 
     from ..model.linkset import _resolve_sink, _write_shard

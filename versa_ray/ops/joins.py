@@ -184,41 +184,51 @@ def salted_join(left, right, on, right_on=None, salt=8, num_partitions=None,
     return joined.drop_columns(["_salt"])
 
 
-_BLOOM_KEY1 = b"0123456789123456"
-_BLOOM_KEY2 = b"6543210987654321"
+_BLOOM_KEY1 = "0123456789123456"
+_BLOOM_KEY2 = "6543210987654321"
+
+
+def _bloom_positions(col, mask: np.uint64, num_hashes: int):
+    """Probe positions for a string-normalized key column — the ONE
+    position rule shared by build and probe (any drift between the
+    two silently yields false negatives). Double hashing with two
+    independently keyed 64-bit column hashes; the stride is forced
+    odd so it has full period modulo the power-of-two bitmap."""
+    col = col.astype(str)
+    h1 = pd.util.hash_pandas_object(
+        col, index=False, hash_key=_BLOOM_KEY1
+    ).to_numpy().astype(np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        col, index=False, hash_key=_BLOOM_KEY2
+    ).to_numpy().astype(np.uint64) | np.uint64(1)
+    for i in range(num_hashes):
+        yield (h1 + np.uint64(i) * h2) & mask
 
 
 def build_bloom(keys_ds, on, num_bits=1 << 23, num_hashes=5):
     """Bloom filter over a key column, built distributed: each batch
     sets its bits into a local packed bitmap (one row of bytes per
     block), the driver ORs the block bitmaps — driver traffic is
-    ``blocks x num_bits/8`` bytes, never key-cardinality. Double
-    hashing (two independent 64-bit column hashes) generates the
-    ``num_hashes`` probe positions. Returns the packed uint8 bitmap.
+    ``blocks x num_bits/8`` bytes, never key-cardinality.
 
-    This is the data-induced-predicate middle ground: an EXACT
-    broadcast set is right for small frontiers, a shuffle semi-join
-    for huge ones; a bloom (1 MiB covers ~8M keys at ~3% fpp with 5
-    hashes) covers the medium frontier where the exact set is too
-    big to ship but the shuffle is not yet warranted."""
-    import pandas as pd
+    Returns ``{"bits": packed uint8 array, "num_hashes": k,
+    "num_bits": m}`` — pass the whole dict to ``bloom_semi_filter``
+    so the probe cannot diverge from the build parameters.
 
+    Sizing: ~3% fpp with 5 hashes needs ~7-10 bits per key, so the
+    default 2^23 bits (1 MiB) covers ~1M keys; 8M keys need ~2^26
+    bits (8 MiB). This is the data-induced-predicate middle ground:
+    an EXACT broadcast set is right for small frontiers, a shuffle
+    semi-join for huge ones; the bloom covers the medium frontier
+    where the exact set is too big to ship but the shuffle is not
+    yet warranted."""
     assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of 2"
     mask = np.uint64(num_bits - 1)
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(num_bits >> 3, dtype=np.uint8)
         if len(df):
-            col = df[on].astype(str)
-            h1 = pd.util.hash_pandas_object(
-                col, index=False, hash_key=_BLOOM_KEY1.decode()
-            ).to_numpy().astype(np.uint64)
-            h2 = pd.util.hash_pandas_object(
-                col, index=False, hash_key=_BLOOM_KEY2.decode()
-            ).to_numpy().astype(np.uint64)
-            h2 |= np.uint64(1)  # odd stride: full period mod power of 2
-            for i in range(num_hashes):
-                pos = (h1 + np.uint64(i) * h2) & mask
+            for pos in _bloom_positions(df[on], mask, num_hashes):
                 np.bitwise_or.at(
                     bits, (pos >> np.uint64(3)).astype(np.int64),
                     np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
@@ -228,36 +238,32 @@ def build_bloom(keys_ds, on, num_bits=1 << 23, num_hashes=5):
     for row in keys_ds.map_batches(
             _partial, batch_format="pandas").take_all():
         out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return out
+    return {"bits": out, "num_hashes": num_hashes, "num_bits": num_bits}
 
 
-def bloom_semi_filter(ds, bloom_bits: np.ndarray, on, num_hashes=5):
+def bloom_semi_filter(ds, bloom: dict, on):
     """Keep only rows whose key MIGHT be in the bloom (no false
     negatives; false positives pass through and must be resolved by
-    the actual join). Broadcast the bitmap once via ray.put; the
-    probe is fully vectorized per batch."""
-    import pandas as pd
+    the actual join). ``bloom`` is the dict from ``build_bloom`` —
+    carrying the construction parameters with the bitmap is what
+    guarantees build/probe agreement. Broadcast once via ray.put;
+    the probe is fully vectorized per batch."""
     import ray
 
-    num_bits = int(len(bloom_bits)) << 3
+    bits_arr = np.asarray(bloom["bits"], dtype=np.uint8)
+    num_bits = int(bloom["num_bits"])
+    num_hashes = int(bloom["num_hashes"])
+    if num_bits != len(bits_arr) << 3 or num_bits & (num_bits - 1):
+        raise ValueError("corrupt bloom: num_bits / bitmap length mismatch")
     mask = np.uint64(num_bits - 1)
-    ref = ray.put(np.asarray(bloom_bits, dtype=np.uint8))
+    ref = ray.put(bits_arr)
 
     def _probe(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df
         bits = ray.get(ref)
-        col = df[on].astype(str)
-        h1 = pd.util.hash_pandas_object(
-            col, index=False, hash_key=_BLOOM_KEY1.decode()
-        ).to_numpy().astype(np.uint64)
-        h2 = pd.util.hash_pandas_object(
-            col, index=False, hash_key=_BLOOM_KEY2.decode()
-        ).to_numpy().astype(np.uint64)
-        h2 |= np.uint64(1)
         keep = np.ones(len(df), dtype=bool)
-        for i in range(num_hashes):
-            pos = (h1 + np.uint64(i) * h2) & mask
+        for pos in _bloom_positions(df[on], mask, num_hashes):
             byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
             keep &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
         return df[keep]

@@ -454,8 +454,9 @@ def q_miniquery_store(sf_dir):
     read_linkset call (literal rel -> rel_bucket file pruning; a
     var bound by the left conjunct prunes the right conjunct's origin
     partitions). Same SQL oracle as miniquery_conj — the pruned plan
-    must not change the answer. Raises unless each conjunct's read
-    actually opened a strict subset of the store's files."""
+    must not change the answer. Raises unless both conjuncts' rel
+    literals AND the bound-origin set each prune to a strict subset
+    of the store's files."""
     import shutil
     import tempfile
 
@@ -468,14 +469,19 @@ def q_miniquery_store(sf_dir):
         write_linkset(tpch_linkset(sf_dir), store,
                       num_rel_buckets=8, num_partitions=8)
         total = len(pruned_fragments(store))
-        pruned = len(pruned_fragments(store, rel=NAME))
-        if not pruned < total:
-            raise AssertionError("store mini-query did not prune files")
+        for rel in (NAME, SEGMENT):
+            if not len(pruned_fragments(store, rel=rel)) < total:
+                raise AssertionError("store mini-query: rel did not prune")
         result = evaluate(
             "?($a, NAME, *) and ?($a, SEG, 'BUILDING')",
             StoreModel(store),
             {"NAME": NAME, "SEG": SEGMENT},
         )
+        # the bound-$a origin set (what conjunct 2's read receives)
+        # must prune origin partitions too
+        sample = set(list(result.get("a", set()))[:64]) or {"urn:none"}
+        if not len(pruned_fragments(store, origin=sample)) < total:
+            raise AssertionError("store mini-query: origin set did not prune")
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return pd.DataFrame({"a": sorted(result.get("a", set()))})

@@ -589,7 +589,8 @@ def build_kg(
     return rd.read_parquet(_stage_dir(out_dir, "linkset"))
 
 
-def update_kg(pages_ds, store_dir, alias_table=None, concurrency=None):
+def update_kg(pages_ds, store_dir, alias_table=None, concurrency=None,
+              check_text=False):
     """Incremental KG maintenance: extract links from a DELTA page
     corpus and fold them into an existing stored link-set with the
     duplicate-refusing partition-pruned update — the continuous-crawl
@@ -605,7 +606,8 @@ def update_kg(pages_ds, store_dir, alias_table=None, concurrency=None):
     update stats dict from ``model.store.update_linkset``."""
     from ..model.store import update_linkset
 
-    links = extract_links(pages_ds, concurrency=concurrency)
+    links = extract_links(
+        pages_ds, check_text=check_text, concurrency=concurrency)
     if alias_table:
         links = score_entities(links, alias_table, concurrency=concurrency)
     return update_linkset(store_dir, distinct_links(links))
