@@ -160,8 +160,9 @@ def test_compact_linkset(ray_session, tmp_path):
         read_linkset(path).to_pandas()
         .sort_values(["origin", "rel", "target"]).reset_index(drop=True)
     )
-    n_files = len(glob.glob(os.path.join(path, "**", "*.parquet"),
-                            recursive=True))
+    # LIVE files (current epoch manifest) — the on-disk glob also sees
+    # older epochs' files, which are snapshots, not fragmentation
+    n_files = len(pruned_fragments(path))
     stats = compact_linkset(path, max_files=1)
     assert stats["partitions_compacted"] >= 1
     assert stats["files_after"] < stats["files_before"] == n_files
@@ -183,6 +184,51 @@ def test_compact_linkset(ray_session, tmp_path):
     # pruned reads still work against the compacted layout
     row = read_linkset(path, origin="urn:t:7", rel=NAME).to_pandas()
     assert {"extra one", "extra two"} <= set(row["target"])
+
+
+def test_store_epochs_snapshot_and_vacuum(ray_session, tmp_path):
+    """The epoch protocol: an update publishes atomically via the
+    pointer flip, the PREVIOUS epoch stays readable (time travel), a
+    reader's resolved file list is undisturbed by a concurrent
+    commit, and vacuum reclaims only unreferenced files."""
+    import glob
+    import os
+
+    from versa_ray.model.store import (
+        _current_epoch, pruned_fragments, update_linkset, vacuum_linkset)
+
+    path = str(tmp_path / "store")
+    base = _sample_links()
+    write_linkset(linkset.from_links(base), path,
+                  num_rel_buckets=4, num_partitions=4)
+    assert _current_epoch(path) == 1
+    n1 = read_linkset(path).count()
+
+    # a reader resolves epoch-1 files, then a writer commits epoch 2
+    snapshot_files = pruned_fragments(path, epoch=1)
+    update_linkset(path, linkset.from_links(
+        [("urn:t:7", NAME, "epoch-two link")]))
+    assert _current_epoch(path) == 2
+    assert read_linkset(path).count() == n1 + 1
+    # the snapshot's exact files still exist and still read to n1 rows
+    assert all(os.path.exists(f) for f in snapshot_files)
+    assert read_linkset(path, epoch=1).count() == n1
+    old_rows = read_linkset(path, epoch=1).to_pandas()
+    assert "epoch-two link" not in set(old_rows["target"])
+
+    # vacuum keep_epochs=1 drops epoch 1's replaced files + manifest
+    on_disk_before = len(glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True))
+    stats = vacuum_linkset(path, keep_epochs=1)
+    assert stats["files_removed"] >= 1
+    assert stats["manifests_removed"] == 1
+    on_disk_after = len(glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert on_disk_after == on_disk_before - stats["files_removed"]
+    # current epoch unaffected
+    assert read_linkset(path).count() == n1 + 1
+    row = read_linkset(path, origin="urn:t:7", rel=NAME).to_pandas()
+    assert "epoch-two link" in set(row["target"])
 
 
 def test_remove_statements(ray_session):

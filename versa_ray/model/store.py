@@ -77,13 +77,15 @@ def write_linkset(ds, path: str, num_rel_buckets: int = 8,
         )
     )
     grouped.write_parquet(path, partition_cols=list(_PART_COLS))
+    entries = _dir_file_entries(path)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(
             {"num_rel_buckets": num_rel_buckets,
              "num_partitions": num_partitions,
-             "partitions": partition_metrics(path)},
+             "partitions": _manifest_metrics(entries)},
             f,
         )
+    _commit_epoch(path, 1, entries)
     return path
 
 
@@ -119,8 +121,177 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
-def pruned_fragments(path: str, rel=None, origin=None):
-    """The file subset a pruned read would open (for tests/metrics)."""
+# ---------------------------------------------------------------------------
+# Epoch manifests: snapshot-consistent reads + time travel
+#
+# ``_epoch.json`` (atomic tmp+rename flip) points at
+# ``_manifest-<N>.json``, which lists every live parquet file with its
+# (rel_bucket, part_id). Files are immutable and uuid-named; an update
+# ADDS files and flips the pointer, so a reader that resolved epoch N
+# keeps reading exactly N's files while a writer commits N+1 — the
+# cross-partition consistency the dir-swap protocol could not give.
+# Old epochs stay readable (read_linkset(epoch=...)) until
+# ``vacuum_linkset`` garbage-collects them. Single-writer, like the
+# rest of the store.
+
+_EPOCH_NAME = "_epoch.json"
+
+
+def _current_epoch(path: str):
+    try:
+        with open(os.path.join(path, _EPOCH_NAME)) as f:
+            return int(json.load(f)["epoch"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _manifest_path(path: str, epoch: int) -> str:
+    return os.path.join(path, f"_manifest-{epoch}.json")
+
+
+def _load_manifest(path: str, epoch=None) -> dict:
+    if epoch is None:
+        epoch = _current_epoch(path)
+    if epoch is None:
+        raise FileNotFoundError(f"no epoch manifest in {path}")
+    with open(_manifest_path(path, epoch)) as f:
+        return json.load(f)
+
+
+def _commit_epoch(path: str, epoch: int, entries: list) -> None:
+    """Write manifest N, then atomically flip the epoch pointer."""
+    with open(_manifest_path(path, epoch), "w") as f:
+        json.dump({"epoch": epoch, "files": entries}, f)
+    tmp = os.path.join(path, _EPOCH_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch}, f)
+    os.replace(tmp, os.path.join(path, _EPOCH_NAME))
+
+
+def _file_entry(path: str, fpath: str) -> dict:
+    import pyarrow.parquet as pq
+
+    rel = os.path.relpath(fpath, path)
+    parts = dict(
+        p.split("=") for p in rel.split(os.sep)
+        if "=" in p and not p.startswith("_")
+    )
+    return {
+        "path": rel.replace(os.sep, "/"),
+        "rel_bucket": int(parts["rel_bucket"]),
+        "part_id": int(parts["part_id"]),
+        "rows": pq.ParquetFile(fpath).metadata.num_rows,
+    }
+
+
+def _dir_file_entries(path: str) -> list:
+    import glob as _glob
+
+    return [
+        _file_entry(path, f)
+        for f in sorted(_glob.glob(
+            os.path.join(path, "rel_bucket=*", "part_id=*", "*.parquet")))
+    ]
+
+
+def _manifest_files(path: str, epoch=None, rel=None, origin=None) -> list:
+    """Absolute live-file paths for an epoch, pruned by rel/origin
+    buckets exactly like the directory path does."""
+    man = _load_manifest(path, epoch)
+    meta = _read_meta(path)
+    rbs = pids = None
+    if rel is not None:
+        rels = [rel] if isinstance(rel, str) else sorted(str(r) for r in rel)
+        rbs = {int(b) for b in _stable_bucket(rels, meta["num_rel_buckets"])}
+    if origin is not None:
+        origins = (
+            [origin] if isinstance(origin, str)
+            else sorted(str(o) for o in origin)
+        )
+        pids = {int(b) for b in _stable_bucket(origins, meta["num_partitions"])}
+    out = []
+    for e in man["files"]:
+        if rbs is not None and e["rel_bucket"] not in rbs:
+            continue
+        if pids is not None and e["part_id"] not in pids:
+            continue
+        out.append(os.path.join(path, e["path"]))
+    return out
+
+
+def _manifest_metrics(entries: list) -> list:
+    agg: dict = {}
+    for e in entries:
+        cur = agg.setdefault((e["rel_bucket"], e["part_id"]),
+                             {"rows": 0, "files": 0})
+        cur["rows"] += int(e["rows"])
+        cur["files"] += 1
+    return [
+        {"rel_bucket": rb, "part_id": pid, **v}
+        for (rb, pid), v in sorted(agg.items())
+    ]
+
+
+def _adopt_staged_files(path: str, staging: str) -> list:
+    """Move every staged parquet file into its live partition dir
+    (uuid names: no collisions) and return their manifest entries.
+    Files become live only when the epoch pointer flips."""
+    import glob as _glob
+
+    entries = []
+    for f in sorted(_glob.glob(
+            os.path.join(staging, "rel_bucket=*", "part_id=*", "*.parquet"))):
+        rel = os.path.relpath(f, staging)
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(f, dst)
+        entries.append(_file_entry(path, dst))
+    return entries
+
+
+def vacuum_linkset(path: str, keep_epochs: int = 1) -> dict:
+    """Garbage-collect files unreferenced by the newest
+    ``keep_epochs`` manifests (and drop the older manifests). The GC
+    point for the additive epoch protocol — run it when no reader
+    needs the older snapshots. Returns {"files_removed",
+    "manifests_removed"}."""
+    import glob as _glob
+
+    cur = _current_epoch(path)
+    if cur is None:
+        return {"files_removed": 0, "manifests_removed": 0}
+    keep = set(range(max(1, cur - keep_epochs + 1), cur + 1))
+    live: set = set()
+    for ep in keep:
+        try:
+            for e in _load_manifest(path, ep)["files"]:
+                live.add(os.path.normpath(os.path.join(path, e["path"])))
+        except FileNotFoundError:
+            pass
+    removed = 0
+    for f in _glob.glob(
+            os.path.join(path, "rel_bucket=*", "part_id=*", "*.parquet")):
+        if os.path.normpath(f) not in live:
+            os.remove(f)
+            removed += 1
+    man_removed = 0
+    for mf in _glob.glob(os.path.join(path, "_manifest-*.json")):
+        try:
+            ep = int(os.path.basename(mf)[len("_manifest-"):-len(".json")])
+        except ValueError:
+            continue
+        if ep not in keep:
+            os.remove(mf)
+            man_removed += 1
+    return {"files_removed": removed, "manifests_removed": man_removed}
+
+
+def pruned_fragments(path: str, rel=None, origin=None, epoch=None):
+    """The file subset a pruned read would open (for tests/metrics).
+    Manifest stores resolve against the (given or current) epoch's
+    live files; legacy stores fall back to directory discovery."""
+    if _current_epoch(path) is not None:
+        return _manifest_files(path, epoch=epoch, rel=rel, origin=origin)
     import pyarrow.dataset as pads
 
     dataset = pads.dataset(path, partitioning="hive")
@@ -280,17 +451,29 @@ def update_linkset(path: str, new_ds, num_buckets=None):
         .take_all()
     }
     if not affected:
-        return {"partitions_updated": 0,
-                "rows_after": rd.read_parquet(path).count()}
+        ep0 = _current_epoch(path)
+        if ep0 is not None:
+            n0 = int(sum(e["rows"] for e in _load_manifest(path, ep0)["files"]))
+        else:
+            n0 = rd.read_parquet(path).count()
+        return {"partitions_updated": 0, "rows_after": n0}
 
-    import pyarrow.dataset as pads
+    cur_epoch = _current_epoch(path)
+    if cur_epoch is not None:
+        man = _load_manifest(path, cur_epoch)
+        old_files = [
+            os.path.join(path, e["path"]) for e in man["files"]
+            if (e["rel_bucket"], e["part_id"]) in affected
+        ]
+    else:
+        import pyarrow.dataset as pads
 
-    dataset = pads.dataset(path, partitioning="hive")
-    expr = None
-    for rb, pid in sorted(affected):
-        e = (pads.field("rel_bucket") == rb) & (pads.field("part_id") == pid)
-        expr = e if expr is None else expr | e
-    old_files = [f.path for f in dataset.get_fragments(filter=expr)]
+        dataset = pads.dataset(path, partitioning="hive")
+        expr = None
+        for rb, pid in sorted(affected):
+            e = (pads.field("rel_bucket") == rb) & (pads.field("part_id") == pid)
+            expr = e if expr is None else expr | e
+        old_files = [f.path for f in dataset.get_fragments(filter=expr)]
 
     merged = tagged.drop_columns(["rel_bucket", "part_id"])
     if old_files:
@@ -323,16 +506,37 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)  # no partial leak
         raise
-    _swap_staged_partitions(path, staging, affected)
-    _write_meta(path, r_b, n_p)
+    if cur_epoch is not None:
+        # additive epoch commit: staged files move in (uuid names, no
+        # collisions), readers on the old epoch are undisturbed, and
+        # the atomic pointer flip publishes the whole update at once
+        new_entries = _adopt_staged_files(path, staging)
+        shutil.rmtree(staging, ignore_errors=True)
+        keep = [
+            e for e in man["files"]
+            if (e["rel_bucket"], e["part_id"]) not in affected
+        ]
+        entries = keep + new_entries
+        _commit_epoch(path, cur_epoch + 1, entries)
+        with open(os.path.join(path, _META_NAME), "w") as f:
+            json.dump(
+                {"num_rel_buckets": r_b, "num_partitions": n_p,
+                 "partitions": _manifest_metrics(entries)},
+                f,
+            )
+        rows_after = int(sum(e["rows"] for e in entries))
+    else:
+        _swap_staged_partitions(path, staging, affected)
+        _write_meta(path, r_b, n_p)
+        rows_after = rd.read_parquet(path).count()
     return {
         "partitions_updated": len(affected),
-        "rows_after": rd.read_parquet(path).count(),
+        "rows_after": rows_after,
     }
 
 
 def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
-                 columns=None):
+                 columns=None, epoch=None):
     """Predicate-pruned read of a stored link-set.
 
     rel / origin constraints prune whole partition DIRECTORIES: the
@@ -357,8 +561,12 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
         if attrs:
             need.add("attrs")
         read_cols = sorted(need)
-    if rel is not None or origin is not None:
-        paths = pruned_fragments(path, rel=rel, origin=origin)
+    manifest_mode = _current_epoch(path) is not None
+    if rel is not None or origin is not None or manifest_mode:
+        # manifest stores ALWAYS read the epoch's exact file list —
+        # directory discovery would include unreferenced files from
+        # other epochs
+        paths = pruned_fragments(path, rel=rel, origin=origin, epoch=epoch)
         if not paths:
             from ..core.canon import LINK_SCHEMA
 
@@ -398,21 +606,34 @@ def compact_linkset(path: str, max_files: int = 1):
     meta = _read_meta(path)
     _recover_staging(path)
 
+    cur_epoch = _current_epoch(path)
     victims = []  # (rel_bucket, part_id, [files])
     files_before = 0
-    for rb_name in sorted(os.listdir(path)):
-        if not rb_name.startswith("rel_bucket="):
-            continue
-        for pid_name in sorted(os.listdir(os.path.join(path, rb_name))):
-            pdir = os.path.join(path, rb_name, pid_name)
-            if not os.path.isdir(pdir):
-                continue
-            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            files_before += len(files)
+    if cur_epoch is not None:
+        man = _load_manifest(path, cur_epoch)
+        by_part: dict = {}
+        for e in man["files"]:
+            by_part.setdefault((e["rel_bucket"], e["part_id"]), []).append(
+                os.path.join(path, e["path"]))
+        files_before = len(man["files"])
+        for (rb, pid), files in sorted(by_part.items()):
             if len(files) > max_files:
-                victims.append((
-                    int(rb_name.split("=")[1]), int(pid_name.split("=")[1]),
-                    [os.path.join(pdir, f) for f in sorted(files)]))
+                victims.append((rb, pid, sorted(files)))
+    else:
+        for rb_name in sorted(os.listdir(path)):
+            if not rb_name.startswith("rel_bucket="):
+                continue
+            for pid_name in sorted(os.listdir(os.path.join(path, rb_name))):
+                pdir = os.path.join(path, rb_name, pid_name)
+                if not os.path.isdir(pdir):
+                    continue
+                files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                files_before += len(files)
+                if len(files) > max_files:
+                    victims.append((
+                        int(rb_name.split("=")[1]),
+                        int(pid_name.split("=")[1]),
+                        [os.path.join(pdir, f) for f in sorted(files)]))
     if not victims:
         return {"partitions_compacted": 0, "files_before": files_before,
                 "files_after": files_before}
@@ -435,18 +656,39 @@ def compact_linkset(path: str, max_files: int = 1):
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _swap_staged_partitions(
-        path, staging, [(rb, pid) for rb, pid, _fs in victims])
-
-    files_after = 0
-    for rb_name in os.listdir(path):
-        if not rb_name.startswith("rel_bucket="):
-            continue
-        for pid_name in os.listdir(os.path.join(path, rb_name)):
-            pdir = os.path.join(path, rb_name, pid_name)
-            if os.path.isdir(pdir):
-                files_after += len(
-                    [f for f in os.listdir(pdir) if f.endswith(".parquet")])
-    _write_meta(path, r_b, n_p)
+    if cur_epoch is not None:
+        compacted = {(rb, pid) for rb, pid, _fs in victims}
+        new_entries = _adopt_staged_files(path, staging)
+        shutil.rmtree(staging, ignore_errors=True)
+        keep = [
+            e for e in man["files"]
+            if (e["rel_bucket"], e["part_id"]) not in compacted
+        ]
+        entries = keep + new_entries
+        _commit_epoch(path, cur_epoch + 1, entries)
+        with open(os.path.join(path, _META_NAME), "w") as f:
+            json.dump(
+                {"num_rel_buckets": r_b, "num_partitions": n_p,
+                 "partitions": _manifest_metrics(entries)},
+                f,
+            )
+        # compaction is the GC point: older epochs' files (including
+        # the fragments just replaced) are reclaimed here
+        vacuum_linkset(path, keep_epochs=1)
+        files_after = len(entries)
+    else:
+        _swap_staged_partitions(
+            path, staging, [(rb, pid) for rb, pid, _fs in victims])
+        files_after = 0
+        for rb_name in os.listdir(path):
+            if not rb_name.startswith("rel_bucket="):
+                continue
+            for pid_name in os.listdir(os.path.join(path, rb_name)):
+                pdir = os.path.join(path, rb_name, pid_name)
+                if os.path.isdir(pdir):
+                    files_after += len(
+                        [f for f in os.listdir(pdir)
+                         if f.endswith(".parquet")])
+        _write_meta(path, r_b, n_p)
     return {"partitions_compacted": len(victims),
             "files_before": files_before, "files_after": files_after}
