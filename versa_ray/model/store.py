@@ -425,9 +425,15 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     parked in the dot-prefixed staging dir; ``_recover_staging`` (run
     at the start of every update and pruned read) restores it. The
     store is single-writer: concurrent updates could recover each
-    other's live staging. Cross-partition atomicity (one reader
-    seeing pre-update P1 with post-update P2) still needs an
-    epoch/manifest scheme — documented limit.
+    other's live staging.
+
+    Stores written by this engine carry EPOCH MANIFESTS: the update
+    then commits additively (new uuid files moved in, atomic
+    ``_epoch.json`` flip), so a reader never sees pre-update P1 with
+    post-update P2 — it reads the file list of whichever epoch it
+    resolved, and the previous epoch stays readable
+    (``read_linkset(epoch=...)``) until ``vacuum_linkset``. The
+    dir-swap path above remains for legacy (manifest-less) stores.
     Returns {"partitions_updated", "rows_after"}."""
     import shutil
 
