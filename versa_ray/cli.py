@@ -180,9 +180,11 @@ def cmd_kgmatch(args):
     DataContext.get_current().enable_progress_bars = False
     from .model.store import pruned_fragments, read_linkset
 
-    frags = pruned_fragments(args.store, rel=args.rel, origin=args.origin)
-    total = len(pruned_fragments(args.store))
-    ds = read_linkset(args.store, rel=args.rel, origin=args.origin)
+    frags = pruned_fragments(
+        args.store, rel=args.rel, origin=args.origin, epoch=args.epoch)
+    total = len(pruned_fragments(args.store, epoch=args.epoch))
+    ds = read_linkset(
+        args.store, rel=args.rel, origin=args.origin, epoch=args.epoch)
     rows = ds.take(args.limit) if args.limit else ds.take_all()
     for r in rows:
         tgt = f"<{r['target']}>" if r["target_is_iri"] else f'"{r["target"]}"'
@@ -366,6 +368,8 @@ def main(argv=None):
     p.add_argument("--rel")
     p.add_argument("--origin")
     p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--epoch", type=int, default=None,
+                   help="read a past store epoch (time travel)")
     p.set_defaults(func=cmd_kgmatch)
 
     p = sub.add_parser(

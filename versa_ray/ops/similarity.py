@@ -276,3 +276,115 @@ def knn_pq(ds, query_vecs, query_ids, codebooks, k=5,
         return g
 
     return partials.groupby("qid").map_groups(_merge, batch_format="pandas")
+
+
+def build_ann_index(ds, index_dir, dim, n_cells=16, m=8, nbits=8,
+                    vec_col="embedding", id_col="vec_id"):
+    """Persist an IVF-PQ index: build ONCE, search many times without
+    ever touching raw vectors again.
+
+    Layout under ``index_dir``: ``quantizers.npz`` (IVF centroids +
+    PQ codebooks, KB-sized), ``_ann_meta.json``, and
+    ``codes/cell=N/*.parquet`` rows of ``(vec_id, code: m uint8)`` —
+    Hive-partitioned by coarse cell so a search with ``nprobe`` cells
+    prunes to those partition directories at the FILE level. The
+    corpus pass is one streaming map (assign cell, PQ-encode) plus the
+    partitioned write; at 100 TB the codes are ~m bytes/vector, the
+    piece that actually fits an index serving tier."""
+    import json
+    import os
+
+    cents = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    books = train_pq_codebooks(ds, dim=dim, m=m, nbits=nbits,
+                               vec_col=vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    np.savez(os.path.join(index_dir, "quantizers.npz"),
+             centroids=cents, codebooks=books)
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_cells": int(len(cents)), "m": m,
+                   "nbits": nbits, "id_col": id_col}, f)
+
+    import ray
+
+    ref = ray.put((cents, books))
+
+    def _encode(df: pd.DataFrame) -> pd.DataFrame:
+        c, b = ray.get(ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        cells = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        codes = _pq_assign_codes(mat, b)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cell": cells,
+            "code": list(codes),
+        })
+
+    ds.map_batches(_encode, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "codes"), partition_cols=["cell"])
+    return index_dir
+
+
+def search_ann_index(index_dir, query_vecs, query_ids, k=5, nprobe=4):
+    """Search a persisted IVF-PQ index from its CODES alone: only the
+    queries' ``nprobe`` closest cells' partition files are read
+    (Hive pruning), and scoring is pure ADC table lookups over the
+    stored uint8 codes — raw vectors are never loaded. Returns
+    (qid, nid, rank) like the other kNN paths."""
+    import glob
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    qz = np.load(os.path.join(index_dir, "quantizers.npz"))
+    cents, books = qz["centroids"], qz["codebooks"]
+    id_col = meta["id_col"]
+    m, ncent, sub = books.shape
+
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    qcells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probe = sorted({int(c) for c in np.unique(qcells)})
+    tables = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), m, sub),
+                       books)
+
+    paths = []
+    for c in probe:
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, "codes", f"cell={c}", "*.parquet"))))
+    if not paths:
+        return rd.from_pandas(pd.DataFrame(
+            {"qid": [], "nid": [], "sim": [], "rank": []}))
+    codes_ds = rd.read_parquet(paths)
+    tref = ray.put(tables)
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(tref)
+        codes = np.stack(df["code"].to_numpy()).astype(np.int64)
+        ids = df[id_col].to_numpy()
+        out = {"qid": [], "nid": [], "sim": []}
+        kk = min(k + 1, len(df))
+        for qx in range(tbl.shape[0]):
+            score = tbl[qx][np.arange(m)[None, :], codes].sum(axis=1)
+            top = np.argpartition(-score, kk - 1)[:kk]
+            top = top[np.lexsort((ids[top], -score[top]))]
+            for ix in top:
+                if ids[ix] == qids[qx]:
+                    continue
+                out["qid"].append(qids[qx])
+                out["nid"].append(ids[ix])
+                out["sim"].append(score[ix])
+        return pd.DataFrame(out)
+
+    partials = codes_ds.map_batches(_local_topk, batch_format="pandas")
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return partials.groupby("qid").map_groups(_merge, batch_format="pandas")

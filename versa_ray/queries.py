@@ -1232,6 +1232,46 @@ def q_knn_pq_recall(sf_dir):
     return df
 
 
+def q_knn_ann_index_recall(sf_dir):
+    """Recall gate for the PERSISTED IVF-PQ index: build once to
+    parquet codes + saved quantizers, search from codes alone (probed
+    cells' files only, ADC lookups, raw vectors never reloaded).
+    HARD-FAILS below mean recall@1 of 0.8 vs exact kNN on the
+    planted-twin corpus — the same bar as the in-memory approximate
+    paths."""
+    import shutil
+    import tempfile
+
+    vecs, ids = _query_vectors(sf_dir, 8)
+    aug = _augmented_embeddings(sf_dir)
+    dim = len(vecs[0])
+    exact = similarity.knn_bruteforce(aug, vecs, ids, k=5).to_pandas()
+    idx = tempfile.mkdtemp(prefix="vr_ann_")
+    try:
+        similarity.build_ann_index(aug, idx, dim=dim, n_cells=16, m=8,
+                                   nbits=6)
+        ann = similarity.search_ann_index(
+            idx, vecs, ids, k=5, nprobe=6).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    ex1 = exact[exact["rank"] == 1].groupby("qid")["nid"].apply(set)
+    an1 = ann[ann["rank"] == 1].groupby("qid")["nid"].apply(set)
+    df = pd.DataFrame(
+        {
+            "qid": ex1.index.to_numpy(),
+            "recall_at_1": [
+                len(ex1[q] & an1.get(q, set())) / len(ex1[q]) for q in ex1.index
+            ],
+        }
+    ).sort_values("qid", ignore_index=True)
+    mean_r1 = float(df["recall_at_1"].mean())
+    if mean_r1 < 0.8:
+        raise AssertionError(
+            f"ann index mean recall@1 {mean_r1:.3f} < 0.8 vs exact kNN"
+        )
+    return df
+
+
 _PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
 
 _STOPWORD_SQL = "[%s]" % ", ".join(
@@ -1702,6 +1742,7 @@ def build_queries():
         "knn_lsh_recall": q_knn_lsh_recall,
         "knn_ivf_recall": q_knn_ivf_recall,
         "knn_pq_recall": q_knn_pq_recall,
+        "knn_ann_index_recall": q_knn_ann_index_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
