@@ -388,3 +388,49 @@ def search_ann_index(index_dir, query_vecs, query_ids, k=5, nprobe=4):
         return g
 
     return partials.groupby("qid").map_groups(_merge, batch_format="pandas")
+
+
+def group_centroids(ds, group_fn_col, vec_col="embedding",
+                    num_buckets=64, round_to=6):
+    """Element-wise mean vector per group (centroid computation — the
+    embedding-pipeline primitive behind k-means init, per-domain
+    embedding profiles, cluster summaries). Classic combiner shape:
+    each batch emits ONE partial (sum-vector, count) per group it
+    saw, a coarse-bucket shuffle merges partials — vectors cross the
+    wire only as group-count-many partials, never corpus-many rows.
+
+    ``group_fn_col``: existing column name to group by. Returns rows
+    ``(group, dim_idx, mean_val)`` — flattened so results are
+    schema-stable and oracle-hashable."""
+    from .dedup import bucketed_group_apply
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "vsum": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")})
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        out_g, out_v, out_n = [], [], []
+        for g, ix in df.groupby(group_fn_col, sort=False).indices.items():
+            out_g.append(g)
+            out_v.append(mat[ix].sum(axis=0))
+            out_n.append(len(ix))
+        return pd.DataFrame(
+            {"group": out_g, "vsum": out_v,
+             "n": np.array(out_n, dtype=np.int64)})
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        total = np.stack(group["vsum"].to_numpy()).sum(axis=0)
+        n = int(group["n"].sum())
+        mean = (total / n).round(round_to)
+        g = group["group"].iloc[0]
+        return pd.DataFrame(
+            {"group": [g] * len(mean),
+             "dim_idx": np.arange(len(mean), dtype=np.int64),
+             "mean_val": mean})
+
+    return bucketed_group_apply(
+        ds.map_batches(_partial, batch_format="pandas"), ["group"], _final,
+        num_buckets=num_buckets,
+    )

@@ -1232,6 +1232,28 @@ def q_knn_pq_recall(sf_dir):
     return df
 
 
+def q_emb_group_centroids(sf_dir):
+    """Element-wise mean embedding per (vec_id % 16) group, flattened
+    to (grp, dim_idx, mean_val) — combiner partials, one bucket
+    shuffle, vectors never shuffle row-per-vector. Hash-checked
+    against an unnest-with-ordinality SQL oracle (values rounded to 6
+    decimals on both sides)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=_blocks_for()
+    ).map_batches(
+        lambda df: df.assign(grp=(df["vec_id"] % 16).astype("int64")),
+        batch_format="pandas",
+    )
+    out = similarity.group_centroids(emb, "grp")
+    return out.map_batches(
+        lambda df: df.rename(columns={"group": "grp"}).astype(
+            {"grp": "int64"}),
+        batch_format="pandas",
+    )
+
+
 def q_knn_ann_index_recall(sf_dir):
     """Recall gate for the PERSISTED IVF-PQ index: build once to
     parquet codes + saved quantizers, search from codes alone (probed
@@ -1743,6 +1765,7 @@ def build_queries():
         "knn_ivf_recall": q_knn_ivf_recall,
         "knn_pq_recall": q_knn_pq_recall,
         "knn_ann_index_recall": q_knn_ann_index_recall,
+        "emb_group_centroids": q_emb_group_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -2400,6 +2423,15 @@ def build_oracles():
         ),
         # exact all-pairs cosine >= 0.9 over the augmented (planted)
         # corpus; LSH recall is 1.0 at this separation so the sets match
+        # element-wise mean embedding per (vec_id % 16) group: unnest
+        # with ordinality -> avg per (grp, dim) -> round(6) both sides
+        "emb_group_centroids": (
+            "SELECT grp, dim_idx, round(avg(v), 6) AS mean_val FROM ("
+            "SELECT vec_id % 16 AS grp, "
+            "unnest(range(len(embedding))) AS dim_idx, "
+            "unnest(embedding) AS v FROM embeddings) "
+            "GROUP BY grp, dim_idx ORDER BY grp, dim_idx"
+        ),
         "embedding_near_dups": (
             "WITH aug AS ("
             "SELECT vec_id, embedding FROM embeddings "
