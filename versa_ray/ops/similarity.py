@@ -434,3 +434,77 @@ def group_centroids(ds, group_fn_col, vec_col="embedding",
         ds.map_batches(_partial, batch_format="pandas"), ["group"], _final,
         num_buckets=num_buckets,
     )
+
+
+def kmeans_embeddings(ds, k=8, n_iters=5, vec_col="embedding",
+                      id_col="vec_id", seed=31):
+    """FULL-CORPUS distributed k-means (Lloyd's), spherical/cosine.
+
+    ``train_ivf_centroids`` fits on a bounded sample — right for a
+    quantizer; this is the corpus-exact variant: every iteration is
+    ONE streaming pass where each batch assigns its vectors to the
+    broadcast centroids AND emits per-cluster partial
+    (sum-vector, count, inertia) — assignment and reduction fused, so
+    per-iteration driver traffic is ``blocks x k`` partials, never
+    assignments. Deterministic: seeded sample init, fixed iterations,
+    argmax ties to the lowest centroid index.
+
+    Returns ``(centroids, history)`` where history[i] is the total
+    cosine inertia (sum of 1 - sim to the assigned centroid) after
+    iteration i — non-increasing up to floating-point noise."""
+    import ray
+
+    cents = train_ivf_centroids(
+        ds, n_cells=k, vec_col=vec_col, seed=seed)
+    history = []
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def _partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            mat = _normalize(
+                np.stack(df[vec_col].to_numpy()).astype(np.float64))
+            sims = mat @ c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(mat)), assign]
+            out_c, out_v, out_n, out_i = [], [], [], []
+            for cl in np.unique(assign):
+                sel = assign == cl
+                out_c.append(int(cl))
+                out_v.append(mat[sel].sum(axis=0))
+                out_n.append(int(sel.sum()))
+                out_i.append(float((1.0 - best[sel]).sum()))
+            return pd.DataFrame(
+                {"cluster": np.array(out_c, dtype=np.int64),
+                 "vsum": out_v,
+                 "n": np.array(out_n, dtype=np.int64),
+                 "inertia": np.array(out_i, dtype=np.float64)})
+
+        parts = ds.map_batches(_partials, batch_format="pandas").to_pandas()
+        history.append(float(parts["inertia"].sum()))
+        new = cents.copy()
+        for cl, grp in parts.groupby("cluster"):
+            total = np.stack(grp["vsum"].to_numpy()).sum(axis=0)
+            n = int(grp["n"].sum())
+            if n:
+                new[int(cl)] = total / n
+        cents = _normalize(new)
+    return cents, history
+
+
+def kmeans_assign(ds, centroids, vec_col="embedding", id_col="vec_id"):
+    """Final assignment pass: ``(vec_id, cluster)`` rows (broadcast
+    centroids, one streaming map)."""
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cents)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(),
+             "cluster": np.argmax(mat @ c.T, axis=1).astype(np.int64)})
+
+    return ds.map_batches(_assign, batch_format="pandas")

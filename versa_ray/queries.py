@@ -1232,6 +1232,31 @@ def q_knn_pq_recall(sf_dir):
     return df
 
 
+def q_emb_kmeans(sf_dir):
+    """Full-corpus distributed k-means (fused assign+reduce per
+    iteration; driver sees blocks x k partials only). SELF-GATED:
+    inertia must be non-increasing across iterations (up to 1e-9
+    noise), every cluster non-empty on this corpus, and the final
+    assignment must total the corpus exactly. Returns per-cluster
+    sizes."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=_blocks_for()
+    )
+    cents, hist = similarity.kmeans_embeddings(emb, k=8, n_iters=5)
+    for a, b in zip(hist, hist[1:]):
+        if b > a + 1e-9:
+            raise AssertionError(f"k-means inertia increased: {hist}")
+    sizes = (
+        similarity.kmeans_assign(emb, cents).to_pandas()
+        .groupby("cluster").size().rename("n_members").reset_index()
+    )
+    if len(sizes) != 8 or int(sizes["n_members"].sum()) != emb.count():
+        raise AssertionError("k-means assignment drift")
+    return sizes.sort_values("cluster", ignore_index=True)
+
+
 def q_emb_group_centroids(sf_dir):
     """Element-wise mean embedding per (vec_id % 16) group, flattened
     to (grp, dim_idx, mean_val) — combiner partials, one bucket
@@ -1766,6 +1791,7 @@ def build_queries():
         "knn_pq_recall": q_knn_pq_recall,
         "knn_ann_index_recall": q_knn_ann_index_recall,
         "emb_group_centroids": q_emb_group_centroids,
+        "emb_kmeans": q_emb_kmeans,
         "embedding_near_dups": q_embedding_near_dups,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
