@@ -1446,3 +1446,59 @@ def incremental_exact_dedup(state_dir, delta_ds, key: str = "text",
         shutil.rmtree(stage, ignore_errors=True)
 
     return new_docs.select_columns([id_col, key]), n_new
+
+
+def semantic_dedup(ds, threshold=0.95, k=16, n_iters=3,
+                   vec_col="embedding", id_col="vec_id", num_buckets=32):
+    """SemDeDup-shaped semantic deduplication over an embedding
+    column: k-means clusters co-locate semantically close vectors,
+    then WITHIN each cluster any vector whose cosine to a lower-id
+    kept vector exceeds ``threshold`` is dropped (min id wins —
+    deterministic). Returns ``(vec_id, cluster, keep)`` rows.
+
+    Scale shape: the only all-to-all is the cluster-keyed bucket
+    shuffle (k-means itself is fused assign+reduce passes); the
+    quadratic cosine check runs per cluster, so its cost is bounded
+    by the largest cluster, not the corpus — the reason SemDeDup
+    clusters first instead of running all-pairs. Duplicates that
+    straddle a cluster boundary are NOT caught (inherent to the
+    method; the near-threshold planted-twin gate in queries() shows
+    twins co-cluster in practice)."""
+    from .similarity import kmeans_assign, kmeans_embeddings
+
+    from ..ops import similarity as _sim
+
+    cents, _hist = kmeans_embeddings(
+        ds, k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col)
+
+    import ray
+
+    ref = ray.put(_sim._normalize(np.asarray(cents, dtype=np.float64)))
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        mat = _sim._normalize(
+            np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": np.argmax(mat @ c.T, axis=1).astype(np.int64),
+        })
+        out["vec"] = list(mat)
+        return out
+
+    tagged = ds.map_batches(_tag, batch_format="pandas")
+
+    def _cluster_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["vec"].to_numpy())
+        keep = np.ones(len(ids), dtype=bool)
+        sims = mat @ mat.T
+        for i in range(1, len(ids)):
+            if (sims[i, :i][keep[:i]] > threshold).any():
+                keep[i] = False
+        return pd.DataFrame(
+            {id_col: ids, "cluster": g["cluster"].to_numpy(), "keep": keep})
+
+    return bucketed_group_apply(
+        tagged, ["cluster"], _cluster_dedup, num_buckets=num_buckets)

@@ -1377,6 +1377,27 @@ def _augmented_embeddings(sf_dir):
     return emb.union(emb.map_batches(_plant, batch_format="pyarrow"))
 
 
+def q_semantic_dedup(sf_dir):
+    """SemDeDup-shaped cluster-partitioned embedding dedup. SELF-
+    GATED on the planted-twin corpus: for every planted pair (cosine
+    ~0.999, far above the 0.95 threshold) exactly ONE member survives
+    — dropping both or keeping both raises; non-duplicate vectors
+    must overwhelmingly survive. Returns (vec_id, cluster, keep)."""
+    aug = _augmented_embeddings(sf_dir)
+    out = dd.semantic_dedup(aug, threshold=0.95, k=8).to_pandas()
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    for a in range(_PLANT_K):
+        b = a + 1000000
+        if keep.get(a, False) == keep.get(b, False):
+            raise AssertionError(
+                f"planted twin pair ({a},{b}) not deduped exactly once: "
+                f"{keep.get(a)}, {keep.get(b)}")
+    survivors = out[out["keep"]]
+    if len(survivors) < 0.9 * (len(out) - _PLANT_K):
+        raise AssertionError("semantic dedup dropped non-duplicates")
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 def q_embedding_near_dups(sf_dir):
     """Embedding near-dup detection made falsifiable: recover the
     planted near-dup pairs (see _augmented_embeddings) and hash-check
@@ -1793,6 +1814,7 @@ def build_queries():
         "emb_group_centroids": q_emb_group_centroids,
         "emb_kmeans": q_emb_kmeans,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
