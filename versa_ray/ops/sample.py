@@ -125,3 +125,44 @@ def split_bound_hex(weights):
     return [format(min(int(b * 16**16), 16**16), "017x")[-16:]
             if int(b * 16**16) < 16**16 else "g" * 16
             for b in acc]
+
+
+def mixture_sample(ds, rates, source_col: str, id_col: str, salt: str = "",
+                   default_rate: float = 1.0):
+    """Weighted dataset-mixture sampling: keep each row with a
+    per-source probability (``rates[source]``), decided by the same
+    integer-exact ``md5(salt + id)`` comparison as ``split_by_hash``
+    — deterministic, shuffle-free, partition/rerun-invariant, and
+    reproducible by a SQL oracle via fixed-width hex comparison.
+    Sources absent from ``rates`` keep ``default_rate``. This is the
+    corpus-mixing primitive (downweight one crawl, upsample a curated
+    source) applied as a pure streaming filter."""
+    bounds = {
+        str(k): min(int(float(v) * 16**16), 16**16)
+        for k, v in rates.items()
+    }
+    dflt = min(int(float(default_rate) * 16**16), 16**16)
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        u = [
+            int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:16], 16)
+            for i in df[id_col]
+        ]
+        b = df[source_col].astype(str).map(
+            lambda s: bounds.get(s, dflt)).to_numpy()
+        keep = np.array(u) < b
+        return df[keep]
+
+    return ds.map_batches(_filter, batch_format="pandas")
+
+
+def mixture_bound_hex(rate: float) -> str:
+    """16-hex-digit boundary for ``mixture_sample``'s SQL oracle:
+    keep iff ``left(md5(id), 16) <`` this (a rate of 1.0 returns a
+    sentinel that compares above every hex digest)."""
+    b = min(int(float(rate) * 16**16), 16**16)
+    if b >= 16**16:
+        return "g" * 16
+    return format(b, "017x")[-16:]

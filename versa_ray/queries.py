@@ -775,6 +775,20 @@ def q_doc_split(sf_dir):
     return out.select_columns(["doc_id", "split"])
 
 
+MIXTURE_RATES = {"src0": 0.25, "src1": 0.75}
+
+
+def q_doc_mixture(sf_dir):
+    """Weighted per-source mixture sampling (downweight src0 to 25%,
+    src1 to 75%, keep the rest): pure streaming md5 filter, no
+    shuffle, hex-integer-exact vs the SQL oracle."""
+    from .ops.sample import mixture_sample
+
+    out = mixture_sample(
+        _docs(sf_dir), MIXTURE_RATES, source_col="source", id_col="doc_id")
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_doc_top_per_group(sf_dir):
     """Grouped top-k (best-N-docs-per-domain primitive): top-2 docs
     per (lang, source) by n_chars desc, doc_id tie-break. Per-batch
@@ -1790,6 +1804,7 @@ def build_queries():
         "doc_bm25": q_doc_bm25,
         "doc_tfidf": q_doc_tfidf,
         "doc_split": q_doc_split,
+        "doc_mixture": q_doc_mixture,
         "doc_top_per_group": q_doc_top_per_group,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2160,6 +2175,23 @@ def build_oracles():
             "row_number() OVER (PARTITION BY qid "
             "ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
             "WHERE rank <= 10 ORDER BY qid, rank"
+        ),
+        # per-source keep-rate boundaries from
+        # ops.sample.mixture_bound_hex(MIXTURE_RATES)
+        "doc_mixture": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "left(md5(cast(doc_id AS varchar)), 16) < CASE source "
+            + " ".join(
+                "WHEN '{}' THEN '{}'".format(
+                    src,
+                    __import__(
+                        "versa_ray.ops.sample",
+                        fromlist=["mixture_bound_hex"],
+                    ).mixture_bound_hex(rate),
+                )
+                for src, rate in MIXTURE_RATES.items()
+            )
+            + " ELSE 'gggggggggggggggg' END"
         ),
         # boundaries derived from ops.sample.split_bound_hex(
         # SPLIT_WEIGHTS) so the oracle tracks the query's weights
