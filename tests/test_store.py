@@ -167,9 +167,12 @@ def test_compact_linkset(ray_session, tmp_path):
     assert stats["partitions_compacted"] >= 1
     assert stats["files_after"] < stats["files_before"] == n_files
 
-    # every partition now holds at most one file
-    for d in glob.glob(os.path.join(path, "rel_bucket=*", "part_id=*")):
-        assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) <= 1
+    # every partition now holds at most one LIVE file (previous-epoch
+    # snapshot files may remain on disk until a deeper vacuum)
+    from collections import Counter
+
+    per_part = Counter(os.path.dirname(f) for f in pruned_fragments(path))
+    assert per_part and max(per_part.values()) <= 1
 
     after_rows = (
         read_linkset(path).to_pandas()
@@ -521,9 +524,17 @@ def test_recover_staging_after_crash(ray_session, tmp_path):
 
     from versa_ray.model.store import _recover_staging
 
+    import glob
+
     path = str(tmp_path / "store")
     write_linkset(linkset.from_links(_sample_links()), path,
                   num_rel_buckets=4, num_partitions=4)
+    # the dir-swap crash window only exists on LEGACY stores —
+    # manifest stores commit additively and never park partitions in
+    # trash; strip the manifests to simulate a legacy store
+    for f in glob.glob(os.path.join(path, "_epoch.json")) + glob.glob(
+            os.path.join(path, "_manifest-*.json")):
+        os.remove(f)
     n_all = read_linkset(path).count()
 
     # simulate the crash window: one partition renamed into a staging

@@ -86,8 +86,17 @@ def test_end_to_end_ray_pipeline(ray_session, tmp_path):
     assert not df.duplicated(subset=["origin", "rel", "target", "attrs"]).any()
     # lineage present
     assert df["src_url"].str.startswith("https://example.org/page/").all()
-    # hive-partitioned column round-trips as string
-    assert {int(p) for p in df["part_id"].unique()} <= set(range(4))
+    # partition lineage lives in the store layout (build_kg now
+    # returns the manifest-aware read, which drops partition columns)
+    from versa_ray.model.store import pruned_fragments
+
+    store = os.path.join(out_dir, "stage=linkset")
+    pids = {
+        int(seg.split("=")[1])
+        for f in pruned_fragments(store)
+        for seg in f.split(os.sep) if seg.startswith("part_id=")
+    }
+    assert pids <= set(range(4)) and pids
     # entity linking annotated the head author's name link
     assert df["attrs"].str.contains("authority.example.org").any()
 

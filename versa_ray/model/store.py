@@ -292,6 +292,10 @@ def pruned_fragments(path: str, rel=None, origin=None, epoch=None):
     live files; legacy stores fall back to directory discovery."""
     if _current_epoch(path) is not None:
         return _manifest_files(path, epoch=epoch, rel=rel, origin=origin)
+    if epoch is not None:
+        raise ValueError(
+            "epoch requested but this store has no epoch manifests "
+            "(written before the epoch protocol)")
     import pyarrow.dataset as pads
 
     dataset = pads.dataset(path, partitioning="hive")
@@ -554,7 +558,13 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
     columns (or the requested subset)."""
     import ray.data as rd
 
-    _recover_staging(path)
+    manifest_mode = _current_epoch(path) is not None
+    if not manifest_mode:
+        # legacy dir-swap stores may need crash repair before
+        # discovery; manifest stores must NOT sweep here — a reader
+        # rmtree-ing a LIVE .staging-* would destroy an in-flight
+        # writer's staged files before its epoch commit
+        _recover_staging(path)
     read_cols = None
     if columns is not None:
         need = set(columns)
@@ -567,7 +577,6 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
         if attrs:
             need.add("attrs")
         read_cols = sorted(need)
-    manifest_mode = _current_epoch(path) is not None
     if rel is not None or origin is not None or manifest_mode:
         # manifest stores ALWAYS read the epoch's exact file list —
         # directory discovery would include unreferenced files from
@@ -580,6 +589,9 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
             return empty.select_columns(list(columns)) if columns else empty
         ds = rd.read_parquet(paths, columns=read_cols)
     else:
+        if epoch is not None:
+            raise ValueError(
+                "epoch requested but this store has no epoch manifests")
         ds = rd.read_parquet(path, columns=read_cols)
     have = set(ds.schema().names)
     drop = [c for c in _PART_COLS if c in have]
@@ -592,7 +604,7 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
     return ds
 
 
-def compact_linkset(path: str, max_files: int = 1):
+def compact_linkset(path: str, max_files: int = 1, vacuum_keep: int = 2):
     """Merge fragmented partitions back to at most ``max_files``
     parquet files each. Repeated ``update_linkset`` calls append a
     fresh file set per touched partition; at crawl cadence a hot
@@ -678,9 +690,12 @@ def compact_linkset(path: str, max_files: int = 1):
                  "partitions": _manifest_metrics(entries)},
                 f,
             )
-        # compaction is the GC point: older epochs' files (including
-        # the fragments just replaced) are reclaimed here
-        vacuum_linkset(path, keep_epochs=1)
+        # compaction is the default GC point, but keep the PREVIOUS
+        # epoch (vacuum_keep=2): a reader that resolved the
+        # pre-compact epoch must still find its files; pass
+        # vacuum_keep=1 only when no concurrent/time-travel readers
+        # exist
+        vacuum_linkset(path, keep_epochs=vacuum_keep)
         files_after = len(entries)
     else:
         _swap_staged_partitions(

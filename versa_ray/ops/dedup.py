@@ -1464,11 +1464,10 @@ def semantic_dedup(ds, threshold=0.95, k=16, n_iters=3,
     straddle a cluster boundary are NOT caught (inherent to the
     method; the near-threshold planted-twin gate in queries() shows
     twins co-cluster in practice)."""
-    from .similarity import kmeans_assign, kmeans_embeddings
+    from . import similarity as _sim
 
-    from ..ops import similarity as _sim
-
-    cents, _hist = kmeans_embeddings(
+    ds = ds.materialize()  # consumed by k-means iterations + the tag pass
+    cents, _hist = _sim.kmeans_embeddings(
         ds, k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col)
 
     import ray

@@ -454,6 +454,10 @@ def kmeans_embeddings(ds, k=8, n_iters=5, vec_col="embedding",
     iteration i — non-increasing up to floating-point noise."""
     import ray
 
+    # one materialization up front: the init sample plus every
+    # iteration re-consumes ds, and an un-materialized input would
+    # re-execute its whole upstream pipeline each time
+    ds = ds.materialize()
     cents = train_ivf_centroids(
         ds, n_cells=k, vec_col=vec_col, seed=seed)
     history = []

@@ -533,7 +533,11 @@ def build_kg_sharded(
             num_partitions=num_partitions,
         )
         _mark_complete(out_dir, "linkset", {"partitions": num_partitions, "shards": num_shards})
-    return rd.read_parquet(_stage_dir(out_dir, "linkset"))
+    from ..model.store import read_linkset
+
+    # manifest-aware read: a raw directory scan would double-read
+    # partitions superseded by a later update_kg epoch commit
+    return read_linkset(_stage_dir(out_dir, "linkset"))
 
 
 def build_kg(
@@ -557,7 +561,10 @@ def build_kg(
     os.makedirs(out_dir, exist_ok=True)
 
     if _complete(out_dir, "linkset"):
-        return rd.read_parquet(_stage_dir(out_dir, "linkset"))
+        from ..model.store import read_linkset
+
+        # manifest-aware resume read (see build_kg_sharded note)
+        return read_linkset(_stage_dir(out_dir, "linkset"))
 
     if _complete(out_dir, "extracted"):
         links = rd.read_parquet(_stage_dir(out_dir, "extracted"))
@@ -586,7 +593,9 @@ def build_kg(
         final, _stage_dir(out_dir, "linkset"), num_partitions=num_partitions
     )
     _mark_complete(out_dir, "linkset", {"partitions": num_partitions})
-    return rd.read_parquet(_stage_dir(out_dir, "linkset"))
+    from ..model.store import read_linkset
+
+    return read_linkset(_stage_dir(out_dir, "linkset"))
 
 
 def update_kg(pages_ds, store_dir, alias_table=None, concurrency=None,
