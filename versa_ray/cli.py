@@ -277,6 +277,16 @@ def cmd_kgupdate(args):
     ray.shutdown()
 
 
+def cmd_kgvacuum(args):
+    from .model.store import vacuum_linkset
+
+    stats = vacuum_linkset(args.store, keep_epochs=args.keep)
+    print(
+        f"# removed {stats['files_removed']} files, "
+        f"{stats['manifests_removed']} manifests"
+    )
+
+
 def cmd_corpusstats(args):
     import json as _json
 
@@ -381,6 +391,15 @@ def main(argv=None):
     p.add_argument("--check-text", action="store_true",
                    help="validate extracted text against the golden column")
     p.set_defaults(func=cmd_kgupdate)
+
+    p = sub.add_parser(
+        "kgvacuum",
+        help="garbage-collect store files unreferenced by recent epochs",
+    )
+    p.add_argument("store", help="linkset store directory")
+    p.add_argument("--keep", type=int, default=2,
+                   help="number of newest epochs to keep readable")
+    p.set_defaults(func=cmd_kgvacuum)
 
     p = sub.add_parser(
         "corpusstats",
