@@ -561,3 +561,54 @@ def test_recover_staging_after_crash(ray_session, tmp_path):
     # idempotent on a clean store
     _recover_staging(path)
     assert read_linkset(path).count() == n_all
+
+
+def test_store_randomized_update_replay(ray_session, tmp_path):
+    """Seeded randomized torture: a chain of overlapping deltas
+    applied via update_linkset must keep the store row-set equal to a
+    driver-side reference set after EVERY step, across an interleaved
+    compact and a final vacuum."""
+    import random
+
+    from versa_ray.model.store import (
+        compact_linkset, update_linkset, vacuum_linkset)
+
+    rng = random.Random(23)
+    path = str(tmp_path / "store")
+
+    def _mklinks(n, tag):
+        return [
+            (f"urn:r:{rng.randrange(30)}",
+             f"urn:rel:{rng.randrange(4)}",
+             f"{tag}-{rng.randrange(50)}")
+            for _ in range(n)
+        ]
+
+    base = _mklinks(60, "v")
+    write_linkset(linkset.from_links(base), path,
+                  num_rel_buckets=4, num_partitions=4)
+    ref = {(o, r, t) for o, r, t in base}
+
+    for step in range(5):
+        delta = _mklinks(rng.randrange(1, 25), "v")
+        update_linkset(path, linkset.from_links(delta))
+        ref |= {(o, r, t) for o, r, t in delta}
+        got = {
+            (r_.origin, r_.rel, r_.target)
+            for r_ in read_linkset(path).to_pandas().itertuples()
+        }
+        assert got == ref, f"divergence after step {step}"
+        if step == 2:
+            compact_linkset(path, max_files=1)
+            got = {
+                (r_.origin, r_.rel, r_.target)
+                for r_ in read_linkset(path).to_pandas().itertuples()
+            }
+            assert got == ref, "divergence after compact"
+
+    vacuum_linkset(path, keep_epochs=1)
+    got = {
+        (r_.origin, r_.rel, r_.target)
+        for r_ in read_linkset(path).to_pandas().itertuples()
+    }
+    assert got == ref
