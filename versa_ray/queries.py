@@ -775,6 +775,24 @@ def q_doc_split(sf_dir):
     return out.select_columns(["doc_id", "split"])
 
 
+GAZETTEER = {
+    "spark": "urn:gaz:spark",
+    "window": "urn:gaz:window",
+    "customer": "urn:gaz:customer",
+    "hash join": "urn:gaz:hash-join",
+}
+
+
+def q_doc_mentions(sf_dir):
+    """Gazetteer mention detection (the KG pipeline's batched
+    mention-detection stage) as an actor pool: patterns compiled once
+    per actor, vectorized presence tests per batch. Hash-checked
+    against a SQL oracle using the shared whole-token-run contract."""
+    from .ops.mentions import detect_mentions
+
+    return detect_mentions(_docs(sf_dir), GAZETTEER, concurrency=2)
+
+
 MIXTURE_RATES = {"src0": 0.25, "src1": 0.75}
 
 
@@ -1805,6 +1823,7 @@ def build_queries():
         "doc_tfidf": q_doc_tfidf,
         "doc_split": q_doc_split,
         "doc_mixture": q_doc_mixture,
+        "doc_mentions": q_doc_mentions,
         "doc_top_per_group": q_doc_top_per_group,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2175,6 +2194,19 @@ def build_oracles():
             "row_number() OVER (PARTITION BY qid "
             "ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
             "WHERE rank <= 10 ORDER BY qid, rank"
+        ),
+        # whole-token-run presence: Python uses lookarounds, RE2 here
+        # pads with '#' + character classes — equivalent for presence
+        "doc_mentions": (
+            "WITH gaz(surface, entity) AS (VALUES "
+            + ", ".join(
+                f"('{surf}', '{iri}')" for surf, iri in sorted(
+                    GAZETTEER.items())
+            )
+            + ") "
+            "SELECT d.doc_id, g.surface, g.entity FROM documents d, gaz g "
+            "WHERE regexp_matches('#' || lower(d.text) || '#', "
+            "'[^a-z0-9]' || g.surface || '[^a-z0-9]')"
         ),
         # per-source keep-rate boundaries from
         # ops.sample.mixture_bound_hex(MIXTURE_RATES)
