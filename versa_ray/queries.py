@@ -478,8 +478,11 @@ def q_miniquery_store(sf_dir):
             {"NAME": NAME, "SEG": SEGMENT},
         )
         # the bound-$a origin set (what conjunct 2's read receives)
-        # must prune origin partitions too
-        sample = set(list(result.get("a", set()))[:64]) or {"urn:none"}
+        # must prune origin partitions too — probe with a 3-origin
+        # subset (3 < 8 part_ids, so a working pruner MUST return a
+        # strict file subset; a large bound set legitimately covers
+        # every partition and proves nothing)
+        sample = set(sorted(result.get("a", set()))[:3]) or {"urn:none"}
         if not len(pruned_fragments(store, origin=sample)) < total:
             raise AssertionError("store mini-query: origin set did not prune")
     finally:
