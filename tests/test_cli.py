@@ -215,6 +215,10 @@ def test_kgcompact_cli(tmp_path):
     r = _run(["kgcompact", str(store)])
     assert r.returncode == 0, r.stderr
     assert "compacted" in r.stdout and "-> " in r.stdout
+    # epoch GC: vacuum to the newest epoch only reclaims snapshots
+    r = _run(["kgvacuum", str(store), "--keep", "1"])
+    assert r.returncode == 0, r.stderr
+    assert "removed" in r.stdout
 
 
 def test_curate_cli(tmp_path):
