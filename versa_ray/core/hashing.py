@@ -35,7 +35,7 @@ import struct
 from collections import OrderedDict
 
 from .mmh3 import hash64_signed
-from .irihelpers import I, absolutize, is_absolute
+from .irihelpers import I, is_absolute
 
 VERSA_BASEIRI = I("http://bibfra.me/purl/versa/")
 VTYPE_REL = I(VERSA_BASEIRI + "type")

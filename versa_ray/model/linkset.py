@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core import EMPTY_ATTRS, I, VTYPE_REL, attrs_to_json
-from ..core.canon import LINK_COLUMNS, LINK_SCHEMA, link_to_row
+from ..core.canon import LINK_SCHEMA, link_to_row
 
 QUAD_COLS = ["origin", "rel", "target", "target_is_iri", "attrs"]
 

@@ -17,7 +17,6 @@ object store spill rather than inflating worker heaps.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(

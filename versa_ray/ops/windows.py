@@ -10,7 +10,6 @@ relying on per-key locality, not global order.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 

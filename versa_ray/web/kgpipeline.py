@@ -35,7 +35,7 @@ from ..core.canon import LINK_SCHEMA
 from ..model.linkset import distinct_links
 from ..model.micro import MicroModel
 from ..pipeline import follow, generic_pipeline, link, lookup, materialize
-from .extract import extract_both, extract_rdfa, extract_text
+from .extract import extract_both, extract_rdfa
 
 SCH = I("https://schema.org/")
 BF = I("http://bibfra.me/vocab/lite/")

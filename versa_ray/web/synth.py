@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import datetime
 
-import numpy as np
 import pyarrow as pa
 
 from ..core.mmh3 import hash128_x64
