@@ -215,10 +215,22 @@ def test_kgcompact_cli(tmp_path):
     r = _run(["kgcompact", str(store)])
     assert r.returncode == 0, r.stderr
     assert "compacted" in r.stdout and "-> " in r.stdout
-    # epoch GC: vacuum to the newest epoch only reclaims snapshots
+    # epoch GC: vacuum to the newest epoch reclaims the pre-compact
+    # snapshot (the store has >= 2 epochs after update + compact)
     r = _run(["kgvacuum", str(store), "--keep", "1"])
     assert r.returncode == 0, r.stderr
-    assert "removed" in r.stdout
+    import re as _re
+
+    m = _re.search(r"removed (\d+) files, (\d+) manifests", r.stdout)
+    assert m and int(m.group(1)) >= 1 and int(m.group(2)) >= 1
+    # store still fully readable after GC
+    r = _run(["kgmatch", str(store), "--rel", "http://ex.org/name",
+              "--limit", "1"])
+    assert r.returncode == 0, r.stderr
+    assert "# 21 links" in r.stdout  # 20 base + 1 update survive
+    # keep < 1 must refuse, not wipe
+    r = _run(["kgvacuum", str(store), "--keep", "0"])
+    assert r.returncode != 0
 
 
 def test_curate_cli(tmp_path):

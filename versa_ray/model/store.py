@@ -257,6 +257,10 @@ def vacuum_linkset(path: str, keep_epochs: int = 1) -> dict:
     "manifests_removed"}."""
     import glob as _glob
 
+    if int(keep_epochs) < 1:
+        # keep_epochs=0 would compute an EMPTY keep set and delete
+        # every live file and manifest — a typo must not wipe a store
+        raise ValueError("vacuum_linkset: keep_epochs must be >= 1")
     cur = _current_epoch(path)
     if cur is None:
         return {"files_removed": 0, "manifests_removed": 0}

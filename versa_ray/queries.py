@@ -778,6 +778,17 @@ def q_doc_split(sf_dir):
     return out.select_columns(["doc_id", "split"])
 
 
+
+_RE2_META = set("\\^$.|?*+()[]{}")
+
+
+def _re2_escape(text: str) -> str:
+    """Minimal regex escape for the DuckDB (RE2) oracle side: RE2
+    rejects unknown escapes, so only true metacharacters get a
+    backslash (re.escape escapes spaces etc., which RE2 errors on)."""
+    return "".join(
+        ("\\" + c) if c in _RE2_META else c for c in text)
+
 GAZETTEER = {
     "spark": "urn:gaz:spark",
     "window": "urn:gaz:window",
@@ -2201,15 +2212,19 @@ def build_oracles():
         # whole-token-run presence: Python uses lookarounds, RE2 here
         # pads with '#' + character classes — equivalent for presence
         "doc_mentions": (
-            "WITH gaz(surface, entity) AS (VALUES "
+            "WITH gaz(surface, pat, entity) AS (VALUES "
             + ", ".join(
-                f"('{surf}', '{iri}')" for surf, iri in sorted(
-                    GAZETTEER.items())
+                "('{}', '{}', '{}')".format(
+                    surf.lower().replace("'", "''"),
+                    _re2_escape(surf.lower()).replace("'", "''"),
+                    iri.replace("'", "''"),
+                )
+                for surf, iri in sorted(GAZETTEER.items())
             )
             + ") "
             "SELECT d.doc_id, g.surface, g.entity FROM documents d, gaz g "
             "WHERE regexp_matches('#' || lower(d.text) || '#', "
-            "'[^a-z0-9]' || g.surface || '[^a-z0-9]')"
+            "'[^a-z0-9]' || g.pat || '[^a-z0-9]')"
         ),
         # per-source keep-rate boundaries from
         # ops.sample.mixture_bound_hex(MIXTURE_RATES)
