@@ -1794,57 +1794,12 @@ def q_multimodal_features(sf_dir):
 
 
 def build_queries():
+    # Registration order matters: the correctness driver checks roughly the
+    # first ~50 entries per round, so queries that have never received a
+    # driver row are registered FIRST (rounds 1-3 verified the long-green
+    # block at the end; see CORRECTNESS_r0{1,2,3}.json).
     return {
-        "links_all": q_links_all,
-        "links_match_rel": q_links_match_rel,
-        "links_multimatch": q_links_multimatch,
-        "links_match_attrs": q_links_match_attrs,
-        "links_dedup": q_links_dedup,
-        "links_store_match_rel": q_links_store_match_rel,
-        "links_store_incremental": q_links_store_incremental,
-        "links_all_origins": q_links_all_origins,
-        "links_origins_of_type": q_links_origins_of_type,
-        "links_column_targets": q_links_column_targets,
-        "links_follow2": q_links_follow2,
-        "links_join_hop": q_links_join_hop,
-        "links_zoom": q_links_zoom,
-        "links_replace_values": q_links_replace_values,
-        "links_duplicate_statements": q_links_duplicate_statements,
-        "links_out_degrees": q_links_out_degrees,
-        "kg_pagerank": q_kg_pagerank,
-        "graph_wcc": q_graph_wcc,
-        "kg_type_entailment": q_kg_type_entailment,
-        "links_shacl": q_links_shacl,
-        "links_jsonld_nested": q_links_jsonld_nested,
-        "miniquery_conj": q_miniquery_conj,
-        "miniquery_store": q_miniquery_store,
-        "transitive_closure": q_transitive_closure,
-        "csv_template_links": q_csv_template_links,
-        "literate_corpus": q_literate_corpus,
-        "nt_roundtrip": q_nt_roundtrip,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_incremental_dedup": q_doc_incremental_dedup,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_uniform_sample": q_doc_uniform_sample,
-        "doc_contamination": q_doc_contamination,
-        "doc_norm_text": q_doc_norm_text,
-        "doc_chunks": q_doc_chunks,
-        "doc_curation": q_doc_curation,
-        "doc_gopher_quality": q_doc_gopher_quality,
-        "doc_top_tokens": q_doc_top_tokens,
-        "doc_bm25": q_doc_bm25,
-        "doc_tfidf": q_doc_tfidf,
-        "doc_split": q_doc_split,
-        "doc_mixture": q_doc_mixture,
-        "doc_mentions": q_doc_mentions,
-        "doc_top_per_group": q_doc_top_per_group,
-        "doc_lang_counts": q_doc_lang_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_minhash_dedup": q_doc_minhash_dedup,
-        "doc_near_dup_pairs": q_doc_near_dup_pairs,
-        "doc_simhash": q_doc_simhash,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
+        # --- never driver-checked before round 4 ---
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
         "doc_lm_perplexity": q_doc_lm_perplexity,
@@ -1874,6 +1829,58 @@ def build_queries():
         "orders_by_segment": q_orders_by_segment,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
+        # --- formerly no-oracle; fresh oracles added round 4 ---
+        "kg_pagerank": q_kg_pagerank,
+        "links_jsonld_nested": q_links_jsonld_nested,
+        "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        # --- green in CORRECTNESS_r03 (rows+schema+hash) ---
+        "links_all": q_links_all,
+        "links_match_rel": q_links_match_rel,
+        "links_multimatch": q_links_multimatch,
+        "links_match_attrs": q_links_match_attrs,
+        "links_dedup": q_links_dedup,
+        "links_store_match_rel": q_links_store_match_rel,
+        "links_store_incremental": q_links_store_incremental,
+        "links_all_origins": q_links_all_origins,
+        "links_origins_of_type": q_links_origins_of_type,
+        "links_column_targets": q_links_column_targets,
+        "links_follow2": q_links_follow2,
+        "links_join_hop": q_links_join_hop,
+        "links_zoom": q_links_zoom,
+        "links_replace_values": q_links_replace_values,
+        "links_duplicate_statements": q_links_duplicate_statements,
+        "links_out_degrees": q_links_out_degrees,
+        "graph_wcc": q_graph_wcc,
+        "kg_type_entailment": q_kg_type_entailment,
+        "links_shacl": q_links_shacl,
+        "miniquery_conj": q_miniquery_conj,
+        "miniquery_store": q_miniquery_store,
+        "transitive_closure": q_transitive_closure,
+        "csv_template_links": q_csv_template_links,
+        "literate_corpus": q_literate_corpus,
+        "nt_roundtrip": q_nt_roundtrip,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_uniform_sample": q_doc_uniform_sample,
+        "doc_contamination": q_doc_contamination,
+        "doc_norm_text": q_doc_norm_text,
+        "doc_chunks": q_doc_chunks,
+        "doc_curation": q_doc_curation,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "doc_top_tokens": q_doc_top_tokens,
+        "doc_bm25": q_doc_bm25,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_split": q_doc_split,
+        "doc_mixture": q_doc_mixture,
+        "doc_mentions": q_doc_mentions,
+        "doc_top_per_group": q_doc_top_per_group,
+        "doc_lang_counts": q_doc_lang_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_near_dup_pairs": q_doc_near_dup_pairs,
     }
 
 
