@@ -371,3 +371,99 @@ def test_update_kg_incremental_replay(ray_session, tmp_path):
     b = inc[key].sort_values(key, ignore_index=True)
     assert a.equals(b)
     assert stats2["rows_after"] == len(batch)
+
+
+def test_entity_scorer_trigram_index_matches_linear_scan():
+    """The per-actor inverted trigram index must reproduce the naive
+    O(|table|) linear scan exactly — same best IRI, same score, same
+    first-wins tie-break — on a large random alias table."""
+    import random
+
+    from versa_ray.web.kgpipeline import EntityScorer, char_trigrams
+
+    rng = random.Random(404)
+    first = ["alice", "bob", "carol", "dan", "erin", "frank", "grace", "heidi"]
+    last = ["smith", "jones", "brown", "davis", "miller", "wilson", "moore",
+            "taylor", "thomas", "lee"]
+    alias = {}
+    for i in range(3000):
+        nm = "%s %s %d" % (rng.choice(first), rng.choice(last), i % 37)
+        alias.setdefault(nm, "https://auth.example.org/p/%d" % i)
+
+    def linear(scorer_table, name, threshold):
+        best, best_iri = 0.0, None
+        grams = char_trigrams(name)
+        for aname, airi in scorer_table.items():
+            agrams = char_trigrams(aname)
+            inter = len(grams & agrams)
+            if not inter:
+                continue
+            j = inter / (len(grams) + len(agrams) - inter)
+            if j > best:
+                best, best_iri = j, airi
+        return (best_iri, best) if best >= threshold else (None, best)
+
+    sc = EntityScorer(alias_table=alias, threshold=0.6)
+    probes = (
+        list(alias)[:50]                                  # exact hits
+        + ["alice smith", "zzq", "", "dan lee 5", "FRANK MOORE 12",
+           "heidi taylor", "bob jones 99", "no such person at all"]
+        + ["%s %s %d" % (rng.choice(first), rng.choice(last), i % 41)
+           for i in range(60)]                            # near hits
+    )
+    matched = 0
+    for name in probes:
+        got = sc.score(name)
+        want = linear(alias, name, 0.6)
+        # contract: identical (iri, score) for every at-or-above-threshold
+        # match; below threshold both must report no match (the unused
+        # sub-threshold byproduct score may differ — prefix filtering)
+        assert got[0] == want[0], (name, got, want)
+        if want[0] is not None:
+            matched += 1
+            assert abs(got[1] - want[1]) < 1e-12, (name, got, want)
+    assert matched >= 50  # the probe set must actually exercise matches
+
+
+def test_entity_scorer_scales_to_100k_aliases():
+    """At a production-sized alias table (100k realistic names) the
+    indexed scorer must stay fast: prefix-filtered candidate scoring,
+    not a full-table scan per name. Budget is generous (CI noise) but
+    a linear scan (~100k x 2k = 2e8 set intersections) would blow it
+    by >50x."""
+    import random
+    import time
+
+    from versa_ray.web.kgpipeline import EntityScorer
+
+    rng = random.Random(77)
+    syll = ["an", "bel", "cor", "dra", "el", "fin", "gor", "hai", "il",
+            "jo", "ka", "lu", "mor", "ne", "ol", "pra", "qu", "rin",
+            "sa", "tor", "ul", "ve", "wen", "xi", "yo", "zu"]
+
+    def name():
+        return "%s %s" % (
+            "".join(rng.choice(syll) for _ in range(rng.randint(2, 4))),
+            "".join(rng.choice(syll) for _ in range(rng.randint(2, 4))),
+        )
+
+    alias = {}
+    while len(alias) < 100_000:
+        alias.setdefault(name(), "https://a.example/p/%d" % len(alias))
+    names = list(alias)
+
+    t0 = time.monotonic()
+    sc = EntityScorer(alias_table=alias, threshold=0.6)
+    build_s = time.monotonic() - t0
+
+    probes = (
+        [names[i * 97 % 100_000] for i in range(700)]          # exact hits
+        + [names[i * 31 % 100_000] + "x" for i in range(700)]  # near hits
+        + [name() + " zz" for _ in range(600)]                 # mostly misses
+    )
+    t0 = time.monotonic()
+    hits = sum(1 for p in probes if sc.score(p)[0] is not None)
+    score_s = time.monotonic() - t0
+    assert hits >= 1400, hits
+    assert build_s < 30, build_s
+    assert score_s < 20, score_s

@@ -216,36 +216,135 @@ class EntityScorer:
     authority IRI + score attributes. Deterministic, cheap stand-in
     for a model-based scorer; the Ray plumbing (broadcast once, score
     per batch, actor reuse) is the part that matters at scale.
+
+    Matching is backed by a per-actor prefix-filtered inverted
+    trigram index built once in __init__ (AllPairs/PPJoin-style):
+    trigrams are globally ordered rarest-first by document frequency
+    over the alias table, and each alias of n trigrams indexes only
+    its prefix of n - ceil(t*n) + 1 rarest grams. A mention probes
+    the posting lists of its own rare-first prefix; exact Jaccard
+    runs only on the candidates. The prefix-filter theorem
+    guarantees any alias with Jaccard >= threshold shares a prefix
+    gram with the mention, so every at-or-above-threshold match of
+    the naive O(|table|) scan is found, with the same first-wins
+    tie-break (candidates evaluated in ascending insertion id). The
+    only divergence is the UNUSED sub-threshold byproduct: score()
+    reports the best score among candidates, which may be lower than
+    the true global best when that best is < threshold (no (iri,
+    score) annotation is emitted either way). Gram sets are stored
+    as dense int32 ids in one concatenated buffer + offsets, so a
+    10^5-10^7-alias production authority file stays compact and
+    per-name cost is O(candidates), not O(|table|).
     """
 
     NAME_REL = str(BF("name"))
 
     def __init__(self, alias_ref=None, alias_table=None, threshold=0.6):
+        import math
+
         import ray
 
         table = ray.get(alias_ref) if alias_ref is not None else (alias_table or {})
-        self.authorities = [(name, iri, char_trigrams(name)) for name, iri in table.items()]
         self.threshold = threshold
         # mention strings repeat heavily (head entities); memoize per actor
         self._memo: dict = {}
+        self._iris: list = [iri for iri in table.values()]
+
+        # pass 1: gram document frequencies over the alias table
+        gram_sets = [char_trigrams(name) for name in table]
+        df: dict = {}
+        for grams in gram_sets:
+            for g in grams:
+                df[g] = df.get(g, 0) + 1
+        # global order = rarest first (df, gram); dense vocab id IS the rank
+        self._vocab = {
+            g: i for i, g in enumerate(sorted(df, key=lambda g: (df[g], g)))
+        }
+        self._df = df
+
+        # pass 2: per-alias sorted id arrays (one buffer + offsets) and
+        # prefix postings
+        t = threshold
+        offsets = [0]
+        ids_buf: list = []
+        postings: dict = {}
+        for idx, grams in enumerate(gram_sets):
+            ids = sorted(self._vocab[g] for g in grams)
+            ids_buf.extend(ids)
+            offsets.append(len(ids_buf))
+            n = len(ids)
+            prefix = n - math.ceil(t * n) + 1 if n else 0
+            for gid in ids[:prefix]:
+                postings.setdefault(gid, []).append(idx)
+        self._ids = np.asarray(ids_buf, dtype=np.int32)
+        self._offsets = np.asarray(offsets, dtype=np.int64)
+        self._postings = {
+            gid: np.asarray(lst, dtype=np.int64) for gid, lst in postings.items()
+        }
+
+    @property
+    def authorities(self):
+        # truthiness probe used by __call__ / tests: "is the table non-empty"
+        return self._iris
 
     def score(self, name: str):
+        import math
+
         hit = self._memo.get(name)
         if hit is not None:
             return hit
-        best, best_iri = 0.0, None
         grams = char_trigrams(name)
-        for aname, airi, agrams in self.authorities:
-            inter = len(grams & agrams)
-            if not inter:
-                continue
-            j = inter / (len(grams) + len(agrams) - inter)
-            if j > best:
-                best, best_iri = j, airi
+        n = len(grams)
+        best, best_iri = 0.0, None
+        if n and self._iris:
+            # mention prefix in the SAME global order (unseen grams have
+            # df 0 and legitimately occupy the rarest prefix slots; they
+            # have no postings so they just probe nothing)
+            prefix = n - math.ceil(self.threshold * n) + 1
+            ordered = sorted(grams, key=lambda g: (self._df.get(g, 0), g))
+            lists = []
+            for g in ordered[:prefix]:
+                gid = self._vocab.get(g)
+                if gid is not None and gid in self._postings:
+                    lists.append(self._postings[gid])
+            if lists:
+                cands = np.unique(np.concatenate(lists))
+                qids = [self._vocab[g] for g in grams if g in self._vocab]
+                # size filter: J >= t forces t*n <= |alias| <= n/t
+                starts = self._offsets[cands]
+                ends = self._offsets[cands + 1]
+                asizes = ends - starts
+                keep = (asizes * self.threshold <= n) & (
+                    asizes >= self.threshold * n
+                )
+                cands, starts, ends, asizes = (
+                    cands[keep], starts[keep], ends[keep], asizes[keep]
+                )
+                if len(cands):
+                    # ragged gather of all candidate gram ids at once,
+                    # then per-candidate intersection counts via reduceat
+                    # — no Python loop even when a hot bucket yields many
+                    # genuine near-matches
+                    lens = asizes
+                    total = int(lens.sum())
+                    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    gather = np.arange(total, dtype=np.int64) + np.repeat(
+                        starts - cum, lens
+                    )
+                    qmask = np.zeros(len(self._vocab), dtype=bool)
+                    qmask[qids] = True
+                    hits = qmask[self._ids[gather]]
+                    inter = np.add.reduceat(hits, cum)
+                    j = inter / (n + lens - inter)
+                    k = int(np.argmax(j))
+                    if inter[k]:
+                        best = float(j[k])
+                        best_iri = self._iris[int(cands[k])]
         out = (best_iri, best) if best >= self.threshold else (None, best)
         if len(self._memo) < 1_000_000:
             self._memo[name] = out
         return out
+
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
