@@ -467,3 +467,56 @@ def test_entity_scorer_scales_to_100k_aliases():
     assert hits >= 1400, hits
     assert build_s < 30, build_s
     assert score_s < 20, score_s
+
+
+def test_replace_values_ds_rewrites_attr_values(ray_session):
+    """The distributed rewrite must match the broadcast one on ALL
+    three surfaces — origin, target, AND entity IRIs appearing as
+    attr values (the at-scale semantic fork flagged in round 3)."""
+    import ray.data as rd
+
+    from versa_ray.model.linkset import (
+        from_links,
+        replace_values,
+        replace_values_ds,
+    )
+
+    e1 = "https://corp.example/ent/1"
+    e2 = "https://corp.example/ent/2"
+    a1 = "https://authority.example.org/person/1"
+    a2 = "https://authority.example.org/person/2"
+    links = from_links(
+        [
+            (e1, "http://bibfra.me/vocab/lite/name", "Alice",
+             {"@authority": a1, "seeAlso": e2}),
+            (e2, "http://bibfra.me/vocab/lite/name", "Bob",
+             {"@authority": a2}),
+            ("https://site.example/doc", "http://bibfra.me/vocab/lite/creator",
+             e1, {"note": "by " + "someone", "ref": e1}),
+            (e2, "http://bibfra.me/vocab/lite/related", e1, None),
+            ("https://site.example/doc2", "http://bibfra.me/vocab/lite/title",
+             "plain", {"lang": "en"}),
+        ]
+    )
+    mapping = {e1: a1, e2: a2}
+    mapping_ds = rd.from_items(
+        [{"entity": k, "authority": v} for k, v in mapping.items()]
+    )
+
+    key = ["origin", "rel", "target", "attrs"]
+    lhs = (
+        replace_values(links, mapping)
+        .to_pandas()[key]
+        .sort_values(key, ignore_index=True)
+    )
+    rhs = (
+        replace_values_ds(links, mapping_ds, num_buckets=4)
+        .to_pandas()[key]
+        .sort_values(key, ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(lhs, rhs)
+    # and the rewrite actually touched an attrs value
+    assert rhs["attrs"].str.contains(a2.replace("/", "/")).any()
+    assert not rhs["attrs"].str.contains("corp.example").any()

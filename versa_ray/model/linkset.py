@@ -469,8 +469,14 @@ def replace_values_ds(ds, mapping_ds, num_buckets=64):
     This form keeps the mapping distributed: two bucket-merge passes
     rewrite ``origin`` then ``target``, each shuffling on a small hash
     bucket of the join key (links and mapping rows co-bucketed, pandas
-    merge inside the bucket). Attr-VALUE rewriting (rare path) is not
-    applied here — use the broadcast form when the mapping fits."""
+    merge inside the bucket). Attr-VALUE rewriting is applied too, so
+    the result is semantically identical to ``replace_values``: the
+    distinct attrs strings are exploded to (attrs, value) pairs,
+    bucket-joined against the mapping on the value, rebuilt into an
+    (attrs -> new attrs) translation table, and applied with the same
+    bucket-merge pass keyed on the attrs column. The extra passes are
+    skipped entirely when no attrs value matches the mapping (the
+    common case — the translation table is tiny and checked first)."""
     # schema() on a lazy non-read Dataset executes it for one row;
     # use the cached/inferable schema when available and pay the
     # one-row probe only when it is not (extra columns beyond the
@@ -501,9 +507,11 @@ def replace_values_ds(ds, mapping_ds, num_buckets=64):
 
         return _fn
 
-    def _rewrite_pass(links, key_col):
+    def _rewrite_pass(links, key_col, mapping=None):
         both = links.map_batches(_link_rows(key_col), batch_format="pandas").union(
-            mapping_ds.map_batches(_mapping_rows, batch_format="pandas")
+            (mapping if mapping is not None else mapping_ds).map_batches(
+                _mapping_rows, batch_format="pandas"
+            )
         )
 
         def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -532,7 +540,132 @@ def replace_values_ds(ds, mapping_ds, num_buckets=64):
             .map_groups(_apply, batch_format="pandas")
         )
 
-    return _rewrite_pass(_rewrite_pass(ds, "origin"), "target")
+    def _attrs_translation(links):
+        """Distributed (attrs -> rewritten attrs) translation table.
+
+        Explodes DISTINCT attrs strings into (attrs, value) pairs,
+        bucket-joins the pairs against the mapping on the value, and
+        rebuilds each matched attrs string with the same top-level
+        string-value substitution the broadcast form applies."""
+        import json as _json
+
+        def _explode(df: pd.DataFrame) -> pd.DataFrame:
+            astr, vals = [], []
+            seen = set()
+            for s in df["attrs"]:
+                if not s or s == EMPTY_ATTRS or s in seen:
+                    continue
+                seen.add(s)
+                try:
+                    d = _json.loads(s)
+                except ValueError:
+                    continue
+                for v in d.values():
+                    if isinstance(v, str):
+                        astr.append(s)
+                        vals.append(v)
+            return pd.DataFrame(
+                {
+                    "_astr": pd.Series(astr, dtype=object),
+                    "_key": pd.Series(vals, dtype=object),
+                    "_kind": np.zeros(len(astr), dtype=np.int8),
+                    "_mval": pd.Series([""] * len(astr), dtype=object),
+                }
+            )
+
+        def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
+            if "entity" not in df.columns or not len(df):
+                return pd.DataFrame(
+                    {
+                        "_astr": pd.Series([], dtype=object),
+                        "_key": pd.Series([], dtype=object),
+                        "_kind": pd.Series([], dtype="int8"),
+                        "_mval": pd.Series([], dtype=object),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "_astr": pd.Series([""] * len(df), dtype=object),
+                    "_key": df["entity"].astype(str).to_numpy(),
+                    "_kind": np.ones(len(df), dtype=np.int8),
+                    "_mval": df["authority"].astype(str).to_numpy(),
+                }
+            )
+
+        both = links.map_batches(_explode, batch_format="pandas").union(
+            mapping_ds.map_batches(_map_rows, batch_format="pandas")
+        )
+
+        def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_cbucket"] = (
+                pd.util.hash_pandas_object(df["_key"], index=False) % num_buckets
+            ).astype("int32")
+            return df
+
+        empty_hits = pd.DataFrame(
+            {
+                "_astr": pd.Series([], dtype=object),
+                "_key": pd.Series([], dtype=object),
+                "_mval": pd.Series([], dtype=object),
+            }
+        )
+
+        def _hits(bucket: pd.DataFrame) -> pd.DataFrame:
+            if "_key" not in bucket.columns or not len(bucket):
+                return empty_hits
+            mp = bucket[bucket["_kind"] == 1].drop_duplicates("_key")
+            pr = bucket[bucket["_kind"] == 0]
+            if not len(mp) or not len(pr):
+                return empty_hits
+            got = pr["_key"].map(dict(zip(mp["_key"], mp["_mval"])))
+            sel = got.notna()
+            if not sel.any():
+                return empty_hits
+            return pd.DataFrame(
+                {
+                    "_astr": pr["_astr"][sel].to_numpy(),
+                    "_key": pr["_key"][sel].to_numpy(),
+                    "_mval": got[sel].to_numpy(),
+                }
+            )
+
+        matched = (
+            both.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_hits, batch_format="pandas")
+        )
+
+        def _rebuild(grp: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_n = [], []
+            if "_astr" in grp.columns:
+                for s, g in grp.groupby("_astr"):
+                    d = _json.loads(s)
+                    rm = dict(zip(g["_key"], g["_mval"]))
+                    d2 = {
+                        k: rm.get(v, v) if isinstance(v, str) else v
+                        for k, v in d.items()
+                    }
+                    if d2 != d:
+                        out_a.append(s)
+                        out_n.append(attrs_to_json(d2))
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series(out_a, dtype=object),
+                    "authority": pd.Series(out_n, dtype=object),
+                }
+            )
+
+        return matched.groupby("_astr").map_groups(_rebuild, batch_format="pandas")
+
+    out = _rewrite_pass(_rewrite_pass(ds, "origin"), "target")
+    if "attrs" in link_cols:
+        # attrs strings are untouched by the origin/target passes, so the
+        # translation computed from the input applies verbatim to `out`
+        tx = _attrs_translation(ds).materialize()
+        if tx.count():
+            out = _rewrite_pass(out, "attrs", mapping=tx)
+    return out
 
 
 def duplicate_statements(ds, oldorigin, neworigin):

@@ -498,17 +498,9 @@ def canonicalize_authorities(links_ds, num_buckets=None,
         pairs = pairs_ds.to_pandas()
         mapping = dict(zip(pairs["entity"], pairs["authority"]))
         return distinct_links(replace_values(links_ds, mapping))
-    import warnings
-
-    warnings.warn(
-        f"canonicalize_authorities: mapping has {n_pairs} pairs "
-        f"(> broadcast_threshold={broadcast_threshold}); using the "
-        "distributed rewrite, which does NOT rewrite entity IRIs "
-        "inside attrs JSON values (the broadcast path does). Raise "
-        "broadcast_threshold if attr-value canonicalization matters "
-        "and the mapping still fits in worker memory.",
-        stacklevel=2,
-    )
+    # the distributed rewrite is semantically identical to the
+    # broadcast one (origin, target AND attrs values) — equality-tested
+    # across the threshold in tests/test_web_kg.py
     return distinct_links(replace_values_ds(links_ds, pairs_ds))
 
 
