@@ -307,9 +307,12 @@ def q_links_out_degrees(sf_dir):
 
 def q_kg_pagerank(sf_dir):
     """PageRank over the linkset's IRI-target entity graph (iterative,
-    one fused bucket shuffle per round — not SQL-expressible).
-    Self-gated: ranks must sum to 1 and the most-referenced entities
-    (nations/regions) must outrank leaf customers."""
+    one fused bucket shuffle per round). Self-gated (ranks sum to 1;
+    most-referenced entities outrank leaf customers) AND hash-checked
+    against a DuckDB oracle that replays the identical fixed-iteration
+    recurrence with unrolled CTE steps (same damping, dangling-mass
+    reinjection, parallel-edge multiplicity); ranks rounded to 8
+    decimals on both sides to absorb summation-order float drift."""
     from .ops.graph import pagerank
 
     out = pagerank(tpch_linkset(sf_dir), n_iters=10).to_pandas()
@@ -325,7 +328,7 @@ def q_kg_pagerank(sf_dir):
     )
     if some_nation <= some_customer:
         raise AssertionError("nations must outrank leaf customers")
-    out["rank"] = out["rank"].round(9)
+    out["rank"] = out["rank"].round(8)
     return out.sort_values("node", ignore_index=True)
 
 
@@ -385,10 +388,14 @@ def q_links_shacl(sf_dir):
 
 def q_links_jsonld_nested(sf_dir):
     """Distributed INLINED JSON-LD binder over the linkset (iterative
-    leaf-inlining shuffle — not SQL-expressible). Self-gated by
-    exactness: the nested output, flattened back to (id, key, value)
-    triples, must equal the triple set derived directly from the
-    deduped links; raises on any lost/duplicated/misplaced edge."""
+    leaf-inlining shuffle). Self-gated by exactness: the nested
+    output, flattened back to (id, key, value) triples, must equal
+    the triple set derived directly from the deduped links; raises on
+    any lost/duplicated/misplaced edge. RETURNS that flattened triple
+    set (the nested JSON itself is not SQL-expressible, but its exact
+    expansion is), so the DuckDB oracle independently rebuilds the
+    same triples from the relational linkset — a failure in the
+    binder now trips BOTH the self-gate and the external hash."""
     import json
 
     from .core import RDF_TYPE_REL
@@ -430,10 +437,14 @@ def q_links_jsonld_nested(sf_dir):
             f"nested binder expansion drift: {len(got - want)} extra, "
             f"{len(want - got)} missing triples"
         )
-    out = pd.DataFrame(
-        {"origin": [r["origin"] for r in rows], "node": [r["node"] for r in rows]}
+    trip = sorted(got)
+    return pd.DataFrame(
+        {
+            "origin": [t[0] for t in trip],
+            "pred": [t[1] for t in trip],
+            "target": [t[2] for t in trip],
+        }
     )
-    return out.sort_values("origin", ignore_index=True)
 
 
 def q_miniquery_conj(sf_dir):
@@ -1884,9 +1895,59 @@ def build_queries():
     }
 
 
+def _pagerank_sql(n_iters=10, damping=0.85):
+    """DuckDB replay of ops.graph.pagerank with the iteration count
+    UNROLLED into CTE steps (aggregation inside a recursive CTE member
+    is not portable SQL): r0 = 1/N over the src+dst node set; step k
+    computes r_k = (1-d)/N + d*(inflow_k + dangling(r_{k-1})/N) where
+    inflow sums r_{k-1}/out_degree over edge ROWS (parallel edges
+    count, as in _iri_edges) and dangling is the previous ranks' mass
+    on zero-out-degree nodes. n_iters=10 in the engine means the
+    first loop iteration emits r0 unchanged, then 9 updates — so the
+    oracle emits r9. Rounded to 8 decimals to absorb summation-order
+    float drift (both sides round identically)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, n_iters):
+        steps.append(
+            f"r{k} AS MATERIALIZED (SELECT n.node, (1 - {damping})/m.n + {damping} * "
+            f"(COALESCE(f.inflow, 0) + dg.mass/m.n) AS rank "
+            f"FROM nodes n CROSS JOIN meta m "
+            f"LEFT JOIN (SELECT e.dst AS node, SUM(p.rank / dd.d) AS inflow "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src "
+            f"JOIN deg dd ON dd.src = e.src GROUP BY e.dst) f USING (node) "
+            f"CROSS JOIN (SELECT COALESCE(SUM(p.rank), 0) AS mass "
+            f"FROM {prev} p LEFT JOIN deg dd ON dd.src = p.node "
+            f"WHERE dd.src IS NULL) dg)"
+        )
+        prev = f"r{k}"
+    return (
+        f"WITH links AS ({LINKSET_SQL}), "
+        "edges AS MATERIALIZED (SELECT origin AS src, target AS dst FROM links "
+        "WHERE target_is_iri AND target IS NOT NULL), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d "
+        "FROM edges GROUP BY src), "
+        "meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM meta) AS rank FROM nodes), "
+        + ", ".join(steps)
+        + f" SELECT node, round(rank, 8) AS rank FROM {prev} ORDER BY node"
+    )
+
+
 def build_oracles():
     L = f"WITH links AS ({LINKSET_SQL})"
     return {
+        "kg_pagerank": _pagerank_sql(n_iters=10, damping=0.85),
+        # the binder query returns its nested output FLATTENED back to
+        # (origin, pred, target) triples (self-gated exact vs the
+        # deduped links); SQL rebuilds the same triples relationally
+        "links_jsonld_nested": (
+            f"{L} SELECT DISTINCT origin, CASE WHEN rel = '{TYPE}' "
+            "THEN '@type' ELSE rel END AS pred, target FROM links "
+            "ORDER BY origin, pred, target"
+        ),
         "links_all": f"{L} SELECT * FROM links",
         "links_match_rel": f"{L} SELECT * FROM links WHERE rel = '{NAME}'",
         "links_multimatch": (
