@@ -149,6 +149,31 @@ def _hash_words(words):
     ).to_numpy()
 
 
+def _hash_words_md5(words):
+    """md5-based 64-bit word hashes (little-endian first 8 digest
+    bytes == DuckDB's md5_number_upper), so a SQL oracle can replay
+    signatures bit-exactly. Slower than the pandas C hash — hashing
+    runs once per UNIQUE word per batch; use for oracle-checked
+    surfaces, keep the default hash for production throughput."""
+    import hashlib
+
+    if not len(words):
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+    hu = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+            for w in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hu[inv]
+
+
+_WORD_HASHERS = {"pandas": _hash_words, "md5": _hash_words_md5}
+
+
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -865,11 +890,11 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
 # SimHash
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str, hasher: str = "pandas") -> int:
     words = text.split()
     if not words:
         return 0
-    hv = _hash_words(words)
+    hv = _WORD_HASHERS[hasher](words)
     bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
     v = (2 * bits - 1).sum(axis=0)
     # bit i of the signature is sign(v[i]); packbits consumes MSB-first
@@ -877,7 +902,8 @@ def simhash64(text: str) -> int:
     return int.from_bytes(packed.tobytes(), "big")
 
 
-def simhash64_batch(texts, _chunk_words: int = 1 << 20) -> np.ndarray:
+def simhash64_batch(texts, _chunk_words: int = 1 << 20,
+                    hasher: str = "pandas") -> np.ndarray:
     """Batch simhash: flat word-hash passes + per-document
     ``add.reduceat`` over the +/-1 bit matrix — bit-identical to
     per-doc ``simhash64`` (pytest-checked), no per-document Python
@@ -897,7 +923,7 @@ def simhash64_batch(texts, _chunk_words: int = 1 << 20) -> np.ndarray:
             hi += 1
         flat = [w for ws in word_lists[lo:hi] for w in ws]
         if flat:
-            hv = _hash_words(flat)
+            hv = _WORD_HASHERS[hasher](flat)
             pm = (
                 2 * ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
                 .astype(np.int32) - 1
@@ -914,22 +940,24 @@ def simhash64_batch(texts, _chunk_words: int = 1 << 20) -> np.ndarray:
     return out
 
 
-def simhash_ds(ds, text_col="text", id_col="doc_id"):
+def simhash_ds(ds, text_col="text", id_col="doc_id", hasher="pandas"):
     def _sim(df: pd.DataFrame) -> pd.DataFrame:
-        df["simhash"] = simhash64_batch(df[text_col].fillna("").tolist())
+        df["simhash"] = simhash64_batch(
+            df[text_col].fillna("").tolist(), hasher=hasher
+        )
         return df[[id_col, "simhash"]]
 
     return ds.map_batches(_sim, batch_format="pandas")
 
 
 def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming=3,
-                      hot_bucket=1024):
+                      hot_bucket=1024, hasher="pandas"):
     """Candidate pairs with Hamming distance <= max_hamming via chunk
     bucketing with max_hamming+1 chunks (pigeonhole: any pair within
     the distance budget must agree on at least one whole chunk).
     Buckets larger than ``hot_bucket`` get a second-level exact
     prefilter (rotated-chunk pigeonhole) before the all-pairs XOR."""
-    sigs = simhash_ds(ds, text_col, id_col)
+    sigs = simhash_ds(ds, text_col, id_col, hasher=hasher)
     n_chunks = max_hamming + 1
     bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
 

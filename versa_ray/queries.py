@@ -903,10 +903,14 @@ def q_doc_near_dup_pairs(sf_dir):
 
 
 def q_doc_simhash(sf_dir):
-    """Rows-only, lightly gated: a broken signature path typically
-    collapses to zeros or constants — require nonzero signatures for
-    nonempty docs and near-full distinctness."""
-    out = dd.simhash_ds(_docs(sf_dir)).map_batches(
+    """SimHash signatures with the md5 word hasher, hash-checked
+    against a DuckDB oracle that replays the signature construction
+    bit-exactly (md5_number_upper == little-endian first 8 md5 digest
+    bytes; per-bit +/-count sums; sign threshold s > 0). Production
+    pipelines default to the faster pandas C hasher — the algorithm
+    is identical, only the word-hash primitive differs. Also gated:
+    nonzero signatures for nonempty docs and near-full distinctness."""
+    out = dd.simhash_ds(_docs(sf_dir), hasher="md5").map_batches(
         lambda df: df.assign(simhash=df.simhash.astype("uint64").astype("int64")
                              if df.simhash.dtype != "int64" else df.simhash),
         batch_format="pandas",
@@ -918,11 +922,15 @@ def q_doc_simhash(sf_dir):
 
 
 def q_doc_simhash_pairs(sf_dir):
-    """SimHash near-dup candidate pairs (pigeonhole chunk bucketing,
-    hamming <= 3), self-gated: recall against the exact-Jaccard>=0.8
-    ground-truth pair set must stay >= 0.6 (simhash at this hamming
-    budget trades recall for a far cheaper shuffle; a silent recall
-    collapse fails the run instead of passing vacuously)."""
+    """SimHash near-dup pairs (pigeonhole chunk bucketing + exact
+    hamming verify, so the output IS the exact hamming<=3 pair set).
+    With the md5 hasher the whole flow is hash-checked against a
+    DuckDB all-pairs oracle (SQL-computed signatures, bit_count of
+    xor) — pair-set EXACTNESS is externally verified, replacing the
+    old recall gate as the primary check. A recall floor vs the
+    exact-Jaccard>=0.8 ground truth remains as an algorithm-quality
+    sanity bound; it is hasher-dependent noise (pandas hash ~0.64,
+    md5 ~0.48 on this corpus at hamming<=3), so the floor is 0.35."""
     from concurrent.futures import ThreadPoolExecutor
 
     # the candidate pipeline and the ground-truth gate pipeline are
@@ -930,7 +938,7 @@ def q_doc_simhash_pairs(sf_dir):
     # is not thread-safe) but CONSUME them concurrently so Ray
     # interleaves their stages instead of paying two full fixed-cost
     # sequences back to back
-    pairs_ds = dd.simhash_near_dups(_docs(sf_dir), max_hamming=3)
+    pairs_ds = dd.simhash_near_dups(_docs(sf_dir), max_hamming=3, hasher="md5")
     truth_ds = dd.verified_near_dup_pairs(
         _docs(sf_dir), threshold=0.8, concurrency=2)
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -942,9 +950,9 @@ def q_doc_simhash_pairs(sf_dir):
     want = set(zip(truth["id_a"], truth["id_b"]))
     if want:
         recall = len(got & want) / len(want)
-        if recall < 0.6:
+        if recall < 0.35:
             raise AssertionError(
-                f"simhash hamming<=3 recall {recall:.3f} < 0.6 "
+                f"simhash hamming<=3 recall {recall:.3f} < 0.35 "
                 f"vs exact-Jaccard>=0.8 pairs"
             )
     return pairs.sort_values(["id_a", "id_b"], ignore_index=True)
@@ -1936,10 +1944,48 @@ def _pagerank_sql(n_iters=10, damping=0.85):
     )
 
 
+SIMHASH_CTES = (
+    # bit-exact SQL replay of ops.dedup.simhash64_batch(hasher="md5"):
+    # tokens = whitespace split (same class the green doc_top_tokens
+    # oracle uses), word hash = md5_number_upper (little-endian first
+    # 8 md5 digest bytes, matching _hash_words_md5), per-bit sum of
+    # +count/-count, bit set iff sum > 0
+    "toks AS MATERIALIZED (SELECT doc_id, t AS w, CAST(COUNT(*) AS BIGINT)"
+    " AS cnt FROM (SELECT doc_id, unnest(regexp_split_to_array(text,"
+    " '[ \\t\\r\\n\\f\\v]+')) AS t FROM documents) WHERE t <> ''"
+    " GROUP BY doc_id, t), "
+    "wh AS MATERIALIZED (SELECT doc_id, md5_number_upper(w) AS h, cnt"
+    " FROM toks), "
+    "bits AS (SELECT unnest(generate_series(0, 63)) AS b), "
+    "v AS MATERIALIZED (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1"
+    " THEN cnt ELSE -cnt END) AS s FROM wh CROSS JOIN bits"
+    " GROUP BY doc_id, b), "
+    "sig AS MATERIALIZED (SELECT d.doc_id, COALESCE(x.u, 0) AS u"
+    " FROM documents d LEFT JOIN (SELECT doc_id, SUM(CASE WHEN s > 0"
+    " THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS u FROM v"
+    " GROUP BY doc_id) x USING (doc_id))"
+)
+
+
 def build_oracles():
     L = f"WITH links AS ({LINKSET_SQL})"
     return {
         "kg_pagerank": _pagerank_sql(n_iters=10, damping=0.85),
+        "doc_simhash": (
+            f"WITH {SIMHASH_CTES} "
+            "SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 "
+            "THEN u - 18446744073709551616 ELSE u END AS BIGINT) "
+            "AS simhash FROM sig ORDER BY doc_id"
+        ),
+        "doc_simhash_pairs": (
+            f"WITH {SIMHASH_CTES}, "
+            "sp AS MATERIALIZED (SELECT doc_id, CAST(u AS UBIGINT) AS u "
+            "FROM sig) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming "
+            "FROM sp a JOIN sp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.u, b.u)) <= 3 ORDER BY id_a, id_b"
+        ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
         # deduped links); SQL rebuilds the same triples relationally
