@@ -370,3 +370,79 @@ def test_bind_ds_prunes_whole_list_property(ray_session):
     d = json.loads(next(r["node"] for r in rows if r["origin"] == "urn:d"))
     assert V + "leak" not in d
     assert d[V + "name"] == "doc d"
+
+
+def test_ntriples_blank_nodes_deterministic():
+    """Bnode labels map to deterministic content-derived ids: same
+    document -> same ids; same labels in a different document ->
+    different ids; subject and object positions both supported.
+    (Exceeds the reference, which raises NotImplementedError.)"""
+    nt = (
+        '_:a <http://e/knows> _:b .\n'
+        '_:a <http://e/name> "Alice" .\n'
+        '<http://e/x> <http://e/ref> _:b .\n'
+    )
+    m1 = ntriples.parse(nt)
+    m2 = ntriples.parse(nt)
+    links1 = sorted((l[0], l[1], l[2]) for l in m1.match())
+    links2 = sorted((l[0], l[1], l[2]) for l in m2.match())
+    assert links1 == links2  # deterministic
+    assert len(links1) == 3
+    subs = {s for s, _, _ in links1}
+    a_ids = {s for s in subs if s.startswith("_:b")}
+    assert len(a_ids) == 1  # _:a coreference held
+    a_id = a_ids.pop()
+    # _:b as object of two different triples must be the SAME id
+    b_ids = {t for _, r, t in links1 if str(t).startswith("_:")}
+    assert len(b_ids) == 1 and b_ids.pop() != a_id
+
+    # different doc, same labels -> different scope, different ids
+    m3 = ntriples.parse(nt + '<http://e/y> <http://e/p> "z" .\n')
+    ids3 = {l[0] for l in m3.match() if l[0].startswith("_:")}
+    assert ids3 and ids3.isdisjoint(a_ids | {a_id})
+
+
+def test_ntriples_blank_node_roundtrip_isomorphic():
+    """parse -> write -> parse yields an isomorphic graph: same shape
+    under first-occurrence bnode relabeling, identical non-bnodes."""
+    nt = (
+        '_:n1 <http://e/knows> _:n2 .\n'
+        '_:n2 <http://e/name> "Bob" .\n'
+        '<http://e/x> <http://e/ref> _:n1 .\n'
+    )
+
+    def canon(model):
+        links = sorted((str(l[0]), str(l[1]), str(l[2])) for l in model.match())
+        names = {}
+
+        def rl(v):
+            if v.startswith("_:"):
+                return names.setdefault(v, "_:c%d" % len(names))
+            return v
+
+        return [(rl(s), r, rl(t)) for s, r, t in links]
+
+    m1 = ntriples.parse(nt)
+    out = ntriples.write_string(m1)
+    assert "<_:" not in out  # bnodes serialize bare
+    m2 = ntriples.parse(out)
+    assert canon(m1) == canon(m2)
+
+
+def test_ntriples_ds_blank_node_coreference(ray_session, tmp_path):
+    """Dataset parse: one file split across many tiny batches keeps
+    bnode coreference (scope derives from the file path), and two
+    files with identical labels stay distinct."""
+    nt = "".join(
+        '_:s <http://e/item> "%d" .\n' % i for i in range(200)
+    ) + '_:s <http://e/name> "shared" .\n'
+    f1 = tmp_path / "a.nt"
+    f2 = tmp_path / "b.nt"
+    f1.write_text(nt)
+    f2.write_text(nt)
+    ds = ntriples.read_ntriples_ds([str(f1), str(f2)])
+    df = ds.to_pandas()
+    subs = df["origin"].unique()
+    assert len(subs) == 2  # one bnode id per file, coreference intact
+    assert all(s.startswith("_:b") for s in subs)
+    assert (df.groupby("origin").size() == 201).all()

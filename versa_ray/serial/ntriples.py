@@ -16,7 +16,8 @@ from ..model.micro import MicroModel
 __all__ = ["parse", "write", "write_string", "parse_links"]
 
 NT_LINE_PAT = re.compile(
-    r'^((<([^>]+)>)|(_:\w+))\s+<([^>]+)>\s+((<([^>]+)>)|"((?:[^"\\]|\\.)*)"|(_:\w+))\s+\.\s*'
+    r'^((<([^>]+)>)|(_:[\w.\-]+))\s+<([^>]+)>\s+'
+    r'((<([^>]+)>)|"((?:[^"\\]|\\.)*)"|(_:[\w.\-]+))\s+\.\s*'
 )
 
 # N-Triples literal string escapes (the spec's ECHAR subset we emit).
@@ -47,11 +48,26 @@ RESOURCE_MAPPING = {
 }
 
 
-def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
+def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None,
+                bnode_scope=None):
     """Yield (origin, rel, target, attrs) links from NTriples text.
 
     Pure generator form used by both the MicroModel API and the
-    Dataset batch parser."""
+    Dataset batch parser.
+
+    Blank nodes — EXCEEDING the reference, which raises
+    NotImplementedError (serial/ntriples.py:81-82): a bnode label
+    ``_:x`` maps to the deterministic content-derived id
+    ``_:b<scope>-x`` (the same scheme web/extract.py uses for RDFa
+    bnodes). ``bnode_scope`` identifies the DOCUMENT the labels are
+    scoped to (NT bnode labels are file-local); it defaults to a hash
+    of the input text, so re-parsing the same document reproduces the
+    same ids while equal labels in different documents stay distinct.
+    Callers that split one document across calls (the Dataset batch
+    parser) must pass an explicit per-document scope to keep
+    coreference."""
+    from ..core.hashing import simple_hashstring
+
     exclude_rel = set(exclude_rel or ())
     only_rel = set(only_rel or ())
     disjoint = disjoint or set()
@@ -59,6 +75,12 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
         only_rel = set(only_rel)
         only_rel.add(VTYPE_REL)
     seen = set()
+    if bnode_scope is None:
+        bnode_scope = simple_hashstring(nt) if isinstance(nt, str) else ""
+
+    def _bnode(label: str):
+        # label arrives as "_:x"; strip the marker, keep the name
+        return I("_:b%s-%s" % (bnode_scope, label[2:]))
 
     # split on LF only — splitlines() also splits on NEL/LS/PS, which
     # are legal raw inside NT literals
@@ -68,8 +90,7 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
         if not m:
             continue
         _, s, s_iri, s_blank, p_iri, o, _, o_iri, o_str, o_blank = m.groups()
-        if o_blank or s_blank:
-            raise NotImplementedError("Blank nodes not yet implemented")
+        subj = _bnode(s_blank) if s_blank else I(s_iri)
         if p_iri == RDF_TYPE_REL:
             p_iri = VTYPE_REL
         p_iri = I(p_iri)
@@ -78,12 +99,17 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None):
                 continue
         elif p_iri in exclude_rel:
             continue
-        target = I(o_iri) if o_iri else _nt_unescape(o_str)
-        parts = (I(s_iri), p_iri, target, ())
+        if o_iri is not None:
+            target = I(o_iri)
+        elif o_blank:
+            target = _bnode(o_blank)
+        else:
+            target = _nt_unescape(o_str)
+        parts = (subj, p_iri, target, ())
         if parts in seen or parts in disjoint:
             continue
         seen.add(parts)
-        yield (I(s_iri), p_iri, target, {})
+        yield (subj, p_iri, target, {})
 
 
 def parse(nt, model: MicroModel | None = None, only_rel=None, exclude_rel=None, disjoint=None):
@@ -95,6 +121,9 @@ def parse(nt, model: MicroModel | None = None, only_rel=None, exclude_rel=None, 
 
 def _strconv(item):
     if isinstance(item, I):
+        # blank nodes serialize bare (never angle-bracketed)
+        if str(item).startswith("_:"):
+            return str(item)
         return "<" + str(item) + ">"
     return '"' + _nt_escape(str(item)) + '"'
 
@@ -127,26 +156,40 @@ def read_ntriples_ds(paths, only_rel=None, exclude_rel=None, disjoint=None,
     semantics (one distinct_links shuffle). ``disjoint`` (a SMALL set
     of (origin, rel, target, ()) tuples, broadcast into each task)
     drops matching links at parse time; for a corpus-scale disjoint
-    set use ``linkset.remove_statements`` downstream instead."""
+    set use ``linkset.remove_statements`` downstream instead.
+
+    Blank-node coreference: bnode labels are file-scoped, and one
+    file's lines may land in MANY batches, so each line's bnode scope
+    derives from its source path (``include_paths``) — every batch of
+    the same file maps ``_:x`` to the same deterministic id."""
     import pyarrow as pa
     import ray.data as rd
 
     from ..core.canon import LINK_SCHEMA, link_to_row
+    from ..core.hashing import simple_hashstring
 
     disjoint = frozenset(disjoint or ())
 
     def _parse(batch: pa.Table) -> pa.Table:
         cols = {name: [] for name in LINK_SCHEMA.names}
-        text = "\n".join(batch["text"].to_pylist())
-        for o, r, t, a in parse_links(
-            text, only_rel=only_rel, exclude_rel=exclude_rel, disjoint=disjoint
-        ):
-            row = link_to_row(o, r, t, a)
-            for k, v in row.items():
-                cols[k].append(v)
+        df_paths = batch["path"].to_pylist()
+        df_text = batch["text"].to_pylist()
+        by_path: dict = {}
+        for p, t in zip(df_paths, df_text):
+            by_path.setdefault(p, []).append(t)
+        for p, lines in by_path.items():
+            for o, r, t, a in parse_links(
+                lines, only_rel=only_rel, exclude_rel=exclude_rel,
+                disjoint=disjoint, bnode_scope=simple_hashstring(p),
+            ):
+                row = link_to_row(o, r, t, a)
+                for k, v in row.items():
+                    cols[k].append(v)
         return pa.Table.from_pydict(cols, schema=LINK_SCHEMA)
 
-    out = rd.read_text(paths).map_batches(_parse, batch_format="pyarrow")
+    out = rd.read_text(paths, include_paths=True).map_batches(
+        _parse, batch_format="pyarrow"
+    )
     if distinct:
         from ..model.linkset import distinct_links
 
