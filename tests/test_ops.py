@@ -1149,3 +1149,101 @@ def test_chunk_documents_batch_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # chunk coverage: token totals reconstruct (sum - overlaps == doc tokens)
     assert (a.n_tokens > 0).all()
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from versa_ray.ops.multimodal import decode_wav, encode_wav
+
+    s = ((np.arange(5000, dtype=np.int64) * 40503 + 7) % 65536 - 32768).astype(
+        np.int16
+    )
+    rate, s2 = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (s2 == s).all()
+    # empty payload round-trips too
+    rate, s3 = decode_wav(encode_wav(np.array([], dtype=np.int16), 44100))
+    assert rate == 44100 and len(s3) == 0
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) must
+    decode back to the source pixels, RGB and grayscale."""
+    import numpy as np
+
+    from versa_ray.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (9, 13), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(rgb, filter_type=ft)) == rgb).all(), ft
+        assert (
+            decode_png(encode_png(gray, filter_type=ft))[:, :, 0] == gray
+        ).all(), ft
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # corrupt a chunk CRC -> must raise, not return garbage
+    blob = bytearray(encode_png(rgb))
+    blob[-5] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(blob))
+
+
+def test_decode_actor_stages(ray_session):
+    """DecodeAudio / DecodePng actor-pool stages over binary payload
+    rows: real codecs inside map_batches, integer features out."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.multimodal import (
+        decode_audio_features,
+        decode_png_features,
+        encode_png,
+        encode_wav,
+    )
+
+    wavs = []
+    for i in range(8):
+        s = (np.arange(100 + i, dtype=np.int64) * (i + 1) % 65536 - 32768).astype(
+            np.int16
+        )
+        wavs.append(
+            {"media_id": i, "payload": encode_wav(s, 8000), "_want": int(np.abs(s.astype(np.int64)).sum())}
+        )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([w["media_id"] for w in wavs], pa.int64()),
+                "payload": pa.array([w["payload"] for w in wavs], pa.binary()),
+            }
+        )
+    )
+    out = decode_audio_features(ds, concurrency=2, batch_size=4).to_pandas()
+    out = out.sort_values("media_id", ignore_index=True)
+    assert (out["sum_abs"] == [w["_want"] for w in wavs]).all()
+    assert (out["sample_rate"] == 8000).all()
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (10, 12, 3), dtype=np.uint8) for _ in range(5)]
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(list(range(5)), pa.int64()),
+                "payload": pa.array(
+                    [encode_png(im, filter_type=i % 5) for i, im in enumerate(imgs)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out2 = decode_png_features(ds2, concurrency=2, batch_size=2).to_pandas()
+    out2 = out2.sort_values("media_id", ignore_index=True)
+    for i, im in enumerate(imgs):
+        sums = im.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        row = out2.iloc[i]
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(sums)
+        assert row["width"] == 12 and row["height"] == 10

@@ -1808,6 +1808,92 @@ def q_multimodal_features(sf_dir):
     return out
 
 
+def _media_doc_ids(sf_dir, limit=128):
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .sort("doc_id")
+        .limit(limit)
+    )
+
+
+def q_multimodal_wav_features(sf_dir):
+    """REAL audio codec path: deterministic int16 waveforms derived
+    from doc_id are encoded to WAV bytes (stdlib `wave`) in one map
+    stage, flow through the object store as binary payloads, and are
+    decoded back by the DecodeAudio actor pool into integer-exact
+    features. The DuckDB oracle replays the waveform formula
+    analytically (generate_series), so any codec/feature drift
+    hash-mismatches."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import decode_audio_features
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.multimodal import encode_wav
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            n = 1000 + (d % 7) * 100
+            rate = 8000 + (d % 3) * 4000
+            k = np.arange(n, dtype=np.int64)
+            s = ((d * 40503 + k * 2654435761) % 65536 - 32768).astype(np.int16)
+            ids.append(d)
+            payloads.append(encode_wav(s, rate))
+        return pa_.table(
+            {
+                "media_id": pa_.array(ids, type=pa_.int64()),
+                "payload": pa_.array(payloads, type=pa_.binary()),
+            }
+        )
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32
+    )
+    return decode_audio_features(media)
+
+
+def q_multimodal_png_features(sf_dir):
+    """REAL image codec path: deterministic RGB images derived from
+    doc_id are encoded to PNG (zlib/struct codec; the scanline filter
+    rotates through all five types via doc_id % 5) and decoded back
+    by the DecodePng actor pool into integer pixel-sum features. The
+    DuckDB oracle computes the same sums analytically from the pixel
+    formula — decode bugs in any filter's inversion hash-mismatch."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import decode_png_features
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.multimodal import encode_png
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            w = 16 + (d % 5) * 4
+            h = 12 + (d % 3) * 4
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            c = np.arange(3, dtype=np.int64)
+            img = (
+                (d * 31 + x[None, :, None] * 7 + y[:, None, None] * 13
+                 + c[None, None, :] * 5) % 256
+            ).astype(np.uint8)
+            ids.append(d)
+            payloads.append(encode_png(img, filter_type=d % 5))
+        return pa_.table(
+            {
+                "media_id": pa_.array(ids, type=pa_.int64()),
+                "payload": pa_.array(payloads, type=pa_.binary()),
+            }
+        )
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32
+    )
+    return decode_png_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1848,6 +1934,8 @@ def build_queries():
         "orders_by_segment": q_orders_by_segment,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
+        "multimodal_wav_features": q_multimodal_wav_features,
+        "multimodal_png_features": q_multimodal_png_features,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
         "links_jsonld_nested": q_links_jsonld_nested,
@@ -1971,6 +2059,42 @@ def build_oracles():
     L = f"WITH links AS ({LINKSET_SQL})"
     return {
         "kg_pagerank": _pagerank_sql(n_iters=10, damping=0.85),
+        # analytic replays of the multimodal codec paths: same
+        # integer waveform / pixel formulas the Ray side encodes,
+        # aggregated in SQL — the engine must decode its own bytes
+        # back to exactly these numbers
+        "multimodal_wav_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 1000 + (doc_id % 7) * 100 AS n, "
+            "8000 + (doc_id % 3) * 4000 AS rate FROM ids), "
+            "ks AS (SELECT unnest(generate_series(0, 1599)) AS k), "
+            "samp AS (SELECT p.doc_id, p.n, p.rate, "
+            "((p.doc_id * 40503 + g.k * 2654435761) % 65536) - 32768 AS s "
+            "FROM par p JOIN ks g ON g.k < p.n) "
+            "SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples, "
+            "CAST(rate AS BIGINT) AS sample_rate, "
+            "CAST(MAX(s) AS BIGINT) AS peak, CAST(MIN(s) AS BIGINT) AS trough, "
+            "CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs "
+            "FROM samp GROUP BY doc_id, n, rate ORDER BY media_id"
+        ),
+        "multimodal_png_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, "
+            "12 + (doc_id % 3) * 4 AS h FROM ids), "
+            "xs AS (SELECT unnest(generate_series(0, 31)) AS x), "
+            "ys AS (SELECT unnest(generate_series(0, 23)) AS y), "
+            "px AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS r, "
+            "(p.doc_id * 31 + x.x * 7 + y.y * 13 + 5) % 256 AS g, "
+            "(p.doc_id * 31 + x.x * 7 + y.y * 13 + 10) % 256 AS b "
+            "FROM par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h) "
+            "SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width, "
+            "CAST(h AS BIGINT) AS height, CAST(SUM(r) AS BIGINT) AS sum_r, "
+            "CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY doc_id, w, h ORDER BY media_id"
+        ),
         "doc_simhash": (
             f"WITH {SIMHASH_CTES} "
             "SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 "
