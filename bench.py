@@ -144,11 +144,23 @@ def main():
         except Exception as e:  # scaling must not sink the bench line
             result["scaling"] = {"error": str(e)[:200]}
 
+    # opt-in at-scale scaling evidence: the same two-leg measurement
+    # at 1M pages (sf1-equivalent workload), single attempt — ~6 min.
+    # GRAFT_BENCH_SF1_SCALING=1 makes BASELINE.md's 0.945-at-1M figure
+    # reproducible from the driver artifact itself.
+    if os.environ.get("GRAFT_BENCH_SF1_SCALING"):
+        try:
+            result["scaling_sf1"] = _scaling_with_retry(
+                max_attempts=1, pages=1_000_000
+            )
+        except Exception as e:
+            result["scaling_sf1"] = {"error": str(e)[:200]}
+
     print(json.dumps(result))
     return result
 
 
-def _scaling_block(lo: int = 8, hi: int = 32) -> dict:
+def _scaling_block(lo: int = 8, hi: int = 32, pages: int | None = None) -> dict:
     """Same headline job at two parallelism levels in fresh processes.
 
     The legs run a 2x workload: the scaling criterion targets large
@@ -163,6 +175,8 @@ def _scaling_block(lo: int = 8, hi: int = 32) -> dict:
     # double only small workloads; large ones already amortize the
     # per-run fixed cost (and must stay inside the run budget)
     scale_pages = 2 * base_pages if base_pages < 400_000 else base_pages
+    if pages is not None:
+        scale_pages = pages
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -199,7 +213,8 @@ def _scaling_block(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
-def _scaling_with_retry(threshold: float = 0.85, max_attempts: int = 2):
+def _scaling_with_retry(threshold: float = 0.85, max_attempts: int = 2,
+                        pages: int | None = None):
     """This host's co-tenant noise can depress a single scaling
     measurement far below the code's real efficiency (documented
     A/B postmortem in BASELINE.md: the same leg measured 226 s and
@@ -211,7 +226,7 @@ def _scaling_with_retry(threshold: float = 0.85, max_attempts: int = 2):
     best = None
     seen = []
     for _ in range(max_attempts):
-        blk = _scaling_block()
+        blk = _scaling_block(pages=pages)
         seen.append(blk["scaling_efficiency"])
         if best is None or blk["scaling_efficiency"] > best["scaling_efficiency"]:
             best = blk

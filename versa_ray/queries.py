@@ -1133,18 +1133,22 @@ def q_doc_compression(sf_dir):
     many distinct values, and the corpus's most word-repetitive
     decile must compress strictly better on average than the least
     repetitive decile (the property curation relies on)."""
-    out = _docs(sf_dir).map_batches(
-        lambda df: textstats.compression_ratio(df), batch_format="pandas"
-    ).to_pandas()
-    r = out["compression_ratio"]
+    # the gate's repetitiveness signal rides in the SAME distributed
+    # pass as the ratio (one corpus read; only the small per-doc
+    # feature frame ever reaches the driver)
+    def _feat(df):
+        out = textstats.compression_ratio(df)
+        toks = df["text"].fillna("").str.split()
+        out["uniq_frac"] = [len(set(ws)) / max(1, len(ws)) for ws in toks]
+        return out
+
+    m = _docs(sf_dir).map_batches(_feat, batch_format="pandas").to_pandas()
+    r = m["compression_ratio"]
     if not ((r > 0).all() and (r <= 1.5).all()):
         raise AssertionError("compression ratios out of range")
     if r.nunique() < 20:
         raise AssertionError("compression ratios suspiciously coarse")
-    docs = _docs(sf_dir).to_pandas()[["doc_id", "text"]]
-    m = docs.merge(out, on="doc_id")
-    uniq_frac = m["text"].map(
-        lambda t: len(set(t.split())) / max(1, len(t.split())))
+    uniq_frac = m["uniq_frac"]
     rep = m.loc[uniq_frac.nsmallest(len(m) // 10).index,
                 "compression_ratio"].mean()
     var = m.loc[uniq_frac.nlargest(len(m) // 10).index,
@@ -1152,6 +1156,7 @@ def q_doc_compression(sf_dir):
     if not rep < var:
         raise AssertionError(
             f"repetitive decile compresses worse ({rep:.3f} >= {var:.3f})")
+    out = m[["doc_id", "compression_ratio"]].copy()
     out["compression_ratio"] = out["compression_ratio"].round(6)
     return out
 
