@@ -157,16 +157,371 @@ def _embed_child(parent, child_id, child_obj):
     return parent
 
 
+_BSTATE_COLS = ["origin", "node", "refcount", "referrer", "pending"]
+
+
+def _bucketize_on(col, num_buckets):
+    import pandas as pd
+
+    def _fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df[col], index=False) % num_buckets
+        ).astype("int32")
+        return df
+
+    return _fn
+
+
+def _bind_state_fused(links_ds, type_rels, _rel, num_buckets):
+    """Node state (origin, node, refcount, referrer, pending) in TWO
+    keyed shuffles (the no-pruning fast path of ``bind_ds``):
+
+    1. target-keyed refcount pass over SLIM rows only — deduped
+       (src, target) edge pairs plus one node-exists marker per
+       origin; refcount = distinct referrers, single-ref targets emit
+       a pending marker routed to their referrer. The heavy node JSON
+       never enters this shuffle.
+    2. origin-keyed pass that builds each node's JSON directly from
+       its raw link rows (same sorted-(rel, target) construction the
+       adjacency-based path uses) AND merges the refcount/referrer/
+       pending info in the same group — fusing what were previously
+       the origin_adjacency shuffle and the phase-B state shuffle.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    # ---- shuffle 1: refcounts over slim rows -------------------------
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        is_type = df["rel"].isin(type_rels)
+        origins = np.asarray(pd.unique(df["origin"]), dtype=object)
+        ed = df[
+            ~is_type
+            & df["target_is_iri"].fillna(False).astype(bool)
+            & df["target"].notna()
+        ]
+        ed = ed[ed["target"] != ed["origin"]][["origin", "target"]]
+        ed = ed.drop_duplicates()
+        out = pd.DataFrame(
+            {
+                "key": np.concatenate(
+                    [origins, ed["target"].to_numpy(dtype=object)]
+                ),
+                "kind": np.concatenate(
+                    [
+                        np.zeros(len(origins), dtype=np.int8),
+                        np.ones(len(ed), dtype=np.int8),
+                    ]
+                ),
+                "s1": np.concatenate(
+                    [
+                        np.full(len(origins), "", dtype=object),
+                        ed["origin"].to_numpy(dtype=object),
+                    ]
+                ),
+            }
+        )
+        out["n"] = np.int64(0)
+        return out
+
+    def _refs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series([], dtype=object),
+                "kind": pd.Series([], dtype="int8"),
+                "s1": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if "key" not in bucket.columns or not len(bucket):
+            return empty
+        nodes_k = set(bucket.loc[bucket["kind"] == 0, "key"])
+        edges = bucket[bucket["kind"] == 1].drop_duplicates(["key", "s1"])
+        ein = edges[edges["key"].isin(nodes_k)]
+        if not len(ein):
+            return empty
+        agg = ein.groupby("key", sort=False)["s1"].agg(["size", "first"])
+        single = agg[agg["size"] == 1]
+        outs = [
+            pd.DataFrame(
+                {
+                    "key": agg.index.to_numpy(),
+                    "kind": np.int8(10),
+                    "s1": np.where(
+                        agg["size"].to_numpy() == 1, agg["first"].to_numpy(), ""
+                    ),
+                    "n": agg["size"].to_numpy().astype(np.int64),
+                }
+            )
+        ]
+        if len(single):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": single["first"].to_numpy(),
+                        "kind": np.int8(12),
+                        "s1": single.index.to_numpy(),
+                        "n": np.int64(0),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    info = (
+        links_ds.map_batches(_edge_rows, batch_format="pandas")
+        .map_batches(_bucketize_on("key", num_buckets), batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(
+            lambda b: _refs_bucket(b.drop(columns=["_cbucket"])),
+            batch_format="pandas",
+        )
+    )
+
+    # ---- shuffle 2: node build + info merge, keyed by origin ---------
+    def _link_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["origin"].to_numpy(dtype=object),
+                "kind": np.full(len(df), 2, dtype=np.int8),
+                "s1": df["rel"].to_numpy(dtype=object),
+                "n": df["target_is_iri"]
+                .fillna(False)
+                .astype(bool)
+                .to_numpy()
+                .astype(np.int64),
+                "_t": df["target"].to_numpy(dtype=object),
+            }
+        )
+
+    def _info_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_t"] = ""
+        return df[["key", "kind", "s1", "n", "_t"]]
+
+    def _build_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "origin": pd.Series([], dtype=object),
+                "node": pd.Series([], dtype=object),
+                "refcount": pd.Series([], dtype="int64"),
+                "referrer": pd.Series([], dtype=object),
+                "pending": pd.Series([], dtype="int64"),
+            }
+        )
+        if "key" not in bucket.columns or not len(bucket):
+            return empty
+        links = bucket[bucket["kind"] == 2]
+        if not len(links):
+            return empty
+        inf = bucket[bucket["kind"] == 10].drop_duplicates("key")
+        refcount = dict(zip(inf["key"], inf["n"]))
+        referrer = dict(zip(inf["key"], inf["s1"]))
+        pend = bucket[bucket["kind"] == 12].groupby("key", sort=False).size()
+        pending = pend.to_dict()
+
+        # same deterministic construction as the adjacency path:
+        # per-origin rows sorted by (rel, target); attrs don't
+        # participate in node building
+        b = links.sort_values(["key", "s1", "_t"], na_position="first")
+        karr = b["key"].to_numpy()
+        rels_ = b["s1"].to_numpy()
+        tgts = b["_t"].to_numpy()
+        tiri = b["n"].to_numpy()
+        bounds = np.flatnonzero(
+            np.concatenate(([True], karr[1:] != karr[:-1]))
+        )
+        origins, nodes, rcs, refs_, pends = [], [], [], [], []
+        for i, lo in enumerate(bounds):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else len(karr)
+            origin = karr[lo]
+            types = sorted(
+                {
+                    str(tgts[j])
+                    for j in range(lo, hi)
+                    if rels_[j] in type_rels
+                }
+            )
+            obj = {"@id": str(origin)}
+            if types:
+                tl = [_rel(t) for t in types]
+                obj["@type"] = tl[0] if len(tl) == 1 else tl
+            for j in range(lo, hi):
+                r = rels_[j]
+                if r in type_rels:
+                    continue
+                t = tgts[j]
+                if tiri[j] and t is not None and t != origin:
+                    val = {"@id": str(t)}
+                else:
+                    val = t
+                _obj_append(obj, _rel(r), val)
+            origins.append(str(origin))
+            nodes.append(json.dumps(obj, ensure_ascii=False))
+            rcs.append(int(refcount.get(origin, 0)))
+            refs_.append(str(referrer.get(origin, "")))
+            pends.append(int(pending.get(origin, 0)))
+        return pd.DataFrame(
+            {
+                "origin": origins,
+                "node": nodes,
+                "refcount": np.asarray(rcs, dtype=np.int64),
+                "referrer": refs_,
+                "pending": np.asarray(pends, dtype=np.int64),
+            }
+        )
+
+    merged = links_ds.map_batches(_link_rows, batch_format="pandas").union(
+        info.map_batches(_info_rows, batch_format="pandas")
+    )
+    return (
+        merged.map_batches(_bucketize_on("key", num_buckets),
+                           batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(
+            lambda b: _build_bucket(b.drop(columns=["_cbucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def _bind_inline_rounds(state, max_depth, num_buckets,
+                        inline_broadcast_threshold):
+    """Phase C + finalize, shared by both bind_ds state builders:
+    iterative leaf inlining (early exit on a scalar count; small
+    rounds broadcast the leaves instead of shuffling the corpus-sized
+    state), then the driver binder's final collapse."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        inline = (
+            (df["refcount"] == 1) & (df["pending"] == 0) & (df["referrer"] != "")
+        )
+        df["_k"] = np.where(inline, df["referrer"], df["origin"])
+        df["_child"] = inline.astype("int8")
+        return df
+
+    def _absorb(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "_child" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({c: [] for c in _BSTATE_COLS})
+        parents = bucket[bucket["_child"] == 0]
+        children = bucket[bucket["_child"] == 1]
+        if not len(children):
+            return parents[_BSTATE_COLS]
+        out = parents[_BSTATE_COLS].reset_index(drop=True)
+        pos = {o: i for i, o in enumerate(out["origin"])}
+        orphans = []
+        for _, ch in children.iterrows():
+            i = pos.get(ch["referrer"])
+            if i is None:
+                orphans.append(ch)
+                continue
+            par = json.loads(out.at[i, "node"])
+            _embed_child(par, ch["origin"], json.loads(ch["node"]))
+            out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
+            out.at[i, "pending"] = max(0, out.at[i, "pending"] - 1)
+        if orphans:
+            out = pd.concat(
+                [out, pd.DataFrame(orphans)[_BSTATE_COLS]], ignore_index=True
+            )
+        return out
+
+    def _drop_route_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_k", "_child"])
+
+    def _absorb_broadcast(cmap_ref):
+        import ray as _ray
+
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            cmap = _ray.get(cmap_ref)
+            out = df[df["_child"] == 0][_BSTATE_COLS].reset_index(drop=True)
+            hit = out.index[out["origin"].isin(cmap)]
+            for i in hit:
+                kids = cmap[out.at[i, "origin"]]
+                par = json.loads(out.at[i, "node"])
+                for child_id, child_node in kids:
+                    _embed_child(par, child_id, json.loads(child_node))
+                out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
+                out.at[i, "pending"] = max(0, out.at[i, "pending"] - len(kids))
+            return out
+
+        return _fn
+
+    for _ in range(max_depth):
+        routed = state.map_batches(_route, batch_format="pandas").materialize()
+        n_child = int(routed.sum("_child") or 0)
+        if not n_child:
+            # reuse the materialized blocks — leaving `state` as the
+            # lazy pre-route pipeline would re-execute the state
+            # builder in finalize
+            state = routed.map_batches(_drop_route_cols, batch_format="pandas")
+            break
+        if n_child <= inline_broadcast_threshold:
+            # few inlinable leaves this round: ship THEM (bounded by
+            # the threshold) to every task via ray.put instead of
+            # sort-shuffling the whole corpus-sized node state. A
+            # leaf's referrer is never itself inlinable in the same
+            # round (its pending count is still nonzero), so every
+            # child finds its parent in the surviving state.
+            import ray as _ray
+
+            from ..core.dsutil import rows_of
+
+            kids = rows_of(routed.map_batches(
+                lambda df: df[df["_child"] == 1][
+                    ["origin", "node", "referrer"]],
+                batch_format="pandas",
+            ))
+            cmap: dict = {}
+            for row in kids:
+                cmap.setdefault(row["referrer"], []).append(
+                    (row["origin"], row["node"]))
+            state = routed.map_batches(
+                _absorb_broadcast(_ray.put(cmap)), batch_format="pandas")
+            continue
+        state = (
+            routed.map_batches(_bucketize_on("_k", num_buckets),
+                               batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(lambda b: _absorb(b.drop(columns=["_cbucket"])),
+                        batch_format="pandas")
+        )
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        origins, nodes = [], []
+        for o, n in zip(df["origin"], df["node"]):
+            obj = _collapse_id_only(json.loads(n))
+            if len(obj) == 1 and "@type" in obj:
+                continue  # driver drops @type-only top objects
+            origins.append(o)
+            nodes.append(json.dumps(obj, ensure_ascii=False))
+        return pd.DataFrame({"origin": origins, "node": nodes})
+
+    return state.map_batches(_finalize, batch_format="pandas")
+
+
 def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
             num_buckets=32, inline_broadcast_threshold=100_000):
     """Distributed INLINED JSON-LD binder: the at-scale form of
-    ``bind`` (reference serial/jsonld.py:17-103). Two-pass ref-count
-    shuffle: (1) edges group by target to compute each node's
-    reference count and, for single-ref nodes, the unique referrer;
-    (2) ``max_depth`` leaf-inlining rounds, each one coarse-bucket
-    shuffle, embed single-ref leaf nodes into their referrer.
-    ``ignore_oftypes`` nodes are pruned and references to them removed
-    (one extra keyed pass), mirroring the driver binder.
+    ``bind`` (reference serial/jsonld.py:17-103).
+
+    Without ``ignore_oftypes`` (the common case) the node state is
+    built by the FUSED two-shuffle path (``_bind_state_fused``): a
+    slim target-keyed refcount pass (no node JSON in transit) and one
+    origin-keyed pass that builds node JSON and merges refcounts in
+    the same group. With type pruning, the three-shuffle path below
+    runs instead: adjacency, a target-keyed phase that also turns
+    edges into pruned nodes into removal rows, and an origin-keyed
+    state merge (pruned-referrer edge suppression needs the
+    adjacency-complete per-origin view). Both paths feed the same
+    ``max_depth`` leaf-inlining rounds: each round embeds single-ref
+    leaf nodes into their referrer via one coarse-bucket shuffle, or
+    broadcasts the leaves when few.
 
     Documented divergences from the driver-side binder (all
     flatten-equivalent JSON-LD): multi-referenced nodes stay
@@ -190,12 +545,21 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
     ignore = {str(t) for t in (ignore_oftypes or [])}
     type_rels = {str(RDF_TYPE_REL), str(VTYPE_REL)}
 
-    adj = origin_adjacency(links_ds)
-
     def _rel(r):
         if vocab:
             return str(relativize(r, vocab) or r)
         return str(r)
+
+    if not ignore:
+        # FUSED fast path (no type pruning — the common case): two
+        # keyed shuffles total instead of three, and node JSON never
+        # transits the target-keyed one. See _bind_state_fused.
+        state = _bind_state_fused(links_ds, type_rels, _rel, num_buckets)
+        return _bind_inline_rounds(
+            state, max_depth, num_buckets, inline_broadcast_threshold
+        )
+
+    adj = origin_adjacency(links_ds)
 
     # ---- node + edge construction (pruned nodes emit no edges) ----------
     def _mknodes(df: pd.DataFrame) -> pd.DataFrame:
@@ -380,114 +744,9 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
                     batch_format="pandas")
     )
 
-    # ---- phase C: iterative leaf inlining (early exit when no node
-    # is inlinable this round — a scalar sum, never node data) --------
-    def _route(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        inline = (
-            (df["refcount"] == 1) & (df["pending"] == 0) & (df["referrer"] != "")
-        )
-        df["_k"] = np.where(inline, df["referrer"], df["origin"])
-        df["_child"] = inline.astype("int8")
-        return df
-
-    def _absorb(bucket: pd.DataFrame) -> pd.DataFrame:
-        if "_child" not in bucket.columns or not len(bucket):
-            return pd.DataFrame({c: [] for c in _STATE_COLS})
-        parents = bucket[bucket["_child"] == 0]
-        children = bucket[bucket["_child"] == 1]
-        if not len(children):
-            return parents[_STATE_COLS]
-        out = parents[_STATE_COLS].reset_index(drop=True)
-        pos = {o: i for i, o in enumerate(out["origin"])}
-        orphans = []
-        for _, ch in children.iterrows():
-            i = pos.get(ch["referrer"])
-            if i is None:
-                orphans.append(ch)
-                continue
-            par = json.loads(out.at[i, "node"])
-            _embed_child(par, ch["origin"], json.loads(ch["node"]))
-            out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
-            out.at[i, "pending"] = max(0, out.at[i, "pending"] - 1)
-        if orphans:
-            out = pd.concat(
-                [out, pd.DataFrame(orphans)[_STATE_COLS]], ignore_index=True
-            )
-        return out
-
-    def _drop_route_cols(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop(columns=["_k", "_child"])
-
-    def _absorb_broadcast(cmap_ref):
-        import ray as _ray
-
-        def _fn(df: pd.DataFrame) -> pd.DataFrame:
-            cmap = _ray.get(cmap_ref)
-            out = df[df["_child"] == 0][_STATE_COLS].reset_index(drop=True)
-            hit = out.index[out["origin"].isin(cmap)]
-            for i in hit:
-                kids = cmap[out.at[i, "origin"]]
-                par = json.loads(out.at[i, "node"])
-                for child_id, child_node in kids:
-                    _embed_child(par, child_id, json.loads(child_node))
-                out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
-                out.at[i, "pending"] = max(0, out.at[i, "pending"] - len(kids))
-            return out
-
-        return _fn
-
-    for _ in range(max_depth):
-        routed = state.map_batches(_route, batch_format="pandas").materialize()
-        n_child = int(routed.sum("_child") or 0)
-        if not n_child:
-            # reuse the materialized blocks — leaving `state` as the
-            # lazy pre-route pipeline would re-execute phases A+B in
-            # finalize
-            state = routed.map_batches(_drop_route_cols, batch_format="pandas")
-            break
-        if n_child <= inline_broadcast_threshold:
-            # few inlinable leaves this round: ship THEM (bounded by
-            # the threshold) to every task via ray.put instead of
-            # sort-shuffling the whole corpus-sized node state. A
-            # leaf's referrer is never itself inlinable in the same
-            # round (its pending count is still nonzero), so every
-            # child finds its parent in the surviving state.
-            import ray as _ray
-
-            from ..core.dsutil import rows_of
-
-            kids = rows_of(routed.map_batches(
-                lambda df: df[df["_child"] == 1][
-                    ["origin", "node", "referrer"]],
-                batch_format="pandas",
-            ))
-            cmap: dict = {}
-            for row in kids:
-                cmap.setdefault(row["referrer"], []).append(
-                    (row["origin"], row["node"]))
-            state = routed.map_batches(
-                _absorb_broadcast(_ray.put(cmap)), batch_format="pandas")
-            continue
-        state = (
-            routed.map_batches(_with_bucket("_k"), batch_format="pandas")
-            .groupby("_cbucket")
-            .map_groups(lambda b: _absorb(b.drop(columns=["_cbucket"])),
-                        batch_format="pandas")
-        )
-
-    # ---- finalize -------------------------------------------------------
-    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
-        origins, nodes = [], []
-        for o, n in zip(df["origin"], df["node"]):
-            obj = _collapse_id_only(json.loads(n))
-            if len(obj) == 1 and "@type" in obj:
-                continue  # driver drops @type-only top objects
-            origins.append(o)
-            nodes.append(json.dumps(obj, ensure_ascii=False))
-        return pd.DataFrame({"origin": origins, "node": nodes})
-
-    return state.map_batches(_finalize, batch_format="pandas")
+    return _bind_inline_rounds(
+        state, max_depth, num_buckets, inline_broadcast_threshold
+    )
 
 
 def write_jsonld_nested_ds(links_ds, path: str, context=None,
