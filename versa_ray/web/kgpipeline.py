@@ -206,86 +206,140 @@ def char_trigrams(s: str) -> set:
     return {s[i : i + 3] for i in range(len(s) - 2)}
 
 
+def build_alias_index(alias_table: dict, threshold: float = 0.6) -> dict:
+    """Pure-numpy prefix-filtered trigram index over an alias table.
+
+    Built ONCE on the driver and ``ray.put`` as flat arrays, so every
+    worker/actor reads zero-copy views from the object store instead
+    of re-deriving the index (at 10^5+ aliases the per-worker rebuild
+    costs seconds; array views are free). AllPairs/PPJoin layout:
+    trigrams get a rarest-first global rank by (df, gram); each alias
+    of n trigrams indexes only its prefix of n - ceil(t*n) + 1 rarest
+    grams. Arrays:
+
+    * ``lex_grams``/``lex_rank``/``lex_df`` — distinct trigrams in
+      lexicographic order (for searchsorted lookup) with each gram's
+      global rank and document frequency
+    * ``ids``/``offsets`` — per-alias sorted rank arrays, CSR
+    * ``post_offsets``/``post_ids`` — prefix postings, CSR by rank
+    * ``iris`` — fixed-width unicode authority IRIs
+    * ``threshold`` — the Jaccard threshold the prefixes assume
+    """
+    import math
+
+    import pandas as pd
+
+    names = list(alias_table)
+    gram_lists = [sorted(char_trigrams(nm)) for nm in names]
+    counts = np.fromiter(
+        (len(g) for g in gram_lists), dtype=np.int64, count=len(names)
+    )
+    flat = np.asarray(
+        [g for gl in gram_lists for g in gl], dtype=object
+    )
+    if len(flat):
+        codes, uniq = pd.factorize(flat)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniq = np.empty(0, dtype=object)
+    dfc = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    # rarest-first global order: rank by (df, gram)
+    perm = np.lexsort((uniq.astype(object), dfc))
+    rank_of_code = np.empty(len(uniq), dtype=np.int64)
+    rank_of_code[perm] = np.arange(len(uniq))
+    ranks = rank_of_code[codes] if len(codes) else np.empty(0, np.int64)
+    alias_idx = np.repeat(np.arange(len(names), dtype=np.int64), counts)
+    order = np.lexsort((ranks, alias_idx))
+    ids_sorted = ranks[order].astype(np.int32)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    prefix_len = counts - np.ceil(threshold * counts).astype(np.int64) + 1
+    prefix_len = np.where(counts == 0, 0, prefix_len)
+    pos_in_seg = (
+        np.arange(len(ids_sorted), dtype=np.int64)
+        - np.repeat(offsets[:-1], counts)
+    )
+    sel = pos_in_seg < np.repeat(prefix_len, counts)
+    pg = ids_sorted[sel].astype(np.int64)
+    pa_ids = alias_idx[order][sel]
+    po = np.argsort(pg, kind="stable")
+    V = len(uniq)
+    post_counts = np.bincount(pg[po], minlength=V) if V else np.empty(0, np.int64)
+    lex_order = (
+        np.argsort(uniq.astype(str)) if V else np.empty(0, np.int64)
+    )
+    return {
+        "lex_grams": (
+            uniq.astype(str)[lex_order] if V else np.empty(0, dtype="U4")
+        ),
+        "lex_rank": rank_of_code[lex_order],
+        "lex_df": dfc[lex_order],
+        "ids": ids_sorted,
+        "offsets": offsets,
+        "post_offsets": np.concatenate(
+            ([0], np.cumsum(post_counts))
+        ).astype(np.int64),
+        "post_ids": pa_ids[po],
+        "iris": np.asarray(list(alias_table.values()), dtype=str),
+        "threshold": float(threshold),
+    }
+
+
 class EntityScorer:
     """Actor-pool entity-linking stage.
 
-    Holds a broadcast alias table (authority name -> canonical IRI),
-    fetched from the object store ONCE per actor. For every bf:name
-    link it computes a trigram-Jaccard score against the authority
-    aliases and, on a confident match, annotates the link with the
-    authority IRI + score attributes. Deterministic, cheap stand-in
-    for a model-based scorer; the Ray plumbing (broadcast once, score
+    Holds a broadcast alias INDEX (see ``build_alias_index``),
+    fetched from the object store ONCE per actor as zero-copy numpy
+    views. For every bf:name link it computes a trigram-Jaccard score
+    against the authority aliases and, on a confident match,
+    annotates the link with the authority IRI + score attributes.
+    Deterministic, cheap stand-in for a model-based scorer; the Ray
+    plumbing (index built once driver-side, broadcast once, scored
     per batch, actor reuse) is the part that matters at scale.
 
-    Matching is backed by a per-actor prefix-filtered inverted
-    trigram index built once in __init__ (AllPairs/PPJoin-style):
-    trigrams are globally ordered rarest-first by document frequency
-    over the alias table, and each alias of n trigrams indexes only
-    its prefix of n - ceil(t*n) + 1 rarest grams. A mention probes
-    the posting lists of its own rare-first prefix; exact Jaccard
-    runs only on the candidates. The prefix-filter theorem
-    guarantees any alias with Jaccard >= threshold shares a prefix
-    gram with the mention, so every at-or-above-threshold match of
-    the naive O(|table|) scan is found, with the same first-wins
+    Matching uses the index's prefix filter: a mention probes the
+    posting lists of its n - ceil(t*n) + 1 rarest trigrams (same
+    global (df, gram) order the index used), then exact Jaccard runs
+    only on candidates that also pass the size window
+    t*n <= |alias| <= n/t — one ragged gather + reduceat, no Python
+    loop. The prefix-filter theorem guarantees every alias with
+    Jaccard >= threshold is found, with the naive scan's first-wins
     tie-break (candidates evaluated in ascending insertion id). The
-    only divergence is the UNUSED sub-threshold byproduct: score()
-    reports the best score among candidates, which may be lower than
-    the true global best when that best is < threshold (no (iri,
-    score) annotation is emitted either way). Gram sets are stored
-    as dense int32 ids in one concatenated buffer + offsets, so a
-    10^5-10^7-alias production authority file stays compact and
-    per-name cost is O(candidates), not O(|table|).
+    only divergence from a full linear scan is the UNUSED
+    sub-threshold byproduct: score() reports the best among
+    candidates, which may undershoot the true global best when that
+    best is < threshold (no annotation is emitted either way).
     """
 
     NAME_REL = str(BF("name"))
 
-    def __init__(self, alias_ref=None, alias_table=None, threshold=0.6):
-        import math
-
+    def __init__(self, alias_ref=None, alias_table=None, threshold=0.6,
+                 index_ref=None, index=None):
         import ray
 
-        table = ray.get(alias_ref) if alias_ref is not None else (alias_table or {})
-        self.threshold = threshold
+        if index_ref is not None:
+            index = ray.get(index_ref)
+        if index is None:
+            table = (
+                ray.get(alias_ref) if alias_ref is not None
+                else (alias_table or {})
+            )
+            index = build_alias_index(table, threshold)
+        self.threshold = float(index["threshold"])
+        self._lex_grams = index["lex_grams"]
+        self._lex_rank = index["lex_rank"]
+        self._lex_df = index["lex_df"]
+        self._ids = index["ids"]
+        self._offsets = index["offsets"]
+        self._post_offsets = index["post_offsets"]
+        self._post_ids = index["post_ids"]
+        self._iris = index["iris"]
         # mention strings repeat heavily (head entities); memoize per actor
         self._memo: dict = {}
-        self._iris: list = [iri for iri in table.values()]
-
-        # pass 1: gram document frequencies over the alias table
-        gram_sets = [char_trigrams(name) for name in table]
-        df: dict = {}
-        for grams in gram_sets:
-            for g in grams:
-                df[g] = df.get(g, 0) + 1
-        # global order = rarest first (df, gram); dense vocab id IS the rank
-        self._vocab = {
-            g: i for i, g in enumerate(sorted(df, key=lambda g: (df[g], g)))
-        }
-        self._df = df
-
-        # pass 2: per-alias sorted id arrays (one buffer + offsets) and
-        # prefix postings
-        t = threshold
-        offsets = [0]
-        ids_buf: list = []
-        postings: dict = {}
-        for idx, grams in enumerate(gram_sets):
-            ids = sorted(self._vocab[g] for g in grams)
-            ids_buf.extend(ids)
-            offsets.append(len(ids_buf))
-            n = len(ids)
-            prefix = n - math.ceil(t * n) + 1 if n else 0
-            for gid in ids[:prefix]:
-                postings.setdefault(gid, []).append(idx)
-        self._ids = np.asarray(ids_buf, dtype=np.int32)
-        self._offsets = np.asarray(offsets, dtype=np.int64)
-        self._postings = {
-            gid: np.asarray(lst, dtype=np.int64) for gid, lst in postings.items()
-        }
 
     @property
     def authorities(self):
-        # truthiness probe used by __call__ / tests: "is the table non-empty"
-        return self._iris
+        # compatibility probe: "is the table non-empty"
+        return list(self._iris)
 
     def score(self, name: str):
         import math
@@ -296,20 +350,27 @@ class EntityScorer:
         grams = char_trigrams(name)
         n = len(grams)
         best, best_iri = 0.0, None
-        if n and self._iris:
-            # mention prefix in the SAME global order (unseen grams have
-            # df 0 and legitimately occupy the rarest prefix slots; they
-            # have no postings so they just probe nothing)
+        V = len(self._lex_grams)
+        if n and len(self._iris) and V:
+            garr = np.asarray(sorted(grams))
+            pos = np.searchsorted(self._lex_grams, garr)
+            safe = np.minimum(pos, V - 1)
+            known = (pos < V) & (self._lex_grams[safe] == garr)
+            ranks = np.where(known, self._lex_rank[safe], -1)
+            dfs = np.where(known, self._lex_df[safe], 0)
+            # mention prefix in the SAME global (df, gram) order —
+            # unseen grams have df 0 and legitimately occupy the
+            # rarest prefix slots (they probe nothing)
             prefix = n - math.ceil(self.threshold * n) + 1
-            ordered = sorted(grams, key=lambda g: (self._df.get(g, 0), g))
-            lists = []
-            for g in ordered[:prefix]:
-                gid = self._vocab.get(g)
-                if gid is not None and gid in self._postings:
-                    lists.append(self._postings[gid])
+            probe = ranks[np.lexsort((garr, dfs))[:prefix]]
+            probe = probe[probe >= 0]
+            lists = [
+                self._post_ids[self._post_offsets[r]:self._post_offsets[r + 1]]
+                for r in probe
+            ]
+            lists = [l for l in lists if len(l)]
             if lists:
                 cands = np.unique(np.concatenate(lists))
-                qids = [self._vocab[g] for g in grams if g in self._vocab]
                 # size filter: J >= t forces t*n <= |alias| <= n/t
                 starts = self._offsets[cands]
                 ends = self._offsets[cands + 1]
@@ -317,40 +378,37 @@ class EntityScorer:
                 keep = (asizes * self.threshold <= n) & (
                     asizes >= self.threshold * n
                 )
-                cands, starts, ends, asizes = (
-                    cands[keep], starts[keep], ends[keep], asizes[keep]
-                )
+                cands, starts, asizes = cands[keep], starts[keep], asizes[keep]
                 if len(cands):
                     # ragged gather of all candidate gram ids at once,
-                    # then per-candidate intersection counts via reduceat
-                    # — no Python loop even when a hot bucket yields many
-                    # genuine near-matches
+                    # then per-candidate intersection counts via
+                    # reduceat — no Python loop even when a bucket
+                    # yields many genuine near-matches
                     lens = asizes
                     total = int(lens.sum())
                     cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
                     gather = np.arange(total, dtype=np.int64) + np.repeat(
                         starts - cum, lens
                     )
-                    qmask = np.zeros(len(self._vocab), dtype=bool)
-                    qmask[qids] = True
+                    qmask = np.zeros(V, dtype=bool)
+                    qmask[ranks[known]] = True
                     hits = qmask[self._ids[gather]]
                     inter = np.add.reduceat(hits, cum)
                     j = inter / (n + lens - inter)
                     k = int(np.argmax(j))
                     if inter[k]:
                         best = float(j[k])
-                        best_iri = self._iris[int(cands[k])]
+                        best_iri = str(self._iris[int(cands[k])])
         out = (best_iri, best) if best >= self.threshold else (None, best)
         if len(self._memo) < 1_000_000:
             self._memo[name] = out
         return out
 
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = pc.equal(batch["rel"], self.NAME_REL).to_numpy(zero_copy_only=False)
-        if not mask.any() or not self.authorities:
+        if not mask.any() or not len(self._iris):
             return batch
         attrs = batch["attrs"].to_pylist()
         targets = batch["target"].to_pylist()
@@ -384,13 +442,14 @@ def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=Non
 
     if not alias_table:
         return links_ds
-    ref = ray.put(alias_table)
+    # index built ONCE here; workers/actors get zero-copy array views
+    ref = ray.put(build_alias_index(alias_table))
     if use_actors is None:
         use_actors = len(alias_table) > 10_000
     if use_actors:
         return links_ds.map_batches(
             EntityScorer,
-            fn_constructor_kwargs={"alias_ref": ref},
+            fn_constructor_kwargs={"index_ref": ref},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or _default_concurrency(0.25),
@@ -400,7 +459,7 @@ def score_entities(links_ds, alias_table: dict, concurrency=None, batch_size=Non
     def _score(batch: pa.Table) -> pa.Table:
         scorer = _SCORER_CACHE.get(ref.hex())
         if scorer is None:
-            scorer = EntityScorer(alias_ref=ref)
+            scorer = EntityScorer(index_ref=ref)
             _SCORER_CACHE[ref.hex()] = scorer
         return scorer(batch)
 
@@ -421,7 +480,8 @@ def extract_and_score_links(pages_ds, alias_table, check_text=False,
     if not alias_table:
         return extract_links(pages_ds, check_text=check_text,
                              batch_size=batch_size, rules=rules)
-    ref = ray.put(alias_table)
+    # index built ONCE on the driver; workers read zero-copy views
+    ref = ray.put(build_alias_index(alias_table))
     cols = {"url", "html"} | ({"text"} if check_text else set())
     sch = pages_ds.schema(fetch_if_missing=False)  # see extract_links
     have = set(sch.names) if sch is not None else None
@@ -437,7 +497,7 @@ def extract_and_score_links(pages_ds, alias_table, check_text=False,
         if pair is None:
             pair = (
                 PageKGExtractor(rules=rules, check_text=check_text),
-                EntityScorer(alias_ref=ref),
+                EntityScorer(index_ref=ref),
             )
             _EXTRACTOR_CACHE[cache_key] = pair
         ex, scorer = pair
