@@ -9,6 +9,7 @@ Mirrors the reference toolchain's CLI surface
     python -m versa_ray.cli canonicalize IN [OUT]
 
 Formats by extension: .vlit/.md Versa Literate; .vdump JSON dump;
+.ttl Turtle (write-only);
 .nt NTriples; .parquet canonical link-set Parquet; '-' canonical
 literate on stdout. The `transform` rulespec is a Python file defining
 ``VERSA_PIPELINE_ENTRY`` with the pipeline-DSL names pre-injected
@@ -63,6 +64,11 @@ def smart_write(dest_path: str, model: MicroModel):
     elif dest_path.endswith(".nt"):
         with open(dest_path, "w") as fp:
             ntriples.write(model, out=fp)
+    elif dest_path.endswith(".ttl"):
+        from .serial import turtle
+
+        with open(dest_path, "w") as fp:
+            turtle.write(model, out=fp)
     elif dest_path.endswith(".parquet"):
         import pyarrow as pa
         import pyarrow.parquet as pq
