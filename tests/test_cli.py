@@ -247,3 +247,40 @@ def test_curate_cli(tmp_path):
     assert "curated rows:" in r.stdout
     parts = glob.glob(str(out_dir / "lang=*"))
     assert {p.rsplit("=", 1)[1] for p in parts} <= {"en", "de"} and parts
+
+
+def test_cli_atom2versa(tmp_path):
+    feed = tmp_path / "feed.xml"
+    feed.write_text(
+        '<?xml version="1.0"?>'
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<entry><title>T one</title><updated>2024-01-01</updated>"
+        '<link href="http://e/x"/><author><name>A</name></author>'
+        "<summary>S</summary></entry></feed>"
+    )
+    out = tmp_path / "out.ttl"
+    _run(["atom2versa", str(feed), str(out)])
+    text = out.read_text()
+    assert text.startswith("@prefix")
+    assert '"T one"' in text
+
+
+def test_cli_modelsite(tmp_path):
+    vlit = tmp_path / "vocab.vlit"
+    vlit.write_text(
+        "# http://v/Book [http://v/Class]\n\n"
+        '* <http://v/label>: "Book"\n'
+        '* <http://v/description>: "See @Author for creators"\n\n'
+        "# http://v/Author [http://v/Class]\n\n"
+        '* <http://v/label>: "Author"\n\n'
+    )
+    out = tmp_path / "site"
+    _run(["modelsite", str(vlit), str(out)])
+    import os
+
+    files = sorted(os.listdir(out))
+    assert "index.html" in files and "Book.html" in files and "Author.html" in files
+    book = (out / "Book.html").read_text()
+    assert '<a href="Author.html">Author</a>' in book
+    idx = (out / "index.html").read_text()
+    assert "Book.html" in idx and "Author.html" in idx

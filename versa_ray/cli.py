@@ -82,6 +82,28 @@ def smart_write(dest_path: str, model: MicroModel):
         raise ValueError("Unable to determine Versa output file format from filename")
 
 
+def cmd_atom2versa(args):
+    """Atom feed -> any Versa output format (reference
+    tools/exec/atom2versa as a subcommand)."""
+    from .serial import atom
+
+    model = MicroModel()
+    with open(args.feed) as fp:
+        atom.parse(fp.read(), model, base=args.base)
+    smart_write(args.gr_out, model)
+
+
+def cmd_modelsite(args):
+    """Versa vocabulary model -> static HTML site (reference
+    tools/exec/build_model_site as a subcommand)."""
+    from .web.modelsite import build_site
+
+    model = MicroModel()
+    smart_parse(args.gr_in, model)
+    n = build_site(model, args.out_dir, base=args.base)
+    print(f"# wrote {n} pages -> {args.out_dir}")
+
+
 def cmd_parse(args):
     model = MicroModel()
     smart_parse(args.gr_in, model)
@@ -422,6 +444,21 @@ def main(argv=None):
     p.add_argument("store", help="linkset store directory")
     p.add_argument("--max-files", type=int, default=1)
     p.set_defaults(func=cmd_kgcompact)
+
+    p = sub.add_parser("atom2versa", help="Atom feed -> Versa output")
+    p.add_argument("feed", help="Atom XML file")
+    p.add_argument("gr_out", help="output ('-', .vlit, .nt, .ttl, .parquet, ...)")
+    p.add_argument("--base", default="http://example.org/feed/",
+                   help="base IRI for minted entry resources")
+    p.set_defaults(func=cmd_atom2versa)
+
+    p = sub.add_parser(
+        "modelsite", help="render a vocabulary model as a static HTML site"
+    )
+    p.add_argument("gr_in", help="model input (.vlit/.md/.nt/...)")
+    p.add_argument("out_dir")
+    p.add_argument("--base", default=None)
+    p.set_defaults(func=cmd_modelsite)
 
     p = sub.add_parser(
         "validate",
