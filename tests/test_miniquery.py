@@ -87,3 +87,90 @@ def test_miniquery_dataset_or_and_parens(ray_session):
     assert {k: set(v) for k, v in got.items()} == \
         {k: set(v) for k, v in want.items()}
     assert got["x"] == {"urn:q:1", "urn:q:2"}
+
+
+# ---------------------------------------------------------------------------
+# FULL query language (query/full.py) — the surface the reference left
+# unfinished (query/parser.py + ast.py), implemented with working
+# semantics.
+
+
+def _vocab_model():
+    from versa_ray.core import I
+    from versa_ray.model.micro import MicroModel
+
+    m = MicroModel()
+    m.add(I("http://e/a"), I("http://v/type"), I("http://v/T"))
+    m.add(I("http://e/b"), I("http://v/type"), I("http://v/T"))
+    m.add(I("http://e/c"), I("http://v/type"), I("http://v/U"))
+    m.add(I("http://e/a"), I("http://v/flag"), "yes")
+    m.add(I("http://e/b"), I("http://v/name"), "B")
+    return m
+
+
+V = {"V": "http://v/"}
+
+
+def test_fullquery_negation_and_precedence():
+    from versa_ray.query import execute
+
+    m = _vocab_model()
+    r = execute(m, "?($x, V 'type', 'http://v/T') and not ?($x, V 'flag', 'yes')", V)
+    assert r["x"] == {"http://e/b"}
+    # or binds loosest: (a and b) or c
+    r = execute(
+        m,
+        "?($x, V 'type', 'http://v/T') and ?($x, V 'flag', 'yes') "
+        "or ?($x, V 'type', 'http://v/U')",
+        V,
+    )
+    assert r["x"] == {"http://e/a", "http://e/c"}
+    # grouped negation over a disjunction
+    r = execute(
+        m,
+        "?($x, V 'type', *) and not "
+        "(?($x, V 'flag', 'yes') or ?($x, V 'name', 'B'))",
+        V,
+    )
+    assert r["x"] == {"http://e/c"}
+
+
+def test_fullquery_funccalls():
+    from versa_ray.query import execute
+
+    m = _vocab_model()
+    r = execute(m, "?($x, concat(V, 'type'), iri(V, 'U'))", V)
+    assert r["x"] == {"http://e/c"}
+    # nested calls + case functions compose
+    r = execute(m, "?($x, lower(concat(V, 'TYPE')), 'http://v/U')", V)
+    assert r["x"] == {"http://e/c"}
+
+
+def test_fullquery_unsafe_negation_raises():
+    import pytest
+
+    from versa_ray.query import execute
+
+    m = _vocab_model()
+    with pytest.raises(ValueError, match="unsafe negation"):
+        execute(m, "not ?($x, V 'type', *)", V)
+    with pytest.raises(ValueError, match="unsafe negation"):
+        execute(
+            m,
+            "?($x, V 'type', 'http://v/T') and not ?($y, V 'flag', 'yes')",
+            V,
+        )
+
+
+def test_fullquery_over_dataset(ray_session):
+    """The same full-query evaluates against a distributed links
+    Dataset (each ?() a vectorized match; negation subtracts binding
+    sets driver-side)."""
+    from versa_ray.model.linkset import from_model
+    from versa_ray.query import execute
+
+    ds = from_model(_vocab_model())
+    r = execute(
+        ds, "?($x, V 'type', 'http://v/T') and not ?($x, V 'flag', 'yes')", V
+    )
+    assert r["x"] == {"http://e/b"}

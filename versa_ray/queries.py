@@ -447,6 +447,37 @@ def q_links_jsonld_nested(sf_dir):
     )
 
 
+def q_fullquery_negation(sf_dir):
+    """FULL Versa query language (query/full.py — working semantics
+    for the surface the reference left unfinished): safe negation
+    plus a function-call match argument, evaluated over the
+    distributed linkset. BUILDING-segment customers NOT in nation 3;
+    relational anti-join oracle."""
+    from .query import execute
+
+    result = execute(
+        tpch_linkset(sf_dir),
+        "?($c, SEG, 'BUILDING') and not ?($c, NAT, concat(URNV, 'nation:3'))",
+        {"SEG": SEGMENT, "NAT": IN_NATION, "URNV": URN},
+    )
+    return pd.DataFrame({"c": sorted(result.get("c", set()))})
+
+
+def q_fullquery_disjunction(sf_dir):
+    """FULL query language: conjunction threading into a grouped
+    disjunction with proper precedence — entities in nation 3 that
+    are suppliers OR customers; IN-list oracle."""
+    from .query import execute
+
+    result = execute(
+        tpch_linkset(sf_dir),
+        "?($e, NAT, URNV 'nation:3') and "
+        "(?($e, T, URNV 'Supplier') or ?($e, T, URNV 'Customer'))",
+        {"NAT": IN_NATION, "URNV": URN, "T": TYPE},
+    )
+    return pd.DataFrame({"e": sorted(result.get("e", set()))})
+
+
 def q_miniquery_conj(sf_dir):
     from .query import evaluate
 
@@ -1941,6 +1972,8 @@ def build_queries():
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "fullquery_negation": q_fullquery_negation,
+        "fullquery_disjunction": q_fullquery_disjunction,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
         "links_jsonld_nested": q_links_jsonld_nested,
@@ -2064,6 +2097,20 @@ def build_oracles():
     L = f"WITH links AS ({LINKSET_SQL})"
     return {
         "kg_pagerank": _pagerank_sql(n_iters=10, damping=0.85),
+        "fullquery_negation": (
+            f"{L} SELECT DISTINCT origin AS c FROM links "
+            f"WHERE rel = '{SEGMENT}' AND target = 'BUILDING' "
+            "AND origin NOT IN (SELECT origin FROM links "
+            f"WHERE rel = '{IN_NATION}' AND target = 'urn:versa:nation:3') "
+            "ORDER BY c"
+        ),
+        "fullquery_disjunction": (
+            f"{L} SELECT DISTINCT origin AS e FROM links "
+            f"WHERE rel = '{IN_NATION}' AND target = 'urn:versa:nation:3' "
+            "AND origin IN (SELECT origin FROM links "
+            f"WHERE rel = '{TYPE}' AND target IN "
+            "('urn:versa:Supplier', 'urn:versa:Customer')) ORDER BY e"
+        ),
         # analytic replays of the multimodal codec paths: same
         # integer waveform / pixel formulas the Ray side encodes,
         # aggregated in SQL — the engine must decode its own bytes

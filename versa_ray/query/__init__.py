@@ -1,1 +1,2 @@
+from .full import execute, parse
 from .mini import QueryContext, evaluate, miniparse
