@@ -504,3 +504,29 @@ def test_turtle_ds_sharded(ray_session, tmp_path):
         assert open(f).read().startswith("@prefix")
     assert "<http://e/0> a <http://e/T> ;" in text
     assert text.count(" .\n") >= 20
+
+
+def test_ntriples_lang_and_datatype_literals():
+    """Real-corpus NT forms: language-tagged and datatyped literals
+    parse into @lang/@datatype attrs (the reference data model's own
+    attrs convention) and round-trip through the writer. The previous
+    pattern silently DROPPED such lines."""
+    nt = (
+        '<http://e/s> <http://e/title> "Ndewo"@en .\n'
+        '<http://e/s> <http://e/count> '
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/s> <http://e/plain> "p" .\n'
+    )
+    m = ntriples.parse(nt)
+    assert len(m) == 3
+    links = {l[1]: (l[2], l[3]) for l in m.match()}
+    assert links["http://e/title"] == ("Ndewo", {"@lang": "en"})
+    assert links["http://e/count"] == (
+        "5", {"@datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+    )
+    assert links["http://e/plain"] == ("p", {})
+    out = ntriples.write_string(m)
+    assert '"Ndewo"@en .' in out
+    assert '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .' in out
+    m2 = ntriples.parse(out)
+    assert m == m2

@@ -17,7 +17,9 @@ __all__ = ["parse", "write", "write_string", "parse_links"]
 
 NT_LINE_PAT = re.compile(
     r'^((<([^>]+)>)|(_:[\w.\-]+))\s+<([^>]+)>\s+'
-    r'((<([^>]+)>)|"((?:[^"\\]|\\.)*)"|(_:[\w.\-]+))\s+\.\s*'
+    r'((<([^>]+)>)|"((?:[^"\\]|\\.)*)"'
+    r'(?:@(?P<lang>[A-Za-z][A-Za-z0-9\-]*)|\^\^<(?P<dtype>[^>]+)>)?'
+    r'|(_:[\w.\-]+))\s+\.\s*'
 )
 
 # N-Triples literal string escapes (the spec's ECHAR subset we emit).
@@ -89,7 +91,9 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None,
         m = NT_LINE_PAT.match(line.strip())
         if not m:
             continue
-        _, s, s_iri, s_blank, p_iri, o, _, o_iri, o_str, o_blank = m.groups()
+        g = m.groups()
+        s_iri, s_blank, p_iri = g[2], g[3], g[4]
+        o_iri, o_str, o_blank = g[7], g[8], g[11]
         subj = _bnode(s_blank) if s_blank else I(s_iri)
         if p_iri == RDF_TYPE_REL:
             p_iri = VTYPE_REL
@@ -99,17 +103,24 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None,
                 continue
         elif p_iri in exclude_rel:
             continue
+        attrs = {}
         if o_iri is not None:
             target = I(o_iri)
         elif o_blank:
             target = _bnode(o_blank)
         else:
             target = _nt_unescape(o_str)
-        parts = (subj, p_iri, target, ())
+            # language tags / datatypes ride as attrs (the reference
+            # data model's own convention, e.g. {"@lang": "en"})
+            if m.group("lang"):
+                attrs["@lang"] = m.group("lang")
+            elif m.group("dtype"):
+                attrs["@datatype"] = m.group("dtype")
+        parts = (subj, p_iri, target, tuple(sorted(attrs.items())))
         if parts in seen or parts in disjoint:
             continue
         seen.add(parts)
-        yield (subj, p_iri, target, {})
+        yield (subj, p_iri, target, attrs)
 
 
 def parse(nt, model: MicroModel | None = None, only_rel=None, exclude_rel=None, disjoint=None):
@@ -140,7 +151,13 @@ def write(models, out=None, base=None):
             o = RESOURCE_MAPPING.get(o, o)
             if p == VTYPE_REL:
                 p = RDF_TYPE_REL
-            print(_strconv(s), _strconv(p), _strconv(o), ".", file=out)
+            obj = _strconv(o)
+            if not isinstance(o, I) and a:
+                if "@lang" in a:
+                    obj += "@" + str(a["@lang"])
+                elif "@datatype" in a:
+                    obj += "^^<%s>" % a["@datatype"]
+            print(_strconv(s), _strconv(p), obj, ".", file=out)
 
 
 def read_ntriples_ds(paths, only_rel=None, exclude_rel=None, disjoint=None,
