@@ -284,3 +284,18 @@ def test_cli_modelsite(tmp_path):
     assert '<a href="Author.html">Author</a>' in book
     idx = (out / "index.html").read_text()
     assert "Book.html" in idx and "Author.html" in idx
+
+
+def test_cli_rdfaparse(tmp_path):
+    html = tmp_path / "page.html"
+    html.write_text(
+        '<html><body vocab="https://schema.org/">'
+        '<div typeof="Book" resource="http://x/b1">'
+        '<span property="name">A Book</span></div></body></html>'
+    )
+    out = tmp_path / "out.nt"
+    r = _run(["rdfaparse", str(html), str(out)])
+    assert r.returncode == 0, r.stderr
+    text = out.read_text()
+    assert "<http://x/b1>" in text and '"A Book"' in text
+    assert "22-rdf-syntax-ns#type" in text

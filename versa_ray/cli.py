@@ -104,6 +104,20 @@ def cmd_modelsite(args):
     print(f"# wrote {n} pages -> {args.out_dir}")
 
 
+def cmd_rdfaparse(args):
+    """HTML with RDFa-Lite -> any Versa output format (reference
+    tools/exec/parse_rdfa as a subcommand)."""
+    from .core import RDF_TYPE_REL, VTYPE_REL
+    from .web.extract import extract_rdfa
+
+    with open(args.html) as fp:
+        html_text = fp.read()
+    model = MicroModel()
+    for s, p, o, _is_iri in extract_rdfa(html_text, args.base or "file://" + args.html):
+        model.add(s, VTYPE_REL if p == RDF_TYPE_REL else p, o)
+    smart_write(args.gr_out, model)
+
+
 def cmd_parse(args):
     model = MicroModel()
     smart_parse(args.gr_in, model)
@@ -444,6 +458,12 @@ def main(argv=None):
     p.add_argument("store", help="linkset store directory")
     p.add_argument("--max-files", type=int, default=1)
     p.set_defaults(func=cmd_kgcompact)
+
+    p = sub.add_parser("rdfaparse", help="RDFa-Lite HTML -> Versa output")
+    p.add_argument("html", help="HTML file with RDFa-Lite markup")
+    p.add_argument("gr_out", help="output ('-', .vlit, .nt, .ttl, .parquet, ...)")
+    p.add_argument("--base", default=None, help="source IRI (default file://<path>)")
+    p.set_defaults(func=cmd_rdfaparse)
 
     p = sub.add_parser("atom2versa", help="Atom feed -> Versa output")
     p.add_argument("feed", help="Atom XML file")
