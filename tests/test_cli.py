@@ -299,3 +299,24 @@ def test_cli_rdfaparse(tmp_path):
     text = out.read_text()
     assert "<http://x/b1>" in text and '"A Book"' in text
     assert "22-rdf-syntax-ns#type" in text
+
+
+def test_modelsite_at_name_collision_resolution(tmp_path):
+    """@name resolves to the FIRST (sorted) resource with that base
+    slug even when a later resource collides into 'name-1'; hyphenated
+    slugs never hijack other names."""
+    from versa_ray.core import I
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.web.modelsite import build_site
+
+    m = MicroModel()
+    m.add(I("http://v/foo"), I("http://v/x"), "first foo")
+    m.add(I("http://w/foo"), I("http://v/x"), "second foo")
+    m.add(I("http://v/bar"), I("http://v/desc"), "see @foo here")
+    out = tmp_path / "site"
+    build_site(m, str(out))
+    bar = (out / "bar.html").read_text()
+    assert '<a href="foo.html">foo</a>' in bar
+    assert "foo-1" not in bar
+    # both colliding resources still got distinct pages
+    assert (out / "foo.html").exists() and (out / "foo-1.html").exists()

@@ -174,3 +174,28 @@ def test_fullquery_over_dataset(ray_session):
         ds, "?($x, V 'type', 'http://v/T') and not ?($x, V 'flag', 'yes')", V
     )
     assert r["x"] == {"http://e/b"}
+
+
+def test_conjunction_empty_left_binding_is_not_wildcard():
+    """A variable whose positive conjunct matched NOTHING must
+    constrain later conjuncts to nothing — an empty binding set is a
+    real (empty) constraint, not 'unbound'."""
+    from versa_ray.query import evaluate, execute
+
+    m = _vocab_model()
+    # no links with rel http://v/nope → $x binds to the empty set;
+    # the second conjunct must then bind $y to nothing
+    q = "?($x, V 'nope', 'zzz') and ?($x, V 'type', $y)"
+    for run in (evaluate, lambda qq, mm, vv: execute(mm, qq, vv)):
+        r = run(q, m, V)
+        assert r["x"] == set()
+        assert r["y"] == set()
+
+
+def test_conjunction_empty_left_binding_dataset(ray_session):
+    from versa_ray.model.linkset import from_model
+    from versa_ray.query import evaluate
+
+    ds = from_model(_vocab_model())
+    r = evaluate("?($x, V 'nope', 'zzz') and ?($x, V 'type', $y)", ds, V)
+    assert r["x"] == set() and r["y"] == set()

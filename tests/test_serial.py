@@ -530,3 +530,62 @@ def test_ntriples_lang_and_datatype_literals():
     assert '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .' in out
     m2 = ntriples.parse(out)
     assert m == m2
+
+
+def test_turtle_preserves_lang_and_datatype(ray_session, tmp_path):
+    """NT -> Turtle keeps @lang and ^^datatype (they ride as attrs);
+    both the driver writer and the sharded Dataset sink render them."""
+    import glob
+
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.model.linkset import from_model
+    from versa_ray.serial import ntriples, turtle
+    from versa_ray.serial.turtle import write_turtle_ds
+
+    nt = (
+        '<http://e/s> <http://e/title> "Ndewo"@en .\n'
+        '<http://e/s> <http://e/count> '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/s> <http://e/plain> "just text" .\n'
+    )
+    m = MicroModel()
+    ntriples.parse(nt, m)
+    out = turtle.write_string(m)
+    assert '"Ndewo"@en' in out
+    assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in out
+    assert '"just text"' in out and '"just text"@' not in out
+
+    files = write_turtle_ds(from_model(m), str(tmp_path / "ttl"))
+    assert files
+    text = "".join(
+        open(f).read() for f in sorted(glob.glob(str(tmp_path / "ttl/*.ttl")))
+    )
+    assert '"Ndewo"@en' in text
+    assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in text
+
+
+def test_ntriples_minified_dot_forms():
+    """Spec-legal lines with NO whitespace before the terminating dot
+    parse; a bnode label never swallows the dot (labels cannot end
+    with '.')."""
+    from versa_ray.serial import ntriples
+
+    nt = (
+        '_:a <http://e/p> _:b.\n'
+        '<http://e/s> <http://e/p> "x".\n'
+        '<http://e/s> <http://e/q> <http://e/o>.\n'
+        '<http://e/s> <http://e/r> "y"@en.\n'
+        '_:c.d <http://e/p> "dotted label".\n'
+    )
+    links = list(ntriples.parse_links(nt))
+    assert len(links) == 5
+    by_rel = {str(r): (o, t) for o, r, t, a in links}
+    o, t = by_rel["http://e/p"] if "http://e/p" in by_rel else (None, None)
+    # bnode object kept its full label 'b' (not 'b.')
+    bl = [t for o, r, t, a in links if str(t).startswith("_:")]
+    assert len(bl) == 1 and str(bl[0]).endswith("-b")
+    subs = {str(o) for o, r, t, a in links}
+    assert any(s.endswith("-c.d") for s in subs)  # interior dot kept
+    assert ("x",) == tuple(
+        t for o, r, t, a in links if str(r) == "http://e/p" and not str(
+            t).startswith("_:") and "dotted" not in str(t))

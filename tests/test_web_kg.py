@@ -520,3 +520,20 @@ def test_replace_values_ds_rewrites_attr_values(ray_session):
     # and the rewrite actually touched an attrs value
     assert rhs["attrs"].str.contains(a2.replace("/", "/")).any()
     assert not rhs["attrs"].str.contains("corp.example").any()
+
+
+def test_entity_scorer_threshold_conflicts_with_index():
+    """Passing a threshold alongside a prebuilt index either agrees or
+    raises — it is never silently ignored (the prefix/size filters are
+    baked in at build time)."""
+    import pytest
+
+    from versa_ray.web.kgpipeline import EntityScorer, build_alias_index
+
+    idx = build_alias_index({"Ada Lovelace": "http://a/ada"}, 0.6)
+    with pytest.raises(ValueError, match="threshold"):
+        EntityScorer(index=idx, threshold=0.8)
+    sc = EntityScorer(index=idx, threshold=0.6)  # agreeing value is fine
+    assert sc.threshold == 0.6
+    sc2 = EntityScorer(index=idx)  # omitted -> the index's own
+    assert sc2.threshold == 0.6

@@ -35,8 +35,6 @@ a bug, not a semantic we preserve).
 
 from __future__ import annotations
 
-import re
-
 from .mini import (
     BoolOp,
     MatchCall,
@@ -45,14 +43,13 @@ from .mini import (
     Var,
     Wild,
     _match_bindings,
+    _merge_and,
+    _merge_or,
+    _resolve_arg as _mini_resolve_arg,
+    tokenize as _mini_tokenize,
 )
 
 __all__ = ["parse", "execute", "FUNCTIONS"]
-
-_TOKEN_RE = re.compile(
-    r"\s*(?:(?P<var>\$\w+)|(?P<string>\"[^\"]*\"|'[^']*')|(?P<ident>\w+)"
-    r"|(?P<punct>[?(),*]))"
-)
 
 FUNCTIONS = {
     "concat": lambda *args: "".join(args),
@@ -91,26 +88,7 @@ class FuncCall:
 
 
 def tokenize(text: str):
-    pos = 0
-    out = []
-    while pos < len(text):
-        m = _TOKEN_RE.match(text, pos)
-        if not m:
-            if text[pos:].strip():
-                raise ValueError(f"full-query: bad token at {text[pos:]!r}")
-            break
-        pos = m.end()
-        if m.group("var"):
-            out.append(("var", m.group("var")[1:]))
-        elif m.group("string"):
-            out.append(("string", m.group("string")[1:-1]))
-        elif m.group("ident"):
-            word = m.group("ident")
-            out.append((word, word) if word in ("and", "or", "not")
-                       else ("ident", word))
-        else:
-            out.append((m.group("punct"), m.group("punct")))
-    return out
+    return _mini_tokenize(text, keywords=("and", "or", "not"))
 
 
 class _Parser:
@@ -235,16 +213,9 @@ def parse(text: str):
 
 
 def _resolve_arg(arg, ctx):
-    if isinstance(arg, Wild):
-        return None
-    if isinstance(arg, Var):
-        bound = ctx.matchvars.get(arg.name)
-        return set(bound) if bound else None
-    if isinstance(arg, StringSeq):
-        return arg.value(ctx.variables)
     if isinstance(arg, FuncCall):
         return arg.value(ctx.variables)
-    raise TypeError(arg)
+    return _mini_resolve_arg(arg, ctx)
 
 
 def _eval(node, ctx: QueryContext) -> dict:
@@ -280,19 +251,9 @@ def _eval(node, ctx: QueryContext) -> dict:
                         "nothing to subtract from"
                     )
                 return out
-            right = _eval(node.right, ctx.copy(matchvars=left))
-            out = {}
-            for k, v in left.items():
-                out[k] = v & right[k] if k in right else set(v)
-            for k, v in right.items():
-                if k not in left:
-                    out[k] = set(v)
-            return out
-        right = _eval(node.right, ctx)
-        out = {k: set(v) for k, v in left.items()}
-        for k, v in right.items():
-            out[k] = out.get(k, set()) | set(v)
-        return out
+            return _merge_and(
+                left, _eval(node.right, ctx.copy(matchvars=left)))
+        return _merge_or(left, _eval(node.right, ctx))
     if isinstance(node, (StringSeq, FuncCall)):
         raise ValueError(
             "full-query: a bare value expression is not a query — use it "

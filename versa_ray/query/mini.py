@@ -32,7 +32,7 @@ _TOKEN_RE = re.compile(
 )
 
 
-def tokenize(text: str):
+def tokenize(text: str, keywords=("and", "or")):
     pos = 0
     out = []
     while pos < len(text):
@@ -48,7 +48,7 @@ def tokenize(text: str):
             out.append(("string", m.group("string")[1:-1]))
         elif m.group("ident"):
             word = m.group("ident")
-            if word in ("and", "or"):
+            if word in keywords:
                 out.append((word, word))
             else:
                 out.append(("ident", word))
@@ -177,8 +177,11 @@ def _resolve_arg(arg, ctx):
     if isinstance(arg, Wild):
         return None
     if isinstance(arg, Var):
+        # None = unconstrained; an EMPTY bound set stays an empty set
+        # (matches nothing) — collapsing it to None would let a var
+        # whose positive conjunct found no solutions act as a wildcard
         bound = ctx.matchvars.get(arg.name)
-        return set(bound) if bound else None
+        return None if bound is None else set(bound)
     if isinstance(arg, StringSeq):
         return arg.value(ctx.variables)
     raise TypeError(arg)
@@ -196,6 +199,8 @@ def _match_bindings(model, args, resolved) -> dict:
         pos: a.name for pos, a in enumerate(args[:3]) if isinstance(a, Var)
     }
     result = {name: set() for name in var_pos.values()}
+    if any(isinstance(r, (set, frozenset)) and not r for r in resolved):
+        return result  # a position constrained to the empty set matches nothing
     if hasattr(model, "multimatch"):
         for link in model.multimatch(*resolved):
             for pos, name in var_pos.items():
@@ -223,6 +228,25 @@ def _match_bindings(model, args, resolved) -> dict:
     return result
 
 
+def _merge_and(left: dict, right: dict) -> dict:
+    """Conjunction merge: intersect shared variables, keep the rest."""
+    out = {}
+    for k, v in left.items():
+        out[k] = v & right[k] if k in right else set(v)
+    for k, v in right.items():
+        if k not in left:
+            out[k] = set(v)
+    return out
+
+
+def _merge_or(left: dict, right: dict) -> dict:
+    """Disjunction merge: union of binding sets per variable."""
+    out = {k: set(v) for k, v in left.items()}
+    for k, v in right.items():
+        out[k] = out.get(k, set()) | set(v)
+    return out
+
+
 def _eval(node, ctx: QueryContext) -> dict:
     if isinstance(node, MatchCall):
         args = [_resolve_arg(a, ctx) for a in node.args[:3]]
@@ -230,20 +254,8 @@ def _eval(node, ctx: QueryContext) -> dict:
     if isinstance(node, BoolOp):
         left = _eval(node.left, ctx)
         if node.op == "and":
-            right = _eval(node.right, ctx.copy(matchvars=left))
-            out = {}
-            for k, v in left.items():
-                out[k] = v & right[k] if k in right else set(v)
-            for k, v in right.items():
-                if k not in left:
-                    out[k] = set(v)
-            return out
-        # or: union of binding sets
-        right = _eval(node.right, ctx)
-        out = {k: set(v) for k, v in left.items()}
-        for k, v in right.items():
-            out[k] = out.get(k, set()) | set(v)
-        return out
+            return _merge_and(left, _eval(node.right, ctx.copy(matchvars=left)))
+        return _merge_or(left, _eval(node.right, ctx))
     raise TypeError(node)
 
 

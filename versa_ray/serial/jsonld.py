@@ -604,16 +604,6 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
 
     tagged = adj.map_batches(_mknodes, batch_format="pandas")
 
-    def _with_bucket(col):
-        def _fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_cbucket"] = (
-                pd.util.hash_pandas_object(df[col], index=False) % num_buckets
-            ).astype("int32")
-            return df
-
-        return _fn
-
     _COLS = ["key", "kind", "s1", "s2", "n"]
 
     # ---- phase A (one bucket shuffle keyed by target id, fully
@@ -684,7 +674,7 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
         work = work.union(adj.map_batches(_prune_removals, batch_format="pandas"))
 
     staged = (
-        work.map_batches(_with_bucket("key"), batch_format="pandas")
+        work.map_batches(_bucketize_on("key", num_buckets), batch_format="pandas")
         .groupby("_cbucket")
         .map_groups(lambda b: _phase_a(b.drop(columns=["_cbucket"])),
                     batch_format="pandas")
@@ -738,7 +728,7 @@ def bind_ds(links_ds, context=None, ignore_oftypes=None, max_depth=3,
         return df[_STATE_COLS]
 
     state = (
-        staged.map_batches(_with_bucket("key"), batch_format="pandas")
+        staged.map_batches(_bucketize_on("key", num_buckets), batch_format="pandas")
         .groupby("_cbucket")
         .map_groups(lambda b: _phase_b(b.drop(columns=["_cbucket"])),
                     batch_format="pandas")

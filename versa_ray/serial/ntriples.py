@@ -15,11 +15,16 @@ from ..model.micro import MicroModel
 
 __all__ = ["parse", "write", "write_string", "parse_links"]
 
+# bnode labels may contain '.' internally but not terminally (spec
+# BLANK_NODE_LABEL) — and the whitespace before the closing '.' is
+# optional, so minified "_:a <p> _:b." parses instead of silently
+# dropping
+_BNODE_LABEL = r'_:[\w\-](?:[\w.\-]*[\w\-])?'
 NT_LINE_PAT = re.compile(
-    r'^((<([^>]+)>)|(_:[\w.\-]+))\s+<([^>]+)>\s+'
+    r'^((<([^>]+)>)|(' + _BNODE_LABEL + r'))\s+<([^>]+)>\s+'
     r'((<([^>]+)>)|"((?:[^"\\]|\\.)*)"'
     r'(?:@(?P<lang>[A-Za-z][A-Za-z0-9\-]*)|\^\^<(?P<dtype>[^>]+)>)?'
-    r'|(_:[\w.\-]+))\s+\.\s*'
+    r'|(' + _BNODE_LABEL + r'))\s*\.\s*'
 )
 
 # N-Triples literal string escapes (the spec's ECHAR subset we emit).
@@ -77,11 +82,14 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None,
         only_rel = set(only_rel)
         only_rel.add(VTYPE_REL)
     seen = set()
-    if bnode_scope is None:
-        bnode_scope = simple_hashstring(nt) if isinstance(nt, str) else ""
 
     def _bnode(label: str):
-        # label arrives as "_:x"; strip the marker, keep the name
+        # label arrives as "_:x"; strip the marker, keep the name.
+        # The default scope (hash of the whole input) is computed
+        # LAZILY on the first bnode — bnode-free corpora never pay it
+        nonlocal bnode_scope
+        if bnode_scope is None:
+            bnode_scope = simple_hashstring(nt) if isinstance(nt, str) else ""
         return I("_:b%s-%s" % (bnode_scope, label[2:]))
 
     # split on LF only — splitlines() also splits on NEL/LS/PS, which

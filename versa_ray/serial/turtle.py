@@ -29,7 +29,7 @@ DEFAULT_PREFIXES = {"rdf": str(RDF_NS), "rdfs": str(RDFS_NS)}
 _PN_LOCAL = re.compile(r"^[A-Za-z_][A-Za-z0-9_\-]*$")
 
 
-def _term(item, prefixes, bnode_ok=True):
+def _term(item, prefixes, bnode_ok=True, attrs=None):
     if isinstance(item, I) or (
         bnode_ok and isinstance(item, str) and item.startswith("_:")
     ):
@@ -42,19 +42,30 @@ def _term(item, prefixes, bnode_ok=True):
                 if _PN_LOCAL.match(local):
                     return f"{pfx}:{local}"
         return f"<{s}>"
-    return '"' + _nt_escape(str(item)) + '"'
+    lit = '"' + _nt_escape(str(item)) + '"'
+    # language tags / datatypes ride as attrs (same convention as
+    # ntriples.write — {"@lang": "en"} / {"@datatype": iri})
+    if attrs:
+        if "@lang" in attrs:
+            return lit + "@" + str(attrs["@lang"])
+        if "@datatype" in attrs:
+            return lit + "^^" + _term(
+                I(attrs["@datatype"]), prefixes, bnode_ok=False)
+    return lit
 
 
 def _subject_block(subj, po_pairs, prefixes):
-    """One Turtle block: sorted predicates; rdf:type first as ``a``."""
+    """One Turtle block: sorted predicates; rdf:type first as ``a``.
+    ``po_pairs`` items are (pred, obj) or (pred, obj, attrs)."""
     by_pred: dict = {}
-    for p, o in po_pairs:
-        by_pred.setdefault(p, []).append(o)
+    for p, o, *rest in po_pairs:
+        by_pred.setdefault(p, []).append((o, rest[0] if rest else None))
     parts = []
     preds = sorted(by_pred, key=lambda p: (p != "a", p))
     for p in preds:
         objs = ", ".join(
-            _term(o, prefixes) for o in sorted(by_pred[p], key=str)
+            _term(o, prefixes, attrs=a)
+            for o, a in sorted(by_pred[p], key=lambda oa: str(oa[0]))
         )
         ptxt = p if p == "a" else _term(I(p), prefixes, bnode_ok=False)
         parts.append(f"{ptxt} {objs}")
@@ -96,7 +107,7 @@ def write(models, out=None, base=None, prefixes=None):
             if s == (base or "") + "@docheader":
                 continue
             s, p, o = _normalize(s, p, o)
-            groups.setdefault(str(s), []).append((p, o))
+            groups.setdefault(str(s), []).append((p, o, a))
     out.write(_prefix_header(prefixes))
     for subj in sorted(groups):
         out.write(_subject_block(subj, groups[subj], prefixes))
@@ -131,9 +142,11 @@ def write_turtle_ds(ds, path: str, prefixes=None, filesystem=None):
         blocks = []
         for origin, adjacency in zip(df["origin"], df["adjacency"]):
             pairs = []
-            for r, t, is_iri, _attrs in json.loads(adjacency):
+            for r, t, is_iri, attrs in json.loads(adjacency):
                 s, p, o = _normalize(origin, I(r), I(t) if is_iri else t)
-                pairs.append((p, o))
+                # attrs rides the adjacency as a nested JSON string
+                a = json.loads(attrs) if attrs and attrs != "{}" else None
+                pairs.append((p, o, a))
             blocks.append(_subject_block(origin, pairs, prefixes))
         if not blocks:
             return pd.DataFrame({"file": []})

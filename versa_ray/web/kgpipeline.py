@@ -312,7 +312,7 @@ class EntityScorer:
 
     NAME_REL = str(BF("name"))
 
-    def __init__(self, alias_ref=None, alias_table=None, threshold=0.6,
+    def __init__(self, alias_ref=None, alias_table=None, threshold=None,
                  index_ref=None, index=None):
         import ray
 
@@ -323,7 +323,17 @@ class EntityScorer:
                 ray.get(alias_ref) if alias_ref is not None
                 else (alias_table or {})
             )
-            index = build_alias_index(table, threshold)
+            index = build_alias_index(
+                table, 0.6 if threshold is None else threshold)
+        elif threshold is not None and float(threshold) != float(
+                index["threshold"]):
+            # the prefix/size filters are baked in at index build time —
+            # silently scoring at a different cutoff than requested
+            # would be wrong in both directions
+            raise ValueError(
+                "EntityScorer: threshold=%r conflicts with the supplied "
+                "index (built at %r); rebuild the index at the desired "
+                "threshold" % (threshold, index["threshold"]))
         self.threshold = float(index["threshold"])
         self._lex_grams = index["lex_grams"]
         self._lex_rank = index["lex_rank"]

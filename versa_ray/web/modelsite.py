@@ -65,8 +65,12 @@ def build_site(model, out_dir: str, base: str | None = None) -> int:
         resources.setdefault(str(s), []).append((str(p), o))
 
     slugs = {iri: _slug(iri) for iri in resources}
-    # de-collide deterministically
+    # de-collide deterministically; @name resolves to the FIRST
+    # (sorted) resource bearing that base name — keyed off the
+    # pre-collision slug, so a de-collided "foo-1" or a legitimately
+    # hyphenated "see-also" never shadows another name
     seen: dict = {}
+    by_name: dict = {}
     for iri in sorted(slugs):
         s = slugs[iri]
         if s in seen:
@@ -74,7 +78,7 @@ def build_site(model, out_dir: str, base: str | None = None) -> int:
             slugs[iri] = f"{s}-{seen[s]}"
         else:
             seen[s] = 0
-    by_name = {slugs[iri].rsplit("-", 1)[0]: slugs[iri] for iri in sorted(slugs)}
+            by_name[s] = s
 
     for iri in sorted(resources):
         rows = sorted(resources[iri], key=lambda pv: (pv[0], str(pv[1])))
