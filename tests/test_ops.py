@@ -1247,3 +1247,74 @@ def test_decode_actor_stages(ray_session):
         row = out2.iloc[i]
         assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(sums)
         assert row["width"] == 12 and row["height"] == 10
+
+
+def test_incremental_minhash_dedup(ray_session, tmp_path):
+    """Online LSH near-dedup across micro-batches: cross-delta
+    near-dups assign to the EARLIER kept representative, within-delta
+    clusters keep batch semantics, replay equals batch minhash_dedup,
+    and the second call leaves untouched band partitions alone."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import incremental_minhash_dedup, minhash_dedup
+
+    def mktext(seed, n=40):
+        return " ".join(f"tok{seed}_{j}" for j in range(n))
+
+    rows = [{"doc_id": i, "text": mktext(i)} for i in range(30)]
+    # cluster A spans both deltas: 2 (delta1) ~ 17 (delta2)
+    rows[17]["text"] = rows[2]["text"] + " extra"
+    # cluster B entirely in delta2: 21 ~ 22
+    rows[22]["text"] = rows[21]["text"] + " tail"
+    df = pd.DataFrame(rows)
+
+    state = str(tmp_path / "mh_state")
+    d1 = rd.from_pandas(df[df.doc_id < 15].reset_index(drop=True))
+    d2 = rd.from_pandas(df[df.doc_id >= 15].reset_index(drop=True))
+    a1, k1 = incremental_minhash_dedup(state, d1, threshold=0.5)
+    a1 = a1.materialize()
+    mtimes = {
+        p: os.path.getmtime(os.path.join(state, "bands", p))
+        for p in os.listdir(os.path.join(state, "bands"))
+        if p.startswith("bucket=")
+    }
+    a2, k2 = incremental_minhash_dedup(state, d2, threshold=0.5)
+    inc = (
+        pd.concat([a1.to_pandas(), a2.to_pandas()])
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert k1 == 15  # no dups within delta 1
+    assert k2 == 13  # 17 matched state, 22 matched 21 in-delta
+    by = inc.set_index("doc_id")["cluster"]
+    assert by[17] == 2      # cross-delta near-dup -> earlier rep
+    assert by[22] == 21     # within-delta cluster, min id wins
+    assert by[2] == 2 and by[21] == 21
+
+    batch = (
+        minhash_dedup(rd.from_pandas(df), threshold=0.5).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inc, batch)
+
+    # delta-2 rewrote only touched band partitions; nothing vanished
+    after = {
+        p: os.path.getmtime(os.path.join(state, "bands", p))
+        for p in os.listdir(os.path.join(state, "bands"))
+        if p.startswith("bucket=")
+    }
+    assert set(mtimes) <= set(after)
+
+    # crash-window sweep: a stray stage dir is cleaned on next call;
+    # append-only re-arrivals (same text, NEW ids) all match state
+    stray = os.path.join(state, "bands", "bucket=0.tmp")
+    os.makedirs(stray, exist_ok=True)
+    d3 = df[df.doc_id < 3].reset_index(drop=True).assign(
+        doc_id=lambda x: x.doc_id + 100)
+    a3, k3 = incremental_minhash_dedup(
+        state, rd.from_pandas(d3), threshold=0.5)
+    assert not os.path.isdir(stray)
+    assert k3 == 0  # all three are near-dups of state reps
+    assert sorted(a3.to_pandas()["cluster"]) == [0, 1, 2]

@@ -1340,6 +1340,46 @@ def _partition_files(state_dir, buckets):
     return out
 
 
+def _sweep_stages(state_dir):
+    """Crash-window sweep for staged-partition state dirs: a crash
+    between the two swap renames leaves `bucket=N.old.tmp` with no
+    `bucket=N` — restore it (old state is strictly better than lost
+    state); everything else staged is junk."""
+    import os
+    import shutil
+
+    for name in os.listdir(state_dir):
+        path = os.path.join(state_dir, name)
+        if name.endswith(".old.tmp"):
+            dst = path[: -len(".old.tmp")]
+            if not os.path.isdir(dst):
+                os.rename(path, dst)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        elif name.endswith(".tmp"):
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _swap_partitions(state_dir, stage, touched, part_key="bucket"):
+    """Swap staged Hive partitions into place via the two-rename
+    discipline (old kept as `.old.tmp` until the new dir is in place;
+    `_sweep_stages` handles the crash window)."""
+    import os
+    import shutil
+
+    for b in touched:
+        src = os.path.join(stage, f"{part_key}={b}")
+        dst = os.path.join(state_dir, f"{part_key}={b}")
+        if not os.path.isdir(src):
+            continue
+        old = dst + ".old.tmp"
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def incremental_exact_dedup(state_dir, delta_ds, key: str = "text",
                             id_col: str = "doc_id", num_buckets: int = 16):
     """Exact dedup of an APPEND-ONLY corpus across micro-batches: each
@@ -1371,19 +1411,7 @@ def incremental_exact_dedup(state_dir, delta_ds, key: str = "text",
     import ray.data as rd
 
     os.makedirs(state_dir, exist_ok=True)
-    # crash-window sweep: a crash between the two swap renames leaves
-    # `bucket=N.old.tmp` with no `bucket=N` — restore it (old state is
-    # strictly better than lost state); everything else staged is junk
-    for name in os.listdir(state_dir):
-        path = os.path.join(state_dir, name)
-        if name.endswith(".old.tmp"):
-            dst = path[: -len(".old.tmp")]
-            if not os.path.isdir(dst):
-                os.rename(path, dst)
-            else:
-                shutil.rmtree(path, ignore_errors=True)
-        elif name.endswith(".tmp"):
-            shutil.rmtree(path, ignore_errors=True)
+    _sweep_stages(state_dir)
 
     def _local(df: pd.DataFrame) -> pa.Table:
         out = df.loc[df.groupby(key)[id_col].idxmin(), [id_col, key]].copy()
@@ -1461,19 +1489,303 @@ def incremental_exact_dedup(state_dir, delta_ds, key: str = "text",
             batch_format="pandas",
         )
         upd.write_parquet(stage, partition_cols=["bucket"])
-        for b in touched:
-            src = os.path.join(stage, f"bucket={b}")
-            dst = os.path.join(state_dir, f"bucket={b}")
-            if not os.path.isdir(src):
-                continue
-            old = dst + ".old.tmp"
-            if os.path.isdir(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(stage, ignore_errors=True)
+        _swap_partitions(state_dir, stage, touched)
 
     return new_docs.select_columns([id_col, key]), n_new
+
+
+def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
+                              id_col="doc_id", num_perm=64, bands=16, k=3,
+                              threshold=0.5, num_buckets=16,
+                              max_bucket=2048):
+    """NEAR-duplicate dedup of an APPEND-ONLY corpus across
+    micro-batches — the MinHash/LSH sibling of
+    ``incremental_exact_dedup``. Each call dedups ``delta_ds`` against
+    every KEPT representative any previous call saw, returning
+    ``(assign_ds, n_kept)`` where ``assign_ds`` has one row per delta
+    doc ``(id_col, cluster)`` — ``cluster`` is a previous call's doc
+    id for cross-delta near-dups — and ``n_kept`` counts the delta
+    docs that became new representatives.
+
+    Online semantics: a doc is KEPT iff it is not a near-dup (banded
+    LSH collision + full-signature agreement >= threshold) of any
+    previously-kept representative, with batch ``minhash_dedup``
+    clustering WITHIN the delta (min doc id wins). Replaying deltas
+    in id order converges to the batch result except when a later doc
+    would have BRIDGED two clusters earlier calls kept separate —
+    streaming cannot retract, the standard online-LSH divergence
+    (equality-tested on bridge-free corpora in tests).
+
+    State (all Hive-partitioned, touched-partition reads/writes only,
+    same staged-rename crash discipline as the exact path):
+
+    * ``bands/bucket=N``: (band, band_hash, rep) — ~24 B/band-row,
+      REPRESENTATIVES ONLY, so state grows with kept-doc (not
+      corpus-byte) cardinality. A delta probes only the buckets its
+      own band hashes land in.
+    * ``sigs/bucket=N``: (rep, sig) — one num_perm*8-byte signature
+      per representative, read only for the buckets of candidate
+      reps during verification.
+
+    Driver-side work is bounded by the CANDIDATE count (LSH-colliding
+    (doc, rep) pairs after the per-group ``max_bucket`` cap), never by
+    delta or state cardinality; delta-cardinality joins (final-label
+    attach, kept-row selection) are coarse-bucket shuffles."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    bands_dir = os.path.join(state_dir, "bands")
+    sigs_dir = os.path.join(state_dir, "sigs")
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(sigs_dir, exist_ok=True)
+    _sweep_stages(bands_dir)
+    _sweep_stages(sigs_dir)
+
+    params = (num_perm, bands, k, text_col, id_col)
+
+    def _sig(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = _MINHASHER_CACHE.get(params)
+        if mh is None:
+            mh = MinHasher(num_perm=num_perm, bands=bands, k=k,
+                           text_col=text_col, id_col=id_col)
+            _MINHASHER_CACHE[params] = mh
+        out = mh(batch)
+        key = (
+            out["band_hash"].to_numpy().astype(np.uint64) * _P1
+            + out["band"].to_numpy().astype(np.uint64)
+        )
+        out["bucket"] = _int_bucket(key.astype(np.int64), num_buckets).astype(
+            "int64")
+        return out
+
+    delta_sigs = delta_ds.map_batches(
+        _sig, batch_format="pandas").materialize()
+
+    # within-delta clustering — exact batch semantics inside the delta
+    local_pairs = minhash_candidate_pairs(
+        delta_ds, num_perm=num_perm, bands=bands, k=k, threshold=threshold,
+        text_col=text_col, id_col=id_col, dedup=False, max_bucket=max_bucket)
+    local_assign = assign_clusters(
+        delta_ds, local_pairs, id_col=id_col).materialize()
+
+    touched = sorted(int(b) for b in delta_sigs.unique("bucket"))
+    existing = [
+        b for b in touched
+        if os.path.isdir(os.path.join(bands_dir, f"bucket={b}"))
+    ]
+
+    # ---- probe: (delta doc, state rep) LSH candidates, then verify
+    # against the rep's stored signature
+    doc_to_rep: dict = {}
+    if existing:
+        _CAND = ["band", "band_hash", "_id", "_rep", "_kind"]
+
+        def _tag_delta(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "band": df["band"].to_numpy(),
+                "band_hash": df["band_hash"].to_numpy(),
+                "_id": df[id_col].to_numpy().astype(np.int64),
+                "_rep": np.full(len(df), -1, dtype=np.int64),
+                "_kind": np.zeros(len(df), dtype=np.int8),
+            })
+
+        def _tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "band": df["band"].to_numpy(),
+                "band_hash": df["band_hash"].to_numpy(),
+                "_id": np.full(len(df), -1, dtype=np.int64),
+                "_rep": df["rep"].to_numpy().astype(np.int64),
+                "_kind": np.ones(len(df), dtype=np.int8),
+            })
+
+        def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+            d = group.loc[group["_kind"] == 0, "_id"].unique()
+            s = group.loc[group["_kind"] == 1, "_rep"].unique()
+            if not len(d) or not len(s):
+                return pd.DataFrame({"_id": [], "_rep": []})
+            if len(s) > max_bucket:  # hot-bucket cap (see candidates)
+                s = np.sort(s)[:max_bucket]
+            if len(d) > max_bucket:
+                d = np.sort(d)[:max_bucket]
+            return pd.DataFrame({
+                "_id": np.repeat(d, len(s)).astype(np.int64),
+                "_rep": np.tile(s, len(d)).astype(np.int64),
+            })
+
+        probe = delta_sigs.map_batches(
+            _tag_delta, batch_format="pandas"
+        ).union(
+            rd.read_parquet(_partition_files(bands_dir, existing))
+            .map_batches(_tag_state, batch_format="pandas")
+        )
+        cand = dedup_rows(
+            bucketed_group_apply(
+                probe, ["band", "band_hash"], _pairs, min_group_size=2),
+            ["_id", "_rep"],
+        ).to_pandas()  # candidate-cardinality — small by LSH design
+
+        if len(cand):
+            cand_reps = np.unique(cand["_rep"].to_numpy())
+            rep_buckets = sorted(
+                set(int(b) for b in _int_bucket(cand_reps, num_buckets)))
+            rep_buckets = [
+                b for b in rep_buckets
+                if os.path.isdir(os.path.join(sigs_dir, f"bucket={b}"))
+            ]
+            rep_sig: dict = {}
+            if rep_buckets:
+                for batch in rd.read_parquet(
+                    _partition_files(sigs_dir, rep_buckets)
+                ).iter_batches(batch_format="pandas"):
+                    hit = batch[batch["rep"].isin(cand_reps)]
+                    for r, sg in zip(hit["rep"], hit["sig"]):
+                        rep_sig[int(r)] = np.frombuffer(sg, dtype=np.uint64)
+            cand_ids = set(int(i) for i in cand["_id"])
+
+            def _doc_sigs(df: pd.DataFrame) -> pd.DataFrame:
+                hit = df[(df["band"] == 0) & df[id_col].isin(cand_ids)]
+                return hit[[id_col, "sig"]]
+
+            doc_sig = {
+                int(r[id_col]): np.frombuffer(r["sig"], dtype=np.uint64)
+                for r in delta_sigs.map_batches(
+                    _doc_sigs, batch_format="pandas").take_all()
+            }
+            for _id, _rep in zip(cand["_id"], cand["_rep"]):
+                ds_, rs_ = doc_sig.get(int(_id)), rep_sig.get(int(_rep))
+                if ds_ is None or rs_ is None:
+                    continue
+                if (ds_ == rs_).mean() >= threshold:
+                    prev = doc_to_rep.get(int(_id))
+                    if prev is None or _rep < prev:
+                        doc_to_rep[int(_id)] = int(_rep)
+
+    # ---- merge: a local cluster ANY member of which matched state
+    # maps wholly onto the minimum matched rep
+    override: dict = {}
+    if doc_to_rep:
+        matched_ids = set(doc_to_rep)
+
+        def _matched_clusters(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].isin(matched_ids)]
+
+        for row in local_assign.map_batches(
+            _matched_clusters, batch_format="pandas"
+        ).take_all():  # matched-candidate-cardinality — small
+            c, r = int(row["cluster"]), doc_to_rep[int(row[id_col])]
+            if c not in override or r < override[c]:
+                override[c] = r
+
+    ov_ref = ray.put(override)
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ov = ray.get(ov_ref)
+        if ov:
+            df = df.copy()
+            repl = df["cluster"].map(ov)  # NaN where no override
+            df["cluster"] = repl.fillna(df["cluster"]).astype("int64")
+        return df
+
+    final = local_assign.map_batches(
+        _finalize, batch_format="pandas").materialize()
+
+    # ---- state update: append band + sig rows for NEW REPRESENTATIVES
+    # (docs whose final cluster is their own id); kept-row selection is
+    # a delta-cardinality coarse-bucket join on the doc id
+    _KB = ["band", "band_hash", "rep", "sig", "bucket", "_kind"]
+
+    def _tag_sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={id_col: "rep"})[
+            ["band", "band_hash", "rep", "sig", "bucket"]].copy()
+        out["_kind"] = np.int8(0)
+        return out[_KB]
+
+    def _tag_final(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df[id_col].to_numpy() == df["cluster"].to_numpy()]
+        n = len(kept)
+        return pd.DataFrame({
+            "band": np.full(n, -1, dtype=np.int64),
+            "band_hash": np.zeros(n, dtype=np.int64),
+            "rep": kept[id_col].to_numpy().astype(np.int64),
+            "sig": [b""] * n,
+            "bucket": np.zeros(n, dtype=np.int64),
+            "_kind": np.ones(n, dtype=np.int8),
+        })
+
+    def _kept_rows(group: pd.DataFrame) -> pd.DataFrame:
+        if not (group["_kind"] == 1).any():
+            return group.iloc[0:0][_KB]
+        return group[group["_kind"] == 0][_KB]
+
+    kept_bands = bucketed_group_apply(
+        delta_sigs.map_batches(_tag_sig_rows, batch_format="pandas").union(
+            final.map_batches(_tag_final, batch_format="pandas")),
+        ["rep"], _kept_rows,
+    ).materialize()
+    n_kept = kept_bands.count() // max(bands, 1)
+
+    if touched:
+        stage = os.path.join(bands_dir, "_stage.tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        upd = kept_bands.select_columns(["band", "band_hash", "rep", "bucket"])
+        if existing:
+            upd = upd.union(
+                rd.read_parquet(_partition_files(bands_dir, existing))
+                .map_batches(
+                    lambda df: df.assign(
+                        bucket=_int_bucket(
+                            (df["band_hash"].to_numpy().astype(np.uint64)
+                             * _P1
+                             + df["band"].to_numpy().astype(np.uint64)
+                             ).astype(np.int64),
+                            num_buckets).astype("int64")),
+                    batch_format="pandas",
+                )
+            )
+        upd.write_parquet(stage, partition_cols=["bucket"])
+        _swap_partitions(bands_dir, stage, touched)
+
+        # sig table: one row per new rep, partitioned by rep bucket
+        def _sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+            one = df[df["band"] == 0]
+            out = one[["rep", "sig"]].copy()
+            out["bucket"] = _int_bucket(
+                out["rep"].to_numpy().astype(np.int64), num_buckets
+            ).astype("int64")
+            return out
+
+        new_sigs = kept_bands.map_batches(
+            _sig_rows, batch_format="pandas").materialize()
+        # unique() returns None on an empty dataset (no new reps)
+        sig_u = new_sigs.unique("bucket") if n_kept else None
+        sig_touched = sorted(int(b) for b in (sig_u or []))
+        sig_existing = [
+            b for b in sig_touched
+            if os.path.isdir(os.path.join(sigs_dir, f"bucket={b}"))
+        ]
+        if sig_touched:
+            sstage = os.path.join(sigs_dir, "_stage.tmp")
+            shutil.rmtree(sstage, ignore_errors=True)
+            supd = new_sigs
+            if sig_existing:
+                supd = supd.union(
+                    rd.read_parquet(_partition_files(sigs_dir, sig_existing))
+                    .map_batches(
+                        lambda df: df.assign(
+                            bucket=_int_bucket(
+                                df["rep"].to_numpy().astype(np.int64),
+                                num_buckets).astype("int64")),
+                        batch_format="pandas",
+                    )
+                )
+            supd.write_parquet(sstage, partition_cols=["bucket"])
+            _swap_partitions(sigs_dir, sstage, sig_touched)
+
+    return final.select_columns([id_col, "cluster"]), n_kept
 
 
 def semantic_dedup(ds, threshold=0.95, k=16, n_iters=3,

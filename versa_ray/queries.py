@@ -683,6 +683,33 @@ def q_doc_incremental_dedup(sf_dir):
     return out[["doc_id", "text"]]
 
 
+def q_doc_incremental_minhash(sf_dir):
+    """Cross-run NEAR-dup dedup replay: the corpus arrives as two
+    doc_id-ordered micro-batches through a persistent LSH band-bucket
+    + rep-signature state store (ops.dedup.incremental_minhash_dedup);
+    the concatenated per-delta assignments must equal one-shot batch
+    minhash_dedup — hash-checked against the SAME exact-Jaccard
+    connected-components oracle (valid because this corpus has no
+    cross-delta cluster bridges; see the op's streaming caveat). Only
+    touched state partitions are read/rewritten per call."""
+    import shutil
+    import tempfile
+
+    docs = _docs(sf_dir).materialize()
+    mid = int(docs.to_pandas()["doc_id"].median())
+    d1 = docs.filter(lambda r: r["doc_id"] <= mid)
+    d2 = docs.filter(lambda r: r["doc_id"] > mid)
+    state = tempfile.mkdtemp(prefix="vr_incminhash_")
+    try:
+        a1, _ = dd.incremental_minhash_dedup(state, d1, threshold=0.5)
+        a1 = a1.materialize()  # consume before state mutates again
+        a2, _ = dd.incremental_minhash_dedup(state, d2, threshold=0.5)
+        out = a1.union(a2.materialize()).to_pandas()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_token_stats(sf_dir):
     ds = _docs(sf_dir).map_batches(
         lambda df: textstats.token_stats(df)[
@@ -1974,6 +2001,7 @@ def build_queries():
         "multimodal_png_features": q_multimodal_png_features,
         "fullquery_negation": q_fullquery_negation,
         "fullquery_disjunction": q_fullquery_disjunction,
+        "doc_incremental_minhash": q_doc_incremental_minhash,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
         "links_jsonld_nested": q_links_jsonld_nested,
@@ -2095,7 +2123,7 @@ SIMHASH_CTES = (
 
 def build_oracles():
     L = f"WITH links AS ({LINKSET_SQL})"
-    return {
+    out = {
         "kg_pagerank": _pagerank_sql(n_iters=10, damping=0.85),
         "fullquery_negation": (
             f"{L} SELECT DISTINCT origin AS c FROM links "
@@ -2868,3 +2896,6 @@ def build_oracles():
         # kg_linkset / multimodal_features:
         # not SQL-expressible -> rows-only checks
     }
+    # incremental replay must equal the batch result -> same oracle
+    out["doc_incremental_minhash"] = out["doc_minhash_dedup"]
+    return out
