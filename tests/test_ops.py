@@ -1318,3 +1318,75 @@ def test_incremental_minhash_dedup(ray_session, tmp_path):
     assert not os.path.isdir(stray)
     assert k3 == 0  # all three are near-dups of state reps
     assert sorted(a3.to_pandas()["cluster"]) == [0, 1, 2]
+
+
+def test_append_ann_index(ray_session, tmp_path):
+    """Frozen-quantizer append: appended codes are byte-identical to
+    encoding the delta with the index's own quantizers; search after
+    append returns appended ids; a crash-interrupted append (files
+    still staged) is completed by the next append/search."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops import similarity
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(60, dim))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    # delta: near-twin of vec 5 plus fresh vectors
+    delta_rows = [{"vec_id": 100, "embedding": (base[5] + 0.01).tolist()}] + [
+        {"vec_id": 101 + j, "embedding": rng.normal(size=dim).tolist()}
+        for j in range(9)
+    ]
+    idx = str(tmp_path / "ann")
+    similarity.build_ann_index(
+        rd.from_pandas(pd.DataFrame(rows)), idx, dim=dim, n_cells=8, m=8,
+        nbits=6)
+    n = similarity.append_ann_index(
+        idx, rd.from_pandas(pd.DataFrame(delta_rows)))
+    assert n == 10
+
+    # search with the twin of vec 5 as the query: the appended twin
+    # (id 100) must be the top neighbor
+    res = similarity.search_ann_index(
+        idx, [base[5].tolist()], [999], k=3, nprobe=4).to_pandas()
+    top = res[res["rank"] == 1]["nid"].iloc[0]
+    assert top in (100, 5)  # twin and original are ADC-equal up to code
+    assert set(res["nid"]) & {100, 5}
+
+    # appended codes == one-shot encode with the same frozen quantizers
+    qz = np.load(os.path.join(idx, "quantizers.npz"))
+    import ray
+
+    files = glob.glob(os.path.join(idx, "codes", "cell=*", "*.parquet"))
+    allc = pd.concat([pd.read_parquet(f) for f in files])
+    # re-encode delta driver-side
+    mat = similarity._normalize(np.stack(
+        [np.asarray(r["embedding"]) for r in delta_rows]).astype(np.float64))
+    codes = similarity._pq_assign_codes(mat, qz["codebooks"])
+    for i, r in enumerate(delta_rows):
+        got = allc[allc["vec_id"] == r["vec_id"]]
+        assert len(got) == 1
+        assert np.array_equal(
+            np.asarray(got["code"].iloc[0]).astype(np.uint8),
+            codes[i].astype(np.uint8))
+
+    # crash window: stage a fake pending append, search completes it
+    stage = os.path.join(idx, "codes_stage.tmp")
+    os.makedirs(os.path.join(stage, "cell=0"), exist_ok=True)
+    src = files[0]
+    staged = os.path.join(stage, "cell=0", "zz_staged.parquet")
+    shutil.copy(src, staged)
+    similarity.search_ann_index(idx, [base[5].tolist()], [999], k=1)
+    assert not os.path.isdir(stage)
+    assert os.path.exists(
+        os.path.join(idx, "codes", "cell=0", "zz_staged.parquet"))
+    meta = __import__("json").load(
+        open(os.path.join(idx, "_ann_meta.json")))
+    assert meta["rows_appended"] == 10

@@ -324,6 +324,90 @@ def build_ann_index(ds, index_dir, dim, n_cells=16, m=8, nbits=8,
     return index_dir
 
 
+def _complete_pending_append(index_dir):
+    """Finish a crash-interrupted append: any files still under
+    ``codes_stage.tmp`` are fully-encoded delta codes whose move into
+    the live partitions was cut short — moving them is idempotent
+    (each file vanishes from the stage once moved), so resuming
+    COMPLETES the append rather than dropping or duplicating rows."""
+    import os
+    import shutil
+
+    stage = os.path.join(index_dir, "codes_stage.tmp")
+    if not os.path.isdir(stage):
+        return
+    live = os.path.join(index_dir, "codes")
+    for part in os.listdir(stage):
+        src_dir = os.path.join(stage, part)
+        if not (part.startswith("cell=") and os.path.isdir(src_dir)):
+            continue
+        dst_dir = os.path.join(live, part)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(src_dir, f),
+                           os.path.join(dst_dir, f))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
+    """Append NEW vectors to a persisted IVF-PQ index WITHOUT
+    retraining — the continuous-crawl path: quantizers stay FROZEN
+    (standard IVF append; cell centroids and PQ codebooks fixed keeps
+    every existing code valid), the delta is assigned + PQ-encoded in
+    one streaming map with the broadcast quantizers, and its code
+    files land first in ``codes_stage.tmp`` then MOVE file-atomically
+    into the touched ``cell=N`` partitions. A crash mid-append leaves
+    only staged files; the next call (or search preceded by this
+    sweep) completes the interrupted move — appends are exactly-once
+    at the file level. Returns the number of appended rows.
+
+    Drift caveat: appended mass shifts the true cell distribution
+    away from the trained centroids; ``_ann_meta.json`` accumulates
+    ``rows_appended`` so callers can trigger a rebuild when the
+    appended fraction (or measured recall) crosses their budget."""
+    import json
+    import os
+    import shutil
+
+    import ray
+
+    _complete_pending_append(index_dir)
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    qz = np.load(os.path.join(index_dir, "quantizers.npz"))
+    cents, books = qz["centroids"], qz["codebooks"]
+    id_col = meta["id_col"]
+    ref = ray.put((cents, books))
+
+    def _encode(df: pd.DataFrame) -> pd.DataFrame:
+        c, b = ray.get(ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        cells = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        codes = _pq_assign_codes(mat, b)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cell": cells,
+            "code": list(codes),
+        })
+
+    stage = os.path.join(index_dir, "codes_stage.tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    encoded = delta_ds.map_batches(_encode, batch_format="pandas")
+    encoded = encoded.materialize()
+    n = encoded.count()
+    encoded.write_parquet(stage, partition_cols=["cell"])
+    _complete_pending_append(index_dir)
+
+    meta["rows_appended"] = int(meta.get("rows_appended", 0)) + int(n)
+    tmp = os.path.join(index_dir, "_ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_ann_meta.json"))
+    return int(n)
+
+
 def search_ann_index(index_dir, query_vecs, query_ids, k=5, nprobe=4):
     """Search a persisted IVF-PQ index from its CODES alone: only the
     queries' ``nprobe`` closest cells' partition files are read
@@ -337,6 +421,7 @@ def search_ann_index(index_dir, query_vecs, query_ids, k=5, nprobe=4):
     import ray
     import ray.data as rd
 
+    _complete_pending_append(index_dir)  # crashed append -> finish it
     with open(os.path.join(index_dir, "_ann_meta.json")) as f:
         meta = json.load(f)
     qz = np.load(os.path.join(index_dir, "quantizers.npz"))

@@ -1447,6 +1447,52 @@ def q_knn_ann_index_recall(sf_dir):
     return df
 
 
+def q_knn_ann_append_recall(sf_dir):
+    """Recall gate for INCREMENTAL index growth: build the IVF-PQ
+    index on half the corpus, append the other half with frozen
+    quantizers (ops.similarity.append_ann_index — the
+    continuous-crawl path), then search from codes alone. HARD-FAILS
+    below mean recall@1 of 0.8 vs exact kNN over the FULL corpus —
+    i.e. the planted twins that arrived via append must be found."""
+    import shutil
+    import tempfile
+
+    vecs, ids = _query_vectors(sf_dir, 8)
+    aug = _augmented_embeddings(sf_dir).materialize()
+    mid = int(aug.to_pandas()["vec_id"].median())
+    dim = len(vecs[0])
+    exact = similarity.knn_bruteforce(aug, vecs, ids, k=5).to_pandas()
+    idx = tempfile.mkdtemp(prefix="vr_ann_app_")
+    try:
+        similarity.build_ann_index(
+            aug.filter(lambda r: r["vec_id"] <= mid), idx, dim=dim,
+            n_cells=16, m=8, nbits=6)
+        n = similarity.append_ann_index(
+            idx, aug.filter(lambda r: r["vec_id"] > mid))
+        if n == 0:
+            raise AssertionError("append delta was empty")
+        ann = similarity.search_ann_index(
+            idx, vecs, ids, k=5, nprobe=6).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    ex1 = exact[exact["rank"] == 1].groupby("qid")["nid"].apply(set)
+    an1 = ann[ann["rank"] == 1].groupby("qid")["nid"].apply(set)
+    df = pd.DataFrame(
+        {
+            "qid": ex1.index.to_numpy(),
+            "recall_at_1": [
+                len(ex1[q] & an1.get(q, set())) / len(ex1[q]) for q in ex1.index
+            ],
+        }
+    ).sort_values("qid", ignore_index=True)
+    mean_r1 = float(df["recall_at_1"].mean())
+    if mean_r1 < 0.8:
+        raise AssertionError(
+            f"appended ann index mean recall@1 {mean_r1:.3f} < 0.8"
+        )
+    return df
+
+
 _PLANT_K = 16  # planted near-dup copies: vec_id < K -> vec_id + 1000000
 
 _STOPWORD_SQL = "[%s]" % ", ".join(
@@ -1982,6 +2028,7 @@ def build_queries():
         "knn_ivf_recall": q_knn_ivf_recall,
         "knn_pq_recall": q_knn_pq_recall,
         "knn_ann_index_recall": q_knn_ann_index_recall,
+        "knn_ann_append_recall": q_knn_ann_append_recall,
         "emb_group_centroids": q_emb_group_centroids,
         "emb_kmeans": q_emb_kmeans,
         "embedding_near_dups": q_embedding_near_dups,
