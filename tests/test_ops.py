@@ -1390,3 +1390,42 @@ def test_append_ann_index(ray_session, tmp_path):
     meta = __import__("json").load(
         open(os.path.join(idx, "_ann_meta.json")))
     assert meta["rows_appended"] == 10
+
+
+def test_compact_ann_index(ray_session, tmp_path):
+    """Compaction merges append-accumulated files to one set per cell
+    without changing a single search result."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops import similarity
+
+    rng = np.random.default_rng(3)
+    dim = 12
+    base = rng.normal(size=(80, dim))
+    mk = lambda lo, hi: rd.from_pandas(pd.DataFrame(
+        [{"vec_id": i, "embedding": base[i].tolist()} for i in range(lo, hi)]))
+    idx = str(tmp_path / "ann")
+    similarity.build_ann_index(mk(0, 40), idx, dim=dim, n_cells=4, m=6,
+                               nbits=6)
+    similarity.append_ann_index(idx, mk(40, 60))
+    similarity.append_ann_index(idx, mk(60, 80))
+
+    q = [base[10].tolist(), base[70].tolist()]
+    before = similarity.search_ann_index(idx, q, [0, 1], k=5, nprobe=4)
+    before = before.to_pandas().sort_values(["qid", "rank"], ignore_index=True)
+
+    n = similarity.compact_ann_index(idx)
+    assert n >= 1
+    for d in glob.glob(os.path.join(idx, "codes", "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    after = similarity.search_ann_index(idx, q, [0, 1], k=5, nprobe=4)
+    after = after.to_pandas().sort_values(["qid", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent: nothing left to compact
+    assert similarity.compact_ann_index(idx) == 0

@@ -408,6 +408,58 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
     return int(n)
 
 
+def compact_ann_index(index_dir, cells=None, target_rows_per_file=1 << 22):
+    """Merge the small code files that ``append_ann_index`` calls
+    accumulate (one file set per append per touched cell) into
+    ``ceil(rows / target_rows_per_file)`` files per cell — the search
+    path prunes at the FILE level, so fewer, larger files keep probe
+    cost flat as appends pile up. Row counts come from parquet
+    FOOTERS only; each cell rewrite is a distributed read +
+    repartition, staged and swapped with the same two-rename crash
+    discipline as the dedup state stores. Only cells holding more
+    files than their row count warrants are rewritten (or the
+    explicit ``cells`` subset). Single-writer: do not run
+    concurrently with an append. Returns the number of compacted
+    cells."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .dedup import _swap_partitions, _sweep_stages
+
+    _complete_pending_append(index_dir)
+    codes = os.path.join(index_dir, "codes")
+    _sweep_stages(codes)
+    targets = []  # (cell, files, n_out)
+    for part in sorted(os.listdir(codes)):
+        d = os.path.join(codes, part)
+        if not (part.startswith("cell=") and os.path.isdir(d)):
+            continue
+        c = int(part.split("=", 1)[1])
+        if cells is not None and c not in set(cells):
+            continue
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n_out = max(1, math.ceil(rows / target_rows_per_file))
+        if len(files) > n_out:
+            targets.append((c, files, n_out))
+    if not targets:
+        return 0
+
+    stage = os.path.join(codes, "_stage.tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    for c, files, n_out in targets:  # bounded by n_cells; legs distributed
+        rd.read_parquet(files).repartition(n_out).write_parquet(
+            os.path.join(stage, f"cell={c}"))
+    _swap_partitions(codes, stage, [c for c, _f, _n in targets],
+                     part_key="cell")
+    return len(targets)
+
+
 def search_ann_index(index_dir, query_vecs, query_ids, k=5, nprobe=4):
     """Search a persisted IVF-PQ index from its CODES alone: only the
     queries' ``nprobe`` closest cells' partition files are read
