@@ -697,8 +697,10 @@ def q_doc_incremental_minhash(sf_dir):
 
     docs = _docs(sf_dir).materialize()
     mid = int(docs.to_pandas()["doc_id"].median())
-    d1 = docs.filter(lambda r: r["doc_id"] <= mid)
-    d2 = docs.filter(lambda r: r["doc_id"] > mid)
+    d1 = docs.map_batches(
+        lambda df: df[df["doc_id"] <= mid], batch_format="pandas")
+    d2 = docs.map_batches(
+        lambda df: df[df["doc_id"] > mid], batch_format="pandas")
     state = tempfile.mkdtemp(prefix="vr_incminhash_")
     try:
         a1, _ = dd.incremental_minhash_dedup(state, d1, threshold=0.5)
@@ -1465,10 +1467,12 @@ def q_knn_ann_append_recall(sf_dir):
     idx = tempfile.mkdtemp(prefix="vr_ann_app_")
     try:
         similarity.build_ann_index(
-            aug.filter(lambda r: r["vec_id"] <= mid), idx, dim=dim,
-            n_cells=16, m=8, nbits=6)
+            aug.map_batches(lambda df: df[df["vec_id"] <= mid],
+                            batch_format="pandas"),
+            idx, dim=dim, n_cells=16, m=8, nbits=6)
         n = similarity.append_ann_index(
-            idx, aug.filter(lambda r: r["vec_id"] > mid))
+            idx, aug.map_batches(lambda df: df[df["vec_id"] > mid],
+                                 batch_format="pandas"))
         if n == 0:
             raise AssertionError("append delta was empty")
         ann = similarity.search_ann_index(
