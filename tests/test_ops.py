@@ -1377,12 +1377,21 @@ def test_append_ann_index(ray_session, tmp_path):
             np.asarray(got["code"].iloc[0]).astype(np.uint8),
             codes[i].astype(np.uint8))
 
-    # crash window: stage a fake pending append, search completes it
+    # crash windows:
     stage = os.path.join(idx, "codes_stage.tmp")
+    # (a) UNCOMMITTED stage (crash mid-write): search leaves it alone,
+    # never moves its possibly-truncated files
     os.makedirs(os.path.join(stage, "cell=0"), exist_ok=True)
     src = files[0]
     staged = os.path.join(stage, "cell=0", "zz_staged.parquet")
     shutil.copy(src, staged)
+    similarity.search_ann_index(idx, [base[5].tolist()], [999], k=1)
+    assert os.path.exists(staged)  # untouched by the reader
+    assert not os.path.exists(
+        os.path.join(idx, "codes", "cell=0", "zz_staged.parquet"))
+    # (b) COMMITTED stage (crash mid-move): search completes the move
+    with open(os.path.join(stage, similarity._APPEND_COMMIT), "w") as f:
+        f.write("x")
     similarity.search_ann_index(idx, [base[5].tolist()], [999], k=1)
     assert not os.path.isdir(stage)
     assert os.path.exists(
@@ -1390,6 +1399,21 @@ def test_append_ann_index(ray_session, tmp_path):
     meta = __import__("json").load(
         open(os.path.join(idx, "_ann_meta.json")))
     assert meta["rows_appended"] == 10
+
+    # (c) replayed append (same delta retried after its moves already
+    # completed) is detected via the fingerprint history and skipped
+    again = similarity.append_ann_index(
+        idx, rd.from_pandas(pd.DataFrame(delta_rows)))
+    assert again == 0
+    meta = __import__("json").load(
+        open(os.path.join(idx, "_ann_meta.json")))
+    assert meta["rows_appended"] == 10  # unchanged
+
+    # (d) empty delta is a no-op
+    assert similarity.append_ann_index(
+        idx, rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.array([], dtype="int64"),
+             "embedding": pd.array([], dtype=object)}))) == 0
 
 
 def test_compact_ann_index(ray_session, tmp_path):
@@ -1429,3 +1453,27 @@ def test_compact_ann_index(ray_session, tmp_path):
     pd.testing.assert_frame_equal(before, after)
     # idempotent: nothing left to compact
     assert similarity.compact_ann_index(idx) == 0
+
+
+def test_incremental_minhash_empty_delta(ray_session, tmp_path):
+    """An empty micro-batch is a no-op: empty typed assignment, zero
+    kept, state untouched."""
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import incremental_minhash_dedup
+
+    state = str(tmp_path / "s")
+    d1 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma delta epsilon",
+                                    "zeta eta theta iota kappa words"]}))
+    a1, k1 = incremental_minhash_dedup(state, d1)
+    assert k1 == 2
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.array([], dtype="int64"),
+         "text": pd.array([], dtype=str)}))
+    a2, k2 = incremental_minhash_dedup(state, empty)
+    assert k2 == 0 and a2.count() == 0
+    # schema survives (to_pandas of a truly-empty Dataset drops
+    # columns — a Ray quirk — so assert on the Dataset schema)
+    assert a2.schema().names == ["doc_id", "cluster"]

@@ -370,7 +370,7 @@ class MinHasher:
 
 def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
                             text_col="text", id_col="doc_id", concurrency=4,
-                            max_bucket=2048, dedup=True):
+                            max_bucket=2048, dedup=True, sigs=None):
     """Dataset of (id_a, id_b, est_jaccard) near-dup candidate pairs,
     verified by signature agreement inside each LSH bucket.
 
@@ -379,7 +379,12 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
     ``max_bucket`` are deterministically down-sampled (sorted-id
     prefix) — standard LSH practice; such docs collide in many other
     bands, so recall loss is marginal while the worst-case cost is
-    bounded at max_bucket²."""
+    bounded at max_bucket².
+
+    ``sigs``: precomputed MinHasher band rows (band, band_hash, id,
+    sig) for the SAME (num_perm, bands, k) — skips re-shingling and
+    re-hashing the corpus when the caller already holds them (the
+    incremental path computes them once per delta)."""
 
     # tasks + per-worker cache: MinHasher init is trivial, and a
     # dedicated actor pool would pay startup per execution
@@ -393,7 +398,8 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5,
             _MINHASHER_CACHE[params] = mh
         return mh(batch)
 
-    sigs = ds.map_batches(_sig, batch_format="pandas")
+    if sigs is None:
+        sigs = ds.map_batches(_sig, batch_format="pandas")
 
     def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
@@ -1564,11 +1570,21 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
 
     delta_sigs = delta_ds.map_batches(
         _sig, batch_format="pandas").materialize()
+    if not delta_sigs.count():  # empty delta: nothing to dedup or store
+        import pandas as _pd
 
-    # within-delta clustering — exact batch semantics inside the delta
+        empty = rd.from_pandas(_pd.DataFrame({
+            id_col: np.empty(0, dtype=np.int64),
+            "cluster": np.empty(0, dtype=np.int64),
+        }))
+        return empty, 0
+
+    # within-delta clustering — exact batch semantics inside the
+    # delta; signatures are reused from delta_sigs (computed once)
     local_pairs = minhash_candidate_pairs(
         delta_ds, num_perm=num_perm, bands=bands, k=k, threshold=threshold,
-        text_col=text_col, id_col=id_col, dedup=False, max_bucket=max_bucket)
+        text_col=text_col, id_col=id_col, dedup=False, max_bucket=max_bucket,
+        sigs=delta_sigs)
     local_assign = assign_clusters(
         delta_ds, local_pairs, id_col=id_col).materialize()
 
@@ -1582,7 +1598,6 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
     # against the rep's stored signature
     doc_to_rep: dict = {}
     if existing:
-        _CAND = ["band", "band_hash", "_id", "_rep", "_kind"]
 
         def _tag_delta(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -1606,7 +1621,10 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
             d = group.loc[group["_kind"] == 0, "_id"].unique()
             s = group.loc[group["_kind"] == 1, "_rep"].unique()
             if not len(d) or not len(s):
-                return pd.DataFrame({"_id": [], "_rep": []})
+                # typed empty: float64-defaulted columns would poison
+                # the downstream int-keyed dedup shuffle
+                return pd.DataFrame({"_id": np.empty(0, np.int64),
+                                     "_rep": np.empty(0, np.int64)})
             if len(s) > max_bucket:  # hot-bucket cap (see candidates)
                 s = np.sort(s)[:max_bucket]
             if len(d) > max_bucket:
@@ -1729,27 +1747,10 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
     n_kept = kept_bands.count() // max(bands, 1)
 
     if touched:
-        stage = os.path.join(bands_dir, "_stage.tmp")
-        shutil.rmtree(stage, ignore_errors=True)
-        upd = kept_bands.select_columns(["band", "band_hash", "rep", "bucket"])
-        if existing:
-            upd = upd.union(
-                rd.read_parquet(_partition_files(bands_dir, existing))
-                .map_batches(
-                    lambda df: df.assign(
-                        bucket=_int_bucket(
-                            (df["band_hash"].to_numpy().astype(np.uint64)
-                             * _P1
-                             + df["band"].to_numpy().astype(np.uint64)
-                             ).astype(np.int64),
-                            num_buckets).astype("int64")),
-                    batch_format="pandas",
-                )
-            )
-        upd.write_parquet(stage, partition_cols=["bucket"])
-        _swap_partitions(bands_dir, stage, touched)
-
-        # sig table: one row per new rep, partitioned by rep bucket
+        # sig table FIRST (one row per new rep, partitioned by rep
+        # bucket): a crash between the two swaps then leaves only an
+        # orphan signature — dead data — whereas bands-first would
+        # leave probe-able reps whose verification silently skips
         def _sig_rows(df: pd.DataFrame) -> pd.DataFrame:
             one = df[df["band"] == 0]
             out = one[["rep", "sig"]].copy()
@@ -1784,6 +1785,26 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
                 )
             supd.write_parquet(sstage, partition_cols=["bucket"])
             _swap_partitions(sigs_dir, sstage, sig_touched)
+
+        stage = os.path.join(bands_dir, "_stage.tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        upd = kept_bands.select_columns(["band", "band_hash", "rep", "bucket"])
+        if existing:
+            upd = upd.union(
+                rd.read_parquet(_partition_files(bands_dir, existing))
+                .map_batches(
+                    lambda df: df.assign(
+                        bucket=_int_bucket(
+                            (df["band_hash"].to_numpy().astype(np.uint64)
+                             * _P1
+                             + df["band"].to_numpy().astype(np.uint64)
+                             ).astype(np.int64),
+                            num_buckets).astype("int64")),
+                    batch_format="pandas",
+                )
+            )
+        upd.write_parquet(stage, partition_cols=["bucket"])
+        _swap_partitions(bands_dir, stage, touched)
 
     return final.select_columns([id_col, "cluster"]), n_kept
 

@@ -324,17 +324,28 @@ def build_ann_index(ds, index_dir, dim, n_cells=16, m=8, nbits=8,
     return index_dir
 
 
-def _complete_pending_append(index_dir):
-    """Finish a crash-interrupted append: any files still under
-    ``codes_stage.tmp`` are fully-encoded delta codes whose move into
-    the live partitions was cut short — moving them is idempotent
-    (each file vanishes from the stage once moved), so resuming
-    COMPLETES the append rather than dropping or duplicating rows."""
+_APPEND_COMMIT = "_COMMITTED"
+
+
+def _complete_pending_append(index_dir, sweep_uncommitted=False):
+    """Finish a crash-interrupted append. The stage is trustworthy
+    only once its ``_COMMITTED`` marker exists (written AFTER
+    write_parquet returns): a marker-less stage may hold truncated
+    parquet files from a crash mid-write and is junk — deleted when
+    ``sweep_uncommitted`` (writer paths), left alone otherwise
+    (reader paths, where it may belong to a LIVE concurrent append).
+    Committed moves are idempotent (each file vanishes from the stage
+    once moved) and tolerate a concurrent completer racing the same
+    files."""
     import os
     import shutil
 
     stage = os.path.join(index_dir, "codes_stage.tmp")
     if not os.path.isdir(stage):
+        return
+    if not os.path.exists(os.path.join(stage, _APPEND_COMMIT)):
+        if sweep_uncommitted:
+            shutil.rmtree(stage, ignore_errors=True)
         return
     live = os.path.join(index_dir, "codes")
     for part in os.listdir(stage):
@@ -345,9 +356,31 @@ def _complete_pending_append(index_dir):
         os.makedirs(dst_dir, exist_ok=True)
         for f in os.listdir(src_dir):
             if f.endswith(".parquet"):
-                os.replace(os.path.join(src_dir, f),
-                           os.path.join(dst_dir, f))
+                try:
+                    os.replace(os.path.join(src_dir, f),
+                               os.path.join(dst_dir, f))
+                except FileNotFoundError:
+                    pass  # a concurrent completer won the race
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _restore_swapped_cells(codes_dir):
+    """Reader-side half of the two-rename swap discipline: restore any
+    ``cell=N.old.tmp`` whose ``cell=N`` is missing (a writer crashed
+    between its two renames), so searches never silently skip a
+    cell's vectors. Restoring only (never deleting stages) keeps this
+    safe to run from the read path."""
+    import os
+
+    for name in os.listdir(codes_dir):
+        if not name.endswith(".old.tmp"):
+            continue
+        dst = os.path.join(codes_dir, name[: -len(".old.tmp")])
+        if not os.path.isdir(dst):
+            try:
+                os.rename(os.path.join(codes_dir, name), dst)
+            except FileNotFoundError:
+                pass
 
 
 def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
@@ -357,10 +390,16 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
     every existing code valid), the delta is assigned + PQ-encoded in
     one streaming map with the broadcast quantizers, and its code
     files land first in ``codes_stage.tmp`` then MOVE file-atomically
-    into the touched ``cell=N`` partitions. A crash mid-append leaves
-    only staged files; the next call (or search preceded by this
-    sweep) completes the interrupted move — appends are exactly-once
-    at the file level. Returns the number of appended rows.
+    into the touched ``cell=N`` partitions. Crash protocol: the stage
+    gains a ``_COMMITTED`` marker only after write_parquet returns,
+    so a crash mid-write leaves junk the next WRITER sweeps (never
+    moved — truncated files can't corrupt the index); a crash
+    mid-move is completed by the next call or search; and a RETRY of
+    an append whose moves already completed is detected by a cheap
+    delta fingerprint (count + id min/max) recorded in the meta and
+    skipped — exactly-once over the recorded append history. Returns
+    the number of appended rows (0 for an empty delta or a detected
+    replay).
 
     Drift caveat: appended mass shifts the true cell distribution
     away from the trained centroids; ``_ann_meta.json`` accumulates
@@ -372,7 +411,7 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
 
     import ray
 
-    _complete_pending_append(index_dir)
+    _complete_pending_append(index_dir, sweep_uncommitted=True)
 
     with open(os.path.join(index_dir, "_ann_meta.json")) as f:
         meta = json.load(f)
@@ -392,15 +431,26 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
             "code": list(codes),
         })
 
-    stage = os.path.join(index_dir, "codes_stage.tmp")
-    shutil.rmtree(stage, ignore_errors=True)
     encoded = delta_ds.map_batches(_encode, batch_format="pandas")
     encoded = encoded.materialize()
     n = encoded.count()
+    if not n:
+        return 0
+    ids = encoded.select_columns([id_col])
+    fp = "%d:%d:%d" % (n, ids.min(id_col), ids.max(id_col))
+    applied = meta.get("applied_appends", [])
+    if fp in applied:
+        return 0  # replay of an append whose moves already completed
+
+    stage = os.path.join(index_dir, "codes_stage.tmp")
+    shutil.rmtree(stage, ignore_errors=True)
     encoded.write_parquet(stage, partition_cols=["cell"])
+    with open(os.path.join(stage, _APPEND_COMMIT), "w") as f:
+        f.write(fp)
     _complete_pending_append(index_dir)
 
     meta["rows_appended"] = int(meta.get("rows_appended", 0)) + int(n)
+    meta["applied_appends"] = (applied + [fp])[-16:]
     tmp = os.path.join(index_dir, "_ann_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -419,8 +469,9 @@ def compact_ann_index(index_dir, cells=None, target_rows_per_file=1 << 22):
     discipline as the dedup state stores. Only cells holding more
     files than their row count warrants are rewritten (or the
     explicit ``cells`` subset). Single-writer: do not run
-    concurrently with an append. Returns the number of compacted
-    cells."""
+    concurrently with an append; a search during the narrow per-cell
+    swap window may restore the pre-compaction cell (both states are
+    complete and correct). Returns the number of compacted cells."""
     import glob
     import math
     import os
@@ -431,7 +482,7 @@ def compact_ann_index(index_dir, cells=None, target_rows_per_file=1 << 22):
 
     from .dedup import _swap_partitions, _sweep_stages
 
-    _complete_pending_append(index_dir)
+    _complete_pending_append(index_dir, sweep_uncommitted=True)
     codes = os.path.join(index_dir, "codes")
     _sweep_stages(codes)
     targets = []  # (cell, files, n_out)
@@ -473,7 +524,11 @@ def search_ann_index(index_dir, query_vecs, query_ids, k=5, nprobe=4):
     import ray
     import ray.data as rd
 
-    _complete_pending_append(index_dir)  # crashed append -> finish it
+    # reader-safe recovery: finish COMMITTED appends (an uncommitted
+    # stage may belong to a live appender — left alone), restore any
+    # cell caught mid-swap by a crashed compaction
+    _complete_pending_append(index_dir)
+    _restore_swapped_cells(os.path.join(index_dir, "codes"))
     with open(os.path.join(index_dir, "_ann_meta.json")) as f:
         meta = json.load(f)
     qz = np.load(os.path.join(index_dir, "quantizers.npz"))

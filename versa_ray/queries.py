@@ -696,7 +696,8 @@ def q_doc_incremental_minhash(sf_dir):
     import tempfile
 
     docs = _docs(sf_dir).materialize()
-    mid = int(docs.to_pandas()["doc_id"].median())
+    # id column only — never the text — reaches the driver for the split
+    mid = int(docs.select_columns(["doc_id"]).to_pandas()["doc_id"].median())
     d1 = docs.map_batches(
         lambda df: df[df["doc_id"] <= mid], batch_format="pandas")
     d2 = docs.map_batches(
@@ -1461,7 +1462,8 @@ def q_knn_ann_append_recall(sf_dir):
 
     vecs, ids = _query_vectors(sf_dir, 8)
     aug = _augmented_embeddings(sf_dir).materialize()
-    mid = int(aug.to_pandas()["vec_id"].median())
+    # id column only — never the embedding matrix — for the split point
+    mid = int(aug.select_columns(["vec_id"]).to_pandas()["vec_id"].median())
     dim = len(vecs[0])
     exact = similarity.knn_bruteforce(aug, vecs, ids, k=5).to_pandas()
     idx = tempfile.mkdtemp(prefix="vr_ann_app_")
