@@ -478,6 +478,39 @@ def q_fullquery_disjunction(sf_dir):
     return pd.DataFrame({"e": sorted(result.get("e", set()))})
 
 
+def q_fullquery_store(sf_dir):
+    """FULL query language over the STORED link-set: every ?()
+    conjunct — including the negated one — is a partition-pruned
+    read_linkset call (rel literals prune rel_bucket files). Same
+    answer as q_fullquery_negation's distributed-linkset evaluation;
+    raises unless the rel literals actually prune the store's
+    files."""
+    import shutil
+    import tempfile
+
+    from .model.store import pruned_fragments, write_linkset
+    from .query import execute
+    from .query.mini import StoreModel
+
+    store = tempfile.mkdtemp(prefix="vr_fqstore_")
+    try:
+        write_linkset(tpch_linkset(sf_dir), store,
+                      num_rel_buckets=8, num_partitions=8)
+        total = len(pruned_fragments(store))
+        for rel in (SEGMENT, IN_NATION):
+            if not len(pruned_fragments(store, rel=rel)) < total:
+                raise AssertionError("store full-query: rel did not prune")
+        result = execute(
+            StoreModel(store),
+            "?($c, SEG, 'BUILDING') and not "
+            "?($c, NAT, concat(URNV, 'nation:3'))",
+            {"SEG": SEGMENT, "NAT": IN_NATION, "URNV": URN},
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return pd.DataFrame({"c": sorted(result.get("c", set()))})
+
+
 def q_miniquery_conj(sf_dir):
     from .query import evaluate
 
@@ -2054,6 +2087,7 @@ def build_queries():
         "multimodal_png_features": q_multimodal_png_features,
         "fullquery_negation": q_fullquery_negation,
         "fullquery_disjunction": q_fullquery_disjunction,
+        "fullquery_store": q_fullquery_store,
         "doc_incremental_minhash": q_doc_incremental_minhash,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
@@ -2951,4 +2985,6 @@ def build_oracles():
     }
     # incremental replay must equal the batch result -> same oracle
     out["doc_incremental_minhash"] = out["doc_minhash_dedup"]
+    # the pruned store plan must not change the answer
+    out["fullquery_store"] = out["fullquery_negation"]
     return out
