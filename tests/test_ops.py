@@ -1477,3 +1477,35 @@ def test_incremental_minhash_empty_delta(ray_session, tmp_path):
     # schema survives (to_pandas of a truly-empty Dataset drops
     # columns — a Ray quirk — so assert on the Dataset schema)
     assert a2.schema().names == ["doc_id", "cluster"]
+
+
+def test_line_dedup(ray_session):
+    """First occurrence of each distinct line (min (doc_id,
+    line_idx)) survives; other copies drop; documents reassemble in
+    line order; all-dup docs come back with empty text; word-window
+    mode windows whitespace tokens."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "first unique\nshared line\nlast unique",
+            "shared line\nsecond doc own line",
+            "shared line",
+        ],
+    })
+    out = line_dedup(rd.from_pandas(df)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert out["text"].tolist() == [
+        "first unique\nshared line\nlast unique",
+        "second doc own line",
+        "",
+    ]
+    # window mode: 3-token windows, rejoined with spaces
+    df2 = pd.DataFrame({"doc_id": [1, 2],
+                        "text": ["a b c d e", "a b c tail words"]})
+    out2 = line_dedup(rd.from_pandas(df2), line_words=3).to_pandas()
+    out2 = out2.sort_values("doc_id", ignore_index=True)
+    assert out2["text"].tolist() == ["a b c d e", "tail words"]

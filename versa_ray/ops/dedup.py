@@ -1346,6 +1346,91 @@ def _partition_files(state_dir, buckets):
     return out
 
 
+def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
+               line_words=None, num_buckets=64):
+    """CCNet-style LINE-level dedup: every document is split into
+    lines, the corpus-wide FIRST occurrence of each distinct line
+    (minimum ``(doc_id, line_idx)``) is kept, every other copy is
+    dropped from its document, and documents are reassembled in
+    original line order. Returns ``(id_col, text_col)`` rows — one
+    per input document, possibly with empty text when every line was
+    a duplicate.
+
+    ``line_words``: split into fixed windows of N whitespace tokens
+    instead of on ``sep`` (for corpora without line structure);
+    reassembly then joins with spaces.
+
+    Scale shape: two coarse-bucket shuffles — one keyed by a line
+    hash (winner marking happens per distinct line inside the
+    bucket, so boilerplate lines shared by millions of docs never
+    leave their bucket as pairs), one keyed by doc id for the
+    reassembly. No driver-side state."""
+    import pyarrow as pa
+
+    joiner = " " if line_words else sep
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        if line_words:
+            toks = df[text_col].fillna("").str.split()
+            lines = toks.apply(lambda ws: [
+                " ".join(ws[i:i + line_words])
+                for i in range(0, len(ws), line_words)
+            ] or [""])
+        else:
+            lines = df[text_col].fillna("").str.split(sep)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(), "line": lines})
+        out = out.explode("line", ignore_index=True)
+        out["line"] = out["line"].fillna("")
+        out["line_idx"] = out.groupby(id_col, sort=False).cumcount()
+        out["_cbucket"] = (
+            pd.util.hash_pandas_object(out["line"], index=False)
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def _mark(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                id_col: np.empty(0, np.int64),
+                "line": np.empty(0, object),
+                "line_idx": np.empty(0, np.int64),
+                "keep": np.empty(0, bool),
+            })
+        b = bucket.sort_values(["line", id_col, "line_idx"],
+                               kind="mergesort")
+        b["keep"] = ~b.duplicated(subset=["line"], keep="first")
+        b["_dbucket"] = (
+            b[id_col].to_numpy().astype(np.uint64) * _GOLDEN
+            >> np.uint64(33)
+        ).astype(np.int64) % num_buckets
+        return b[[id_col, "line", "line_idx", "keep", "_dbucket"]]
+
+    def _rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 text_col: np.empty(0, object)})
+        kept = bucket[bucket["keep"]].sort_values(
+            [id_col, "line_idx"], kind="mergesort")
+        agg = kept.groupby(id_col, sort=False)["line"].agg(joiner.join)
+        all_ids = pd.Index(bucket[id_col].unique())
+        return pd.DataFrame({
+            id_col: all_ids.to_numpy(),
+            text_col: agg.reindex(all_ids, fill_value="").to_numpy(),
+        })
+
+    marked = (
+        ds.map_batches(_explode, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(lambda b: _mark(b.drop(columns=["_cbucket"])),
+                    batch_format="pandas")
+    )
+    return (
+        marked.groupby("_dbucket")
+        .map_groups(lambda b: _rebuild(b.drop(columns=["_dbucket"])),
+                    batch_format="pandas")
+    )
+
+
 def _sweep_stages(state_dir):
     """Crash-window sweep for staged-partition state dirs: a crash
     between the two swap renames leaves `bucket=N.old.tmp` with no

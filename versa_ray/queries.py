@@ -716,6 +716,16 @@ def q_doc_incremental_dedup(sf_dir):
     return out[["doc_id", "text"]]
 
 
+def q_doc_line_dedup(sf_dir):
+    """CCNet-style line-level dedup over 10-token line windows: the
+    corpus-wide first occurrence of each distinct line survives, every
+    other copy is dropped from its document, documents reassemble in
+    order (ops.dedup.line_dedup — two coarse-bucket shuffles, no
+    driver state). Hash-checked against a DuckDB window-function
+    replay of the same first-wins rule."""
+    return dd.line_dedup(_docs(sf_dir), line_words=10)
+
+
 def q_doc_incremental_minhash(sf_dir):
     """Cross-run NEAR-dup dedup replay: the corpus arrives as two
     doc_id-ordered micro-batches through a persistent LSH band-bucket
@@ -2089,6 +2099,7 @@ def build_queries():
         "fullquery_disjunction": q_fullquery_disjunction,
         "fullquery_store": q_fullquery_store,
         "doc_incremental_minhash": q_doc_incremental_minhash,
+        "doc_line_dedup": q_doc_line_dedup,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
         "links_jsonld_nested": q_links_jsonld_nested,
@@ -2987,4 +2998,5 @@ def build_oracles():
     out["doc_incremental_minhash"] = out["doc_minhash_dedup"]
     # the pruned store plan must not change the answer
     out["fullquery_store"] = out["fullquery_negation"]
+    out["doc_line_dedup"] = "WITH words AS (\n  SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w FROM documents),\nlns AS (\n  SELECT doc_id, i AS line_idx,\n         array_to_string(w[(i*10+1):((i*10)+10)], ' ') AS line\n  FROM words, unnest(range(0, CAST(greatest(ceil(len(w)/10.0),1) AS BIGINT))) AS t(i)),\nmarked AS (\n  SELECT doc_id, line_idx, line,\n         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn\n  FROM lns)\nSELECT d.doc_id,\n  coalesce(string_agg(CASE WHEN m.rn=1 THEN m.line END, ' ' ORDER BY m.line_idx), '') AS text\nFROM documents d LEFT JOIN marked m USING (doc_id)\nGROUP BY d.doc_id"
     return out
