@@ -29,4 +29,4 @@ from .core import (
     simple_hashstring,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
