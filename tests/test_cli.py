@@ -320,3 +320,40 @@ def test_modelsite_at_name_collision_resolution(tmp_path):
     assert "foo-1" not in bar
     # both colliding resources still got distinct pages
     assert (out / "foo.html").exists() and (out / "foo-1.html").exists()
+
+
+def test_cli_kgbuild_sharded(tmp_path):
+    """--sharded drives the per-shard resumable build: shard manifests
+    + final linkset; --max-shards bounds one run's work and the next
+    run completes the rest; rerun resumes to the same row count."""
+    import json
+
+    from versa_ray.web.synth import write_pages
+
+    pages = tmp_path / "pages.parquet"
+    write_pages(str(pages), 120)
+    out = tmp_path / "kg"
+    # bounded first run: only 2 of 4 shards
+    r = _run(["kgbuild", str(pages), str(out), "--sharded",
+              "--num-shards", "4", "--max-shards", "2"])
+    assert r.returncode == 0, r.stderr
+    assert "shards complete: 2/4" in r.stdout
+    import glob
+
+    done = glob.glob(str(out / "manifests" / "shard-*.json"))
+    assert len(done) == 2
+    # completing run
+    r2 = _run(["kgbuild", str(pages), str(out), "--sharded",
+               "--num-shards", "4"])
+    assert r2.returncode == 0, r2.stderr
+    done = glob.glob(str(out / "manifests" / "shard-*.json"))
+    assert len(done) == 4
+    rows = int(r2.stdout.strip().rsplit("linkset rows: ", 1)[1].split()[0])
+    # manifest lineage present
+    m = json.load(open(done[0]))
+    assert {"shard", "page_range", "rows", "wall_sec"} <= set(m)
+    # rerun resumes with identical output
+    r3 = _run(["kgbuild", str(pages), str(out), "--sharded",
+               "--num-shards", "4"])
+    rows3 = int(r3.stdout.strip().rsplit("linkset rows: ", 1)[1].split()[0])
+    assert rows3 == rows

@@ -166,9 +166,26 @@ def cmd_kgbuild(args):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from .web.kgpipeline import build_kg
+    if args.sharded:
+        from .web.kgpipeline import build_kg_sharded
 
-    links = build_kg(pages_path=args.pages, out_dir=args.out_dir, check_text=args.check_text)
+        links = build_kg_sharded(
+            args.out_dir, pages_path=args.pages,
+            num_shards=args.num_shards, check_text=args.check_text,
+            max_shards_this_run=args.max_shards)
+        if links is None:  # bounded run left shards for the next one
+            import glob as _glob
+
+            done = len(_glob.glob(f"{args.out_dir}/manifests/shard-*.json"))
+            print(f"shards complete: {done}/{args.num_shards} "
+                  f"(rerun to continue) -> {args.out_dir}")
+            ray.shutdown()
+            return
+    else:
+        from .web.kgpipeline import build_kg
+
+        links = build_kg(pages_path=args.pages, out_dir=args.out_dir,
+                         check_text=args.check_text)
     print(f"linkset rows: {links.count()} -> {args.out_dir}/stage=linkset")
     ray.shutdown()
 
@@ -396,6 +413,12 @@ def main(argv=None):
     p.add_argument("pages")
     p.add_argument("out_dir")
     p.add_argument("--check-text", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="per-shard resumable build (lineage manifest + "
+                        "_SUCCESS per shard; reruns skip finished shards)")
+    p.add_argument("--num-shards", type=int, default=8)
+    p.add_argument("--max-shards", type=int, default=None,
+                   help="bound incomplete shards processed this run")
     p.set_defaults(func=cmd_kgbuild)
 
     p = sub.add_parser(
