@@ -357,3 +357,9 @@ def test_cli_kgbuild_sharded(tmp_path):
                "--num-shards", "4"])
     rows3 = int(r3.stdout.strip().rsplit("linkset rows: ", 1)[1].split()[0])
     assert rows3 == rows
+    # resuming with a DIFFERENT shard split is refused (it would
+    # silently drop pages)
+    r4 = _run(["kgbuild", str(pages), str(out), "--sharded",
+               "--num-shards", "8"])
+    assert r4.returncode != 0
+    assert "num_shards" in (r4.stderr + r4.stdout)

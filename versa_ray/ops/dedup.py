@@ -1364,9 +1364,9 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
     hash (winner marking happens per distinct line inside the
     bucket, so boilerplate lines shared by millions of docs never
     leave their bucket as pairs), one keyed by doc id for the
-    reassembly. No driver-side state."""
-    import pyarrow as pa
-
+    reassembly; dropped lines cross the second shuffle as empty
+    strings (only their doc_id is consumed), so its byte volume is
+    the SURVIVING text. No driver-side state."""
     joiner = " " if line_words else sep
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -1395,10 +1395,14 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
                 "line": np.empty(0, object),
                 "line_idx": np.empty(0, np.int64),
                 "keep": np.empty(0, bool),
+                "_dbucket": np.empty(0, np.int64),
             })
         b = bucket.sort_values(["line", id_col, "line_idx"],
                                kind="mergesort")
         b["keep"] = ~b.duplicated(subset=["line"], keep="first")
+        # dropped lines travel the doc-id shuffle as empty strings —
+        # only their doc_id matters downstream
+        b.loc[~b["keep"], "line"] = ""
         b["_dbucket"] = (
             b[id_col].to_numpy().astype(np.uint64) * _GOLDEN
             >> np.uint64(33)

@@ -621,6 +621,25 @@ def build_kg_sharded(
     man_root = os.path.join(out_dir, "manifests")
     os.makedirs(man_root, exist_ok=True)
 
+    # the shard split is part of the build's identity: shard-K markers
+    # only cover hash%num_shards == K, so resuming with a DIFFERENT
+    # num_shards would silently skip pages. Record it once, refuse a
+    # mismatched rerun.
+    build_marker = os.path.join(man_root, "_build.json")
+    if os.path.exists(build_marker):
+        with open(build_marker) as f:
+            prev = json.load(f)
+        if int(prev.get("num_shards", num_shards)) != int(num_shards):
+            raise ValueError(
+                "build_kg_sharded: this build was started with "
+                f"num_shards={prev['num_shards']}; resuming with "
+                f"num_shards={num_shards} would silently drop pages. "
+                "Rerun with the original value or start a fresh out_dir."
+            )
+    else:
+        with open(build_marker, "w") as f:
+            json.dump({"num_shards": int(num_shards)}, f)
+
     if pages_path is not None:
 
         def shard_pages(k):
