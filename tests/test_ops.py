@@ -1509,3 +1509,34 @@ def test_line_dedup(ray_session):
     out2 = line_dedup(rd.from_pandas(df2), line_words=3).to_pandas()
     out2 = out2.sort_values("doc_id", ignore_index=True)
     assert out2["text"].tolist() == ["a b c d e", "tail words"]
+
+
+def test_line_dedup_keep_cols_and_curation(ray_session):
+    """keep_cols metadata rides through line dedup; curation with
+    line_dedup_words strips duplicated windows before exact dedup
+    and drops docs whose every line was a duplicate."""
+    import ray.data as rd
+
+    from versa_ray.ops.curation import curate_documents
+    from versa_ray.ops.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "de", "fr"],
+        "text": ["one two three four five six",
+                 "one two three seven eight nine",
+                 "one two three"],
+    })
+    out = line_dedup(rd.from_pandas(df), line_words=3,
+                     keep_cols=("lang",)).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    assert out["lang"].tolist() == ["en", "de", "fr"]
+    assert out["text"].tolist() == [
+        "one two three four five six", "seven eight nine", ""]
+
+    cur = curate_documents(
+        rd.from_pandas(df), normalize=False, line_dedup_words=3
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    # doc 3 (all lines duplicated) dropped entirely
+    assert cur["doc_id"].tolist() == [1, 2]
+    assert cur.loc[1, "text"] == "seven eight nine"

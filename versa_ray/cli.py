@@ -215,6 +215,7 @@ def cmd_curate(args):
         max_digit_ratio=args.max_digit_ratio,
         near_dedup=args.near_dedup,
         near_threshold=args.near_threshold,
+        line_dedup_words=args.line_dedup_words or None,
         out_path=args.out_dir,
     )
     # count the WRITTEN parquet (metadata-only) — counting the returned
@@ -433,6 +434,9 @@ def main(argv=None):
     p.add_argument("--max-digit-ratio", type=float, default=1.0)
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--near-threshold", type=float, default=0.5)
+    p.add_argument("--line-dedup-words", type=int, default=0,
+                   help="CCNet-style line dedup over N-token windows "
+                        "(0 = off)")
     p.set_defaults(func=cmd_curate)
 
     p = sub.add_parser(

@@ -21,11 +21,14 @@ __all__ = ["curate_documents"]
 def curate_documents(ds, *, text_col="text", id_col="doc_id", lang_col="lang",
                      lang_allow=None, min_tokens=0, max_digit_ratio=1.0,
                      normalize=True, near_dedup=False, near_threshold=0.5,
-                     num_buckets=64, out_path=None, **near_kw):
+                     line_dedup_words=None, num_buckets=64, out_path=None,
+                     **near_kw):
     """Curated rows ``(id, lang, norm_text|text)``: language
     allow-list, token-count floor, digit-ratio ceiling (expressed as
     ``n_digits <= ratio * n_chars`` — division-free, empty-doc safe),
-    optional normalization, exact dedup keyed on the (normalized)
+    optional normalization, optional CCNet-style line-level dedup
+    (``line_dedup_words`` token windows; docs whose every line was a
+    duplicate drop out), exact dedup keyed on the (normalized)
     content keeping the minimum id, optional minhash near-dedup
     keeping only cluster representatives. ``out_path`` additionally
     writes the result as lang-partitioned parquet (resumable layout).
@@ -50,6 +53,19 @@ def curate_documents(ds, *, text_col="text", id_col="doc_id", lang_col="lang",
         return df[cols]
 
     filtered = ds.map_batches(_filter_normalize, batch_format="pandas")
+
+    if line_dedup_words:
+        from .dedup import line_dedup
+
+        filtered = line_dedup(
+            filtered, text_col=out_text, id_col=id_col,
+            line_words=line_dedup_words, num_buckets=num_buckets,
+            keep_cols=(lang_col,),
+        ).map_batches(
+            # docs whose every line was a duplicate drop out
+            lambda df: df.loc[df[out_text] != "", cols],
+            batch_format="pandas",
+        )
 
     # exact dedup on content, keeping full survivor rows (min id per
     # distinct content; fingerprint-bucketed shuffle, never the text)

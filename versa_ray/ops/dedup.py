@@ -1347,7 +1347,7 @@ def _partition_files(state_dir, buckets):
 
 
 def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
-               line_words=None, num_buckets=64):
+               line_words=None, num_buckets=64, keep_cols=()):
     """CCNet-style LINE-level dedup: every document is split into
     lines, the corpus-wide FIRST occurrence of each distinct line
     (minimum ``(doc_id, line_idx)``) is kept, every other copy is
@@ -1358,7 +1358,8 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
 
     ``line_words``: split into fixed windows of N whitespace tokens
     instead of on ``sep`` (for corpora without line structure);
-    reassembly then joins with spaces.
+    reassembly then joins with spaces. ``keep_cols``: per-document
+    metadata columns (e.g. lang) carried through to the output.
 
     Scale shape: two coarse-bucket shuffles — one keyed by a line
     hash (winner marking happens per distinct line inside the
@@ -1379,6 +1380,8 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
         else:
             lines = df[text_col].fillna("").str.split(sep)
         out = pd.DataFrame({id_col: df[id_col].to_numpy(), "line": lines})
+        for c in keep_cols:
+            out[c] = df[c].to_numpy()
         out = out.explode("line", ignore_index=True)
         out["line"] = out["line"].fillna("")
         out["line_idx"] = out.groupby(id_col, sort=False).cumcount()
@@ -1388,15 +1391,21 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
         ).astype("int32")
         return out
 
+    _mark_cols = [id_col, "line", "line_idx", "keep", "_dbucket",
+                  *keep_cols]
+
     def _mark(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
-            return pd.DataFrame({
+            empty = {
                 id_col: np.empty(0, np.int64),
                 "line": np.empty(0, object),
                 "line_idx": np.empty(0, np.int64),
                 "keep": np.empty(0, bool),
                 "_dbucket": np.empty(0, np.int64),
-            })
+            }
+            for c in keep_cols:
+                empty[c] = np.empty(0, object)
+            return pd.DataFrame(empty)[_mark_cols]
         b = bucket.sort_values(["line", id_col, "line_idx"],
                                kind="mergesort")
         b["keep"] = ~b.duplicated(subset=["line"], keep="first")
@@ -1407,20 +1416,29 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
             b[id_col].to_numpy().astype(np.uint64) * _GOLDEN
             >> np.uint64(33)
         ).astype(np.int64) % num_buckets
-        return b[[id_col, "line", "line_idx", "keep", "_dbucket"]]
+        return b[_mark_cols]
 
     def _rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
-            return pd.DataFrame({id_col: np.empty(0, np.int64),
-                                 text_col: np.empty(0, object)})
+            empty = {id_col: np.empty(0, np.int64),
+                     text_col: np.empty(0, object)}
+            for c in keep_cols:
+                empty[c] = np.empty(0, object)
+            return pd.DataFrame(empty)
         kept = bucket[bucket["keep"]].sort_values(
             [id_col, "line_idx"], kind="mergesort")
         agg = kept.groupby(id_col, sort=False)["line"].agg(joiner.join)
         all_ids = pd.Index(bucket[id_col].unique())
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: all_ids.to_numpy(),
             text_col: agg.reindex(all_ids, fill_value="").to_numpy(),
         })
+        if keep_cols:
+            meta = bucket.groupby(id_col, sort=False)[
+                list(keep_cols)].first()
+            for c in keep_cols:
+                out[c] = meta[c].reindex(all_ids).to_numpy()
+        return out
 
     marked = (
         ds.map_batches(_explode, batch_format="pandas")
