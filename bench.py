@@ -80,6 +80,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "doc_boilerplate",
         "doc_tfidf",
         "doc_bm25",
+        "doc_line_dedup",
     ]
     qmap = Q.build_queries()
     out = {}
