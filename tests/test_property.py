@@ -189,3 +189,92 @@ def test_ntriples_roundtrip_property():
         assert got == want, (sorted(want - got), sorted(got - want), text)
 
     check()
+
+
+def _line_dedup_reference(docs, line_words):
+    """Pure in-memory reference: global first-wins per distinct line
+    over (doc order, line order)."""
+    seen = set()
+    out = {}
+    for doc_id in sorted(docs):
+        ws = docs[doc_id].split()
+        lines = [
+            " ".join(ws[i:i + line_words])
+            for i in range(0, len(ws), line_words)
+        ] or [""]
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        out[doc_id] = " ".join(kept)
+    return out
+
+
+def test_line_dedup_matches_reference_randomized(ray_session):
+    """Randomized corpora (heavy repetition, partition-split inputs):
+    the distributed op equals the sequential first-wins reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import line_dedup
+
+    rng = np.random.RandomState(17)
+    vocab = ["w%d" % i for i in range(30)]  # tiny vocab -> many dup lines
+    for trial in range(3):
+        docs = {
+            i: " ".join(rng.choice(vocab, rng.randint(0, 25)))
+            for i in range(40)
+        }
+        df = pd.DataFrame(
+            {"doc_id": list(docs), "text": list(docs.values())})
+        # split across multiple input blocks to exercise the shuffles
+        ds = rd.from_pandas([df.iloc[:13], df.iloc[13:27], df.iloc[27:]])
+        got = line_dedup(ds, line_words=4).to_pandas()
+        got = dict(zip(got["doc_id"], got["text"]))
+        want = _line_dedup_reference(docs, 4)
+        assert got == want, f"trial {trial}: mismatch"
+
+
+def test_incremental_minhash_replay_equals_batch_randomized(ray_session,
+                                                            tmp_path):
+    """Randomized planted-cluster corpora split into 3 id-ordered
+    deltas: replaying through the persistent LSH state equals the
+    one-shot batch clustering (bridge-free corpora)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import incremental_minhash_dedup, minhash_dedup
+
+    rng = np.random.RandomState(23)
+    for trial in range(2):
+        rows = []
+        base_texts = {}
+        for i in range(36):
+            # each doc draws a distinct vocabulary slice -> clusters
+            # are well separated (no cross-delta bridges)
+            words = ["t%d_%d" % (i, j) for j in range(30)]
+            base_texts[i] = " ".join(words)
+            rows.append({"doc_id": i, "text": base_texts[i]})
+        # plant near-dup clusters, members spread across deltas
+        for src, dst in [(1, 14), (1, 25), (7, 30), (20, 33)]:
+            rows[dst]["text"] = base_texts[src] + " x%d" % dst
+        df = pd.DataFrame(rows)
+        state = str(tmp_path / f"st{trial}")
+        parts = [df[df.doc_id < 12], df[(df.doc_id >= 12) & (df.doc_id < 24)],
+                 df[df.doc_id >= 24]]
+        inc = []
+        for p in parts:
+            a, _k = incremental_minhash_dedup(
+                state, rd.from_pandas(p.reset_index(drop=True)),
+                threshold=0.5)
+            inc.append(a.to_pandas())
+        inc_df = pd.concat(inc).sort_values("doc_id", ignore_index=True)
+        batch = minhash_dedup(
+            rd.from_pandas(df), threshold=0.5
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(inc_df, batch)
+        assert inc_df.set_index("doc_id")["cluster"][14] == 1
+        assert inc_df.set_index("doc_id")["cluster"][33] == 20
