@@ -27,8 +27,9 @@ def curate_documents(ds, *, text_col="text", id_col="doc_id", lang_col="lang",
     allow-list, token-count floor, digit-ratio ceiling (expressed as
     ``n_digits <= ratio * n_chars`` — division-free, empty-doc safe),
     optional normalization, optional CCNet-style line-level dedup
-    (``line_dedup_words`` token windows; docs whose every line was a
-    duplicate drop out), exact dedup keyed on the (normalized)
+    (``line_dedup_words`` token windows; docs whose SURVIVING text is
+    empty — every line duplicated, or nothing but whitespace to begin
+    with — drop out), exact dedup keyed on the (normalized)
     content keeping the minimum id, optional minhash near-dedup
     keeping only cluster representatives. ``out_path`` additionally
     writes the result as lang-partitioned parquet (resumable layout).

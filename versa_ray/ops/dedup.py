@@ -1368,6 +1368,9 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
     reassembly; dropped lines cross the second shuffle as empty
     strings (only their doc_id is consumed), so its byte volume is
     the SURVIVING text. No driver-side state."""
+    if line_words is not None and line_words < 1:
+        raise ValueError(
+            f"line_dedup: line_words must be >= 1, got {line_words}")
     joiner = " " if line_words else sep
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:

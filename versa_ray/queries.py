@@ -2996,26 +2996,20 @@ def build_oracles():
     }
     # incremental replay must equal the batch result -> same oracle
     out["doc_incremental_minhash"] = out["doc_minhash_dedup"]
-    # the pruned store plan must not change the answer
     # doc_langid: the trigram profiles are constants of the algorithm —
     # embed them as SQL lists so DuckDB replays classify() bit-exactly
     # (distinct trigrams of ' '+lower(text)+' ', per-profile overlap
     # ratio, strict-> tie-break = alphabetically first language)
     def _langid_sql():
-        def grams_of(words):
-            g = set()
-            for w in words.split():
-                padded = " %s " % w
-                g.update(padded[i:i + 3] for i in range(len(padded) - 2))
-            return sorted(g)
-
+        # the engine's OWN compiled profiles are the source of truth
+        profiles = textstats.LangID().profiles
         vals = ", ".join(
             "('%s', [%s], %d)" % (
                 lang,
-                ", ".join("'%s'" % gr for gr in grams_of(words)),
-                len(grams_of(words)),
+                ", ".join("'%s'" % gr for gr in sorted(grams)),
+                len(grams),
             )
-            for lang, words in sorted(textstats.LangID.PROFILES.items())
+            for lang, grams in sorted(profiles.items())
         )
         return (
             "WITH t AS (SELECT doc_id, ' ' || lower(coalesce(text,'')) || "
@@ -3033,6 +3027,7 @@ def build_oracles():
         )
 
     out["doc_langid"] = _langid_sql()
+    # the pruned store plan must not change the answer
     out["fullquery_store"] = out["fullquery_negation"]
     out["doc_line_dedup"] = "WITH words AS (\n  SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w FROM documents),\nlns AS (\n  SELECT doc_id, i AS line_idx,\n         array_to_string(w[(i*10+1):((i*10)+10)], ' ') AS line\n  FROM words, unnest(range(0, CAST(greatest(ceil(len(w)/10.0),1) AS BIGINT))) AS t(i)),\nmarked AS (\n  SELECT doc_id, line_idx, line,\n         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn\n  FROM lns)\nSELECT d.doc_id,\n  coalesce(string_agg(CASE WHEN m.rn=1 THEN m.line END, ' ' ORDER BY m.line_idx), '') AS text\nFROM documents d LEFT JOIN marked m USING (doc_id)\nGROUP BY d.doc_id"
     return out
