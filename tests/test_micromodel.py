@@ -117,3 +117,23 @@ def test_zoom_and_closure():
     }
     zoomed, completed = vutil.zoom_in(m, "http://e/a", depth=1)
     assert completed and zoomed.size() == 2
+
+
+def test_versa_list_and_make_immutable():
+    """util.py:21-22 list extraction and :307-322 recursive freeze."""
+    from versa_ray.core import I, VERSA_BASEIRI
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.model.vutil import make_immutable, versa_list_to_pylist
+
+    m = MicroModel()
+    lst = I("http://e/list1")
+    m.add(lst, I(VERSA_BASEIRI + "item"), "a")
+    m.add(lst, I(VERSA_BASEIRI + "item"), "b")
+    m.add(I("http://e/other"), I(VERSA_BASEIRI + "item"), "c")
+    assert sorted(versa_list_to_pylist(m, lst)) == ["a", "b"]
+
+    froz = make_immutable({"k": [1, {2, 3}], "n": {"x": "y"}})
+    assert isinstance(froz, tuple)
+    hash(froz)  # deeply hashable
+    assert froz[0][0] == "k" and froz[0][1][0] == 1
+    assert make_immutable("s") == "s" and make_immutable(7) == 7

@@ -13,6 +13,25 @@ from ..core import I, VLABEL_REL, VTYPE_REL, matches_uri_ref_syntax
 from .micro import MicroModel
 
 
+def versa_list_to_pylist(m, vlistid):
+    """Targets of the Versa-list ``item`` rel under a list resource
+    (util.py:21-22)."""
+    from ..core import VERSA_BASEIRI
+
+    return [link[2] for link in m.match(vlistid, I(VERSA_BASEIRI + "item"))]
+
+
+def make_immutable(obj):
+    """Recursive freeze: lists/sets/dicts become tuples (dicts as
+    (key, value) pairs in insertion order) so arbitrary attr values
+    can be set members / dict keys (util.py:307-322)."""
+    if isinstance(obj, (list, set)):
+        return tuple(make_immutable(e) for e in obj)
+    if isinstance(obj, dict):
+        return tuple((k, make_immutable(v)) for k, v in obj.items())
+    return obj
+
+
 def simple_lookup(m, orig, rel):
     for link in m.match(orig, rel):
         return link[2]
