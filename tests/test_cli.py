@@ -363,3 +363,26 @@ def test_cli_kgbuild_sharded(tmp_path):
                "--num-shards", "8"])
     assert r4.returncode != 0
     assert "num_shards" in (r4.stderr + r4.stdout)
+
+
+def test_cli_kgstats(tmp_path):
+    """kgstats surfaces per-partition lineage (footer reads only)."""
+    import json
+
+    from versa_ray.web.synth import write_pages
+
+    pages = tmp_path / "p.parquet"
+    write_pages(str(pages), 60)
+    out = tmp_path / "kg"
+    r = _run(["kgbuild", str(pages), str(out)])
+    assert r.returncode == 0, r.stderr
+    r2 = _run(["kgstats", str(out / "stage=linkset")])
+    assert r2.returncode == 0, r2.stderr
+    head = json.loads(r2.stdout.strip().splitlines()[0])
+    assert head["rows"] > 0 and head["partitions"] > 0
+    r3 = _run(["kgstats", str(out / "stage=linkset"), "--partitions"])
+    lines = r3.stdout.strip().splitlines()
+    parts = [json.loads(x) for x in lines[1:]]
+    assert sum(p["rows"] for p in parts) == head["rows"]
+    assert all({"rel_bucket", "part_id", "rows", "files"} <= set(p)
+               for p in parts)

@@ -347,6 +347,32 @@ def cmd_kgvacuum(args):
     )
 
 
+def cmd_kgstats(args):
+    """Per-partition lineage/metrics of a stored link-set — footer
+    reads only, no Ray session, no data scan."""
+    import json as _json
+
+    from .model.store import _current_epoch, partition_metrics
+
+    parts = partition_metrics(args.store)
+    total_rows = sum(p["rows"] for p in parts)
+    total_files = sum(p["files"] for p in parts)
+    try:
+        epoch = _current_epoch(args.store)
+    except Exception:
+        epoch = None
+    print(_json.dumps({
+        "store": args.store,
+        "epoch": epoch,
+        "partitions": len(parts),
+        "rows": total_rows,
+        "files": total_files,
+    }))
+    if args.partitions:
+        for p in parts:
+            print(_json.dumps(p))
+
+
 def cmd_corpusstats(args):
     import json as _json
 
@@ -471,6 +497,16 @@ def main(argv=None):
     p.set_defaults(func=cmd_kgvacuum)
 
     p = sub.add_parser(
+        "kgstats",
+        help="per-partition lineage/metrics of a stored link-set "
+             "(parquet footers only; no Ray session)",
+    )
+    p.add_argument("store", help="stage=linkset directory")
+    p.add_argument("--partitions", action="store_true",
+                   help="also print one JSON line per partition")
+    p.set_defaults(func=cmd_kgstats)
+
+    p = sub.add_parser(
         "corpusstats",
         help="one-line JSON corpus report (counts, langs, dup rate, "
              "length quantiles)",
@@ -518,7 +554,16 @@ def main(argv=None):
     p.set_defaults(func=cmd_validate)
 
     args = ap.parse_args(argv)
-    args.func(args)
+    try:
+        args.func(args)
+    except BrokenPipeError:
+        # stdout consumer (e.g. `| head`) closed early — standard
+        # unix behavior, not an error
+        import os
+        import sys
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)
 
 
 if __name__ == "__main__":
