@@ -1319,6 +1319,46 @@ def test_incremental_minhash_dedup(ray_session, tmp_path):
     assert k3 == 0  # all three are near-dups of state reps
     assert sorted(a3.to_pandas()["cluster"]) == [0, 1, 2]
 
+    # REPLAY of an already-applied delta: same assignments, n_kept=0,
+    # and the state gains no duplicate representative rows
+    import glob
+    import json
+
+    def _state_rows(sub):
+        files = glob.glob(os.path.join(state, sub, "bucket=*", "*.parquet"))
+        return sum(len(pd.read_parquet(f)) for f in files)
+
+    bands_before = _state_rows("bands")
+    sigs_before = _state_rows("sigs")
+    a2r, k2r = incremental_minhash_dedup(state, d2, threshold=0.5)
+    assert k2r == 0
+    pd.testing.assert_frame_equal(
+        a2r.to_pandas().sort_values("doc_id").reset_index(drop=True),
+        a2.to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert _state_rows("bands") == bands_before
+    assert _state_rows("sigs") == sigs_before
+
+    # crash AFTER the swaps but BEFORE the fp record: the surviving
+    # _commit.json marker is folded into the meta by the next call,
+    # so the retry is still detected as a replay
+    meta_path = os.path.join(state, "_state_meta.json")
+    meta = json.load(open(meta_path))
+    fp2 = meta["applied_deltas"][-1]
+    meta["applied_deltas"] = [
+        f for f in meta["applied_deltas"] if f != fp2]
+    json.dump(meta, open(meta_path, "w"))
+    with open(os.path.join(state, "_commit.json"), "w") as f:
+        json.dump({"fp": fp2, "n_kept": 0, "sig_touched": [],
+                   "band_touched": []}, f)
+    a3r, k3r = incremental_minhash_dedup(
+        state, rd.from_pandas(d3), threshold=0.5)
+    assert k3r == 0
+    assert not os.path.exists(os.path.join(state, "_commit.json"))
+    assert fp2 in json.load(open(meta_path))["applied_deltas"]
+    assert _state_rows("bands") == bands_before
+    assert _state_rows("sigs") == sigs_before
+    assert sorted(a3r.to_pandas()["cluster"]) == [0, 1, 2]
+
 
 def test_append_ann_index(ray_session, tmp_path):
     """Frozen-quantizer append: appended codes are byte-identical to
@@ -1415,6 +1455,40 @@ def test_append_ann_index(ray_session, tmp_path):
             {"vec_id": pd.array([], dtype="int64"),
              "embedding": pd.array([], dtype=object)}))) == 0
 
+    # (e) crash AFTER the moves but BEFORE the meta record: the stage
+    # survives with its fp-bearing marker and no files; the next call
+    # folds the fp into the meta, so retrying that delta is a no-op
+    import json
+
+    d2 = [{"vec_id": 200 + j, "embedding": rng.normal(size=dim).tolist()}
+          for j in range(5)]
+    assert similarity.append_ann_index(
+        idx, rd.from_pandas(pd.DataFrame(d2))) == 5
+    meta = json.load(open(os.path.join(idx, "_ann_meta.json")))
+    fp2 = meta["applied_appends"][-1]
+    # simulate the window: forget the record, leave the marker behind
+    meta["applied_appends"] = [
+        f for f in meta["applied_appends"] if f != fp2]
+    meta["rows_appended"] -= 5
+    json.dump(meta, open(os.path.join(idx, "_ann_meta.json"), "w"))
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, similarity._APPEND_COMMIT), "w") as f:
+        json.dump({"fp": fp2, "n": 5}, f)
+    assert similarity.append_ann_index(
+        idx, rd.from_pandas(pd.DataFrame(d2))) == 0  # recovered, not dup
+    meta = json.load(open(os.path.join(idx, "_ann_meta.json")))
+    assert fp2 in meta["applied_appends"]
+    assert meta["rows_appended"] == 15  # 10 (first delta) + 5 (d2), once
+
+    # (f) a DIFFERENT delta spanning the SAME id range (re-encoded
+    # vectors) is appended, not false-positive-skipped: the content
+    # hash distinguishes it from the recorded fingerprint
+    d2b = [{"vec_id": 200 + j,
+            "embedding": (np.asarray(r["embedding"]) + 1.5).tolist()}
+           for j, r in enumerate(d2)]
+    assert similarity.append_ann_index(
+        idx, rd.from_pandas(pd.DataFrame(d2b))) == 5
+
 
 def test_compact_ann_index(ray_session, tmp_path):
     """Compaction merges append-accumulated files to one set per cell
@@ -1509,6 +1583,14 @@ def test_line_dedup(ray_session):
     out2 = line_dedup(rd.from_pandas(df2), line_words=3).to_pandas()
     out2 = out2.sort_values("doc_id", ignore_index=True)
     assert out2["text"].tolist() == ["a b c d e", "tail words"]
+
+    # STRING doc ids (curate_documents' generic id_col) bucket via a
+    # dtype-agnostic hash — same semantics, first-wins by lex-min id
+    dfs = df.assign(doc_id=["doc-a", "doc-b", "doc-c"])
+    outs = line_dedup(rd.from_pandas(dfs)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert outs["doc_id"].tolist() == ["doc-a", "doc-b", "doc-c"]
+    assert outs["text"].tolist() == out["text"].tolist()
 
 
 def test_line_dedup_keep_cols_and_curation(ray_session):

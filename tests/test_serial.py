@@ -402,6 +402,25 @@ def test_ntriples_blank_nodes_deterministic():
     assert ids3 and ids3.isdisjoint(a_ids | {a_id})
 
 
+def test_ntriples_bnode_iterable_requires_scope():
+    """parse_links over an ITERABLE of lines can't derive a content
+    scope, so a bnode without an explicit bnode_scope raises instead
+    of silently corefering _:x across different documents; an
+    explicit scope works, and bnode-free iterables parse fine."""
+    import pytest
+
+    lines = ['_:x <http://e/p> "v" .']
+    with pytest.raises(ValueError, match="bnode_scope"):
+        list(ntriples.parse_links(iter(lines)))
+    got = list(ntriples.parse_links(iter(lines), bnode_scope="doc1"))
+    assert got[0][0] == "_:bdoc1-x"
+    other = list(ntriples.parse_links(iter(lines), bnode_scope="doc2"))
+    assert other[0][0] != got[0][0]  # file-local labels stay distinct
+    plain = list(ntriples.parse_links(
+        iter(['<http://e/s> <http://e/p> "v" .'])))
+    assert len(plain) == 1
+
+
 def test_ntriples_blank_node_roundtrip_isomorphic():
     """parse -> write -> parse yields an isomorphic graph: same shape
     under first-occurrence bnode relabeling, identical non-bnodes."""

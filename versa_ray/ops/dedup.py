@@ -1399,35 +1399,32 @@ def line_dedup(ds, text_col="text", id_col="doc_id", sep="\n",
 
     def _mark(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
-            empty = {
-                id_col: np.empty(0, np.int64),
-                "line": np.empty(0, object),
-                "line_idx": np.empty(0, np.int64),
-                "keep": np.empty(0, bool),
-                "_dbucket": np.empty(0, np.int64),
-            }
-            for c in keep_cols:
-                empty[c] = np.empty(0, object)
-            return pd.DataFrame(empty)[_mark_cols]
+            # preserve incoming dtypes (id_col may be str or int)
+            out = bucket.copy()
+            out["keep"] = np.empty(0, bool)
+            out["_dbucket"] = np.empty(0, np.int64)
+            return out[_mark_cols]
         b = bucket.sort_values(["line", id_col, "line_idx"],
                                kind="mergesort")
         b["keep"] = ~b.duplicated(subset=["line"], keep="first")
         # dropped lines travel the doc-id shuffle as empty strings —
         # only their doc_id matters downstream
         b.loc[~b["keep"], "line"] = ""
+        # dtype-agnostic doc bucketing (string ids work too),
+        # matching the line-hash pass
         b["_dbucket"] = (
-            b[id_col].to_numpy().astype(np.uint64) * _GOLDEN
-            >> np.uint64(33)
-        ).astype(np.int64) % num_buckets
+            pd.util.hash_pandas_object(b[id_col], index=False)
+            .to_numpy(np.uint64) % num_buckets
+        ).astype(np.int64)
         return b[_mark_cols]
 
     def _rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
-            empty = {id_col: np.empty(0, np.int64),
-                     text_col: np.empty(0, object)}
+            out = pd.DataFrame({id_col: bucket[id_col],
+                                text_col: np.empty(0, object)})
             for c in keep_cols:
-                empty[c] = np.empty(0, object)
-            return pd.DataFrame(empty)
+                out[c] = bucket[c]
+            return out
         kept = bucket[bucket["keep"]].sort_values(
             [id_col, "line_idx"], kind="mergesort")
         agg = kept.groupby(id_col, sort=False)["line"].agg(joiner.join)
@@ -1494,6 +1491,74 @@ def _swap_partitions(state_dir, stage, touched, part_key="bucket"):
         os.rename(src, dst)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
+
+
+_DELTA_COMMIT = "_commit.json"
+_STATE_META = "_state_meta.json"
+
+
+def _record_applied_delta(state_dir, fp, n_kept=0):
+    """Idempotently fold a delta fingerprint into ``_state_meta.json``
+    (atomic tmp+replace), mirroring the ANN index's append history."""
+    import json
+    import os
+
+    meta_path = os.path.join(state_dir, _STATE_META)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    applied = meta.get("applied_deltas", [])
+    if fp in applied:
+        return
+    meta["applied_deltas"] = (applied + [fp])[-16:]
+    meta["reps_appended"] = int(meta.get("reps_appended", 0)) + int(n_kept)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def _applied_deltas(state_dir):
+    import json
+    import os
+
+    meta_path = os.path.join(state_dir, _STATE_META)
+    if not os.path.exists(meta_path):
+        return []
+    with open(meta_path) as f:
+        return json.load(f).get("applied_deltas", [])
+
+
+def _recover_pending_delta(state_dir):
+    """Finish a crash-interrupted incremental-minhash state update.
+    ``_commit.json`` exists only AFTER both stage dirs are fully
+    written (so their contents are trustworthy) and is removed only
+    AFTER the fingerprint is recorded — a crash at any point between
+    is completed here: surviving stages are swapped in (idempotent;
+    already-swapped partitions are simply absent from the stage), the
+    fp is folded into the meta, and the marker removed. Runs BEFORE
+    ``_sweep_stages`` so committed stages are never swept as junk."""
+    import json
+    import os
+
+    marker = os.path.join(state_dir, _DELTA_COMMIT)
+    if not os.path.exists(marker):
+        return
+    try:
+        with open(marker) as f:
+            c = json.load(f)
+    except (ValueError, OSError):
+        os.remove(marker)  # corrupt marker: pre-commit crash, junk
+        return
+    for sub, key in (("sigs", "sig_touched"), ("bands", "band_touched")):
+        d = os.path.join(state_dir, sub)
+        stage = os.path.join(d, "_stage.tmp")
+        if os.path.isdir(stage) and c.get(key):
+            _swap_partitions(d, stage, c[key])
+    if c.get("fp"):
+        _record_applied_delta(state_dir, c["fp"], c.get("n_kept", 0))
+    os.remove(marker)
 
 
 def incremental_exact_dedup(state_dir, delta_ds, key: str = "text",
@@ -1646,7 +1711,16 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
     Driver-side work is bounded by the CANDIDATE count (LSH-colliding
     (doc, rep) pairs after the per-group ``max_bucket`` cap), never by
     delta or state cardinality; delta-cardinality joins (final-label
-    attach, kept-row selection) are coarse-bucket shuffles."""
+    attach, kept-row selection) are coarse-bucket shuffles.
+
+    Replay safety: a delta's content fingerprint (doc count + an
+    order-independent hash over every (id, signature) pair) is
+    recorded in ``_state_meta.json`` as part of the staged commit
+    (``_commit.json`` marker; a crash between staging and the record
+    is completed by the next call), so RETRYING an already-applied
+    delta returns the same assignments without appending duplicate
+    representative rows — ``n_kept`` is 0 for a detected replay.
+    Single-writer per state_dir, like ``incremental_exact_dedup``."""
     import os
     import shutil
 
@@ -1658,6 +1732,9 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
     sigs_dir = os.path.join(state_dir, "sigs")
     os.makedirs(bands_dir, exist_ok=True)
     os.makedirs(sigs_dir, exist_ok=True)
+    # complete a crash-interrupted COMMITTED update first — its stages
+    # must not be swept as junk
+    _recover_pending_delta(state_dir)
     _sweep_stages(bands_dir)
     _sweep_stages(sigs_dir)
 
@@ -1680,7 +1757,8 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
 
     delta_sigs = delta_ds.map_batches(
         _sig, batch_format="pandas").materialize()
-    if not delta_sigs.count():  # empty delta: nothing to dedup or store
+    n_sig_rows = delta_sigs.count()
+    if not n_sig_rows:  # empty delta: nothing to dedup or store
         import pandas as _pd
 
         empty = rd.from_pandas(_pd.DataFrame({
@@ -1688,6 +1766,37 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
             "cluster": np.empty(0, dtype=np.int64),
         }))
         return empty, 0
+
+    # content fingerprint of the delta (doc count + order-independent
+    # hash over every (id, signature) pair): a RETRY of a delta whose
+    # state writes already completed re-probes its own representatives
+    # — assignments stay correct (each rep matches itself), but the
+    # state update would append duplicate rep rows, so it is skipped
+    # and n_kept reported as 0 for detected replays
+    def _fp_part(df: pd.DataFrame) -> pd.DataFrame:
+        one = df[df["band"] == 0]
+        if not len(one):
+            return pd.DataFrame({"h": [0]})
+        ids_h = pd.util.hash_pandas_object(
+            one[id_col], index=False).to_numpy(np.uint64)
+        sigm = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in one["sig"]])
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        sh = np.zeros(len(sigm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(sigm.shape[1]):
+                sh = sh * mult + sigm[:, j]
+            row_h = ids_h ^ (sh * mult)
+        return pd.DataFrame({"h": [int(row_h.sum(dtype=np.uint64))]})
+
+    fp_total = 0
+    for b in delta_sigs.map_batches(
+        _fp_part, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for v in b["h"].to_numpy():
+            fp_total = (fp_total + int(v)) % (1 << 64)
+    fp = "%d:%016x" % (n_sig_rows // max(bands, 1), fp_total)
+    replay = fp in _applied_deltas(state_dir)
 
     # within-delta clustering — exact batch semantics inside the
     # delta; signatures are reused from delta_sigs (computed once)
@@ -1856,11 +1965,9 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
     ).materialize()
     n_kept = kept_bands.count() // max(bands, 1)
 
-    if touched:
-        # sig table FIRST (one row per new rep, partitioned by rep
-        # bucket): a crash between the two swaps then leaves only an
-        # orphan signature — dead data — whereas bands-first would
-        # leave probe-able reps whose verification silently skips
+    if touched and not replay:
+        import json
+
         def _sig_rows(df: pd.DataFrame) -> pd.DataFrame:
             one = df[df["band"] == 0]
             out = one[["rep", "sig"]].copy()
@@ -1878,9 +1985,13 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
             b for b in sig_touched
             if os.path.isdir(os.path.join(sigs_dir, f"bucket={b}"))
         ]
+        # stage BOTH tables fully before the commit marker: once the
+        # marker exists the staged contents are trustworthy, and a
+        # crash at any later point is completed by the next call's
+        # _recover_pending_delta (swap remaining stages, record fp)
+        sstage = os.path.join(sigs_dir, "_stage.tmp")
+        shutil.rmtree(sstage, ignore_errors=True)
         if sig_touched:
-            sstage = os.path.join(sigs_dir, "_stage.tmp")
-            shutil.rmtree(sstage, ignore_errors=True)
             supd = new_sigs
             if sig_existing:
                 supd = supd.union(
@@ -1894,7 +2005,6 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
                     )
                 )
             supd.write_parquet(sstage, partition_cols=["bucket"])
-            _swap_partitions(sigs_dir, sstage, sig_touched)
 
         stage = os.path.join(bands_dir, "_stage.tmp")
         shutil.rmtree(stage, ignore_errors=True)
@@ -1914,9 +2024,26 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
                 )
             )
         upd.write_parquet(stage, partition_cols=["bucket"])
-        _swap_partitions(bands_dir, stage, touched)
 
-    return final.select_columns([id_col, "cluster"]), n_kept
+        marker = os.path.join(state_dir, _DELTA_COMMIT)
+        tmpm = marker + ".tmp"
+        with open(tmpm, "w") as f:
+            json.dump({"fp": fp, "n_kept": int(n_kept),
+                       "sig_touched": sig_touched,
+                       "band_touched": touched}, f)
+        os.replace(tmpm, marker)
+        # sig table swaps FIRST (one row per new rep): a crash between
+        # the two swaps then leaves only an orphan signature — dead
+        # data — whereas bands-first would leave probe-able reps whose
+        # verification silently skips
+        if sig_touched:
+            _swap_partitions(sigs_dir, sstage, sig_touched)
+        _swap_partitions(bands_dir, stage, touched)
+        _record_applied_delta(state_dir, fp, n_kept)
+        os.remove(marker)
+
+    return final.select_columns([id_col, "cluster"]), (
+        0 if replay else n_kept)
 
 
 def semantic_dedup(ds, threshold=0.95, k=16, n_iters=3,

@@ -336,17 +336,30 @@ def _complete_pending_append(index_dir, sweep_uncommitted=False):
     (reader paths, where it may belong to a LIVE concurrent append).
     Committed moves are idempotent (each file vanishes from the stage
     once moved) and tolerate a concurrent completer racing the same
-    files."""
+    files. The marker carries the append's fingerprint and row count,
+    which are folded into ``_ann_meta.json`` (atomic replace) AFTER
+    the moves and BEFORE the stage is deleted — a crash at any point
+    leaves either the marker (so the next call re-records; recording
+    is idempotent) or a fully recorded meta, so a completed append
+    can never be replayed as a duplicate."""
+    import json
     import os
     import shutil
 
     stage = os.path.join(index_dir, "codes_stage.tmp")
     if not os.path.isdir(stage):
         return
-    if not os.path.exists(os.path.join(stage, _APPEND_COMMIT)):
+    marker = os.path.join(stage, _APPEND_COMMIT)
+    if not os.path.exists(marker):
         if sweep_uncommitted:
             shutil.rmtree(stage, ignore_errors=True)
         return
+    try:
+        with open(marker) as f:
+            payload = json.loads(f.read())
+        fp, n = payload.get("fp"), int(payload.get("n", 0))
+    except (ValueError, OSError):
+        fp, n = None, 0  # legacy/corrupt marker: moves only
     live = os.path.join(index_dir, "codes")
     for part in os.listdir(stage):
         src_dir = os.path.join(stage, part)
@@ -361,7 +374,61 @@ def _complete_pending_append(index_dir, sweep_uncommitted=False):
                                os.path.join(dst_dir, f))
                 except FileNotFoundError:
                     pass  # a concurrent completer won the race
+    if fp:
+        _record_applied_append(index_dir, fp, n)
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _record_applied_append(index_dir, fp, n):
+    """Idempotently fold an append fingerprint (+ its row count) into
+    ``_ann_meta.json`` via the atomic tmp+replace discipline."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "_ann_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    applied = meta.get("applied_appends", [])
+    if fp in applied:
+        return
+    meta["applied_appends"] = (applied + [fp])[-16:]
+    meta["rows_appended"] = int(meta.get("rows_appended", 0)) + int(n)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def _append_fingerprint(encoded, id_col):
+    """Content fingerprint of an encoded delta: row count, id range,
+    and an order-independent 64-bit hash folding every (id, code)
+    pair — so a replayed delta is recognized whatever its block
+    order, while a DIFFERENT delta that happens to span the same id
+    range (e.g. re-encoded/corrected vectors) hashes differently and
+    is appended rather than silently skipped."""
+    def _part_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ids_h = pd.util.hash_pandas_object(
+            pd.Series(df[id_col].to_numpy()), index=False
+        ).to_numpy(np.uint64)
+        codes = np.stack(df["code"].to_numpy()).astype(np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        code_h = np.zeros(len(codes), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(codes.shape[1]):  # m subquantizers, small
+                code_h = code_h * mult + codes[:, j]
+            row_h = ids_h ^ (code_h * mult)
+        acc = int(row_h.sum(dtype=np.uint64))
+        return pd.DataFrame({"h": [acc]})
+
+    parts = encoded.map_batches(_part_hash, batch_format="pandas")
+    total = 0
+    for b in parts.iter_batches(batch_format="pandas"):
+        for v in b["h"].to_numpy():
+            total = (total + int(v)) % (1 << 64)
+    n = encoded.count()
+    lo = encoded.min(id_col)
+    hi = encoded.max(id_col)
+    return "%d:%s:%s:%016x" % (n, lo, hi, total)
 
 
 def _restore_swapped_cells(codes_dir):
@@ -394,12 +461,15 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
     gains a ``_COMMITTED`` marker only after write_parquet returns,
     so a crash mid-write leaves junk the next WRITER sweeps (never
     moved — truncated files can't corrupt the index); a crash
-    mid-move is completed by the next call or search; and a RETRY of
-    an append whose moves already completed is detected by a cheap
-    delta fingerprint (count + id min/max) recorded in the meta and
-    skipped — exactly-once over the recorded append history. Returns
-    the number of appended rows (0 for an empty delta or a detected
-    replay).
+    mid-move (or after the moves, before the meta record) is
+    completed by the next call or search, which reads the fingerprint
+    FROM the marker and records it into the meta before deleting the
+    stage; and a RETRY of an append whose moves already completed is
+    detected by a content fingerprint (count + id range + an
+    order-independent hash over every (id, code) pair) and skipped —
+    exactly-once over the recorded append history (last 16 appends).
+    Returns the number of appended rows (0 for an empty delta or a
+    detected replay).
 
     Drift caveat: appended mass shifts the true cell distribution
     away from the trained centroids; ``_ann_meta.json`` accumulates
@@ -436,25 +506,18 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
     n = encoded.count()
     if not n:
         return 0
-    ids = encoded.select_columns([id_col])
-    fp = "%d:%d:%d" % (n, ids.min(id_col), ids.max(id_col))
-    applied = meta.get("applied_appends", [])
-    if fp in applied:
+    fp = _append_fingerprint(encoded, id_col)
+    if fp in meta.get("applied_appends", []):
         return 0  # replay of an append whose moves already completed
 
     stage = os.path.join(index_dir, "codes_stage.tmp")
     shutil.rmtree(stage, ignore_errors=True)
     encoded.write_parquet(stage, partition_cols=["cell"])
     with open(os.path.join(stage, _APPEND_COMMIT), "w") as f:
-        f.write(fp)
+        json.dump({"fp": fp, "n": int(n)}, f)
+    # moves the staged files, records fp+n into the meta atomically,
+    # then deletes the stage — idempotent at every crash point
     _complete_pending_append(index_dir)
-
-    meta["rows_appended"] = int(meta.get("rows_appended", 0)) + int(n)
-    meta["applied_appends"] = (applied + [fp])[-16:]
-    tmp = os.path.join(index_dir, "_ann_meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, "_ann_meta.json"))
     return int(n)
 
 

@@ -72,7 +72,10 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None,
     same ids while equal labels in different documents stay distinct.
     Callers that split one document across calls (the Dataset batch
     parser) must pass an explicit per-document scope to keep
-    coreference."""
+    coreference. When the input is an ITERABLE of lines the text
+    can't be hashed without consuming it, so a bnode in unscoped
+    iterable input raises ValueError — a silent shared default would
+    corefer equal labels across different documents."""
     from ..core.hashing import simple_hashstring
 
     exclude_rel = set(exclude_rel or ())
@@ -89,7 +92,13 @@ def parse_links(nt, only_rel=None, exclude_rel=None, disjoint=None,
         # LAZILY on the first bnode — bnode-free corpora never pay it
         nonlocal bnode_scope
         if bnode_scope is None:
-            bnode_scope = simple_hashstring(nt) if isinstance(nt, str) else ""
+            if not isinstance(nt, str):
+                raise ValueError(
+                    "blank node %r in iterable input: NT bnode labels "
+                    "are document-local, so parse_links needs an "
+                    "explicit bnode_scope when the document text is "
+                    "not available to hash" % label)
+            bnode_scope = simple_hashstring(nt)
         return I("_:b%s-%s" % (bnode_scope, label[2:]))
 
     # split on LF only — splitlines() also splits on NEL/LS/PS, which
