@@ -199,3 +199,79 @@ def test_conjunction_empty_left_binding_dataset(ray_session):
     ds = from_model(_vocab_model())
     r = evaluate("?($x, V 'nope', 'zzz') and ?($x, V 'type', $y)", ds, V)
     assert r["x"] == set() and r["y"] == set()
+
+
+# ---------------------------------------------------------------------------
+# Dataset-backed binding sets (DSBindings): above ds_threshold the
+# binding sets stay Datasets and thread conjunction/disjunction/safe-
+# negation as distributed semi/anti joins. Equality vs the driver-set
+# path is the contract (VERDICT r4 item 1).
+
+
+def _large_links(n=400):
+    links = []
+    for i in range(n):
+        e = f"urn:big:e{i}"
+        links.append((e, "urn:big:type", "urn:big:T" if i % 3 else "urn:big:U"))
+        links.append((e, "urn:big:grp", f"urn:big:g{i % 5}"))
+        if i % 2:
+            links.append((e, "urn:big:flag", "hot"))
+    return links
+
+
+_BIG_VARS = {"T": "urn:big:type", "G": "urn:big:grp", "F": "urn:big:flag"}
+
+_BIG_QUERIES = [
+    "?($x, T, 'urn:big:T') and ?($x, F, 'hot')",
+    "?($x, T, 'urn:big:T') or ?($x, T, 'urn:big:U')",
+    "?($x, T, 'urn:big:T') and (?($x, G, 'urn:big:g1') or ?($x, G, 'urn:big:g2'))",
+]
+
+
+def test_ds_bindings_equal_driver_sets(ray_session):
+    from versa_ray.model import linkset
+    from versa_ray.query import evaluate
+    from versa_ray.query.mini import DSBindings
+
+    ds = linkset.from_links(_large_links()).materialize()
+    for q in _BIG_QUERIES:
+        want = evaluate(q, ds, _BIG_VARS)  # default threshold: driver sets
+        got_ds = evaluate(q, ds, _BIG_VARS, ds_threshold=10, as_datasets=True)
+        assert isinstance(got_ds["x"], DSBindings), q
+        got = {k: v.to_set() for k, v in got_ds.items()}
+        assert got == want, q
+        # and the auto-collapsing form agrees too
+        assert evaluate(q, ds, _BIG_VARS, ds_threshold=10) == want, q
+
+
+def test_ds_bindings_fullquery_negation(ray_session):
+    from versa_ray.model import linkset
+    from versa_ray.query import execute
+    from versa_ray.query.mini import DSBindings
+
+    ds = linkset.from_links(_large_links()).materialize()
+    q = "?($x, T, 'urn:big:T') and not ?($x, F, 'hot')"
+    want = execute(ds, q, _BIG_VARS)
+    got_ds = execute(ds, q, _BIG_VARS, ds_threshold=10, as_datasets=True)
+    assert isinstance(got_ds["x"], DSBindings)
+    assert {k: v.to_set() for k, v in got_ds.items()} == want
+    assert want["x"] == {f"urn:big:e{i}" for i in range(400) if i % 3 and not i % 2}
+
+
+def test_ds_bindings_mixed_small_large(ray_session):
+    """One conjunct's bindings stay below the threshold (driver set),
+    the other's above (Dataset): the set-vs-DS intersection and
+    subtraction paths must agree with the all-driver evaluation."""
+    from versa_ray.model import linkset
+    from versa_ray.query import execute
+    from versa_ray.query.mini import evaluate
+
+    links = _large_links() + [(f"urn:big:e{i}", "urn:big:rare", "y")
+                              for i in range(0, 40, 2)]
+    ds = linkset.from_links(links).materialize()
+    vars_ = dict(_BIG_VARS, R="urn:big:rare")
+    q = "?($x, T, 'urn:big:T') and ?($x, R, 'y')"
+    want = evaluate(q, ds, vars_)
+    assert evaluate(q, ds, vars_, ds_threshold=30) == want
+    qn = "?($x, T, 'urn:big:T') and not ?($x, R, 'y')"
+    assert execute(ds, qn, vars_, ds_threshold=30) == execute(ds, qn, vars_)

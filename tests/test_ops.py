@@ -1622,3 +1622,40 @@ def test_line_dedup_keep_cols_and_curation(ray_session):
     # doc 3 (all lines duplicated) dropped entirely
     assert cur["doc_id"].tolist() == [1, 2]
     assert cur.loc[1, "text"] == "seven eight nine"
+
+
+def test_semi_join_keys_exact_and_tiny_right(ray_session):
+    """semi_join_keys is an EXACT semi/anti join and — unlike
+    Dataset.join — survives a keys side so small that most hash
+    partitions receive zero key rows (the ray 2.49 empty-partition
+    schema bug it exists to dodge)."""
+    import ray.data as rd
+
+    from versa_ray.ops.joins import semi_join_keys
+
+    left = pd.DataFrame(
+        {"k": [f"k{i % 37}" for i in range(500)], "v": np.arange(500)}
+    )
+    for keyset in (["k1", "k5", "k36"], ["k%d" % i for i in range(30)], []):
+        keys = pd.DataFrame({"key": keyset})
+        lds = rd.from_pandas(left).repartition(8)
+        kds = rd.from_pandas(keys)
+        semi = semi_join_keys(
+            lds, kds, on="k", keys_on="key", left_cols=["k", "v"]
+        ).to_pandas()
+        anti = semi_join_keys(
+            lds, kds, on="k", keys_on="key", anti=True, left_cols=["k", "v"]
+        ).to_pandas()
+        # left_cols pins the block schema even when a bucket's left
+        # side is empty (to_pandas on an ALL-empty result may still
+        # drop columns — a Ray driver-side edge, so only check
+        # non-empty frames)
+        for frame in (semi, anti):
+            if len(frame):
+                assert list(frame.columns) == ["k", "v"]
+        want_semi = left[left.k.isin(keyset)]
+        empty = pd.Series([], dtype="int64")
+        assert sorted(semi.get("v", empty)) == sorted(want_semi.v)
+        assert sorted(anti.get("v", empty)) == \
+            sorted(left[~left.k.isin(keyset)].v)
+        assert len(semi) + len(anti) == len(left)

@@ -86,6 +86,63 @@ def asof_join(left, right, on="ts", by="user_id", right_cols=(),
     return tagged.groupby("_cbucket").map_groups(_join, batch_format="pandas")
 
 
+def semi_join_keys(left, keys, on, keys_on=None, anti=False,
+                   num_buckets=64, left_cols=None):
+    """EXACT distributed semi (``anti=False``) / anti (``anti=True``)
+    join: keep left rows whose ``on`` value is / is not present in
+    ``keys`` (a Dataset holding the key column ``keys_on``). Tagged
+    union + coarse-bucket ``groupby().map_groups`` — the same shuffle
+    shape as asof_join — instead of ``Dataset.join``: Ray 2.49's hash
+    join aggregator finalizes an empty partition side as a
+    SCHEMA-LESS zero-column table, so pyarrow rejects the key field
+    whenever any hash partition receives no rows from one side
+    (guaranteed to happen when ``keys`` is small).
+
+    Pass ``left_cols`` (the left schema's column names) whenever you
+    know them: key rows then ship null-filled with the SAME columns
+    and every shuffled/output block shares one schema. Without it,
+    buckets that drew no left rows emit schema-less empties and
+    pandas may upcast non-key left columns to object/float where key
+    rows null-fill them (values preserved; consumers must align)."""
+    from .dedup import coarse_bucket
+
+    keys_on = keys_on or on
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[list(left_cols)].copy() if left_cols else df.copy()
+        df["_kind"] = np.int8(1)
+        df["_cbucket"] = coarse_bucket(df, [on], num_buckets)
+        return df
+
+    def _tag_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if keys_on in df.columns:
+            out = df[[keys_on]].copy()
+            out.columns = [on]
+        else:  # empty shuffle block that dropped its columns
+            out = pd.DataFrame({on: pd.Series([], dtype="object")})
+        if left_cols:
+            out = out.reindex(columns=list(left_cols))
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = coarse_bucket(out, [on], num_buckets)
+        return out
+
+    def _filter(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "_kind" not in bucket.columns or not len(bucket):
+            return (pd.DataFrame(columns=list(left_cols)) if left_cols
+                    else pd.DataFrame())
+        l = bucket[bucket["_kind"] == 1].drop(columns=["_kind", "_cbucket"])
+        if left_cols:
+            l = l.reindex(columns=list(left_cols))
+        kv = set(bucket.loc[bucket["_kind"] == 0, on])
+        mask = l[on].isin(kv)
+        return l[~mask] if anti else l[mask]
+
+    tagged = left.map_batches(_tag_left, batch_format="pandas").union(
+        keys.map_batches(_tag_keys, batch_format="pandas")
+    )
+    return tagged.groupby("_cbucket").map_groups(_filter, batch_format="pandas")
+
+
 def range_join(left, right, on="ts", by="user_id",
                start_col="session_start", end_col="session_end",
                right_cols=(), suffix="_r", num_buckets=32):

@@ -511,6 +511,35 @@ def q_fullquery_store(sf_dir):
     return pd.DataFrame({"c": sorted(result.get("c", set()))})
 
 
+def q_fullquery_large(sf_dir):
+    """FULL query language with DATASET-BACKED binding sets: same
+    safe-negation query as q_fullquery_negation, but evaluated with
+    ``ds_threshold=8`` so every variable's binding set exceeds the
+    threshold and stays a Dataset — conjunction threading becomes
+    distributed ``left_semi`` joins and the negation a ``left_anti``
+    join (query/mini.py DSBindings); the driver never materializes
+    an intermediate binding set. Gated: raises unless the final
+    binding actually came back Dataset-backed. Same anti-join
+    DuckDB oracle as fullquery_negation."""
+    from .query import execute
+    from .query.mini import DSBindings
+
+    result = execute(
+        tpch_linkset(sf_dir),
+        "?($c, SEG, 'BUILDING') and not ?($c, NAT, concat(URNV, 'nation:3'))",
+        {"SEG": SEGMENT, "NAT": IN_NATION, "URNV": URN},
+        ds_threshold=8,
+        as_datasets=True,
+    )
+    bound = result.get("c", set())
+    if not isinstance(bound, DSBindings):
+        raise AssertionError(
+            "fullquery_large: binding set collapsed to a driver set "
+            "(%r) — the Dataset-backed path was not exercised" % (type(bound),)
+        )
+    return pd.DataFrame({"c": sorted(bound.to_set())})
+
+
 def q_miniquery_conj(sf_dir):
     from .query import evaluate
 
@@ -2056,12 +2085,45 @@ def q_multimodal_png_features(sf_dir):
 # Registry
 
 
+def _staleness_rotate(queries: dict) -> dict:
+    """Reorder the registry by DRIVER-ROW STALENESS so no query's last
+    CORRECTNESS check ages more than one round: the driver verifies
+    roughly the first ~50 entries per round, so entries that appear in
+    the LATEST repo-root CORRECTNESS_r*.json move to the BACK (they
+    were just checked) and everything else — never-checked or checked
+    in an older round — moves to the FRONT, preserving relative order
+    within each class. Falls back to the static order if the
+    artifacts are unreadable."""
+    import json
+    import re
+    from pathlib import Path
+
+    try:
+        root = Path(__file__).resolve().parents[1]
+        rounds = sorted(
+            (
+                (int(m.group(1)), p)
+                for p in root.glob("CORRECTNESS_r*.json")
+                for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)]
+                if m
+            )
+        )
+        if not rounds:
+            return queries
+        latest = set(json.loads(rounds[-1][1].read_text()))
+    except Exception:
+        return queries
+    fresh = {k: v for k, v in queries.items() if k not in latest}
+    fresh.update((k, v) for k, v in queries.items() if k in latest)
+    return fresh
+
+
 def build_queries():
-    # Registration order matters: the correctness driver checks roughly the
-    # first ~50 entries per round, so queries that have never received a
-    # driver row are registered FIRST (rounds 1-3 verified the long-green
-    # block at the end; see CORRECTNESS_r0{1,2,3}.json).
-    return {
+    # Registration order matters: the correctness driver checks roughly
+    # the first ~50 entries per round. _staleness_rotate reorders the
+    # static registry below so the least-recently-driver-checked
+    # queries always come first (VERDICT r4 item 3).
+    return _staleness_rotate({
         # --- never driver-checked before round 4 ---
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
@@ -2098,6 +2160,7 @@ def build_queries():
         "fullquery_negation": q_fullquery_negation,
         "fullquery_disjunction": q_fullquery_disjunction,
         "fullquery_store": q_fullquery_store,
+        "fullquery_large": q_fullquery_large,
         "doc_incremental_minhash": q_doc_incremental_minhash,
         "doc_line_dedup": q_doc_line_dedup,
         # --- formerly no-oracle; fresh oracles added round 4 ---
@@ -2152,7 +2215,7 @@ def build_queries():
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_near_dup_pairs": q_doc_near_dup_pairs,
-    }
+    })
 
 
 def _pagerank_sql(n_iters=10, damping=0.85):
@@ -3027,7 +3090,9 @@ def build_oracles():
         )
 
     out["doc_langid"] = _langid_sql()
-    # the pruned store plan must not change the answer
+    # the pruned store plan must not change the answer, and neither
+    # may the Dataset-backed (semi/anti-join threaded) binding path
     out["fullquery_store"] = out["fullquery_negation"]
+    out["fullquery_large"] = out["fullquery_negation"]
     out["doc_line_dedup"] = "WITH words AS (\n  SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w FROM documents),\nlns AS (\n  SELECT doc_id, i AS line_idx,\n         array_to_string(w[(i*10+1):((i*10)+10)], ' ') AS line\n  FROM words, unnest(range(0, CAST(greatest(ceil(len(w)/10.0),1) AS BIGINT))) AS t(i)),\nmarked AS (\n  SELECT doc_id, line_idx, line,\n         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn\n  FROM lns)\nSELECT d.doc_id,\n  coalesce(string_agg(CASE WHEN m.rn=1 THEN m.line END, ' ' ORDER BY m.line_idx), '') AS text\nFROM documents d LEFT JOIN marked m USING (doc_id)\nGROUP BY d.doc_id"
     return out

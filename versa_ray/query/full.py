@@ -37,15 +37,18 @@ from __future__ import annotations
 
 from .mini import (
     BoolOp,
+    DSBindings,
     MatchCall,
     QueryContext,
     StringSeq,
     Var,
     Wild,
+    _copy_binding,
     _match_bindings,
     _merge_and,
     _merge_or,
     _resolve_arg as _mini_resolve_arg,
+    _subtract,
     tokenize as _mini_tokenize,
 )
 
@@ -221,7 +224,8 @@ def _resolve_arg(arg, ctx):
 def _eval(node, ctx: QueryContext) -> dict:
     if isinstance(node, MatchCall):
         args = [_resolve_arg(a, ctx) for a in node.args[:3]]
-        return _match_bindings(ctx.model, node.args, args)
+        return _match_bindings(
+            ctx.model, node.args, args, ds_threshold=ctx.ds_threshold)
     if isinstance(node, Not):
         raise ValueError(
             "full-query: unsafe negation — `not` must appear as the right "
@@ -232,10 +236,11 @@ def _eval(node, ctx: QueryContext) -> dict:
         if node.op == "and":
             if isinstance(node.right, Not):
                 # safe negation: constrain the negated match to the
-                # positively-bound candidates, then subtract
+                # positively-bound candidates, then subtract (an
+                # anti-join when both sides are Dataset-backed)
                 inner = node.right.node
                 neg = _eval(inner, ctx.copy(matchvars=left))
-                out = {k: set(v) for k, v in left.items()}
+                out = {k: _copy_binding(v) for k, v in left.items()}
                 touched = False
                 for k, v in neg.items():
                     if k not in left:
@@ -243,7 +248,7 @@ def _eval(node, ctx: QueryContext) -> dict:
                             f"full-query: unsafe negation — ${k} is not "
                             "bound by a positive conjunct"
                         )
-                    out[k] = out[k] - v
+                    out[k] = _subtract(out[k], v, ctx.ds_threshold)
                     touched = True
                 if not touched:
                     raise ValueError(
@@ -252,8 +257,9 @@ def _eval(node, ctx: QueryContext) -> dict:
                     )
                 return out
             return _merge_and(
-                left, _eval(node.right, ctx.copy(matchvars=left)))
-        return _merge_or(left, _eval(node.right, ctx))
+                left, _eval(node.right, ctx.copy(matchvars=left)),
+                ctx.ds_threshold)
+        return _merge_or(left, _eval(node.right, ctx), ctx.ds_threshold)
     if isinstance(node, (StringSeq, FuncCall)):
         raise ValueError(
             "full-query: a bare value expression is not a query — use it "
@@ -262,10 +268,21 @@ def _eval(node, ctx: QueryContext) -> dict:
     raise TypeError(node)
 
 
-def execute(model, q, variables=None) -> dict:
+def execute(model, q, variables=None, ds_threshold=None,
+            as_datasets=False) -> dict:
     """Parse (if needed) and evaluate the full query language against
     a MicroModel, a links Dataset, or a StoreModel; returns
     ``{var: set(values)}`` (the reference's query.execute signature,
-    query/__init__.py:7-30, with working semantics)."""
+    query/__init__.py:7-30, with working semantics). Binding sets
+    above ``ds_threshold`` distinct values stay Datasets internally
+    (semi-join threading — see ``mini.DSBindings``); pass
+    ``as_datasets=True`` to receive them un-collapsed."""
     node = parse(q) if isinstance(q, str) else q
-    return _eval(node, QueryContext(model, variables))
+    out = _eval(
+        node, QueryContext(model, variables, ds_threshold=ds_threshold))
+    if as_datasets:
+        return out
+    return {
+        k: v.to_set() if isinstance(v, DSBindings) else v
+        for k, v in out.items()
+    }
