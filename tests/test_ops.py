@@ -498,13 +498,33 @@ def test_multimodal_plumbing(ray_session):
         synth_media_batch,
     )
 
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+    import pyarrow as pa
 
+    from versa_ray.ops.multimodal import encode_png
+
+    # non-PNG payloads without fake=True refuse at decode time
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(synth_media_batch(0, 2))
+
+    # magic-byte dispatch: a mixed batch routes PNGs through the real
+    # codec and opaque bytes through the deterministic stand-in
     media = rd.from_arrow(synth_media_batch(0, 20))
-    feats = decode_features(media).to_pandas()
-    assert len(feats) == 20 and len(feats.iloc[0]["feature"]) == 64
-    assert abs(sum(feats.iloc[0]["feature"]) - 1.0) < 1e-5
+    feats = decode_features(media).to_pandas().set_index("media_id")
+    assert len(feats) == 20 and (feats["codec"] == "fake").all()
+    assert (feats["width"] == 4096).all() and (feats["height"] == 1).all()
+    assert (feats["sum_g"] + feats["sum_b"] == feats["sum_r"]).all()
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    mixed = synth_media_batch(0, 2).set_column(
+        2, "payload",
+        pa.array([encode_png(img), b"\xff\xd8not-a-png"], type=pa.binary()),
+    )
+    out = DecodeImage(fake=True)(mixed).to_pandas()
+    assert list(out["codec"]) == ["png", "fake"]
+    assert out.iloc[0]["width"] == 3 and out.iloc[0]["height"] == 2
+    flat = img.reshape(-1, 3).astype(int)
+    assert out.iloc[0][["sum_r", "sum_g", "sum_b"]].tolist() == \
+        list(flat.sum(axis=0))
 
     frames = sample_frames(media, n_frames=4).to_pandas()
     assert len(frames) == 80

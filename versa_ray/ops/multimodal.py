@@ -15,8 +15,10 @@ Two REAL codecs ship with no third-party deps:
   ``DecodePng`` actor stage.
 
 Heavier codecs (JPEG/opencv video) are still stubbed: ``DecodeImage``
-raises NotImplementedError unless ``fake=True`` selects the
-deterministic byte-level fake, which keeps downstream stages testable.
+dispatches on magic bytes — PNG payloads decode through the REAL
+codec; other formats raise NotImplementedError unless ``fake=True``
+selects the deterministic byte-level fake, which keeps downstream
+stages testable.
 
 Batch-size guidance baked into helpers: media rows are wide, so
 batches stay small (default 32) and blocks hold few rows — let the
@@ -61,35 +63,63 @@ def synth_media_batch(start: int, stop: int, kind="image", payload_size=4096,
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
 class DecodeImage:
-    """Actor-pool stage: binary payload -> fixed-length feature vector.
+    """Actor-pool stage: binary image payload -> uniform integer
+    features ``(media_id, codec, width, height, sum_r, sum_g, sum_b)``.
 
-    Real codecs (PIL/opencv) are unavailable here: with fake=False this
-    raises NotImplementedError at construction; with fake=True the
-    "decode" is a deterministic 64-bin byte histogram (real numpy work,
-    same shape contract a CNN embedding stage would have).
-    """
+    Dispatches on MAGIC BYTES per payload: PNG payloads go through the
+    REAL zlib/struct codec below (``decode_png``) regardless of
+    ``fake``. Formats this environment cannot decode (JPEG/WEBP/... —
+    no PIL/opencv) raise NotImplementedError at decode time unless
+    ``fake=True``, which routes them to the documented deterministic
+    byte-level stand-in (codec='fake': width = payload length,
+    height = 1, sums = all / even-index / odd-index byte sums — real
+    numpy work with the same shape contract, and analytically
+    replayable by a SQL oracle)."""
 
-    def __init__(self, fake: bool = False, bins: int = 64):
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires PIL/opencv, not present in this "
-                "environment; construct with fake=True for the "
-                "deterministic byte-level stand-in"
-            )
-        self.bins = bins
+    def __init__(self, fake: bool = False):
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        codecs, wds, hts, s_r, s_g, s_b = [], [], [], [], [], []
         for payload in batch["payload"]:
-            arr = np.frombuffer(payload.as_py(), dtype=np.uint8)
-            hist, _ = np.histogram(arr, bins=self.bins, range=(0, 256))
-            feats.append((hist / max(1, arr.size)).astype(np.float32))
+            data = payload.as_py()
+            if data[:8] == PNG_SIGNATURE:
+                img = decode_png(data)
+                h, w, ch = img.shape
+                sums = img.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                codecs.append("png")
+                wds.append(w)
+                hts.append(h)
+                s_r.append(int(sums[0]))
+                s_g.append(int(sums[1] if ch > 1 else sums[0]))
+                s_b.append(int(sums[2] if ch > 1 else sums[0]))
+            elif self.fake:
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                codecs.append("fake")
+                wds.append(len(arr))
+                hts.append(1)
+                s_r.append(int(arr.sum()))
+                s_g.append(int(arr[0::2].sum()))
+                s_b.append(int(arr[1::2].sum()))
+            else:
+                raise NotImplementedError(
+                    "non-PNG image decode requires PIL/opencv, not present "
+                    "in this environment; construct with fake=True for the "
+                    "deterministic byte-level stand-in"
+                )
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "feature": pa.array([f.tolist() for f in feats],
-                                    type=pa.list_(pa.float32())),
+                "codec": pa.array(codecs, type=pa.string()),
+                "width": pa.array(wds, type=pa.int64()),
+                "height": pa.array(hts, type=pa.int64()),
+                "sum_r": pa.array(s_r, type=pa.int64()),
+                "sum_g": pa.array(s_g, type=pa.int64()),
+                "sum_b": pa.array(s_b, type=pa.int64()),
             }
         )
 
@@ -126,10 +156,13 @@ class FrameSample:
         )
 
 
-def decode_features(ds, concurrency=2, batch_size=32):
+def decode_features(ds, concurrency=2, batch_size=32, fake=True):
+    """Generic image decode: PNG payloads through the real codec,
+    anything else through the fake stand-in (or NotImplementedError
+    with ``fake=False``) — see DecodeImage."""
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"fake": True},
+        fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1975,24 +1975,53 @@ def q_kg_linkset(sf_dir):
 
 
 def q_multimodal_features(sf_dir):
-    """Multimodal decode/feature plumbing (codec deterministically
-    faked — no PIL/opencv in the environment); rows-only but
-    SELF-GATED: every feature vector must be 64-dim and L1-normalized,
-    so a broken decode/actor signature fails instead of passing as an
-    arbitrary row count."""
-    import ray.data as rd
+    """Generic image decode with MAGIC-BYTE dispatch over a MIXED
+    corpus: even doc_ids carry real PNG payloads (same deterministic
+    pixel formula as q_multimodal_png_features — decoded through the
+    real zlib/struct codec, filter rotating through all five types),
+    odd doc_ids carry an opaque byte payload from a deterministic
+    formula (routed to the documented fake stand-in). One DecodeImage
+    actor pool handles both; the DuckDB oracle replays BOTH feature
+    formulas analytically, so codec dispatch or decode drift on
+    either path hash-mismatches."""
+    import pyarrow as pa_
 
-    from .ops.multimodal import decode_features, synth_media_batch
+    from .ops.multimodal import decode_features
 
-    media = rd.from_arrow(synth_media_batch(0, 64))
-    out = decode_features(media).materialize()
-    feats = out.take_all()
-    if len(feats) != 64 or any(
-        len(f["feature"]) != 64 or abs(sum(f["feature"]) - 1.0) > 1e-5
-        for f in feats
-    ):
-        raise AssertionError("multimodal feature plumbing drift")
-    return out
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.multimodal import encode_png
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            ids.append(d)
+            if d % 2 == 0:
+                w = 16 + (d % 5) * 4
+                h = 12 + (d % 3) * 4
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                img = (
+                    (d * 31 + x[None, :, None] * 7 + y[:, None, None] * 13
+                     + c[None, None, :] * 5) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_png(img, filter_type=d % 5))
+            else:
+                n = 512 + (d % 5) * 64
+                k = np.arange(n, dtype=np.int64)
+                payloads.append(
+                    ((d * 97 + k * 31) % 256).astype(np.uint8).tobytes()
+                )
+        return pa_.table(
+            {
+                "media_id": pa_.array(ids, type=pa_.int64()),
+                "payload": pa_.array(payloads, type=pa_.binary()),
+            }
+        )
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32
+    )
+    return decode_features(media)
 
 
 def _media_doc_ids(sf_dir, limit=128):
@@ -3053,9 +3082,42 @@ def build_oracles():
             "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
         ),
+        # the generic magic-byte image decode: PNG replay for even
+        # doc_ids + the fake byte-formula replay for odd doc_ids
+        "multimodal_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "png_par AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, "
+            "12 + (doc_id % 3) * 4 AS h FROM ids WHERE doc_id % 2 = 0), "
+            "xs AS (SELECT unnest(generate_series(0, 31)) AS x), "
+            "ys AS (SELECT unnest(generate_series(0, 23)) AS y), "
+            "px AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS r, "
+            "(p.doc_id * 31 + x.x * 7 + y.y * 13 + 5) % 256 AS g, "
+            "(p.doc_id * 31 + x.x * 7 + y.y * 13 + 10) % 256 AS b "
+            "FROM png_par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h), "
+            "png AS (SELECT doc_id AS media_id, 'png' AS codec, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS "
+            "sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY doc_id, w, h), "
+            "fake_par AS (SELECT doc_id, 512 + (doc_id % 5) * 64 AS n "
+            "FROM ids WHERE doc_id % 2 = 1), "
+            "ks AS (SELECT unnest(generate_series(0, 767)) AS k), "
+            "bs AS (SELECT p.doc_id, p.n, k.k, "
+            "(p.doc_id * 97 + k.k * 31) % 256 AS b "
+            "FROM fake_par p JOIN ks k ON k.k < p.n), "
+            "fake AS (SELECT doc_id AS media_id, 'fake' AS codec, "
+            "CAST(MAX(n) AS BIGINT) AS width, CAST(1 AS BIGINT) AS height, "
+            "CAST(SUM(b) AS BIGINT) AS sum_r, "
+            "CAST(SUM(CASE WHEN k % 2 = 0 THEN b END) AS BIGINT) AS sum_g, "
+            "CAST(SUM(CASE WHEN k % 2 = 1 THEN b END) AS BIGINT) AS sum_b "
+            "FROM bs GROUP BY doc_id) "
+            "SELECT * FROM png UNION ALL SELECT * FROM fake "
+            "ORDER BY media_id"
+        ),
         # doc_minhash_dedup / doc_simhash / doc_langid / doc_quality /
-        # kg_linkset / multimodal_features:
-        # not SQL-expressible -> rows-only checks
+        # kg_linkset: not SQL-expressible -> rows-only checks
     }
     # incremental replay must equal the batch result -> same oracle
     out["doc_incremental_minhash"] = out["doc_minhash_dedup"]
