@@ -97,6 +97,7 @@ def main():
     import ray
     from ray.data import DataContext
 
+    t_start = time.perf_counter()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -145,11 +146,26 @@ def main():
         except Exception as e:  # scaling must not sink the bench line
             result["scaling"] = {"error": str(e)[:200]}
 
-    # opt-in at-scale scaling evidence: the same two-leg measurement
-    # at 1M pages (sf1-equivalent workload), single attempt — ~6 min.
-    # GRAFT_BENCH_SF1_SCALING=1 makes BASELINE.md's 0.945-at-1M figure
-    # reproducible from the driver artifact itself.
-    if os.environ.get("GRAFT_BENCH_SF1_SCALING"):
+    # at-scale scaling evidence: the same two-leg measurement at 1M
+    # pages (sf1-equivalent workload), single attempt — ~6 min. ON BY
+    # DEFAULT whenever the wall-clock budget allows (the sf0.1 suite
+    # finished inside GRAFT_BENCH_SF1_BUDGET_SEC, default 600 — a slow
+    # host run signals contention where another 6-min measurement
+    # would both lie and starve the driver's budget). Opt out with
+    # GRAFT_BENCH_NO_SF1_SCALING=1; force with GRAFT_BENCH_SF1_SCALING=1.
+    budget = float(os.environ.get("GRAFT_BENCH_SF1_BUDGET_SEC", "600"))
+    suite_sec = time.perf_counter() - t_start
+    want_sf1 = os.environ.get("GRAFT_BENCH_SF1_SCALING") or (
+        not os.environ.get("GRAFT_BENCH_NO_SF1_SCALING")
+        and not os.environ.get("GRAFT_BENCH_NO_SCALING")
+        and suite_sec < budget
+    )
+    if not want_sf1:
+        result["scaling_sf1"] = {
+            "skipped": "suite took %.0fs (budget %.0fs)" % (suite_sec, budget)
+            if suite_sec >= budget else "disabled by env"
+        }
+    if want_sf1:
         try:
             result["scaling_sf1"] = _scaling_with_retry(
                 max_attempts=1, pages=1_000_000

@@ -612,3 +612,93 @@ def test_store_randomized_update_replay(ray_session, tmp_path):
         for r_ in read_linkset(path).to_pandas().itertuples()
     }
     assert got == ref
+
+
+def test_writer_claim_refuses_concurrent_and_breaks_stale(
+        ray_session, tmp_path):
+    """Multi-writer fence: a second writer gets a CLEAN
+    StoreWriteConflict while the claim is held, serializes after
+    release, and can break a hard-crashed writer's stale claim via
+    claim_ttl."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from versa_ray.model.store import (
+        StoreWriteConflict, _CLAIM_NAME, _writer_claim, update_linkset,
+        write_linkset)
+
+    path = str(tmp_path / "store")
+    write_linkset(linkset.from_links(_sample_links()), path,
+                  num_rel_buckets=4, num_partitions=4)
+    delta = [("urn:t:extra", TYPE_, "urn:t:Thing")]
+
+    with _writer_claim(path):  # writer A holds the store
+        with pytest.raises(StoreWriteConflict):
+            update_linkset(path, linkset.from_links(delta))
+        with pytest.raises(StoreWriteConflict):
+            from versa_ray.model.store import compact_linkset
+
+            compact_linkset(path)
+    # A released -> B serializes cleanly
+    stats = update_linkset(path, linkset.from_links(delta))
+    assert stats["partitions_updated"] >= 1
+
+    # hard-crashed writer: stale claim left behind; ttl breaks it
+    with open(os.path.join(path, _CLAIM_NAME), "w") as f:
+        json.dump({"pid": 0, "ts": time.time() - 3600, "token": "dead"}, f)
+    with pytest.raises(StoreWriteConflict):  # no ttl -> clean refusal
+        update_linkset(path, linkset.from_links(delta))
+    stats = update_linkset(
+        path, linkset.from_links([("urn:t:extra2", TYPE_, "urn:t:Thing")]),
+        claim_ttl=60)
+    assert stats["partitions_updated"] >= 1
+    assert not os.path.exists(os.path.join(path, _CLAIM_NAME))
+
+
+def test_two_interleaved_writers_serialize_with_retry(
+        ray_session, tmp_path):
+    """Two genuinely concurrent update_linkset writers: every failure
+    is the clean StoreWriteConflict, and retrying losers serializes —
+    the final store holds BOTH deltas exactly once."""
+    import threading
+    import time
+
+    from versa_ray.model.store import StoreWriteConflict, update_linkset
+
+    path = str(tmp_path / "store")
+    write_linkset(linkset.from_links(_sample_links()), path,
+                  num_rel_buckets=4, num_partitions=4)
+
+    deltas = {
+        "a": [(f"urn:w:a{i}", TYPE_, "urn:t:Thing") for i in range(5)],
+        "b": [(f"urn:w:b{i}", TYPE_, "urn:t:Thing") for i in range(5)],
+    }
+    errors = []
+
+    def _writer(name):
+        ds = linkset.from_links(deltas[name])
+        for _ in range(60):
+            try:
+                update_linkset(path, ds)
+                return
+            except StoreWriteConflict:
+                time.sleep(0.2)
+            except Exception as e:  # anything else is a fence failure
+                errors.append((name, e))
+                return
+        errors.append((name, "never acquired the claim"))
+
+    threads = [threading.Thread(target=_writer, args=(n,)) for n in deltas]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    final = read_linkset(path).to_pandas()
+    got = set(final[final.origin.str.startswith("urn:w:")]["origin"])
+    assert got == {f"urn:w:{n}{i}" for n in ("a", "b") for i in range(5)}
+    # dup-refusing add held through the interleave
+    assert final.duplicated(["origin", "rel", "target"]).sum() == 0

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager as _contextmanager
 
 import numpy as np
 import pandas as pd
@@ -166,6 +167,71 @@ def _commit_epoch(path: str, epoch: int, entries: list) -> None:
     with open(tmp, "w") as f:
         json.dump({"epoch": epoch}, f)
     os.replace(tmp, os.path.join(path, _EPOCH_NAME))
+
+
+class StoreWriteConflict(RuntimeError):
+    """Another writer holds this store's write claim, or committed a
+    new epoch underneath an in-flight update."""
+
+
+_CLAIM_NAME = "_writer_claim.json"
+
+
+@_contextmanager
+def _writer_claim(path: str, ttl=None):
+    """Optimistic writer fence: mutual exclusion for store mutators
+    via an O_EXCL claim file (atomic on POSIX and network filesystems
+    that honor exclusive create). A second concurrent writer gets a
+    CLEAN ``StoreWriteConflict`` instead of silently dropping the
+    first writer's rows at the epoch pointer flip (both would commit
+    epoch N+1; last flip wins). A writer that hard-crashed leaves its
+    claim behind: pass ``ttl`` seconds to break claims older than
+    that, or remove ``_writer_claim.json`` by hand once the dead
+    writer's staging has been recovered."""
+    import time as _time
+    import uuid as _uuid
+
+    claim = os.path.join(path, _CLAIM_NAME)
+    token = _uuid.uuid4().hex
+    payload = json.dumps(
+        {"pid": os.getpid(), "ts": _time.time(), "token": token})
+    for attempt in (0, 1):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            held = None
+            try:
+                with open(claim) as f:
+                    held = json.load(f)
+            except (OSError, ValueError):
+                pass  # holder is racing create/release; treat as held
+            if (
+                attempt == 0 and ttl is not None and held is not None
+                and _time.time() - float(held.get("ts", 0)) > float(ttl)
+            ):
+                try:  # break the stale claim; losers of the re-create
+                    os.unlink(claim)  # race still conflict cleanly
+                except FileNotFoundError:
+                    pass
+                continue
+            raise StoreWriteConflict(
+                f"store {path} is being written by another writer "
+                f"({held}); retry after it finishes, pass a ttl to "
+                "break a crashed writer's stale claim, or remove "
+                f"{_CLAIM_NAME} by hand"
+            )
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    try:
+        yield
+    finally:
+        try:  # release only if the claim is still ours (a ttl break
+            with open(claim) as f:  # may have re-issued it)
+                if json.load(f).get("token") == token:
+                    os.unlink(claim)
+        except (OSError, ValueError):
+            pass
 
 
 def _file_entry(path: str, fpath: str) -> dict:
@@ -413,7 +479,7 @@ def _swap_staged_partitions(path: str, staging: str, pairs) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def update_linkset(path: str, new_ds, num_buckets=None):
+def update_linkset(path: str, new_ds, num_buckets=None, claim_ttl=None):
     """Incremental append-with-dedup against a stored link-set — the
     at-scale form of the reference's duplicate-refusing add
     (/root/reference/tools/py/driver/memory.py:179-181) applied to the
@@ -431,9 +497,15 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     delete-then-rewrite left the partition missing for the whole
     write). A hard crash BETWEEN the two renames leaves the partition
     parked in the dot-prefixed staging dir; ``_recover_staging`` (run
-    at the start of every update and pruned read) restores it. The
-    store is single-writer: concurrent updates could recover each
-    other's live staging.
+    at the start of every update and pruned read) restores it.
+
+    Writes are FENCED: the whole update runs under the store's
+    ``_writer_claim`` (O_EXCL claim file), so a second concurrent
+    updater raises ``StoreWriteConflict`` instead of racing the epoch
+    pointer flip or recovering this writer's live staging; pass
+    ``claim_ttl`` seconds to break a hard-crashed writer's stale
+    claim. The epoch is ALSO re-checked immediately before the commit
+    (CAS) to refuse cleanly if a claim-bypassing writer flipped it.
 
     Stores written by this engine carry EPOCH MANIFESTS: the update
     then commits additively (new uuid files moved in, atomic
@@ -443,6 +515,11 @@ def update_linkset(path: str, new_ds, num_buckets=None):
     (``read_linkset(epoch=...)``) until ``vacuum_linkset``. The
     dir-swap path above remains for legacy (manifest-less) stores.
     Returns {"partitions_updated", "rows_after"}."""
+    with _writer_claim(path, ttl=claim_ttl):
+        return _update_linkset_locked(path, new_ds, num_buckets)
+
+
+def _update_linkset_locked(path: str, new_ds, num_buckets=None):
     import shutil
 
     import ray.data as rd
@@ -531,6 +608,12 @@ def update_linkset(path: str, new_ds, num_buckets=None):
             if (e["rel_bucket"], e["part_id"]) not in affected
         ]
         entries = keep + new_entries
+        if _current_epoch(path) != cur_epoch:
+            raise StoreWriteConflict(
+                f"store {path}: epoch advanced past {cur_epoch} during "
+                "this write (a claim-bypassing writer committed); "
+                "refusing to flip the pointer over their commit"
+            )
         _commit_epoch(path, cur_epoch + 1, entries)
         with open(os.path.join(path, _META_NAME), "w") as f:
             json.dump(
@@ -608,7 +691,8 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
     return ds
 
 
-def compact_linkset(path: str, max_files: int = 1, vacuum_keep: int = 2):
+def compact_linkset(path: str, max_files: int = 1, vacuum_keep: int = 2,
+                    claim_ttl=None):
     """Merge fragmented partitions back to at most ``max_files``
     parquet files each. Repeated ``update_linkset`` calls append a
     fresh file set per touched partition; at crawl cadence a hot
@@ -618,8 +702,14 @@ def compact_linkset(path: str, max_files: int = 1, vacuum_keep: int = 2):
     (bounded by fragmentation, not store size), with the same
     stage-and-swap crash discipline as ``update_linkset`` — a reader
     sees the old or the new complete partition, never a mix.
-    Single-writer, like update. Returns
+    Runs under the same ``_writer_claim`` fence as update (a
+    concurrent writer raises ``StoreWriteConflict``). Returns
     {"partitions_compacted", "files_before", "files_after"}."""
+    with _writer_claim(path, ttl=claim_ttl):
+        return _compact_linkset_locked(path, max_files, vacuum_keep)
+
+
+def _compact_linkset_locked(path, max_files, vacuum_keep):
     import shutil
     import uuid
 
@@ -687,6 +777,12 @@ def compact_linkset(path: str, max_files: int = 1, vacuum_keep: int = 2):
             if (e["rel_bucket"], e["part_id"]) not in compacted
         ]
         entries = keep + new_entries
+        if _current_epoch(path) != cur_epoch:
+            raise StoreWriteConflict(
+                f"store {path}: epoch advanced past {cur_epoch} during "
+                "this write (a claim-bypassing writer committed); "
+                "refusing to flip the pointer over their commit"
+            )
         _commit_epoch(path, cur_epoch + 1, entries)
         with open(os.path.join(path, _META_NAME), "w") as f:
             json.dump(
