@@ -537,3 +537,59 @@ def test_entity_scorer_threshold_conflicts_with_index():
     assert sc.threshold == 0.6
     sc2 = EntityScorer(index=idx)  # omitted -> the index's own
     assert sc2.threshold == 0.6
+
+
+def test_entity_scorer_call_annotates_only_hits_vectorized():
+    """__call__'s distinct-name-then-annotate-hits path must equal the
+    naive per-row loop: identical attrs for hit rows (JSON merged with
+    sorted keys), untouched attrs for miss and non-name rows, and an
+    unchanged batch object when a batch has no hits at all."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from versa_ray.web.kgpipeline import EntityScorer
+
+    alias = {"alice smith": "https://auth.example.org/p/1",
+             "bob jones": "https://auth.example.org/p/2"}
+    sc = EntityScorer(alias_table=alias, threshold=0.6)
+    NAME = sc.NAME_REL
+
+    rows = [
+        ("urn:e:1", NAME, "alice smith", "{}"),           # exact hit
+        ("urn:e:2", NAME, "no such person whatsoever", "{}"),  # miss
+        ("urn:e:3", NAME, "bob jones", '{"a":"b"}'),      # hit, merge
+        ("urn:e:4", "urn:other", "alice smith", "{}"),    # non-name rel
+        ("urn:e:5", NAME, "alice smith", None),           # repeat mention
+    ]
+    batch = pa.table({
+        "origin": [r[0] for r in rows],
+        "rel": [r[1] for r in rows],
+        "target": [r[2] for r in rows],
+        "attrs": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+    out = sc(batch).to_pydict()
+
+    def naive(i):
+        iri, score = sc.score(rows[i][2])
+        if rows[i][1] != NAME or iri is None:
+            return rows[i][3]
+        d = _json.loads(rows[i][3]) if rows[i][3] and rows[i][3] != "{}" \
+            else {}
+        d["@authority"] = iri
+        d["@link-score"] = "%.3f" % score
+        return _json.dumps(d, sort_keys=True, separators=(",", ":"),
+                           ensure_ascii=False)
+
+    assert out["attrs"] == [naive(i) for i in range(len(rows))]
+    assert "@authority" in out["attrs"][0]
+    assert '"a":"b"' in out["attrs"][2] and "@authority" in out["attrs"][2]
+    assert out["attrs"][1] == "{}" and out["attrs"][3] == "{}"
+
+    # a miss-only batch passes through without rebuilding attrs
+    miss = pa.table({
+        "origin": ["urn:e:9"], "rel": [NAME],
+        "target": ["completely unknown human"],
+        "attrs": pa.array(["{}"], type=pa.string()),
+    })
+    assert sc(miss) is miss

@@ -420,17 +420,30 @@ class EntityScorer:
         mask = pc.equal(batch["rel"], self.NAME_REL).to_numpy(zero_copy_only=False)
         if not mask.any() or not len(self._iris):
             return batch
-        attrs = batch["attrs"].to_pylist()
-        targets = batch["target"].to_pylist()
-        for i in np.flatnonzero(mask):
-            iri, score = self.score(targets[i])
-            if iri is not None:
-                d = json.loads(attrs[i]) if attrs[i] and attrs[i] != "{}" else {}
-                d["@authority"] = iri
-                d["@link-score"] = "%.3f" % score
-                attrs[i] = json.dumps(
-                    d, sort_keys=True, separators=(",", ":"), ensure_ascii=False
-                )
+        # score each DISTINCT mention once, then annotate only the HIT
+        # rows: miss-only batches (the common case) return without
+        # materializing the attrs column or touching JSON at all
+        rows = np.flatnonzero(mask)
+        targets = batch["target"].take(pa.array(rows)).to_pylist()
+        uniq, inv = np.unique(
+            np.asarray(targets, dtype=object), return_inverse=True)
+        scored = [self.score(str(u)) for u in uniq]
+        hits = [
+            (int(rows[i]), scored[inv[i]])
+            for i in range(len(targets))
+            if scored[inv[i]][0] is not None
+        ]
+        if not hits:
+            return batch
+        attrs = batch["attrs"].to_numpy(zero_copy_only=False)
+        for i, (iri, score) in hits:
+            cur = attrs[i]
+            d = json.loads(cur) if cur and cur != "{}" else {}
+            d["@authority"] = iri
+            d["@link-score"] = "%.3f" % score
+            attrs[i] = json.dumps(
+                d, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+            )
         return batch.set_column(
             batch.schema.get_field_index("attrs"), "attrs", pa.array(attrs, type=pa.string())
         )
