@@ -415,19 +415,26 @@ def _bind_inline_rounds(state, max_depth, num_buckets,
             return parents[_BSTATE_COLS]
         out = parents[_BSTATE_COLS].reset_index(drop=True)
         pos = {o: i for i, o in enumerate(out["origin"])}
-        orphans = []
-        for _, ch in children.iterrows():
-            i = pos.get(ch["referrer"])
-            if i is None:
-                orphans.append(ch)
-                continue
-            par = json.loads(out.at[i, "node"])
-            _embed_child(par, ch["origin"], json.loads(ch["node"]))
-            out.at[i, "node"] = json.dumps(par, ensure_ascii=False)
-            out.at[i, "pending"] = max(0, out.at[i, "pending"] - 1)
-        if orphans:
+        # group children by their parent ROW and batch the embeds:
+        # the parent JSON parses/dumps once per parent (not once per
+        # child), and no per-row Series construction (iterrows)
+        ppos = children["referrer"].map(pos)
+        hit = ppos.notna()
+        if hit.any():
+            nodes = out["node"].tolist()
+            pending = out["pending"].tolist()
+            kids = children[hit]
+            for i, grp in kids.groupby(ppos[hit].astype(int), sort=False):
+                par = json.loads(nodes[i])
+                for corg, cnode in zip(grp["origin"], grp["node"]):
+                    _embed_child(par, corg, json.loads(cnode))
+                nodes[i] = json.dumps(par, ensure_ascii=False)
+                pending[i] = max(0, pending[i] - len(grp))
+            out["node"] = nodes
+            out["pending"] = pending
+        if (~hit).any():
             out = pd.concat(
-                [out, pd.DataFrame(orphans)[_BSTATE_COLS]], ignore_index=True
+                [out, children.loc[~hit, _BSTATE_COLS]], ignore_index=True
             )
         return out
 
