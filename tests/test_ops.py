@@ -1679,3 +1679,59 @@ def test_semi_join_keys_exact_and_tiny_right(ray_session):
         assert sorted(anti.get("v", empty)) == \
             sorted(left[~left.k.isin(keyset)].v)
         assert len(semi) + len(anti) == len(left)
+
+
+def test_range_join_overlap_equals_pandas(ray_session):
+    """Overlapping per-key intervals: the time-bucket-replication join
+    must return EVERY (event, containing-interval) pair exactly once,
+    matching a pandas cross-merge reference; the replication guard
+    refuses an interval too wide for the grain."""
+    import ray.data as rd
+
+    from versa_ray.ops.joins import range_join_overlap
+
+    rng = np.random.RandomState(11)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.randint(0, 12, n).astype("int64"),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.randint(0, 72 * 3600, n), unit="s"),
+        }
+    )
+    k = 200
+    wins = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 12, k).astype("int64"),
+            "win_id": np.arange(k),
+            "win_start": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.randint(0, 70 * 3600, k), unit="s"),
+        }
+    )
+    # spans 2h-12h: heavily overlapping per user, multi-bucket at 1h grain
+    wins["win_end"] = wins.win_start + pd.to_timedelta(
+        rng.randint(2 * 3600, 12 * 3600, k), unit="s")
+
+    got = range_join_overlap(
+        rd.from_pandas(ev).repartition(6), rd.from_pandas(wins),
+        on="ts", by="user_id", start_col="win_start", end_col="win_end",
+        right_cols=["win_id"], grain="1h",
+    ).to_pandas()
+
+    want = ev.merge(wins, on="user_id")
+    want = want[(want.win_start <= want.ts) & (want.ts <= want.win_end)]
+    assert len(got) == len(want)
+    # overlap genuinely exercised: some event matched several windows
+    assert want.duplicated(subset=["event_id"]).any()
+    a = set(zip(got.event_id.astype(int), got.win_id_r.astype(int)))
+    b = set(zip(want.event_id, want.win_id))
+    assert a == b
+    assert not got.duplicated(["event_id", "win_id_r"]).any()
+
+    with pytest.raises(Exception, match="raise grain"):
+        range_join_overlap(
+            rd.from_pandas(ev), rd.from_pandas(wins), on="ts", by="user_id",
+            start_col="win_start", end_col="win_end", grain="1s",
+            max_replication=100,
+        ).materialize()

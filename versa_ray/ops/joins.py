@@ -179,6 +179,93 @@ def range_join(left, right, on="ts", by="user_id",
     return out.map_batches(_bound, batch_format="pandas")
 
 
+def range_join_overlap(left, right, on="ts", by="user_id",
+                       start_col="win_start", end_col="win_end",
+                       right_cols=(), suffix="_r", grain="1h",
+                       num_buckets=64, max_replication=10_000):
+    """Interval join for OVERLAPPING per-key intervals — each left row
+    pairs with EVERY interval containing ``left[on]`` (the SQL
+    ``JOIN ... ON key AND ts BETWEEN start AND end`` shape, inner
+    semantics, 1:N output). ``range_join`` above stays the one-pass
+    fast path for non-overlapping intervals.
+
+    Mechanics: time-bucket replication. Intervals are replicated into
+    every ``grain``-sized time bucket they overlap; left rows land in
+    exactly one bucket, so each (row, interval) pair meets exactly
+    once — no post-dedup. Both sides co-locate on a coarse hash of
+    (key, time bucket), one shuffle total.
+
+    PARTITIONING ASSUMPTION: interval spans are bounded relative to
+    ``grain`` (an interval replicates span/grain + 1 times; a batch
+    whose widest interval exceeds ``max_replication`` buckets raises —
+    raise ``grain`` instead). Pick ``grain`` near the typical interval
+    length: too fine multiplies replication, too coarse grows the
+    per-bucket candidate sets."""
+    from .dedup import coarse_bucket
+
+    grain_ns = int(pd.Timedelta(grain).value if isinstance(grain, str)
+                   else grain)
+    extra = [c for c in right_cols if c not in (start_col, end_col, by)]
+    out_right = [start_col + suffix, end_col + suffix] + \
+        [c + suffix for c in extra]
+
+    def _tb(series: pd.Series) -> np.ndarray:
+        if str(series.dtype).startswith("datetime64"):
+            iv = series.astype("datetime64[ns]").astype("int64")
+        else:
+            iv = series.astype("int64")
+        return iv.to_numpy() // grain_ns
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_tb"] = _tb(df[on])
+        df["_kind"] = np.int8(1)
+        df["_cbucket"] = coarse_bucket(df, [by, "_tb"], num_buckets)
+        return df
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[by, start_col, end_col] + extra].rename(
+            columns={c: c + suffix for c in [start_col, end_col] + extra}
+        )
+        sb = _tb(out[start_col + suffix])
+        eb = _tb(out[end_col + suffix])
+        counts = np.maximum(eb - sb + 1, 0)
+        if len(counts) and counts.max() > max_replication:
+            raise ValueError(
+                "range_join_overlap: an interval spans %d buckets "
+                "(max_replication=%d) — raise grain" %
+                (int(counts.max()), max_replication)
+            )
+        idx = np.repeat(np.arange(len(out)), counts)
+        rep = out.iloc[idx].copy()
+        offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        rep["_tb"] = sb[idx] + offs
+        rep["_kind"] = np.int8(0)
+        rep["_cbucket"] = coarse_bucket(rep, [by, "_tb"], num_buckets)
+        return rep
+
+    def _join(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "_kind" not in bucket.columns or not len(bucket):
+            return pd.DataFrame()
+        drop = ["_kind", "_cbucket"]
+        l = bucket[bucket["_kind"] == 1].drop(columns=drop + out_right,
+                                              errors="ignore")
+        if not len(l):
+            return pd.DataFrame(
+                columns=[c for c in l.columns if c != "_tb"] + out_right)
+        r = bucket[bucket["_kind"] == 0][[by, "_tb"] + out_right]
+        m = pd.merge(l, r, on=[by, "_tb"])
+        m = m[(m[start_col + suffix] <= m[on])
+              & (m[on] <= m[end_col + suffix])]
+        return m.drop(columns=["_tb"])
+
+    tagged = left.map_batches(_tag_left, batch_format="pandas").union(
+        right.map_batches(_tag_right, batch_format="pandas")
+    )
+    return tagged.groupby("_cbucket").map_groups(_join, batch_format="pandas")
+
+
 def salted_join(left, right, on, right_on=None, salt=8, num_partitions=None,
                 join_type="inner"):
     """Skew-robust inner join for a HOT-KEY left side.

@@ -1839,6 +1839,54 @@ def q_events_range_join(sf_dir):
     )
 
 
+def q_events_range_overlap(sf_dir):
+    """OVERLAPPING-interval range join (range_join_overlap — the
+    time-bucket-replication variant; range_join's as-of fast path
+    requires disjoint intervals): every seventh event anchors a
+    ±1 hour window per user, windows overlap freely, and every event
+    joins to EVERY containing window (1:N). Hash-checked against the
+    SQL BETWEEN join."""
+    import ray.data as rd
+
+    from .ops.joins import range_join_overlap
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        override_num_blocks=_blocks_for(),
+    )
+
+    def _wins(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df.event_id % 7 == 0]
+        return pd.DataFrame(
+            {
+                "user_id": w.user_id,
+                "win_id": w.event_id,
+                "win_start": w.ts - pd.Timedelta("1h"),
+                "win_end": w.ts + pd.Timedelta("1h"),
+            }
+        )
+
+    wins = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        override_num_blocks=_blocks_for(),
+    ).map_batches(_wins, batch_format="pandas")
+    out = range_join_overlap(
+        ev, wins, on="ts", by="user_id", start_col="win_start",
+        end_col="win_end", right_cols=["win_id"], grain="1h",
+    )
+    return out.map_batches(
+        lambda df: df.assign(
+            event_id=df.event_id.astype("int64"),
+            user_id=df.user_id.astype("int64"),
+            ts=df.ts.astype("datetime64[us]"),
+            win_id=df.win_id_r.astype("int64"),
+            win_start=df.win_start_r.astype("datetime64[us]"),
+            win_end=df.win_end_r.astype("datetime64[us]"),
+        )[["event_id", "user_id", "ts", "win_id", "win_start", "win_end"]],
+        batch_format="pandas",
+    )
+
+
 def q_lineitem_quantiles(sf_dir):
     """Approximate quantiles of l_extendedprice from the mergeable
     per-batch summary (driver merge is blocks x samples, never the
@@ -2175,6 +2223,7 @@ def build_queries():
         "semantic_dedup": q_semantic_dedup,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_range_overlap": q_events_range_overlap,
         "events_tumbling": q_events_tumbling,
         "events_incremental_tumbling": q_events_incremental_tumbling,
         "events_sliding": q_events_sliding,
@@ -2615,6 +2664,15 @@ def build_oracles():
             "SELECT e.event_id, e.user_id, e.ts, s.session_start, "
             "s.session_end FROM events e JOIN s ON e.user_id = s.user_id "
             "AND e.ts BETWEEN s.session_start AND s.session_end"
+        ),
+        "events_range_overlap": (
+            "WITH w AS (SELECT user_id, event_id AS win_id, "
+            "ts - INTERVAL 1 HOUR AS win_start, "
+            "ts + INTERVAL 1 HOUR AS win_end "
+            "FROM events WHERE event_id % 7 = 0) "
+            "SELECT e.event_id, e.user_id, e.ts, w.win_id, w.win_start, "
+            "w.win_end FROM events e JOIN w ON e.user_id = w.user_id "
+            "AND e.ts BETWEEN w.win_start AND w.win_end"
         ),
         "doc_gopher_quality": (
             "WITH t AS (SELECT doc_id, "
