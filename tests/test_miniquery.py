@@ -275,3 +275,35 @@ def test_ds_bindings_mixed_small_large(ray_session):
     assert evaluate(q, ds, vars_, ds_threshold=30) == want
     qn = "?($x, T, 'urn:big:T') and not ?($x, R, 'y')"
     assert execute(ds, qn, vars_, ds_threshold=30) == execute(ds, qn, vars_)
+
+
+def test_ds_bindings_store_prunes_partitions(ray_session, tmp_path):
+    """A Dataset-backed origin constraint against a STORED linkset
+    still prunes at the file level (distinct binding hash-partitions,
+    bounded by the store's partition count) and returns the same
+    answer as the driver-set path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.model import linkset
+    from versa_ray.model.store import (
+        part_ids_of_origins_ds, pruned_fragments, write_linkset)
+    from versa_ray.query.mini import StoreModel, evaluate
+
+    path = str(tmp_path / "store")
+    write_linkset(linkset.from_links(_large_links(200)), path,
+                  num_rel_buckets=4, num_partitions=16)
+    sm = StoreModel(path)
+    q = "?($x, T, 'urn:big:T') and ?($x, G, 'urn:big:g1')"
+    want = evaluate(q, sm, _BIG_VARS)
+    assert want["x"]  # non-trivial answer
+    assert evaluate(q, sm, _BIG_VARS, ds_threshold=10) == want
+
+    # the part-id hint prunes files: a binding set covering few
+    # partitions opens strictly fewer files than the full store
+    some = rd.from_pandas(
+        pd.DataFrame({"v": [f"urn:big:e{i}" for i in range(3)]}))
+    pids = part_ids_of_origins_ds(path, some)
+    assert 1 <= len(pids) <= 3
+    assert len(pruned_fragments(path, origin_part_ids=pids)) < \
+        len(pruned_fragments(path))

@@ -260,7 +260,8 @@ def _dir_file_entries(path: str) -> list:
     ]
 
 
-def _manifest_files(path: str, epoch=None, rel=None, origin=None) -> list:
+def _manifest_files(path: str, epoch=None, rel=None, origin=None,
+                    origin_part_ids=None) -> list:
     """Absolute live-file paths for an epoch, pruned by rel/origin
     buckets exactly like the directory path does."""
     man = _load_manifest(path, epoch)
@@ -275,6 +276,9 @@ def _manifest_files(path: str, epoch=None, rel=None, origin=None) -> list:
             else sorted(str(o) for o in origin)
         )
         pids = {int(b) for b in _stable_bucket(origins, meta["num_partitions"])}
+    if origin_part_ids is not None:
+        given = {int(p) for p in origin_part_ids}
+        pids = given if pids is None else pids & given
     out = []
     for e in man["files"]:
         if rbs is not None and e["rel_bucket"] not in rbs:
@@ -356,12 +360,35 @@ def vacuum_linkset(path: str, keep_epochs: int = 1) -> dict:
     return {"files_removed": removed, "manifests_removed": man_removed}
 
 
-def pruned_fragments(path: str, rel=None, origin=None, epoch=None):
+def part_ids_of_origins_ds(path: str, ds, col: str = "v") -> list:
+    """DISTINCT origin hash-partitions of a Dataset of origin values —
+    the file-pruning handle for a distributed origin constraint.
+    Bucketing runs inside map_batches; only the distinct part ids
+    (bounded by the store's ``num_partitions``, never by the binding
+    set's size) reach the driver."""
+    meta = _read_meta(path)
+    n_p = int(meta["num_partitions"])
+
+    def _pids(df: pd.DataFrame) -> pd.DataFrame:
+        if col not in df.columns or not len(df):
+            return pd.DataFrame({"part_id": pd.Series([], dtype="int32")})
+        return pd.DataFrame(
+            {"part_id": np.unique(_stable_bucket(df[col], n_p))})
+
+    out = ds.map_batches(_pids, batch_format="pandas")
+    from ..core.dsutil import rows_of
+
+    return sorted({int(r["part_id"]) for r in rows_of(out)})
+
+
+def pruned_fragments(path: str, rel=None, origin=None, epoch=None,
+                     origin_part_ids=None):
     """The file subset a pruned read would open (for tests/metrics).
     Manifest stores resolve against the (given or current) epoch's
     live files; legacy stores fall back to directory discovery."""
     if _current_epoch(path) is not None:
-        return _manifest_files(path, epoch=epoch, rel=rel, origin=origin)
+        return _manifest_files(path, epoch=epoch, rel=rel, origin=origin,
+                               origin_part_ids=origin_part_ids)
     if epoch is not None:
         raise ValueError(
             "epoch requested but this store has no epoch manifests "
@@ -369,11 +396,12 @@ def pruned_fragments(path: str, rel=None, origin=None, epoch=None):
     import pyarrow.dataset as pads
 
     dataset = pads.dataset(path, partitioning="hive")
-    flt = _prune_expr(path, rel=rel, origin=origin)
+    flt = _prune_expr(path, rel=rel, origin=origin,
+                      origin_part_ids=origin_part_ids)
     return [f.path for f in dataset.get_fragments(filter=flt)]
 
 
-def _prune_expr(path: str, rel=None, origin=None):
+def _prune_expr(path: str, rel=None, origin=None, origin_part_ids=None):
     import pyarrow.dataset as pads
 
     meta = _read_meta(path)
@@ -384,15 +412,18 @@ def _prune_expr(path: str, rel=None, origin=None):
             {int(b) for b in _stable_bucket(rels, meta["num_rel_buckets"])}
         )
         flt = pads.field("rel_bucket").isin(buckets)
+    parts = None
     if origin is not None:
         origins = (
             [origin] if isinstance(origin, str)
             else sorted(str(o) for o in origin)
         )
-        parts = sorted(
-            {int(b) for b in _stable_bucket(origins, meta["num_partitions"])}
-        )
-        e = pads.field("part_id").isin(parts)
+        parts = {int(b) for b in _stable_bucket(origins, meta["num_partitions"])}
+    if origin_part_ids is not None:
+        pids = {int(p) for p in origin_part_ids}
+        parts = pids if parts is None else parts & pids
+    if parts is not None:
+        e = pads.field("part_id").isin(sorted(parts))
         flt = e if flt is None else flt & e
     return flt
 
@@ -633,7 +664,7 @@ def _update_linkset_locked(path: str, new_ds, num_buckets=None):
 
 
 def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
-                 columns=None, epoch=None):
+                 columns=None, epoch=None, origin_part_ids=None):
     """Predicate-pruned read of a stored link-set.
 
     rel / origin constraints prune whole partition DIRECTORIES: the
@@ -642,7 +673,13 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
     those files. ``columns`` prunes at the Parquet column level on top
     (only requested columns leave storage). The exact row-level match
     then runs as the usual Arrow mask. Returns the canonical five link
-    columns (or the requested subset)."""
+    columns (or the requested subset).
+
+    ``origin_part_ids`` is the file-pruning handle for a DISTRIBUTED
+    origin constraint (a binding set too large to broadcast): pass
+    the distinct origin hash-partitions (``part_ids_of_origins_ds``)
+    to prune files WITHOUT row-level origin matching — exactness must
+    then come from the caller's semi-join."""
     import ray.data as rd
 
     manifest_mode = _current_epoch(path) is not None
@@ -664,11 +701,13 @@ def read_linkset(path: str, rel=None, origin=None, target=None, attrs=None,
         if attrs:
             need.add("attrs")
         read_cols = sorted(need)
-    if rel is not None or origin is not None or manifest_mode:
+    if (rel is not None or origin is not None or manifest_mode
+            or origin_part_ids is not None):
         # manifest stores ALWAYS read the epoch's exact file list —
         # directory discovery would include unreferenced files from
         # other epochs
-        paths = pruned_fragments(path, rel=rel, origin=origin, epoch=epoch)
+        paths = pruned_fragments(path, rel=rel, origin=origin, epoch=epoch,
+                                 origin_part_ids=origin_part_ids)
         if not paths:
             from ..core.canon import LINK_SCHEMA
 

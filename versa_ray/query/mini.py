@@ -300,8 +300,18 @@ def _match_bindings(model, args, resolved, ds_threshold=None) -> dict:
     scalar = [None if isinstance(r, DSBindings) else r for r in resolved]
     if hasattr(model, "pruned_match"):
         # StoreModel: the conjunct's literal rel/origin constraints
-        # push down to Hive partition pruning — the index-aware path
-        matched = model.pruned_match(scalar[0], scalar[1], scalar[2])
+        # push down to Hive partition pruning — the index-aware path.
+        # A DATASET-backed origin constraint still prunes at the FILE
+        # level via its distinct hash-partitions (bounded by the
+        # store's partition count, never the binding set's size);
+        # row-level exactness comes from the semi-join below.
+        pid_hint = None
+        if isinstance(resolved[0], DSBindings) and hasattr(model, "path"):
+            from ..model.store import part_ids_of_origins_ds
+
+            pid_hint = part_ids_of_origins_ds(model.path, resolved[0].ds)
+        matched = model.pruned_match(
+            scalar[0], scalar[1], scalar[2], origin_part_ids=pid_hint)
     else:
         matched = linkset.match(
             model, origin=scalar[0], rel=scalar[1], target=scalar[2]
@@ -478,8 +488,9 @@ class StoreModel:
     def __init__(self, path: str):
         self.path = path
 
-    def pruned_match(self, origin, rel, target):
+    def pruned_match(self, origin, rel, target, origin_part_ids=None):
         from ..model.store import read_linkset
 
         return read_linkset(
-            self.path, origin=origin, rel=rel, target=target)
+            self.path, origin=origin, rel=rel, target=target,
+            origin_part_ids=origin_part_ids)
