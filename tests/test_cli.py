@@ -386,3 +386,42 @@ def test_cli_kgstats(tmp_path):
     assert sum(p["rows"] for p in parts) == head["rows"]
     assert all({"rel_bucket", "part_id", "rows", "files"} <= set(p)
                for p in parts)
+
+
+def test_kgquery_cli(tmp_path):
+    """kgquery evaluates the full query language over a stored KG:
+    conjunction with negation, JSON binding-set output."""
+    import json
+    import sys
+
+    pages = tmp_path / "pages.parquet"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "from versa_ray.web.synth import write_pages; "
+         f"write_pages({str(pages)!r}, 40)"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    out_dir = tmp_path / "kg"
+    r = _run(["kgbuild", str(pages), str(out_dir)])
+    assert r.returncode == 0, r.stderr
+    store = str(out_dir / "stage=linkset")
+
+    r = _run(["kgquery", store, "?($a, NAME, *)",
+              "--var", "NAME=http://bibfra.me/vocab/lite/name",
+              "--limit", "2"])
+    assert r.returncode == 0, r.stderr
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["var"] == "a" and row["count"] > 0
+    assert len(row["values"]) == 2
+
+    # negation shrinks the binding set (or keeps it, never grows it)
+    r2 = _run(["kgquery", store,
+               "?($a, NAME, *) and not ?($a, TYPE, *)",
+               "--var", "NAME=http://bibfra.me/vocab/lite/name",
+               "--var", "TYPE=http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+               "--limit", "2"])
+    assert r2.returncode == 0, r2.stderr
+    row2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert row2["count"] <= row["count"]

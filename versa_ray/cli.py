@@ -253,6 +253,45 @@ def cmd_kgmatch(args):
     ray.shutdown()
 
 
+def cmd_kgquery(args):
+    """Full Versa query language over a stored link-set: each ?()
+    conjunct is a partition-pruned read; above --ds-threshold distinct
+    values the binding sets stay distributed (semi-join threading)."""
+    import json as _json
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .query import execute
+    from .query.mini import StoreModel
+
+    variables = {}
+    for kv in args.var or []:
+        k, _, v = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--var needs NAME=VALUE, got {kv!r}")
+        variables[k] = v
+    result = execute(
+        StoreModel(args.store), args.query, variables,
+        ds_threshold=args.ds_threshold,
+    )
+    for name in sorted(result):
+        vals = sorted(result[name])
+        shown = vals if args.limit is None else vals[: args.limit]
+        print(_json.dumps({"var": name, "count": len(vals),
+                           "values": shown}, ensure_ascii=False))
+    ray.shutdown()
+
+
 def cmd_kgcompact(args):
     import ray
 
@@ -476,6 +515,22 @@ def main(argv=None):
     p.add_argument("--epoch", type=int, default=None,
                    help="read a past store epoch (time travel)")
     p.set_defaults(func=cmd_kgmatch)
+
+    p = sub.add_parser(
+        "kgquery",
+        help="full Versa query language over a stored link-set "
+             "(pruned reads; large binding sets stay distributed)",
+    )
+    p.add_argument("store", help="stage=linkset directory written by kgbuild")
+    p.add_argument("query", help="e.g. \"?($a, REL, *) and not ?($a, R2, 'x')\"")
+    p.add_argument("--var", action="append", metavar="NAME=VALUE",
+                   help="query variable binding (repeatable)")
+    p.add_argument("--limit", type=int, default=20,
+                   help="values shown per variable (full count always printed)")
+    p.add_argument("--ds-threshold", type=int, default=None,
+                   help="distinct-value count above which binding sets "
+                        "stay distributed")
+    p.set_defaults(func=cmd_kgquery)
 
     p = sub.add_parser(
         "kgupdate",
