@@ -307,3 +307,29 @@ def test_ds_bindings_store_prunes_partitions(ray_session, tmp_path):
     assert 1 <= len(pids) <= 3
     assert len(pruned_fragments(path, origin_part_ids=pids)) < \
         len(pruned_fragments(path))
+
+
+def test_repeated_variable_unions_positions(ray_session):
+    """A variable repeated across positions of ONE conjunct
+    (``?($x, R, $x)``) binds the UNION of the values at each position
+    — and the Dataset path must agree with the MicroModel scan."""
+    from versa_ray.model import linkset
+    from versa_ray.model.micro import MicroModel
+    from versa_ray.query import evaluate
+
+    links = [
+        ("urn:rv:a", "urn:rv:r", "urn:rv:a"),
+        ("urn:rv:b", "urn:rv:r", "urn:rv:c"),
+        ("urn:rv:d", "urn:rv:r", "urn:rv:d"),
+    ]
+    m = MicroModel()
+    for l in links:
+        m.add(*l)
+    vars_ = {"R": "urn:rv:r"}
+    q = "?($x, R, $x)"
+    want = evaluate(q, m, vars_)
+    assert want == {"x": {"urn:rv:a", "urn:rv:b", "urn:rv:c", "urn:rv:d"}}
+    ds = linkset.from_links(links)
+    assert evaluate(q, ds, vars_) == want
+    # ...and on the DSBindings (above-threshold) path
+    assert evaluate(q, ds, vars_, ds_threshold=2) == want

@@ -1735,3 +1735,40 @@ def test_range_join_overlap_equals_pandas(ray_session):
             start_col="win_start", end_col="win_end", grain="1s",
             max_replication=100,
         ).materialize()
+
+
+def test_range_join_overlap_tz_aware(ray_session):
+    """tz-aware timestamp columns must bucket correctly (pandas 2.x
+    forbids astype() from tz-aware to naive — the bucketizer converts
+    via UTC instead), matching the same pandas reference join."""
+    import ray.data as rd
+
+    from versa_ray.ops.joins import range_join_overlap
+
+    rng = np.random.RandomState(7)
+    n, k = 200, 60
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, 6, n).astype("int64"),
+        "ts": pd.Timestamp("2026-01-01", tz="UTC")
+        + pd.to_timedelta(rng.randint(0, 48 * 3600, n), unit="s"),
+    })
+    wins = pd.DataFrame({
+        "user_id": rng.randint(0, 6, k).astype("int64"),
+        "win_id": np.arange(k),
+        "win_start": pd.Timestamp("2026-01-01", tz="UTC")
+        + pd.to_timedelta(rng.randint(0, 46 * 3600, k), unit="s"),
+    })
+    wins["win_end"] = wins.win_start + pd.to_timedelta(
+        rng.randint(2 * 3600, 8 * 3600, k), unit="s")
+
+    got = range_join_overlap(
+        rd.from_pandas(ev).repartition(4), rd.from_pandas(wins),
+        on="ts", by="user_id", start_col="win_start", end_col="win_end",
+        right_cols=["win_id"], grain="1h",
+    ).to_pandas()
+    want = ev.merge(wins, on="user_id")
+    want = want[(want.win_start <= want.ts) & (want.ts <= want.win_end)]
+    a = set(zip(got.event_id.astype(int), got.win_id_r.astype(int)))
+    assert a == set(zip(want.event_id, want.win_id))
+    assert not got.duplicated(["event_id", "win_id_r"]).any()

@@ -286,7 +286,7 @@ def cmd_kgquery(args):
     )
     for name in sorted(result):
         vals = sorted(result[name])
-        shown = vals if args.limit is None else vals[: args.limit]
+        shown = vals if args.limit <= 0 else vals[: args.limit]
         print(_json.dumps({"var": name, "count": len(vals),
                            "values": shown}, ensure_ascii=False))
     ray.shutdown()
@@ -526,7 +526,8 @@ def main(argv=None):
     p.add_argument("--var", action="append", metavar="NAME=VALUE",
                    help="query variable binding (repeatable)")
     p.add_argument("--limit", type=int, default=20,
-                   help="values shown per variable (full count always printed)")
+                   help="values shown per variable (full count always "
+                        "printed); 0 or negative = show all")
     p.add_argument("--ds-threshold", type=int, default=None,
                    help="distinct-value count above which binding sets "
                         "stay distributed")

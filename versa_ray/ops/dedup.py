@@ -1499,35 +1499,23 @@ _STATE_META = "_state_meta.json"
 
 def _record_applied_delta(state_dir, fp, n_kept=0):
     """Idempotently fold a delta fingerprint into ``_state_meta.json``
-    (atomic tmp+replace), mirroring the ANN index's append history."""
-    import json
+    (atomic tmp+replace) — shared discipline with the ANN index's
+    append history (``ops/_replay.py``)."""
     import os
 
-    meta_path = os.path.join(state_dir, _STATE_META)
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    applied = meta.get("applied_deltas", [])
-    if fp in applied:
-        return
-    meta["applied_deltas"] = (applied + [fp])[-16:]
-    meta["reps_appended"] = int(meta.get("reps_appended", 0)) + int(n_kept)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    from ._replay import record_applied_fp
+
+    record_applied_fp(os.path.join(state_dir, _STATE_META), fp,
+                      "applied_deltas", "reps_appended", n=n_kept)
 
 
 def _applied_deltas(state_dir):
-    import json
     import os
 
-    meta_path = os.path.join(state_dir, _STATE_META)
-    if not os.path.exists(meta_path):
-        return []
-    with open(meta_path) as f:
-        return json.load(f).get("applied_deltas", [])
+    from ._replay import applied_fps
+
+    return applied_fps(os.path.join(state_dir, _STATE_META),
+                       "applied_deltas")
 
 
 def _recover_pending_delta(state_dir):
@@ -1548,9 +1536,20 @@ def _recover_pending_delta(state_dir):
     try:
         with open(marker) as f:
             c = json.load(f)
-    except (ValueError, OSError):
-        os.remove(marker)  # corrupt marker: pre-commit crash, junk
-        return
+    except FileNotFoundError:
+        return  # lost a race with another recoverer — already handled
+    except ValueError as e:
+        # the marker is written atomically (tmp + os.replace), so a
+        # present-but-unparseable marker means external damage, not a
+        # pre-commit crash; discarding it would orphan a COMMITTED
+        # delta's swap state — refuse instead of guessing
+        raise RuntimeError(
+            "corrupt %s in %s: the delta commit marker is written "
+            "atomically, so this indicates external damage; inspect "
+            "the stage dirs before removing it manually" %
+            (_DELTA_COMMIT, state_dir)) from e
+    # transient OSError (EIO, NFS hiccups) propagates: retrying later
+    # is safe, deleting the marker is not
     for sub, key in (("sigs", "sig_touched"), ("bands", "band_touched")):
         d = os.path.join(state_dir, sub)
         stage = os.path.join(d, "_stage.tmp")
@@ -1774,6 +1773,8 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
     # state update would append duplicate rep rows, so it is skipped
     # and n_kept reported as 0 for detected replays
     def _fp_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ._replay import content_hash_part
+
         one = df[df["band"] == 0]
         if not len(one):
             return pd.DataFrame({"h": [0]})
@@ -1781,13 +1782,7 @@ def incremental_minhash_dedup(state_dir, delta_ds, text_col="text",
             one[id_col], index=False).to_numpy(np.uint64)
         sigm = np.stack(
             [np.frombuffer(s, dtype=np.uint64) for s in one["sig"]])
-        mult = np.uint64(0x9E3779B97F4A7C15)
-        sh = np.zeros(len(sigm), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(sigm.shape[1]):
-                sh = sh * mult + sigm[:, j]
-            row_h = ids_h ^ (sh * mult)
-        return pd.DataFrame({"h": [int(row_h.sum(dtype=np.uint64))]})
+        return pd.DataFrame({"h": [content_hash_part(ids_h, sigm)]})
 
     fp_total = 0
     for b in delta_sigs.map_batches(

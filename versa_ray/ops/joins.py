@@ -210,7 +210,13 @@ def range_join_overlap(left, right, on="ts", by="user_id",
         [c + suffix for c in extra]
 
     def _tb(series: pd.Series) -> np.ndarray:
-        if str(series.dtype).startswith("datetime64"):
+        if isinstance(series.dtype, pd.DatetimeTZDtype):
+            # pandas 2.x forbids astype() from tz-aware to naive:
+            # normalize to UTC, drop the tz, then take epoch ns (keeps
+            # tz-aware and naive-UTC inputs in one bucket space)
+            iv = (series.dt.tz_convert("UTC").dt.tz_localize(None)
+                  .astype("datetime64[ns]").astype("int64"))
+        elif str(series.dtype).startswith("datetime64"):
             iv = series.astype("datetime64[ns]").astype("int64")
         else:
             iv = series.astype("int64")

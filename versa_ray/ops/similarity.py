@@ -381,22 +381,15 @@ def _complete_pending_append(index_dir, sweep_uncommitted=False):
 
 def _record_applied_append(index_dir, fp, n):
     """Idempotently fold an append fingerprint (+ its row count) into
-    ``_ann_meta.json`` via the atomic tmp+replace discipline."""
-    import json
+    ``_ann_meta.json`` — shared discipline with the incremental-
+    minhash state's delta history (``ops/_replay.py``)."""
     import os
 
-    meta_path = os.path.join(index_dir, "_ann_meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    applied = meta.get("applied_appends", [])
-    if fp in applied:
-        return
-    meta["applied_appends"] = (applied + [fp])[-16:]
-    meta["rows_appended"] = int(meta.get("rows_appended", 0)) + int(n)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    from ._replay import record_applied_fp
+
+    record_applied_fp(os.path.join(index_dir, "_ann_meta.json"), fp,
+                      "applied_appends", "rows_appended", n=n,
+                      require_meta=True)
 
 
 def _append_fingerprint(encoded, id_col):
@@ -405,30 +398,32 @@ def _append_fingerprint(encoded, id_col):
     pair — so a replayed delta is recognized whatever its block
     order, while a DIFFERENT delta that happens to span the same id
     range (e.g. re-encoded/corrected vectors) hashes differently and
-    is appended rather than silently skipped."""
+    is appended rather than silently skipped. Count, id range, and
+    hash all come out of ONE map pass over the delta (no separate
+    count/min/max jobs). Returns ``(fp, n)``."""
     def _part_hash(df: pd.DataFrame) -> pd.DataFrame:
+        from ._replay import content_hash_part
+
+        if not len(df):
+            return pd.DataFrame({"h": [], "n": [], "lo": [], "hi": []})
         ids_h = pd.util.hash_pandas_object(
             pd.Series(df[id_col].to_numpy()), index=False
         ).to_numpy(np.uint64)
         codes = np.stack(df["code"].to_numpy()).astype(np.uint64)
-        mult = np.uint64(0x9E3779B97F4A7C15)
-        code_h = np.zeros(len(codes), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(codes.shape[1]):  # m subquantizers, small
-                code_h = code_h * mult + codes[:, j]
-            row_h = ids_h ^ (code_h * mult)
-        acc = int(row_h.sum(dtype=np.uint64))
-        return pd.DataFrame({"h": [acc]})
+        return pd.DataFrame({
+            "h": [content_hash_part(ids_h, codes)], "n": [len(df)],
+            "lo": [df[id_col].min()], "hi": [df[id_col].max()],
+        })
 
     parts = encoded.map_batches(_part_hash, batch_format="pandas")
-    total = 0
+    total, n, lo, hi = 0, 0, None, None
     for b in parts.iter_batches(batch_format="pandas"):
-        for v in b["h"].to_numpy():
-            total = (total + int(v)) % (1 << 64)
-    n = encoded.count()
-    lo = encoded.min(id_col)
-    hi = encoded.max(id_col)
-    return "%d:%s:%s:%016x" % (n, lo, hi, total)
+        for _, row in b.iterrows():  # one row per input block, tiny
+            total = (total + int(row["h"])) % (1 << 64)
+            n += int(row["n"])
+            lo = row["lo"] if lo is None else min(lo, row["lo"])
+            hi = row["hi"] if hi is None else max(hi, row["hi"])
+    return "%d:%s:%s:%016x" % (n, lo, hi, total), n
 
 
 def _restore_swapped_cells(codes_dir):
@@ -503,10 +498,9 @@ def append_ann_index(index_dir, delta_ds, vec_col="embedding"):
 
     encoded = delta_ds.map_batches(_encode, batch_format="pandas")
     encoded = encoded.materialize()
-    n = encoded.count()
+    fp, n = _append_fingerprint(encoded, id_col)
     if not n:
         return 0
-    fp = _append_fingerprint(encoded, id_col)
     if fp in meta.get("applied_appends", []):
         return 0  # replay of an append whose moves already completed
 

@@ -337,11 +337,22 @@ def _match_bindings(model, args, resolved, ds_threshold=None) -> dict:
         return result
     if len(var_pos) > 1:
         matched = matched.materialize()  # one scan feeds per-var dedups
+    # a variable repeated across positions (``?($x, R, $x)``) binds the
+    # UNION of the values at each position — mirroring the MicroModel
+    # scan above, which .add()s every matched position into one set
+    name_positions = {}
     for pos, name in var_pos.items():
-        col = _POS_COLS[pos]
-        vals = _rename_col(
-            dedup_rows(matched.select_columns([col]), [col]), col, "v"
-        ).materialize()
+        name_positions.setdefault(name, []).append(pos)
+    for name, positions in name_positions.items():
+        vals = None
+        for pos in positions:
+            col = _POS_COLS[pos]
+            v = _rename_col(
+                dedup_rows(matched.select_columns([col]), [col]), col, "v")
+            vals = v if vals is None else vals.union(v)
+        if len(positions) > 1:
+            vals = dedup_rows(vals, ["v"])
+        vals = vals.materialize()
         result[name] = _maybe_collapse(vals, vals.count(), threshold)
     return result
 
