@@ -204,6 +204,24 @@ def q_links_dedup(sf_dir):
     return linkset.distinct_links(ls.union(tpch_linkset(sf_dir)))
 
 
+def q_links_remove(sf_dir):
+    """Distributed remove verb (model/linkset.remove_statements — the
+    Dataset mapping of memory.py's remove): the removal set (the five
+    lowest nations' name links) is read driver-side from the tiny
+    nation table, encoded to composite quad keys, broadcast once with
+    ray.put, and anti-joined vectorized inside every batch."""
+    import pyarrow.parquet as pq
+
+    ls = tpch_linkset(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    rm = [
+        (f"{URN}nation:{k}", NAME, str(name))
+        for k, name in zip(tbl["n_nationkey"].to_pylist(), tbl["n_name"].to_pylist())
+        if k < 5
+    ]
+    return linkset.remove_statements(ls, rm).select_columns(LINK_COLS)
+
+
 def q_links_store_match_rel(sf_dir):
     """match(rel=...) against the ON-DISK partitioned link-set store:
     write the linkset rel+origin partitioned, then read back ONE rel
@@ -619,6 +637,36 @@ def q_csv_template_links(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     out = rows_to_links_ds(ds, tmpl)
     return out
+
+
+def q_links_csv_roundtrip(sf_dir):
+    """CSV projection sink -> record-template ingestion ROUND TRIP:
+    nation resources project to id/type/name CSV rows through the
+    distributed origin-adjacency writer (model/linkset.write_csv_ds,
+    the at-scale form of serial/csv.py:177-212's write), then every
+    row re-ingests through the Versa Literate template path
+    (serial/csvrec.rows_to_links_ds) — ending where it started, at
+    the nations' TYPE + NAME links (same oracle as
+    csv_template_links)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .model.linkset import write_csv_ds
+    from .serial.csvrec import rows_to_links_ds
+
+    ls = tpch_linkset(sf_dir)
+    sub = ls.map_batches(
+        lambda t: t.filter(pc.starts_with(t["origin"], pattern=URN + "nation:")),
+        batch_format="pyarrow",
+    )
+    root = "/tmp/versa_ray_csv_rt_q"
+    shutil.rmtree(root, ignore_errors=True)
+    files = write_csv_ds(sub, root, [(NAME, "name")])
+    tmpl = "# {id} [<{type}>]\n\n" + f"* <{NAME}>: {{name}}\n\n"
+    rows = rd.read_csv(files)
+    return rows_to_links_ds(rows, tmpl)
 
 
 def q_literate_corpus(sf_dir):
@@ -2252,6 +2300,7 @@ def build_queries():
         "links_multimatch": q_links_multimatch,
         "links_match_attrs": q_links_match_attrs,
         "links_dedup": q_links_dedup,
+        "links_remove": q_links_remove,
         "links_store_match_rel": q_links_store_match_rel,
         "links_store_incremental": q_links_store_incremental,
         "links_all_origins": q_links_all_origins,
@@ -2270,6 +2319,7 @@ def build_queries():
         "miniquery_store": q_miniquery_store,
         "transitive_closure": q_transitive_closure,
         "csv_template_links": q_csv_template_links,
+        "links_csv_roundtrip": q_links_csv_roundtrip,
         "literate_corpus": q_literate_corpus,
         "nt_roundtrip": q_nt_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2446,6 +2496,11 @@ def build_oracles():
         ),
         "links_match_attrs": f"{L} SELECT * FROM links WHERE attrs = '{SRC_ATTRS}'",
         "links_dedup": f"{L} SELECT DISTINCT * FROM links",
+        "links_remove": (
+            f"{L} SELECT * FROM links WHERE NOT (rel = '{NAME}' AND origin IN "
+            "('urn:versa:nation:0','urn:versa:nation:1','urn:versa:nation:2',"
+            "'urn:versa:nation:3','urn:versa:nation:4'))"
+        ),
         "links_store_match_rel": f"{L} SELECT * FROM links WHERE rel = '{NAME}'",
         "links_store_incremental": f"{L} SELECT DISTINCT * FROM links",
         "links_all_origins": f"{L} SELECT DISTINCT origin FROM links",
@@ -2580,6 +2635,14 @@ def build_oracles():
             "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1"
         ),
         "csv_template_links": (
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR) AS origin, "
+            f"'{TYPE}' AS rel, 'urn:versa:Nation' AS target, TRUE AS target_is_iri, "
+            "'{}' AS attrs FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), "
+            f"'{NAME}', n_name, FALSE, '{{}}' FROM nation"
+        ),
+        "links_csv_roundtrip": (
             "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR) AS origin, "
             f"'{TYPE}' AS rel, 'urn:versa:Nation' AS target, TRUE AS target_is_iri, "
             "'{}' AS attrs FROM nation "
