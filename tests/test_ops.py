@@ -215,6 +215,44 @@ def test_approx_quantiles(ray_session):
     assert approx == sorted(approx)  # monotone
 
 
+def test_exact_quantiles(ray_session):
+    """Bit-exact quantile_disc semantics (rank ceil(q*N)-1) across
+    distributions, with the refinement path forced via a tiny
+    max_collect/grid, and the ulp-scale underflow branch exercised."""
+    import ray.data as rd
+
+    from versa_ray.ops.agg import exact_quantiles
+
+    rng = np.random.RandomState(11)
+    cases = {
+        "uniform": rng.uniform(0, 1e6, 20_000),
+        "heavy_ties": np.repeat(rng.uniform(0, 100, 50), 400),
+        "skew_mass": np.concatenate(
+            [np.full(19_000, 42.0), rng.normal(1e9, 1, 1_000)]),
+        "negative": rng.normal(-500, 300, 10_001),
+        "single": np.array([3.14]),
+        "all_equal": np.full(5_000, 7.0),
+        "two_ulp": np.repeat([1.0, np.nextafter(1.0, 2.0)], 2_500),
+    }
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 1.0]
+
+    def _disc(v, q):  # inverted-CDF reference
+        v = np.sort(v)
+        return v[min(max(0, int(np.ceil(q * len(v))) - 1), len(v) - 1)]
+
+    for name, arr in cases.items():
+        ds = rd.from_pandas(pd.DataFrame({"x": arr})).repartition(6)
+        exp = [float(_disc(arr, q)) for q in qs]
+        for mc, grid in ((2_000_000, 4096), (50, 32)):
+            got = exact_quantiles(
+                ds, "x", qs, grid=grid, max_collect=mc, max_rounds=30)
+            assert got == exp, (name, mc, got, exp)
+
+    # empty column -> NaN per quantile
+    ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=float)}))
+    assert all(np.isnan(v) for v in exact_quantiles(ds, "x", qs))
+
+
 def test_incremental_exact_dedup(ray_session, tmp_path):
     """Replay semantics: first-seen wins across calls, within-call min
     id wins, state survives a simulated crash mid-swap."""

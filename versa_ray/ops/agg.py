@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["grouped_agg_small", "grouped_topk", "approx_quantiles"]
+__all__ = [
+    "grouped_agg_small", "grouped_topk", "approx_quantiles",
+    "exact_quantiles",
+]
 
 _FINAL_HOW = {"sum": "sum", "size": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -130,3 +133,198 @@ def approx_quantiles(ds, col, qs, per_batch_samples=256):
     return [
         float(np.interp(q * total, pos, vals)) for q in qs
     ]
+
+
+def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
+                    max_rounds=8):
+    """EXACT discrete quantiles (SQL ``quantile_disc`` semantics: the
+    element at 0-indexed rank ``ceil(q*N) - 1``) without a global
+    sort and without ever materializing the column driver-side.
+
+    Bounded passes, each a column-pruned ``map_batches``:
+
+    1. per-batch ``(count, min, max)`` -> N and the value range
+       (driver merge is ``blocks`` rows);
+    2. a SPARSE histogram pass over ``grid`` uniform buckets locates
+       the bucket holding each target rank (driver merge is at most
+       ``blocks x grid x groups`` nonzero triples, in practice far
+       fewer). A bucket heavier than ``max_collect`` becomes its own
+       group and is re-histogrammed in the next round — all groups of
+       a round share ONE pass, and each round shrinks a group's
+       candidate set ~``grid``-fold, so ``max_rounds`` rounds cover
+       the full float64 exponent range;
+    3. one final pass collects ONLY the values in the located buckets
+       (``<= max_collect`` per bucket, <= ``len(qs)`` buckets) and
+       selects the exact order statistics locally.
+
+    Group membership is decided by BUCKET INDEX re-derived with the
+    exact same float arithmetic every round (never by value-range
+    comparison), so boundary rounding cannot shift a value between
+    passes: bucketing is deterministic and monotone in v, which keeps
+    the rank bookkeeping exact.
+
+    Returns a list of floats aligned with ``qs`` — each an actual
+    element of the column — or NaN per quantile on an empty column.
+    """
+    import numpy as np
+
+    qs = [float(q) for q in qs]
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[col], errors="coerce").dropna().to_numpy(
+            dtype=float)
+        if not len(v):
+            return pd.DataFrame({"n": [], "lo": [], "hi": []})
+        return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
+
+    st = ds.map_batches(_stats, batch_format="pandas").to_pandas()
+    total = int(st["n"].sum()) if len(st) else 0
+    if total == 0:
+        return [float("nan")] * len(qs)
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    # 0-indexed target ranks under the inverted-CDF convention
+    ranks = [min(max(0, int(np.ceil(q * total)) - 1), total - 1)
+             for q in qs]
+
+    out = [None] * len(qs)
+    pending = {}  # rank -> [result slots]
+    for i, r in enumerate(ranks):
+        pending.setdefault(r, []).append(i)
+
+    g = int(grid)
+
+    def _bucket(v, flo, fspan, fg):
+        return np.clip(((v - flo) / fspan * fg).astype(np.int64), 0, fg - 1)
+
+    def _survivors(df, flt):
+        v = pd.to_numeric(df[col], errors="coerce").dropna().to_numpy(
+            dtype=float)
+        for (flo, fspan, fg, fb) in flt:
+            if not len(v):
+                break
+            v = v[_bucket(v, flo, fspan, fg) == fb]
+        return v
+
+    def _resolve(r, val):
+        for i in pending.pop(r, []):
+            out[i] = float(val)
+
+    # group: (filters tuple, lo, hi, base, ranks) — base = how many
+    # values of the whole column sort strictly before this group's set
+    groups = [((), lo, hi, 0, sorted(pending))]
+    to_collect = []  # (filters, lo, span, bucket, before, ranks)
+
+    for _round in range(max_rounds):
+        if not groups:
+            break
+        underflow = [t for t in groups if t[1] == t[2]]
+        active = [t for t in groups if t[1] != t[2]]
+
+        if underflow:
+            # span underflow: survivors sit within ~an ulp — a handful
+            # of distinct doubles. A distinct-value count pass resolves
+            # their ranks exactly without shipping raw rows.
+            uf_flt = [t[0] for t in underflow]
+
+            def _vc(df: pd.DataFrame, _fls=tuple(uf_flt)) -> pd.DataFrame:
+                frames = []
+                for gi, flt in enumerate(_fls):
+                    v = _survivors(df, flt)
+                    if len(v):
+                        uv, cnt = np.unique(v, return_counts=True)
+                        frames.append(pd.DataFrame(
+                            {"gid": gi, "value": uv, "cnt": cnt}))
+                if not frames:
+                    return pd.DataFrame({"gid": pd.Series([], dtype=int),
+                                         "value": [], "cnt": []})
+                return pd.concat(frames, ignore_index=True)
+
+            vc = ds.map_batches(_vc, batch_format="pandas").to_pandas()
+            for gi, (_flt, _lo, _hi, base, rks) in enumerate(underflow):
+                sub = (vc[vc["gid"] == gi].groupby("value")["cnt"]
+                       .sum().sort_index())
+                vvals = sub.index.to_numpy()
+                vcum = np.cumsum(sub.to_numpy())
+                for r in rks:
+                    j = int(np.searchsorted(vcum, (r - base) + 1))
+                    _resolve(r, vvals[j])
+
+        if not active:
+            groups = []
+            break
+
+        specs = tuple((t[0], t[1], t[2] - t[1]) for t in active)
+
+        def _hist(df: pd.DataFrame, _specs=specs, _g=g) -> pd.DataFrame:
+            frames = []
+            for gi, (flt, flo, fspan) in enumerate(_specs):
+                v = _survivors(df, flt)
+                if len(v):
+                    ub, cnt = np.unique(_bucket(v, flo, fspan, _g),
+                                        return_counts=True)
+                    frames.append(pd.DataFrame(
+                        {"gid": gi, "bucket": ub, "cnt": cnt}))
+            if not frames:
+                return pd.DataFrame({"gid": pd.Series([], dtype=int),
+                                     "bucket": pd.Series([], dtype=int),
+                                     "cnt": pd.Series([], dtype=int)})
+            return pd.concat(frames, ignore_index=True)
+
+        h = ds.map_batches(_hist, batch_format="pandas").to_pandas()
+        next_groups = []
+        for gi, (flt, glo, ghi, base, rks) in enumerate(active):
+            span = ghi - glo
+            sub = (h[h["gid"] == gi].groupby("bucket")["cnt"]
+                   .sum().sort_index())
+            buckets = sub.index.to_numpy().astype(np.int64)
+            counts = sub.to_numpy()
+            cum = np.cumsum(counts)
+            need = {}
+            for r in rks:
+                j = int(np.searchsorted(cum, (r - base) + 1))
+                need.setdefault(j, []).append(r)
+            for j, rank_list in sorted(need.items()):
+                before = base + (int(cum[j - 1]) if j > 0 else 0)
+                bj = int(buckets[j])
+                if counts[j] <= max_collect:
+                    to_collect.append(
+                        (flt, glo, span, bj, before, rank_list))
+                else:
+                    nlo = glo + span * (bj / g)
+                    nhi = min(glo + span * ((bj + 1) / g), ghi)
+                    next_groups.append(
+                        (flt + ((glo, span, g, bj),), nlo, nhi,
+                         before, rank_list))
+        groups = next_groups
+    if groups:
+        raise RuntimeError(
+            f"exact_quantiles did not converge in {max_rounds} rounds "
+            f"({len(groups)} groups unresolved)")
+
+    if to_collect:
+        cspecs = tuple((flt, flo, fspan, bj)
+                       for (flt, flo, fspan, bj, _b, _r) in to_collect)
+
+        def _coll(df: pd.DataFrame, _specs=cspecs, _g=g) -> pd.DataFrame:
+            frames = []
+            for ci, (flt, flo, fspan, bj) in enumerate(_specs):
+                v = _survivors(df, flt)
+                if len(v):
+                    vv = v[_bucket(v, flo, fspan, _g) == bj]
+                    if len(vv):
+                        frames.append(pd.DataFrame({"cid": ci, "value": vv}))
+            if not frames:
+                return pd.DataFrame({"cid": pd.Series([], dtype=int),
+                                     "value": []})
+            return pd.concat(frames, ignore_index=True)
+
+        cand = ds.map_batches(_coll, batch_format="pandas").to_pandas()
+        for ci, (_flt, _lo, _sp, _bj, before, rank_list) in enumerate(
+                to_collect):
+            inb = np.sort(cand.loc[cand["cid"] == ci, "value"].to_numpy())
+            for r in rank_list:
+                _resolve(r, inb[r - before])
+
+    if pending:
+        raise RuntimeError(f"unresolved quantile ranks: {sorted(pending)}")
+    return out

@@ -1968,6 +1968,26 @@ def q_lineitem_quantiles(sf_dir):
     )
 
 
+def q_lineitem_quantiles_exact(sf_dir):
+    """EXACT discrete quantiles of l_extendedprice via the bounded
+    histogram-refinement operator (ops/agg.exact_quantiles): one
+    stats pass + sparse-histogram rounds + one targeted-bucket
+    collect — the driver never sees more than ``max_collect`` values
+    per quantile, so the same plan holds on a 100 TB column. Matches
+    SQL quantile_disc (inverted-CDF rank ceil(q*N)-1) bit-exactly."""
+    import ray.data as rd
+
+    from .ops.agg import exact_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"],
+        override_num_blocks=_blocks_for(),
+    )
+    vals = exact_quantiles(ds, "l_extendedprice", qs)
+    return pd.DataFrame({"q": qs, "value": vals})
+
+
 def q_lineitem_agg(sf_dir):
     """TPC-H Q1-style grouped aggregate: per-batch partial combine +
     single-block final combine (grouped_agg_small) — the 6-group
@@ -2278,6 +2298,7 @@ def build_queries():
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
         "lineitem_quantiles": q_lineitem_quantiles,
+        "lineitem_quantiles_exact": q_lineitem_quantiles_exact,
         "orders_by_segment": q_orders_by_segment,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -2966,6 +2987,16 @@ def build_oracles():
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base_price, count(*) AS n "
             "FROM lineitem GROUP BY 1, 2"
+        ),
+        "lineitem_quantiles_exact": (
+            "SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(CAST("
+            "l_extendedprice AS DOUBLE), 0.25) AS value FROM lineitem"
+            " UNION ALL SELECT 0.5, quantile_disc(CAST(l_extendedprice"
+            " AS DOUBLE), 0.5) FROM lineitem"
+            " UNION ALL SELECT 0.75, quantile_disc(CAST(l_extendedprice"
+            " AS DOUBLE), 0.75) FROM lineitem"
+            " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
+            " AS DOUBLE), 0.95) FROM lineitem"
         ),
         "orders_by_segment": (
             "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, "
