@@ -233,6 +233,10 @@ def test_exact_quantiles(ray_session):
         "single": np.array([3.14]),
         "all_equal": np.full(5_000, 7.0),
         "two_ulp": np.repeat([1.0, np.nextafter(1.0, 2.0)], 2_500),
+        "with_infs": np.concatenate(
+            [np.full(600, -np.inf), rng.uniform(0, 10, 800),
+             np.full(700, np.inf)]),
+        "all_inf": np.repeat([-np.inf, np.inf], 40),
     }
     qs = [0.01, 0.25, 0.5, 0.75, 0.95, 1.0]
 

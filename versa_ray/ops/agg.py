@@ -174,14 +174,24 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
         v = pd.to_numeric(df[col], errors="coerce").dropna().to_numpy(
             dtype=float)
         if not len(v):
-            return pd.DataFrame({"n": [], "lo": [], "hi": []})
-        return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
+            return pd.DataFrame(
+                {"n": [], "ninf": [], "pinf": [], "lo": [], "hi": []})
+        fin = v[np.isfinite(v)]
+        return pd.DataFrame({
+            "n": [len(v)],
+            "ninf": [int((v == -np.inf).sum())],
+            "pinf": [int((v == np.inf).sum())],
+            "lo": [fin.min() if len(fin) else np.nan],
+            "hi": [fin.max() if len(fin) else np.nan],
+        })
 
     st = ds.map_batches(_stats, batch_format="pandas").to_pandas()
     total = int(st["n"].sum()) if len(st) else 0
     if total == 0:
         return [float("nan")] * len(qs)
-    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    n_ninf = int(st["ninf"].sum())
+    n_pinf = int(st["pinf"].sum())
+    n_fin = total - n_ninf - n_pinf
     # 0-indexed target ranks under the inverted-CDF convention
     ranks = [min(max(0, int(np.ceil(q * total)) - 1), total - 1)
              for q in qs]
@@ -191,6 +201,22 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
     for i, r in enumerate(ranks):
         pending.setdefault(r, []).append(i)
 
+    def _resolve(r, val):
+        for i in pending.pop(r, []):
+            out[i] = float(val)
+
+    # ±inf sort before/after every finite value; their ranks resolve
+    # from the counts alone, and the histogram machinery below only
+    # ever sees the finite subset (span arithmetic stays well-defined)
+    for r in list(pending):
+        if r < n_ninf:
+            _resolve(r, -np.inf)
+        elif r >= n_ninf + n_fin:
+            _resolve(r, np.inf)
+    if not pending:
+        return out
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+
     g = int(grid)
 
     def _bucket(v, flo, fspan, fg):
@@ -199,19 +225,16 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
     def _survivors(df, flt):
         v = pd.to_numeric(df[col], errors="coerce").dropna().to_numpy(
             dtype=float)
+        v = v[np.isfinite(v)]
         for (flo, fspan, fg, fb) in flt:
             if not len(v):
                 break
             v = v[_bucket(v, flo, fspan, fg) == fb]
         return v
 
-    def _resolve(r, val):
-        for i in pending.pop(r, []):
-            out[i] = float(val)
-
     # group: (filters tuple, lo, hi, base, ranks) — base = how many
     # values of the whole column sort strictly before this group's set
-    groups = [((), lo, hi, 0, sorted(pending))]
+    groups = [((), lo, hi, n_ninf, sorted(pending))]
     to_collect = []  # (filters, lo, span, bucket, before, ranks)
 
     for _round in range(max_rounds):
