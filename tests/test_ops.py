@@ -244,13 +244,19 @@ def test_exact_quantiles(ray_session):
         v = np.sort(v)
         return v[min(max(0, int(np.ceil(q * len(v))) - 1), len(v) - 1)]
 
+    configs = (
+        dict(max_collect=2_000_000, grid=4096),
+        dict(max_collect=50, grid=32),
+        # distributed tree-combine of the histogram merge forced on
+        dict(max_collect=50, grid=32, combine_threshold_blocks=2,
+             combine_fan_in=3),
+    )
     for name, arr in cases.items():
         ds = rd.from_pandas(pd.DataFrame({"x": arr})).repartition(6)
         exp = [float(_disc(arr, q)) for q in qs]
-        for mc, grid in ((2_000_000, 4096), (50, 32)):
-            got = exact_quantiles(
-                ds, "x", qs, grid=grid, max_collect=mc, max_rounds=30)
-            assert got == exp, (name, mc, got, exp)
+        for cfg in configs:
+            got = exact_quantiles(ds, "x", qs, max_rounds=30, **cfg)
+            assert got == exp, (name, cfg, got, exp)
 
     # empty column -> NaN per quantile
     ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=float)}))

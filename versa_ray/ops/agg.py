@@ -136,7 +136,8 @@ def approx_quantiles(ds, col, qs, per_batch_samples=256):
 
 
 def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
-                    max_rounds=8):
+                    max_rounds=8, combine_threshold_blocks=512,
+                    combine_fan_in=64):
     """EXACT discrete quantiles (SQL ``quantile_disc`` semantics: the
     element at 0-indexed rank ``ceil(q*N) - 1``) without a global
     sort and without ever materializing the column driver-side.
@@ -146,9 +147,13 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
     1. per-batch ``(count, min, max)`` -> N and the value range
        (driver merge is ``blocks`` rows);
     2. a SPARSE histogram pass over ``grid`` uniform buckets locates
-       the bucket holding each target rank (driver merge is at most
-       ``blocks x grid x groups`` nonzero triples, in practice far
-       fewer). A bucket heavier than ``max_collect`` becomes its own
+       the bucket holding each target rank. Past
+       ``combine_threshold_blocks`` input blocks the per-block
+       histograms are tree-combined distributively (fixed fan-in
+       repartition + local groupby-sum) before the driver merge, so
+       the driver never sees more than ``fan_in x grid x groups``
+       rows no matter the block count. A bucket heavier than
+       ``max_collect`` becomes its own
        group and is re-histogrammed in the next round — all groups of
        a round share ONE pass, and each round shrinks a group's
        candidate set ~``grid``-fold, so ``max_rounds`` rounds cover
@@ -200,6 +205,18 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
     pending = {}  # rank -> [result slots]
     for i, r in enumerate(ranks):
         pending.setdefault(r, []).append(i)
+
+    many_blocks = len(st) > combine_threshold_blocks
+
+    def _merge_counts(cnt_ds, keys):
+        # driver merge of per-block sparse counts; on wide inputs a
+        # fixed-fan-in distributed combine bounds what the driver sees
+        if many_blocks:
+            cnt_ds = cnt_ds.repartition(combine_fan_in).map_batches(
+                lambda df, _k=tuple(keys): df.groupby(
+                    list(_k), as_index=False)["cnt"].sum(),
+                batch_format="pandas")
+        return cnt_ds.to_pandas()
 
     def _resolve(r, val):
         for i in pending.pop(r, []):
@@ -262,7 +279,9 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
                                          "value": [], "cnt": []})
                 return pd.concat(frames, ignore_index=True)
 
-            vc = ds.map_batches(_vc, batch_format="pandas").to_pandas()
+            vc = _merge_counts(
+                ds.map_batches(_vc, batch_format="pandas"),
+                ("gid", "value"))
             for gi, (_flt, _lo, _hi, base, rks) in enumerate(underflow):
                 sub = (vc[vc["gid"] == gi].groupby("value")["cnt"]
                        .sum().sort_index())
@@ -293,7 +312,9 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
                                      "cnt": pd.Series([], dtype=int)})
             return pd.concat(frames, ignore_index=True)
 
-        h = ds.map_batches(_hist, batch_format="pandas").to_pandas()
+        h = _merge_counts(
+            ds.map_batches(_hist, batch_format="pandas"),
+            ("gid", "bucket"))
         next_groups = []
         for gi, (flt, glo, ghi, base, rks) in enumerate(active):
             span = ghi - glo
