@@ -277,6 +277,21 @@ def test_ds_bindings_mixed_small_large(ray_session):
     assert execute(ds, qn, vars_, ds_threshold=30) == execute(ds, qn, vars_)
 
 
+def test_empty_binding_set_keeps_string_schema(ray_session):
+    """_set_to_ds of an EMPTY driver set must emit a string-typed
+    column: the naive empty DataFrame gives float64, which mixes
+    schemas when unioned with a string-typed DSBindings dataset
+    (strict arrow unification paths reject the query)."""
+    import pyarrow as pa
+
+    from versa_ray.query.mini import _set_to_ds
+
+    ds = _set_to_ds(set())
+    assert ds.schema().base_schema.field("v").type == pa.string()
+    u = _set_to_ds(set()).union(_set_to_ds({"a", "b"}))
+    assert sorted(r["v"] for r in u.take_all()) == ["a", "b"]
+
+
 def test_ds_bindings_store_prunes_partitions(ray_session, tmp_path):
     """A Dataset-backed origin constraint against a STORED linkset
     still prunes at the file level (distinct binding hash-partitions,

@@ -263,6 +263,71 @@ def test_exact_quantiles(ray_session):
     assert all(np.isnan(v) for v in exact_quantiles(ds, "x", qs))
 
 
+def test_exact_quantiles_round_accounting(ray_session):
+    """Underflow resolution is not a refinement round: a group whose
+    span collapses on the LAST histogram round still resolves via the
+    distinct-count pass instead of raising 'did not converge'."""
+    import ray.data as rd
+
+    from versa_ray.ops.agg import exact_quantiles
+
+    # two ulp-adjacent heavy ties: round 1 splits them into buckets
+    # whose child spans underflow (nlo == nhi) — resolving them must
+    # not count against max_rounds=1
+    arr = np.repeat([1.0, np.nextafter(1.0, 2.0)], 2_500)
+    ds = rd.from_pandas(pd.DataFrame({"x": arr})).repartition(4)
+    got = exact_quantiles(ds, "x", [0.25, 0.75], grid=32,
+                          max_collect=50, max_rounds=1)
+    assert got == [1.0, float(np.nextafter(1.0, 2.0))]
+
+    # degenerate lo==hi input needs ZERO histogram rounds
+    ds1 = rd.from_pandas(pd.DataFrame({"x": np.full(500, 3.0)}))
+    assert exact_quantiles(ds1, "x", [0.5], max_collect=5,
+                           max_rounds=0) == [3.0]
+
+    # genuine non-convergence still raises
+    ds2 = rd.from_pandas(pd.DataFrame({"x": np.arange(1000.0)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        exact_quantiles(ds2, "x", [0.5], grid=2, max_collect=5,
+                        max_rounds=2)
+
+
+def test_record_applied_fp_concurrent(tmp_path):
+    """Concurrent recorders serialize under the meta lock: no lost
+    fingerprints, no double-counted rows, and a crash-orphaned lock
+    older than stale_after is broken rather than wedging."""
+    import json
+    import os
+    import threading
+    import time
+
+    from versa_ray.ops._replay import applied_fps, record_applied_fp
+
+    meta = str(tmp_path / "meta.json")
+    fps = [f"fp{i}" for i in range(10)]
+
+    def _rec(fp):
+        for _ in range(2):  # second call is an idempotent replay
+            record_applied_fp(meta, fp, "applied", "rows", n=5)
+
+    threads = [threading.Thread(target=_rec, args=(fp,)) for fp in fps]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert set(applied_fps(meta, "applied")) == set(fps)  # none lost
+    with open(meta) as f:
+        assert json.load(f)["rows"] == 50  # replays counted once
+
+    lock = meta + ".lock"
+    open(lock, "w").close()
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    record_applied_fp(meta, "fp_new", "applied", "rows", n=1)
+    assert "fp_new" in applied_fps(meta, "applied")
+    assert not os.path.exists(lock)
+
+
 def test_incremental_exact_dedup(ray_session, tmp_path):
     """Replay semantics: first-seen wins across calls, within-call min
     id wins, state survives a simulated crash mid-swap."""
@@ -569,6 +634,22 @@ def test_multimodal_plumbing(ray_session):
     )
     out = DecodeImage(fake=True)(mixed).to_pandas()
     assert list(out["codec"]) == ["png", "fake"]
+
+    # corrupt PNG body behind a valid signature: fake=True routes it
+    # to the stand-in (one bad crawl payload must not kill the task);
+    # fake=False surfaces the decode error
+    png = encode_png(img)
+    for bad in (png[:8] + b"\x00garbage", png[:-7] + b"\x00" * 7):
+        crupt = synth_media_batch(0, 1).set_column(
+            2, "payload", pa.array([bad], type=pa.binary()))
+        got = DecodeImage(fake=True)(crupt).to_pandas()
+        assert list(got["codec"]) == ["fake"]
+        assert got.iloc[0]["width"] == len(bad)
+        import struct as _struct
+        import zlib as _zlib
+        with pytest.raises((ValueError, IndexError,
+                            _struct.error, _zlib.error)):
+            DecodeImage(fake=False)(crupt)
     assert out.iloc[0]["width"] == 3 and out.iloc[0]["height"] == 2
     flat = img.reshape(-1, 3).astype(int)
     assert out.iloc[0][["sum_r", "sum_g", "sum_b"]].tolist() == \

@@ -642,6 +642,13 @@ def test_writer_claim_refuses_concurrent_and_breaks_stale(
             from versa_ray.model.store import compact_linkset
 
             compact_linkset(path)
+        with pytest.raises(StoreWriteConflict):
+            # vacuum is fenced too: an unfenced vacuum would delete a
+            # concurrent writer's adopted-but-uncommitted files (they
+            # are referenced by no manifest yet)
+            from versa_ray.model.store import vacuum_linkset
+
+            vacuum_linkset(path)
     # A released -> B serializes cleanly
     stats = update_linkset(path, linkset.from_links(delta))
     assert stats["partitions_updated"] >= 1
@@ -656,6 +663,19 @@ def test_writer_claim_refuses_concurrent_and_breaks_stale(
         claim_ttl=60)
     assert stats["partitions_updated"] >= 1
     assert not os.path.exists(os.path.join(path, _CLAIM_NAME))
+
+    # writer died between claim create and payload write: the empty
+    # claim is unparseable, so the ttl must age it by file mtime
+    claim = os.path.join(path, _CLAIM_NAME)
+    open(claim, "w").close()
+    os.utime(claim, (time.time() - 3600, time.time() - 3600))
+    with pytest.raises(StoreWriteConflict):  # no ttl -> clean refusal
+        update_linkset(path, linkset.from_links(delta))
+    stats = update_linkset(
+        path, linkset.from_links([("urn:t:extra3", TYPE_, "urn:t:Thing")]),
+        claim_ttl=60)
+    assert stats["partitions_updated"] >= 1
+    assert not os.path.exists(claim)
 
 
 def test_two_interleaved_writers_serialize_with_retry(

@@ -206,9 +206,19 @@ def _writer_claim(path: str, ttl=None):
                     held = json.load(f)
             except (OSError, ValueError):
                 pass  # holder is racing create/release; treat as held
+            if held is not None:
+                age = _time.time() - float(held.get("ts", 0))
+            else:
+                try:  # empty/unparseable claim = writer died between
+                    # create and payload write; age by file mtime so a
+                    # ttl can still break it (a live racer's claim is
+                    # seconds old and stays protected)
+                    age = _time.time() - os.stat(claim).st_mtime
+                except OSError:
+                    age = None
             if (
-                attempt == 0 and ttl is not None and held is not None
-                and _time.time() - float(held.get("ts", 0)) > float(ttl)
+                attempt == 0 and ttl is not None and age is not None
+                and age > float(ttl)
             ):
                 try:  # break the stale claim; losers of the re-create
                     os.unlink(claim)  # race still conflict cleanly
@@ -319,18 +329,27 @@ def _adopt_staged_files(path: str, staging: str) -> list:
     return entries
 
 
-def vacuum_linkset(path: str, keep_epochs: int = 1) -> dict:
+def vacuum_linkset(path: str, keep_epochs: int = 1,
+                   claim_ttl=None) -> dict:
     """Garbage-collect files unreferenced by the newest
     ``keep_epochs`` manifests (and drop the older manifests). The GC
     point for the additive epoch protocol — run it when no reader
-    needs the older snapshots. Returns {"files_removed",
-    "manifests_removed"}."""
-    import glob as _glob
-
+    needs the older snapshots. Runs under the same ``_writer_claim``
+    fence as update/compact: a concurrent writer's adopted-but-not-
+    yet-committed files are referenced by NO manifest and an unfenced
+    vacuum would delete them out from under its epoch commit.
+    Returns {"files_removed", "manifests_removed"}."""
     if int(keep_epochs) < 1:
         # keep_epochs=0 would compute an EMPTY keep set and delete
         # every live file and manifest — a typo must not wipe a store
         raise ValueError("vacuum_linkset: keep_epochs must be >= 1")
+    with _writer_claim(path, ttl=claim_ttl):
+        return _vacuum_locked(path, keep_epochs)
+
+
+def _vacuum_locked(path: str, keep_epochs: int) -> dict:
+    import glob as _glob
+
     cur = _current_epoch(path)
     if cur is None:
         return {"files_removed": 0, "manifests_removed": 0}
@@ -834,7 +853,7 @@ def _compact_linkset_locked(path, max_files, vacuum_keep):
         # pre-compact epoch must still find its files; pass
         # vacuum_keep=1 only when no concurrent/time-travel readers
         # exist
-        vacuum_linkset(path, keep_epochs=vacuum_keep)
+        _vacuum_locked(path, vacuum_keep)  # already under our claim
         files_after = len(entries)
     else:
         _swap_staged_partitions(

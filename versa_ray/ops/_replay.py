@@ -12,6 +12,8 @@ counter, atomicity) was an invitation to divergence.
 
 import json
 import os
+import time
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -21,28 +23,69 @@ import numpy as np
 REPLAY_HISTORY = 16
 
 
+@contextmanager
+def _meta_lock(meta_path, timeout=30.0, stale_after=60.0):
+    """O_EXCL lock file serializing the meta read-modify-write: a
+    writer recording its own delta can race a reader completing a
+    crashed writer's pending append (``_complete_pending_append``
+    explicitly tolerates concurrent completers) — unserialized, the
+    later ``os.replace`` drops the other's fingerprint and a replay
+    of that delta re-applies as duplicate rows. The hold is ms-scale
+    (one small JSON rewrite); ``stale_after`` breaks a lock orphaned
+    by a crash inside the window."""
+    lock = meta_path + ".lock"
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > stale_after:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                pass  # holder released between exists-check and stat
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"meta lock busy past {timeout}s: {lock}")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def record_applied_fp(meta_path, fp, applied_key, counter_key, n=0,
                       require_meta=False):
     """Idempotently fold ``fp`` into ``meta[applied_key]`` (capped at
     ``REPLAY_HISTORY``) and add ``n`` to ``meta[counter_key]``, via
-    atomic tmp+``os.replace``. ``require_meta=True`` raises if the
-    meta file is missing (the ANN index always creates it at build
-    time; its absence means a corrupt index)."""
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    elif require_meta:
-        raise FileNotFoundError(meta_path)
-    applied = meta.get(applied_key, [])
-    if fp in applied:
-        return
-    meta[applied_key] = (applied + [fp])[-REPLAY_HISTORY:]
-    meta[counter_key] = int(meta.get(counter_key, 0)) + int(n)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    atomic tmp+``os.replace`` under ``_meta_lock`` (concurrent
+    recorders serialize; the idempotence check re-reads inside the
+    lock, so the same fp recorded twice counts once).
+    ``require_meta=True`` raises if the meta file is missing (the ANN
+    index always creates it at build time; its absence means a
+    corrupt index)."""
+    with _meta_lock(meta_path):
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        elif require_meta:
+            raise FileNotFoundError(meta_path)
+        applied = meta.get(applied_key, [])
+        if fp in applied:
+            return
+        meta[applied_key] = (applied + [fp])[-REPLAY_HISTORY:]
+        meta[counter_key] = int(meta.get(counter_key, 0)) + int(n)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
 
 def content_hash_part(ids_hashed, payload):

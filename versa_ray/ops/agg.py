@@ -254,9 +254,11 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
     groups = [((), lo, hi, n_ninf, sorted(pending))]
     to_collect = []  # (filters, lo, span, bucket, before, ranks)
 
-    for _round in range(max_rounds):
-        if not groups:
-            break
+    # underflow resolution is not a refinement round: a group whose
+    # span collapses on the LAST histogram round still gets its one
+    # cheap distinct-count pass instead of a spurious convergence error
+    hist_rounds = 0
+    while groups:
         underflow = [t for t in groups if t[1] == t[2]]
         active = [t for t in groups if t[1] != t[2]]
 
@@ -294,6 +296,11 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
         if not active:
             groups = []
             break
+        if hist_rounds >= max_rounds:
+            raise RuntimeError(
+                f"exact_quantiles did not converge in {max_rounds} "
+                f"rounds ({len(active)} groups unresolved)")
+        hist_rounds += 1
 
         specs = tuple((t[0], t[1], t[2] - t[1]) for t in active)
 
@@ -340,10 +347,6 @@ def exact_quantiles(ds, col, qs, grid=4096, max_collect=2_000_000,
                         (flt + ((glo, span, g, bj),), nlo, nhi,
                          before, rank_list))
         groups = next_groups
-    if groups:
-        raise RuntimeError(
-            f"exact_quantiles did not converge in {max_rounds} rounds "
-            f"({len(groups)} groups unresolved)")
 
     if to_collect:
         cspecs = tuple((flt, flo, fspan, bj)

@@ -87,17 +87,30 @@ class DecodeImage:
         codecs, wds, hts, s_r, s_g, s_b = [], [], [], [], [], []
         for payload in batch["payload"]:
             data = payload.as_py()
+            decoded = False
             if data[:8] == PNG_SIGNATURE:
-                img = decode_png(data)
-                h, w, ch = img.shape
-                sums = img.reshape(-1, ch).astype(np.int64).sum(axis=0)
-                codecs.append("png")
-                wds.append(w)
-                hts.append(h)
-                s_r.append(int(sums[0]))
-                s_g.append(int(sums[1] if ch > 1 else sums[0]))
-                s_b.append(int(sums[2] if ch > 1 else sums[0]))
-            elif self.fake:
+                try:
+                    img = decode_png(data)
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    # corrupt/truncated PNG body behind a valid magic:
+                    # with fake=True (keep-everything-decodable mode)
+                    # fall through to the byte-level stand-in instead
+                    # of killing the whole decode task on one payload
+                    if not self.fake:
+                        raise
+                else:
+                    h, w, ch = img.shape
+                    sums = img.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                    codecs.append("png")
+                    wds.append(w)
+                    hts.append(h)
+                    s_r.append(int(sums[0]))
+                    s_g.append(int(sums[1] if ch > 1 else sums[0]))
+                    s_b.append(int(sums[2] if ch > 1 else sums[0]))
+                    decoded = True
+            if decoded:
+                continue
+            if self.fake:
                 arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
                 codecs.append("fake")
                 wds.append(len(arr))

@@ -195,10 +195,15 @@ class DSBindings:
 
 
 def _set_to_ds(s):
+    import pyarrow as pa
     import ray.data as rd
-    import pandas as pd
 
-    return rd.from_pandas(pd.DataFrame({"v": sorted(s)}))
+    # forced string schema: an empty set would otherwise produce a
+    # float64 "v" column that mixes schemas when unioned with a
+    # string-typed DSBindings dataset (binding values are always
+    # linkset origin/rel/target strings)
+    return rd.from_arrow(
+        pa.table({"v": pa.array(sorted(s), type=pa.string())}))
 
 
 def _rename_col(ds, src, dst):
