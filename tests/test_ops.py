@@ -1341,6 +1341,123 @@ def test_png_codec_roundtrip_all_filters():
         decode_png(bytes(blob))
 
 
+def test_y4m_codec_roundtrip():
+    """Y4M encode/decode round-trips mono and 4:2:0 streams with
+    exact planes, header params, and hard failures on corruption."""
+    import numpy as np
+    import pytest as _pytest
+
+    from versa_ray.ops.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    y = rng.randint(0, 256, (5, 6, 8), dtype=np.uint8)
+    u = rng.randint(0, 256, (5, 3, 4), dtype=np.uint8)
+    v = rng.randint(0, 256, (5, 3, 4), dtype=np.uint8)
+    meta, y2, u2, v2 = decode_y4m(encode_y4m(y, fps=(30, 1), chroma=(u, v)))
+    assert meta == {
+        "width": 8, "height": 6, "fps_num": 30, "fps_den": 1,
+        "colorspace": "420jpeg", "n_frames": 5,
+    }
+    assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all()
+    meta_m, ym, um, vm = decode_y4m(encode_y4m(y, fps=(24, 1)))
+    assert meta_m["colorspace"] == "mono" and um is None and vm is None
+    assert (ym == y).all()
+    # zero-frame stream is a valid container
+    meta0, y0, _, _ = decode_y4m(encode_y4m(np.empty((0, 4, 4), np.uint8)))
+    assert meta0["n_frames"] == 0 and y0.shape == (0, 4, 4)
+    blob = encode_y4m(y, chroma=(u, v))
+    for bad in (b"nope", blob[:-7], blob.replace(b"FRAME", b"FRAMX", 1)):
+        with _pytest.raises(ValueError):
+            decode_y4m(bad)
+    with _pytest.raises(ValueError):  # unsupported colorspace
+        decode_y4m(encode_y4m(y).replace(b"Cmono", b"C444 "))
+    with _pytest.raises(ValueError):  # odd dims can't carry 4:2:0 chroma
+        encode_y4m(
+            np.zeros((2, 5, 8), np.uint8),
+            chroma=(np.zeros((2, 2, 4), np.uint8),) * 2,
+        )
+
+
+def test_frame_sample_real_y4m():
+    """FrameSample magic-byte dispatch: Y4M payloads yield ACTUAL
+    evenly strided luma planes; opaque payloads keep the byte-window
+    stand-in under fake=True and raise under fake=False."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from versa_ray.ops.multimodal import FrameSample, encode_y4m
+
+    rng = np.random.RandomState(5)
+    y = rng.randint(0, 256, (5, 4, 6), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([encode_y4m(y)], pa.binary()),
+        }
+    )
+    out = FrameSample(n_frames=2, fake=False)(tbl)
+    assert out.num_rows == 2
+    assert out["frame"][0].as_py() == y[0].tobytes()
+    assert out["frame"][1].as_py() == y[4].tobytes()
+    opaque = pa.table(
+        {
+            "media_id": pa.array([2], pa.int64()),
+            "payload": pa.array([bytes(range(256)) * 4], pa.binary()),
+        }
+    )
+    fake_out = FrameSample(n_frames=4, frame_bytes=64)(opaque)
+    assert fake_out.num_rows == 4
+    assert all(len(f.as_py()) == 64 for f in fake_out["frame"])
+    with _pytest.raises(NotImplementedError):
+        FrameSample(n_frames=2, fake=False)(opaque)
+
+
+def test_decode_video_stage(ray_session):
+    """DecodeVideo actor pool over binary Y4M payloads: real container
+    parse inside map_batches, integer-exact features out."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.multimodal import decode_video_features, encode_y4m
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(6):
+        n = 2 + i % 3
+        y = rng.randint(0, 256, (n, 6, 8), dtype=np.uint8)
+        if i % 2:
+            u = rng.randint(0, 256, (n, 3, 4), dtype=np.uint8)
+            v = rng.randint(0, 256, (n, 3, 4), dtype=np.uint8)
+            payload = encode_y4m(y, fps=(25, 1), chroma=(u, v))
+            want_chroma = int(u.astype(np.int64).sum() + v.astype(np.int64).sum())
+        else:
+            payload = encode_y4m(y, fps=(25, 1))
+            want_chroma = 0
+        rows.append(
+            {
+                "media_id": i, "payload": payload, "_n": n,
+                "_luma": int(y.astype(np.int64).sum()), "_chroma": want_chroma,
+            }
+        )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+                "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+            }
+        )
+    )
+    out = decode_video_features(ds, concurrency=2, batch_size=2).to_pandas()
+    out = out.sort_values("media_id", ignore_index=True)
+    assert (out["n_frames"] == [r["_n"] for r in rows]).all()
+    assert (out["sum_luma"] == [r["_luma"] for r in rows]).all()
+    assert (out["sum_chroma"] == [r["_chroma"] for r in rows]).all()
+    assert (out["width"] == 8).all() and (out["height"] == 6).all()
+    assert (out["fps_num"] == 25).all() and (out["fps_den"] == 1).all()
+
+
 def test_decode_actor_stages(ray_session):
     """DecodeAudio / DecodePng actor-pool stages over binary payload
     rows: real codecs inside map_batches, integer features out."""

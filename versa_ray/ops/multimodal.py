@@ -5,7 +5,7 @@ columns beside them. Decode/resize/frame-sample stages are actor-pool
 ``map_batches`` classes with real Ray plumbing (schema, batch sizing,
 actor signatures, output layout).
 
-Two REAL codecs ship with no third-party deps:
+Three REAL codecs ship with no third-party deps:
 
 * WAV (PCM) via the stdlib ``wave`` module — ``encode_wav`` /
   ``decode_wav`` and the ``DecodeAudio`` actor stage.
@@ -13,12 +13,17 @@ Two REAL codecs ship with no third-party deps:
   with all five scanline filters implemented (encoder can apply any
   filter; decoder inverts them vectorized per row), and the
   ``DecodePng`` actor stage.
+* Y4M (YUV4MPEG2) video via a real container parse — ``encode_y4m``
+  / ``decode_y4m`` (mono and 4:2:0 planar colorspaces), the
+  ``DecodeVideo`` actor stage, and REAL frame extraction in
+  ``FrameSample`` (Y4M payloads yield actual luma planes).
 
-Heavier codecs (JPEG/opencv video) are still stubbed: ``DecodeImage``
-dispatches on magic bytes — PNG payloads decode through the REAL
-codec; other formats raise NotImplementedError unless ``fake=True``
-selects the deterministic byte-level fake, which keeps downstream
-stages testable.
+Compressed codecs (JPEG/WEBP images, H.26x/VP9 video) are still
+stubbed: ``DecodeImage`` / ``FrameSample`` dispatch on magic bytes —
+PNG / Y4M payloads decode through the REAL codecs; other formats
+raise NotImplementedError unless ``fake=True`` selects the
+deterministic byte-level fake, which keeps downstream stages
+testable.
 
 Batch-size guidance baked into helpers: media rows are wide, so
 batches stay small (default 32) and blocks hold few rows — let the
@@ -138,28 +143,61 @@ class DecodeImage:
 
 
 class FrameSample:
-    """Actor-pool stage: strided byte-window sampling, the plumbing
-    shape of video frame sampling (N fixed-size windows per payload,
-    one output row per frame)."""
+    """Actor-pool stage: N sampled frames per video payload, one
+    output row per sampled frame.
+
+    Dispatches on MAGIC BYTES per payload: Y4M (YUV4MPEG2) payloads
+    go through the REAL container parse — the ``frame`` column holds
+    the actual luma plane of evenly strided frames (frame index
+    ``min(fx * max(1, (F-1) // (n_frames-1)), F-1)``, so the first
+    and — when ``F >= n_frames`` — last frames are always sampled).
+    Other formats (compressed video; no opencv/ffmpeg in this
+    environment) fall back to the documented deterministic
+    byte-window stand-in when ``fake=True`` (strided fixed-size
+    windows over the raw payload — the same plumbing shape), and
+    raise NotImplementedError when ``fake=False``."""
 
     def __init__(self, n_frames: int = 4, frame_bytes: int = 256, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("video decode unavailable; use fake=True")
         self.n_frames = n_frames
         self.frame_bytes = frame_bytes
+        self.fake = fake
+
+    def _sample_y4m(self, data: bytes):
+        _, y, _, _ = decode_y4m(data)
+        total = len(y)
+        if total == 0:
+            return
+        stride = max(1, (total - 1) // max(1, self.n_frames - 1))
+        for fx in range(self.n_frames):
+            ix = min(fx * stride, total - 1)
+            yield fx, y[ix].tobytes()
+
+    def _sample_bytes(self, data: bytes):
+        if len(data) < self.frame_bytes:
+            return
+        stride = max(1, (len(data) - self.frame_bytes) // max(1, self.n_frames - 1))
+        for fx in range(self.n_frames):
+            off = min(fx * stride, len(data) - self.frame_bytes)
+            yield fx, data[off : off + self.frame_bytes]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"media_id": [], "frame_ix": [], "frame": []}
         for mid, payload in zip(batch["media_id"], batch["payload"]):
             data = payload.as_py()
-            if len(data) < self.frame_bytes:
-                continue
-            stride = max(1, (len(data) - self.frame_bytes) // max(1, self.n_frames - 1))
-            for fx in range(self.n_frames):
-                off = min(fx * stride, len(data) - self.frame_bytes)
+            if data[:10] == Y4M_SIGNATURE:
+                frames = self._sample_y4m(data)
+            elif self.fake:
+                frames = self._sample_bytes(data)
+            else:
+                raise NotImplementedError(
+                    "non-Y4M video decode requires opencv/ffmpeg, not "
+                    "present in this environment; construct with fake=True "
+                    "for the deterministic byte-window stand-in"
+                )
+            for fx, blob in frames:
                 out["media_id"].append(mid.as_py())
                 out["frame_ix"].append(fx)
-                out["frame"].append(data[off : off + self.frame_bytes])
+                out["frame"].append(blob)
         return pa.table(
             {
                 "media_id": pa.array(out["media_id"], type=pa.int64()),
@@ -427,6 +465,165 @@ class DecodePng:
                 "sum_b": pa.array(s_b, type=pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Real Y4M (YUV4MPEG2) video codec — stdlib text header + raw planes
+
+
+Y4M_SIGNATURE = b"YUV4MPEG2 "
+
+
+def encode_y4m(y_frames: np.ndarray, fps=(25, 1), chroma=None) -> bytes:
+    """YUV4MPEG2 bytes from luma frames ``(N, H, W)`` uint8.
+
+    With ``chroma=(u, v)`` — each ``(N, H//2, W//2)`` uint8 — emits a
+    ``C420jpeg`` stream; without, ``Cmono``. A real container: stream
+    header with W/H/F/I/A/C parameters, a ``FRAME`` marker per frame,
+    raw planar payload — any Y4M-aware tool (ffmpeg, mpv) plays it."""
+    y = np.ascontiguousarray(y_frames, dtype=np.uint8)
+    if y.ndim != 3:
+        raise ValueError("y_frames must be (n_frames, h, w)")
+    n, h, w = y.shape
+    if chroma is None:
+        cs = "mono"
+        planes = [(y[i],) for i in range(n)]
+    else:
+        u = np.ascontiguousarray(chroma[0], dtype=np.uint8)
+        v = np.ascontiguousarray(chroma[1], dtype=np.uint8)
+        if h % 2 or w % 2:
+            raise ValueError("C420 needs even frame dimensions")
+        if u.shape != (n, h // 2, w // 2) or v.shape != u.shape:
+            raise ValueError("chroma planes must be (n_frames, h//2, w//2)")
+        cs = "420jpeg"
+        planes = [(y[i], u[i], v[i]) for i in range(n)]
+    head = "YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        w, h, int(fps[0]), int(fps[1]), cs
+    )
+    parts = [head.encode("ascii")]
+    for pl in planes:
+        parts.append(b"FRAME\n")
+        parts.extend(p.tobytes() for p in pl)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """``(meta, y, u, v)`` from YUV4MPEG2 bytes — a REAL stream parse
+    (header tokens, FRAME markers, plane sizes from the colorspace),
+    not a byte-level fake.
+
+    ``meta`` is ``{width, height, fps_num, fps_den, colorspace,
+    n_frames}``; ``y`` is ``(N, H, W)`` uint8; ``u``/``v`` are
+    ``(N, H//2, W//2)`` for 4:2:0 streams and ``None`` for mono."""
+    if payload[:10] != Y4M_SIGNATURE:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    cs = "420jpeg"  # the Y4M default when the C parameter is absent
+    for tok in payload[10:nl].decode("ascii").split():
+        key, val = tok[0], tok[1:]
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            a, b = val.split(":")
+            fps_num, fps_den = int(a), int(b)
+        elif key == "C":
+            cs = val
+        elif key in ("I", "A", "X"):
+            pass  # interlacing / aspect / extension — legal, unused here
+        else:
+            raise ValueError("unknown Y4M header token %r" % tok)
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing or invalid W/H")
+    if cs == "mono":
+        chroma_px = 0
+    elif cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        if w % 2 or h % 2:
+            raise ValueError("4:2:0 Y4M stream with odd dimensions")
+        chroma_px = (w // 2) * (h // 2)
+    else:
+        raise ValueError("decode_y4m handles mono/4:2:0; got C%s" % cs)
+    frame_bytes = w * h + 2 * chroma_px
+    pos = nl + 1
+    ys, us, vs = [], [], []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker at offset %d" % pos)
+        pos = fnl + 1  # frame-level params after FRAME are legal; skipped
+        if pos + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        ys.append(np.frombuffer(payload, np.uint8, w * h, pos).reshape(h, w))
+        if chroma_px:
+            off = pos + w * h
+            us.append(
+                np.frombuffer(payload, np.uint8, chroma_px, off)
+                .reshape(h // 2, w // 2)
+            )
+            vs.append(
+                np.frombuffer(payload, np.uint8, chroma_px, off + chroma_px)
+                .reshape(h // 2, w // 2)
+            )
+        pos += frame_bytes
+    meta = {
+        "width": w, "height": h, "fps_num": fps_num, "fps_den": fps_den,
+        "colorspace": cs, "n_frames": len(ys),
+    }
+    y_arr = np.stack(ys) if ys else np.empty((0, h, w), np.uint8)
+    if not chroma_px:
+        return meta, y_arr, None, None
+    u_arr = (
+        np.stack(us) if us else np.empty((0, h // 2, w // 2), np.uint8)
+    )
+    v_arr = np.stack(vs) if vs else np.empty_like(u_arr)
+    return meta, y_arr, u_arr, v_arr
+
+
+class DecodeVideo:
+    """Actor-pool stage: Y4M payload -> integer-exact video features
+    ``(media_id, n_frames, width, height, fps_num, fps_den, sum_luma,
+    sum_chroma)``. Decode is the real Y4M container parse above;
+    sums are int64-exact so an external oracle can replay them."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, wd, ht, fn, fd, sl, sc = [], [], [], [], [], [], []
+        for payload in batch["payload"]:
+            meta, y, u, v = decode_y4m(payload.as_py())
+            nf.append(meta["n_frames"])
+            wd.append(meta["width"])
+            ht.append(meta["height"])
+            fn.append(meta["fps_num"])
+            fd.append(meta["fps_den"])
+            sl.append(int(y.astype(np.int64).sum()))
+            sc.append(
+                0 if u is None
+                else int(u.astype(np.int64).sum() + v.astype(np.int64).sum())
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_frames": pa.array(nf, type=pa.int64()),
+                "width": pa.array(wd, type=pa.int64()),
+                "height": pa.array(ht, type=pa.int64()),
+                "fps_num": pa.array(fn, type=pa.int64()),
+                "fps_den": pa.array(fd, type=pa.int64()),
+                "sum_luma": pa.array(sl, type=pa.int64()),
+                "sum_chroma": pa.array(sc, type=pa.int64()),
+            }
+        )
+
+
+def decode_video_features(ds, concurrency=2, batch_size=32):
+    """Y4M payloads -> integer video features via the DecodeVideo pool."""
+    return ds.map_batches(
+        DecodeVideo,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def decode_audio_features(ds, concurrency=2, batch_size=32):

@@ -2226,6 +2226,97 @@ def q_multimodal_png_features(sf_dir):
     return decode_png_features(media)
 
 
+def _synth_y4m_batch(tbl, mono_only=False):
+    """Deterministic Y4M videos from doc_ids: luma pixel (flat index
+    p) of frame f is ``(d*31 + f*17 + p*7) % 256``; even doc_ids are
+    C420jpeg with chroma planes ``(d*11 + f*5 + q*3 [+128]) % 256``
+    (q flat chroma index), odd doc_ids are Cmono — every formula is
+    analytically replayable by a SQL oracle."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import encode_y4m
+
+    ids, payloads = [], []
+    for d in tbl["doc_id"].to_pylist():
+        n = 3 + d % 3
+        w = 8 + (d % 3) * 4
+        h = 6 + (d % 2) * 4
+        f = np.arange(n, dtype=np.int64)
+        p = np.arange(w * h, dtype=np.int64)
+        y = (
+            ((d * 31 + f[:, None] * 17 + p[None, :] * 7) % 256)
+            .astype(np.uint8)
+            .reshape(n, h, w)
+        )
+        if d % 2 == 0 and not mono_only:
+            q = np.arange((w // 2) * (h // 2), dtype=np.int64)
+            base = d * 11 + f[:, None] * 5 + q[None, :] * 3
+            u = ((base % 256).astype(np.uint8)).reshape(n, h // 2, w // 2)
+            v = (((base + 128) % 256).astype(np.uint8)).reshape(
+                n, h // 2, w // 2
+            )
+            payloads.append(encode_y4m(y, fps=(24 + d % 2, 1), chroma=(u, v)))
+        else:
+            payloads.append(encode_y4m(y, fps=(24 + d % 2, 1)))
+        ids.append(d)
+    return pa_.table(
+        {
+            "media_id": pa_.array(ids, type=pa_.int64()),
+            "payload": pa_.array(payloads, type=pa_.binary()),
+        }
+    )
+
+
+def q_multimodal_video_features(sf_dir):
+    """REAL video codec path: deterministic Y4M (YUV4MPEG2) streams
+    derived from doc_id — mono and 4:2:0 colorspaces, varying frame
+    counts / dimensions / frame rates — are container-encoded in one
+    map stage and decoded back by the DecodeVideo actor pool into
+    integer-exact features. The DuckDB oracle computes the same luma/
+    chroma sums analytically from the pixel formulas, so any drift in
+    the container parse (header, FRAME markers, plane geometry)
+    hash-mismatches."""
+    from .ops.multimodal import decode_video_features
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth_y4m_batch, batch_format="pyarrow", batch_size=32
+    )
+    return decode_video_features(media)
+
+
+def q_multimodal_frame_sample(sf_dir):
+    """REAL frame extraction: the FrameSample actor pool pulls 2
+    evenly strided ACTUAL frames (first + last) out of each Y4M
+    payload; a downstream map reduces each sampled luma plane to its
+    integer byte sum. The oracle replays the sampled frame indices
+    (0 and n_frames-1) and the luma formula analytically — sampling
+    the wrong frame or corrupting a plane hash-mismatches."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    from .ops.multimodal import sample_frames
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth_y4m_batch, batch_format="pyarrow", batch_size=32
+    )
+    frames = sample_frames(media, n_frames=2)
+
+    def _sum(batch: pa_.Table) -> pa_.Table:
+        sums = [
+            int(np.frombuffer(b.as_py(), np.uint8).astype(np.int64).sum())
+            for b in batch["frame"]
+        ]
+        return pa_.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_ix": pc_.cast(batch["frame_ix"], pa_.int64()),
+                "luma_sum": pa_.array(sums, type=pa_.int64()),
+            }
+        )
+
+    return frames.map_batches(_sum, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -2304,6 +2395,8 @@ def build_queries():
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_video_features": q_multimodal_video_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "fullquery_negation": q_fullquery_negation,
         "fullquery_disjunction": q_fullquery_disjunction,
         "fullquery_store": q_fullquery_store,
@@ -2484,6 +2577,48 @@ def build_oracles():
             "CAST(h AS BIGINT) AS height, CAST(SUM(r) AS BIGINT) AS sum_r, "
             "CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
             "FROM px GROUP BY doc_id, w, h ORDER BY media_id"
+        ),
+        "multimodal_video_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 3 + (doc_id % 3) AS n, "
+            "8 + (doc_id % 3) * 4 AS w, 6 + (doc_id % 2) * 4 AS h, "
+            "24 + (doc_id % 2) AS fn FROM ids), "
+            "fs AS (SELECT unnest(generate_series(0, 4)) AS f), "
+            "ps AS (SELECT unnest(generate_series(0, 159)) AS p), "
+            "luma AS (SELECT r.doc_id, "
+            "SUM((r.doc_id * 31 + f.f * 17 + p.p * 7) % 256) AS sl "
+            "FROM par r JOIN fs f ON f.f < r.n "
+            "JOIN ps p ON p.p < r.w * r.h GROUP BY r.doc_id), "
+            "qs AS (SELECT unnest(generate_series(0, 39)) AS q), "
+            "chroma AS (SELECT r.doc_id, "
+            "SUM((r.doc_id * 11 + f.f * 5 + q.q * 3) % 256 "
+            "+ (r.doc_id * 11 + f.f * 5 + q.q * 3 + 128) % 256) AS sc "
+            "FROM par r JOIN fs f ON f.f < r.n "
+            "JOIN qs q ON q.q < (r.w // 2) * (r.h // 2) "
+            "WHERE r.doc_id % 2 = 0 GROUP BY r.doc_id) "
+            "SELECT r.doc_id AS media_id, CAST(r.n AS BIGINT) AS n_frames, "
+            "CAST(r.w AS BIGINT) AS width, CAST(r.h AS BIGINT) AS height, "
+            "CAST(r.fn AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den, "
+            "CAST(l.sl AS BIGINT) AS sum_luma, "
+            "CAST(COALESCE(c.sc, 0) AS BIGINT) AS sum_chroma "
+            "FROM par r JOIN luma l ON l.doc_id = r.doc_id "
+            "LEFT JOIN chroma c ON c.doc_id = r.doc_id ORDER BY media_id"
+        ),
+        "multimodal_frame_sample": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 3 + (doc_id % 3) AS n, "
+            "8 + (doc_id % 3) * 4 AS w, 6 + (doc_id % 2) * 4 AS h FROM ids), "
+            "fr AS (SELECT doc_id, 0 AS frame_ix, 0 AS f, w * h AS px "
+            "FROM par UNION ALL "
+            "SELECT doc_id, 1, n - 1, w * h FROM par), "
+            "ps AS (SELECT unnest(generate_series(0, 159)) AS p) "
+            "SELECT r.doc_id AS media_id, "
+            "CAST(r.frame_ix AS BIGINT) AS frame_ix, "
+            "CAST(SUM((r.doc_id * 31 + r.f * 17 + p.p * 7) % 256) AS BIGINT) "
+            "AS luma_sum FROM fr r JOIN ps p ON p.p < r.px "
+            "GROUP BY r.doc_id, r.frame_ix ORDER BY media_id, frame_ix"
         ),
         "doc_simhash": (
             f"WITH {SIMHASH_CTES} "
