@@ -2226,7 +2226,7 @@ def q_multimodal_png_features(sf_dir):
     return decode_png_features(media)
 
 
-def _synth_y4m_batch(tbl, mono_only=False):
+def _synth_y4m_batch(tbl):
     """Deterministic Y4M videos from doc_ids: luma pixel (flat index
     p) of frame f is ``(d*31 + f*17 + p*7) % 256``; even doc_ids are
     C420jpeg with chroma planes ``(d*11 + f*5 + q*3 [+128]) % 256``
@@ -2248,7 +2248,7 @@ def _synth_y4m_batch(tbl, mono_only=False):
             .astype(np.uint8)
             .reshape(n, h, w)
         )
-        if d % 2 == 0 and not mono_only:
+        if d % 2 == 0:
             q = np.arange((w // 2) * (h // 2), dtype=np.int64)
             base = d * 11 + f[:, None] * 5 + q[None, :] * 3
             u = ((base % 256).astype(np.uint8)).reshape(n, h // 2, w // 2)
