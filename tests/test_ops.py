@@ -954,6 +954,50 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(u1) == 20
 
 
+def test_token_budget_sample(ray_session):
+    """Per-source token budget: md5-rank prefix whose running token
+    total stays within budget — equals a sequential replay, is
+    partition-invariant, and never splits a document."""
+    import hashlib
+
+    import ray.data as rd
+
+    from versa_ray.ops.sample import token_budget_sample
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "lang": [f"l{i % 3}" for i in range(120)],
+            "text": [" ".join(["w"] * (5 + i % 17)) for i in range(120)],
+        }
+    )
+    ds = rd.from_pandas(rows).repartition(7)
+    got = token_budget_sample(ds, 100, "lang", "doc_id").to_pandas()
+    # sequential reference: per lang, md5(doc_id) order, cumsum <= 100
+    want = []
+    for lang, grp in rows.groupby("lang"):
+        grp = grp.assign(
+            _rk=[hashlib.md5(str(i).encode()).hexdigest() for i in grp["doc_id"]],
+            n_tokens=grp["text"].str.split().str.len(),
+        ).sort_values(["_rk", "doc_id"])
+        cum = 0
+        for _, r in grp.iterrows():
+            cum += r["n_tokens"]
+            if cum > 100:
+                break
+            want.append((r["doc_id"], lang, r["n_tokens"]))
+    got_key = sorted(zip(got["doc_id"], got["lang"], got["n_tokens"]))
+    assert got_key == sorted(want)
+    assert got.groupby("lang")["n_tokens"].sum().max() <= 100
+    # partition-invariant
+    again = token_budget_sample(
+        ds.repartition(2), 100, "lang", "doc_id"
+    ).to_pandas()
+    assert sorted(zip(again["doc_id"], again["lang"])) == sorted(
+        (d, v) for d, v, _ in want
+    )
+
+
 def test_contamination_ngrams(ray_session):
     import ray.data as rd
 

@@ -17,7 +17,12 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["stratified_sample", "uniform_sample", "split_by_hash"]
+__all__ = [
+    "stratified_sample",
+    "uniform_sample",
+    "split_by_hash",
+    "token_budget_sample",
+]
 
 
 def _rank_keys(ids) -> np.ndarray:
@@ -73,6 +78,50 @@ def uniform_sample(ds, n: int, id_col: str):
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
     )
+
+
+def token_budget_sample(ds, budget_tokens: int, source_col: str, id_col: str,
+                        text_col: str = "text", num_buckets: int = 64):
+    """Per-source selection under a TOKEN budget — the core step of
+    training-mixture construction: within each source, documents are
+    taken in md5(id) rank order (ties by id) while the running token
+    total stays <= ``budget_tokens``; the document that crosses the
+    budget and everything ranked after it is dropped.
+
+    Tokens are whitespace words (the same count as ``token_stats``'s
+    ``n_tokens``, so a SQL oracle can replay the selection with a
+    window cumsum). The shuffle moves only a slim ``(source, rank,
+    id, n_tokens)`` table — document text never transits — and each
+    source's selection is one vectorized cumsum. Partitioning
+    assumption: one source's (slim) rows fit in one task; at ~24
+    bytes/row that holds into the billions of docs per source — for
+    hotter sources, pre-split the source label upstream and divide
+    the budget across the salted labels.
+
+    Returns ``(id_col, source_col, n_tokens)`` for the kept docs."""
+    from .dedup import bucketed_group_apply
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = (
+            df[text_col].fillna("").str.split().str.len().astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                source_col: df[source_col],
+                "n_tokens": n_tok,
+                "_rk": _rank_keys(df[id_col]),
+            }
+        )
+
+    def _take(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_rk", id_col], ignore_index=True)
+        keep = g["n_tokens"].cumsum() <= budget_tokens
+        return g.loc[keep, [id_col, source_col, "n_tokens"]]
+
+    slim = ds.map_batches(_slim, batch_format="pandas")
+    return bucketed_group_apply(slim, [source_col], _take,
+                                num_buckets=num_buckets)
 
 
 def split_by_hash(ds, weights, id_col: str, salt: str = ""):

@@ -882,6 +882,23 @@ def q_doc_uniform_sample(sf_dir):
     return uniform_sample(ds, 50, "doc_id")
 
 
+def q_doc_token_budget(sf_dir):
+    """Per-source token-budget selection (mixture construction): per
+    language, keep docs in md5(doc_id) rank order while the running
+    whitespace-token total stays <= 2000. Only a slim (lang, rank,
+    doc_id, n_tokens) table shuffles; the DuckDB oracle replays the
+    selection with a window cumsum over the same md5 rank."""
+    import ray.data as rd
+
+    from .ops.sample import token_budget_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
+        override_num_blocks=_blocks_for(),
+    )
+    return token_budget_sample(ds, 2000, "lang", "doc_id")
+
+
 def q_doc_contamination(sf_dir):
     """Benchmark-contamination flagging: snippets lifted from two
     corpus documents (deterministic, self-contained) must flag at
@@ -2441,6 +2458,7 @@ def build_queries():
         "doc_token_stats": q_doc_token_stats,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_uniform_sample": q_doc_uniform_sample,
+        "doc_token_budget": q_doc_token_budget,
         "doc_contamination": q_doc_contamination,
         "doc_norm_text": q_doc_norm_text,
         "doc_chunks": q_doc_chunks,
@@ -2854,6 +2872,16 @@ def build_oracles():
         "doc_uniform_sample": (
             "SELECT doc_id, lang FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50"
+        ),
+        "doc_token_budget": (
+            "SELECT doc_id, lang, n_tokens FROM ("
+            "SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER ("
+            "PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM ("
+            "SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents)) WHERE cum <= 2000"
         ),
         "doc_contamination": (
             "WITH snips AS (SELECT substr(text, 11, 30) AS s FROM documents "
