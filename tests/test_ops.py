@@ -1344,6 +1344,55 @@ def test_chunk_documents_batch_invariant(ray_session):
     assert (a.n_tokens > 0).all()
 
 
+def test_pack_sequences(ray_session):
+    """Concat-and-split packing equals a sequential replay: spans in
+    doc_id order, every interior sequence exactly seq_len tokens,
+    token totals conserved, partition-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from versa_ray.ops.chunking import pack_sequences
+
+    rng = np.random.RandomState(1)
+    rows = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(250),
+            "text": [" ".join(["w"] * int(k)) for k in rng.randint(0, 50, 250)],
+        }
+    )
+    ds = rd.from_pandas(rows).repartition(9)
+    got = (
+        pack_sequences(ds, 64, num_ranges=8)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"], ignore_index=True)
+    )
+    ref, cum = [], 0
+    for _, r in rows.sort_values("doc_id").iterrows():
+        n = len(r["text"].split())
+        if n == 0:
+            continue
+        start, end = cum, cum + n
+        for s in range(start // 64, (end - 1) // 64 + 1):
+            ref.append(
+                (r["doc_id"], s, min((s + 1) * 64, end) - max(s * 64, start))
+            )
+        cum = end
+    want = pd.DataFrame(ref, columns=["doc_id", "seq_id", "n_tokens"])
+    want = want.sort_values(["doc_id", "seq_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # conservation + full interior sequences
+    assert got["n_tokens"].sum() == sum(len(t.split()) for t in rows["text"])
+    per_seq = got.groupby("seq_id")["n_tokens"].sum()
+    assert (per_seq.iloc[:-1] == 64).all()
+    # partition-invariant (different block structure, same answer)
+    again = (
+        pack_sequences(rd.from_pandas(rows).repartition(2), 64, num_ranges=3)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(again.astype("int64"), want.astype("int64"))
+
+
 def test_wav_codec_roundtrip():
     import numpy as np
 

@@ -107,3 +107,100 @@ def chunk_documents(ds, chunk_tokens: int = 256, overlap: int = 32,
                               id_col=id_col, drop_empty=drop_empty),
         batch_format="pandas",
     )
+
+
+def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
+                   text_col: str = "text", num_ranges: int = 64):
+    """GPT-style concat-and-split sequence packing: the corpus'
+    whitespace tokens, concatenated in ``id_col`` order, are split
+    into fixed ``seq_len`` windows; documents straddle window
+    boundaries (no padding waste). Emits one row per (document,
+    sequence) overlap: ``(id_col, seq_id, n_tokens)`` — the layout a
+    trainer needs to slice each doc's tokens into its sequences.
+
+    The global token prefix sum is computed distributively:
+
+    1. a slim ``(id, n_tokens)`` pass (text never leaves it);
+    2. ids are range-partitioned on sampled quantile bounds (bounds
+       only affect load balance — correctness comes from the totals);
+    3. per-range token totals reduce to the driver (``num_ranges``
+       ints) and become running range offsets;
+    4. each range task sorts its slim rows by id, adds its offset to
+       a local cumsum, and emits the straddle spans vectorized.
+
+    Nothing corpus-sized ever lands on the driver; the only wide op
+    is the coarse range shuffle of the slim table. Partitioning
+    assumption: one range's slim rows fit in one task — raise
+    ``num_ranges`` for bigger corpora (driver cost stays
+    ``num_ranges`` ints)."""
+    from .agg import approx_quantiles, grouped_agg_small
+    from .dedup import bucketed_group_apply
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_tokens": df[text_col].fillna("").str.split().str.len()
+                .astype("int64"),
+            }
+        )
+
+    # materialized so tokenization runs once for the totals pass and
+    # once-shuffled spans pass share it (2 ints/doc; spills if huge)
+    slim = ds.map_batches(_slim, batch_format="pandas").materialize()
+
+    qs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = np.array(
+        [b for b in approx_quantiles(slim, id_col, qs) if not np.isnan(b)],
+        dtype=float,
+    )
+    bounds = np.unique(bounds)
+
+    def _rng(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_range"] = np.searchsorted(
+            bounds, df[id_col].to_numpy().astype(float), side="right"
+        ).astype(np.int64)
+        return df
+
+    ranged = slim.map_batches(_rng, batch_format="pandas")
+    totals = grouped_agg_small(
+        ranged, ["_range"], {"tok": (("n_tokens"), "sum")}
+    ).to_pandas().sort_values("_range", ignore_index=True)
+    run = totals["tok"].cumsum() - totals["tok"]
+    offsets = dict(zip(totals["_range"].astype(int), run.astype(int)))
+
+    def _spans(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, ignore_index=True)
+        n = g["n_tokens"].to_numpy()
+        start = offsets[int(g["_range"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        nz = n > 0
+        n, start, ids = n[nz], start[nz], g[id_col].to_numpy()[nz]
+        if not len(n):
+            return pd.DataFrame(
+                {id_col: g[id_col].iloc[:0], "seq_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64")}
+            )
+        s0 = start // seq_len
+        s1 = (start + n - 1) // seq_len
+        reps = (s1 - s0 + 1).astype(np.int64)
+        total = int(reps.sum())
+        k = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        seq = np.repeat(s0, reps) + k
+        st = np.repeat(start, reps)
+        en = np.repeat(start + n, reps)
+        lo = np.maximum(seq * seq_len, st)
+        hi = np.minimum((seq + 1) * seq_len, en)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, reps),
+                "seq_id": seq.astype("int64"),
+                "n_tokens": (hi - lo).astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(
+        ranged, ["_range"], _spans, num_buckets=min(num_ranges, 64)
+    )

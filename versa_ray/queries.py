@@ -944,6 +944,17 @@ def q_doc_chunks(sf_dir):
     return chunk_documents(_docs(sf_dir), chunk_tokens=32, overlap=8)
 
 
+def q_doc_pack_sequences(sf_dir):
+    """GPT-style concat-and-split sequence packing: corpus tokens
+    concatenated in doc_id order, split every 512; one row per
+    (doc, sequence) overlap. The global prefix sum is distributed
+    (range partition + per-range totals + vectorized cumsum per
+    range); DuckDB replays it with a window cumsum."""
+    from .ops.chunking import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), 512, num_ranges=16)
+
+
 def q_doc_top_tokens(sf_dir):
     """Global top-50 whitespace tokens (count desc, token asc):
     per-batch vectorized counts, bucket-merged totals, bounded final
@@ -2462,6 +2473,7 @@ def build_queries():
         "doc_contamination": q_doc_contamination,
         "doc_norm_text": q_doc_norm_text,
         "doc_chunks": q_doc_chunks,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "doc_curation": q_doc_curation,
         "doc_gopher_quality": q_doc_gopher_quality,
         "doc_top_tokens": q_doc_top_tokens,
@@ -2943,6 +2955,20 @@ def build_oracles():
             "(mean_word_len BETWEEN 3.0 AND 10.0) AND "
             "(symbol_ratio <= 0.1) AND (alpha_frac >= 0.8) AS gopher_pass "
             "FROM f"
+        ),
+        "doc_pack_sequences": (
+            "WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "FROM documents), "
+            "pre AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS strt FROM tok), "
+            "spans AS (SELECT doc_id, n, strt, strt // 512 AS s0, "
+            "(strt + n - 1) // 512 AS s1 FROM pre WHERE n > 0), "
+            "sq AS (SELECT doc_id, n, strt, "
+            "unnest(generate_series(s0, s1)) AS seq_id FROM spans) "
+            "SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, "
+            "CAST(LEAST((seq_id + 1) * 512, strt + n) "
+            "- GREATEST(seq_id * 512, strt) AS BIGINT) AS n_tokens FROM sq"
         ),
         "doc_chunks": (
             "WITH t AS (SELECT doc_id, "
