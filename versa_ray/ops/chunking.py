@@ -132,7 +132,10 @@ def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
     is the coarse range shuffle of the slim table. Partitioning
     assumption: one range's slim rows fit in one task — raise
     ``num_ranges`` for bigger corpora (driver cost stays
-    ``num_ranges`` ints)."""
+    ``num_ranges`` ints). ``id_col`` must be numeric (the range
+    partition compares ids as float64; the order-defining sort is
+    exact — float rounding near a bound only shifts which range a
+    doc lands in, monotonically, never the global order)."""
     from .agg import approx_quantiles, grouped_agg_small
     from .dedup import bucketed_group_apply
 
