@@ -190,6 +190,32 @@ def test_corpusstats_cli():
     assert q["0.1"] <= q["0.5"] <= q["0.9"] <= q["0.99"]
 
 
+def test_pack_cli(tmp_path):
+    """pack writes (doc, seq) span parquet; totals conserve the
+    corpus token count and interior sequences are full."""
+    import duckdb
+
+    out = tmp_path / "packed"
+    r = _run(
+        ["pack", "/root/testdata/sf0.001/documents.parquet", str(out),
+         "--seq-len", "256", "--num-ranges", "4"]
+    )
+    assert r.returncode == 0, r.stderr
+    assert "packed spans:" in r.stdout
+    con = duckdb.connect()
+    tot, nseq = con.execute(
+        f"SELECT SUM(n_tokens), MAX(seq_id) + 1 FROM "
+        f"read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    want = con.execute(
+        "SELECT SUM(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert int(tot) == int(want)
+    assert int(nseq) == -(-int(want) // 256)  # ceil division
+
+
 def test_kgcompact_cli(tmp_path):
     """kgcompact reports and performs store compaction from the CLI."""
     import sys

@@ -225,6 +225,39 @@ def cmd_curate(args):
     ray.shutdown()
 
 
+def cmd_pack(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .ops.chunking import pack_sequences
+
+    docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    spans = pack_sequences(
+        docs, args.seq_len, id_col=args.id_col, text_col=args.text_col,
+        num_ranges=args.num_ranges,
+    )
+    spans.write_parquet(args.out_dir)
+    out = rd.read_parquet(args.out_dir)
+    n_spans = out.count()
+    # seq ids are contiguous from 0, so the count is max+1 — no
+    # driver-side distinct materialization
+    n_seqs = 0 if n_spans == 0 else int(out.max("seq_id")) + 1
+    print(f"packed spans: {n_spans} ({n_seqs} sequences of "
+          f"{args.seq_len} tokens) -> {args.out_dir}")
+    ray.shutdown()
+
+
 def cmd_kgmatch(args):
     import ray
 
@@ -569,6 +602,18 @@ def main(argv=None):
     )
     p.add_argument("docs", help="documents parquet (doc_id, text, lang, n_chars)")
     p.set_defaults(func=cmd_corpusstats)
+
+    p = sub.add_parser(
+        "pack",
+        help="GPT-style sequence packing: (doc, seq) token spans parquet",
+    )
+    p.add_argument("docs", help="documents parquet")
+    p.add_argument("out_dir", help="output parquet directory")
+    p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--num-ranges", dest="num_ranges", type=int, default=64)
+    p.set_defaults(func=cmd_pack)
 
     p = sub.add_parser(
         "kgcompact",
