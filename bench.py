@@ -81,6 +81,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "doc_tfidf",
         "doc_bm25",
         "doc_line_dedup",
+        "doc_pack_sequences",
     ]
     qmap = Q.build_queries()
     out = {}

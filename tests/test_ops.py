@@ -1391,6 +1391,16 @@ def test_pack_sequences(ray_session):
         .sort_values(["doc_id", "seq_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(again.astype("int64"), want.astype("int64"))
+    # all-empty-text corpus: empty spans table, not an IndexError from
+    # the empty-bucket schema probe
+    empty_docs = pd.DataFrame(
+        {"doc_id": range(10), "text": ["", "  ", None, "", " ", "", "", "", "", ""]}
+    )
+    nothing = pack_sequences(rd.from_pandas(empty_docs), 64, num_ranges=2)
+    # (to_pandas() on an all-empty Dataset drops columns — check the
+    # Dataset schema, which the empty-bucket probe must preserve)
+    assert set(nothing.schema().names) == {"doc_id", "seq_id", "n_tokens"}
+    assert nothing.count() == 0
 
 
 def test_wav_codec_roundtrip():
@@ -1504,6 +1514,20 @@ def test_frame_sample_real_y4m():
     assert all(len(f.as_py()) == 64 for f in fake_out["frame"])
     with _pytest.raises(NotImplementedError):
         FrameSample(n_frames=2, fake=False)(opaque)
+    # corrupt stream behind a valid Y4M magic: fake=True falls back to
+    # byte windows instead of killing the task; fake=False raises
+    corrupt = pa.table(
+        {
+            "media_id": pa.array([3], pa.int64()),
+            "payload": pa.array(
+                [b"YUV4MPEG2 W4 H4" + bytes(500)], pa.binary()
+            ),
+        }
+    )
+    fb = FrameSample(n_frames=2, frame_bytes=64)(corrupt)
+    assert fb.num_rows == 2 and len(fb["frame"][0].as_py()) == 64
+    with _pytest.raises(ValueError):
+        FrameSample(n_frames=2, fake=False)(corrupt)
 
 
 def test_decode_video_stage(ray_session):

@@ -140,11 +140,12 @@ def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
     from .dedup import bucketed_group_apply
 
     def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import whitespace_token_counts
+
         return pd.DataFrame(
             {
                 id_col: df[id_col],
-                "n_tokens": df[text_col].fillna("").str.split().str.len()
-                .astype("int64"),
+                "n_tokens": whitespace_token_counts(df[text_col]),
             }
         )
 
@@ -168,12 +169,23 @@ def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
 
     ranged = slim.map_batches(_rng, batch_format="pandas")
     totals = grouped_agg_small(
-        ranged, ["_range"], {"tok": (("n_tokens"), "sum")}
+        ranged, ["_range"], {"tok": ("n_tokens", "sum")}
     ).to_pandas().sort_values("_range", ignore_index=True)
     run = totals["tok"].cumsum() - totals["tok"]
     offsets = dict(zip(totals["_range"].astype(int), run.astype(int)))
 
     def _spans(group: pd.DataFrame) -> pd.DataFrame:
+        def _empty():
+            return pd.DataFrame(
+                {id_col: group[id_col].iloc[:0],
+                 "seq_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64")}
+            )
+
+        # bucketed_group_apply probes with a ZERO-ROW frame when every
+        # group in a bucket returned empty — answer with the schema
+        if not len(group):
+            return _empty()
         g = group.sort_values(id_col, ignore_index=True)
         n = g["n_tokens"].to_numpy()
         start = offsets[int(g["_range"].iloc[0])] + np.concatenate(
@@ -182,10 +194,7 @@ def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
         nz = n > 0
         n, start, ids = n[nz], start[nz], g[id_col].to_numpy()[nz]
         if not len(n):
-            return pd.DataFrame(
-                {id_col: g[id_col].iloc[:0], "seq_id": pd.Series([], dtype="int64"),
-                 "n_tokens": pd.Series([], dtype="int64")}
-            )
+            return _empty()
         s0 = start // seq_len
         s1 = (start + n - 1) // seq_len
         reps = (s1 - s0 + 1).astype(np.int64)

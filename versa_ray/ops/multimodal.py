@@ -148,14 +148,19 @@ class FrameSample:
 
     Dispatches on MAGIC BYTES per payload: Y4M (YUV4MPEG2) payloads
     go through the REAL container parse — the ``frame`` column holds
-    the actual luma plane of evenly strided frames (frame index
-    ``min(fx * max(1, (F-1) // (n_frames-1)), F-1)``, so the first
-    and — when ``F >= n_frames`` — last frames are always sampled).
-    Other formats (compressed video; no opencv/ffmpeg in this
-    environment) fall back to the documented deterministic
-    byte-window stand-in when ``fake=True`` (strided fixed-size
-    windows over the raw payload — the same plumbing shape), and
-    raise NotImplementedError when ``fake=False``."""
+    the actual luma plane of floor-strided frames (frame index
+    ``min(fx * max(1, (F-1) // (n_frames-1)), F-1)``: the first frame
+    is always sampled; the LAST frame is guaranteed only when
+    ``n_frames == 2`` or ``(n_frames - 1)`` divides ``(F - 1)`` —
+    otherwise floor striding stops short of it, and when the clamp
+    engages the tail indices repeat). Other formats (compressed
+    video; no opencv/ffmpeg in this environment) use the documented
+    deterministic byte-window stand-in when ``fake=True`` (strided
+    fixed-size windows over the raw payload — the same plumbing
+    shape; a CORRUPT Y4M-signature payload also falls back rather
+    than killing the task), and raise when ``fake=False`` (
+    NotImplementedError for foreign formats, ValueError for corrupt
+    Y4M)."""
 
     def __init__(self, n_frames: int = 4, frame_bytes: int = 256, fake: bool = True):
         self.n_frames = n_frames
@@ -185,7 +190,16 @@ class FrameSample:
         for mid, payload in zip(batch["media_id"], batch["payload"]):
             data = payload.as_py()
             if data[:10] == Y4M_SIGNATURE:
-                frames = self._sample_y4m(data)
+                if self.fake:
+                    # keep-everything-decodable mode: a corrupt stream
+                    # behind a valid magic falls back to the byte
+                    # windows instead of killing the whole task
+                    try:
+                        frames = list(self._sample_y4m(data))
+                    except ValueError:
+                        frames = self._sample_bytes(data)
+                else:
+                    frames = self._sample_y4m(data)
             elif self.fake:
                 frames = self._sample_bytes(data)
             else:

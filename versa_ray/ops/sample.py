@@ -93,18 +93,20 @@ def token_budget_sample(ds, budget_tokens: int, source_col: str, id_col: str,
     window cumsum). The shuffle moves only a slim ``(source, rank,
     id, n_tokens)`` table — document text never transits — and each
     source's selection is one vectorized cumsum. Partitioning
-    assumption: one source's (slim) rows fit in one task; at ~24
-    bytes/row that holds into the billions of docs per source — for
-    hotter sources, pre-split the source label upstream and divide
-    the budget across the salted labels.
+    assumption: one source's (slim) rows fit in one task; the rank
+    rides as a 32-char md5 hex string (the full digest keeps tie-free
+    ordering SQL-replayable), so figure ~100 bytes/row — hundreds of
+    millions of docs per source per task. For hotter sources,
+    pre-split the source label upstream and divide the budget across
+    the salted labels.
 
     Returns ``(id_col, source_col, n_tokens)`` for the kept docs."""
     from .dedup import bucketed_group_apply
 
     def _slim(df: pd.DataFrame) -> pd.DataFrame:
-        n_tok = (
-            df[text_col].fillna("").str.split().str.len().astype("int64")
-        )
+        from .textstats import whitespace_token_counts
+
+        n_tok = whitespace_token_counts(df[text_col])
         return pd.DataFrame(
             {
                 id_col: df[id_col],

@@ -25,11 +25,19 @@ STOPWORDS = frozenset(
 )
 
 
+def whitespace_token_counts(s: pd.Series) -> pd.Series:
+    """Whitespace token count per value — THE engine-wide ``n_tokens``
+    definition (token_stats, token_budget_sample, pack_sequences all
+    share it, and every SQL oracle replays it as
+    ``len(regexp_split_to_array(trim(text), '\\s+'))``)."""
+    return s.fillna("").str.count(_WORD_RE).astype("int64")
+
+
 def token_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """doc stats: whitespace tokens, BPE-ish tokens, chars, digits."""
     s = batch[text_col].fillna("")
     batch["n_chars"] = s.str.len().astype("int64")
-    batch["n_tokens"] = s.str.count(_WORD_RE).astype("int64")
+    batch["n_tokens"] = whitespace_token_counts(s)
     batch["n_bpe_tokens"] = s.str.count(_BPE_RE).astype("int64")
     batch["n_digits"] = s.str.count(_DIGIT_RE).astype("int64")
     return batch

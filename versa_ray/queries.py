@@ -950,9 +950,15 @@ def q_doc_pack_sequences(sf_dir):
     (doc, sequence) overlap. The global prefix sum is distributed
     (range partition + per-range totals + vectorized cumsum per
     range); DuckDB replays it with a window cumsum."""
+    import ray.data as rd
+
     from .ops.chunking import pack_sequences
 
-    return pack_sequences(_docs(sf_dir), 512, num_ranges=16)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=_blocks_for(),
+    )
+    return pack_sequences(ds, 512, num_ranges=16)
 
 
 def q_doc_top_tokens(sf_dir):
