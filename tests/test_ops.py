@@ -954,6 +954,37 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(u1) == 20
 
 
+def test_near_dup_keep_best(ray_session):
+    """Quality-aware near-dedup keeps the argmax-quality doc of each
+    planted cluster (ties to smallest id) and every singleton."""
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import near_dup_keep_best
+
+    def mktext(seed, n=40):
+        return " ".join(f"tok{seed}_{j}" for j in range(n))
+
+    rows = [
+        {"doc_id": i, "text": mktext(i), "n_chars": 100 + i}
+        for i in range(20)
+    ]
+    # cluster A: 2 ~ 7 ~ 11; doc 7 is the longest -> kept
+    rows[7]["text"] = rows[2]["text"] + " extra"
+    rows[11]["text"] = rows[2]["text"] + " tail"
+    rows[2]["n_chars"], rows[7]["n_chars"], rows[11]["n_chars"] = 50, 900, 900
+    # rows 7 and 11 tie on n_chars -> smaller id (7) wins
+    df = pd.DataFrame(rows)
+    out = near_dup_keep_best(
+        rd.from_pandas(df).repartition(4), by="n_chars", threshold=0.5
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 7 in kept and 2 not in kept and 11 not in kept
+    assert kept == {7} | (set(range(20)) - {2, 7, 11})
+    assert out["n_chars"].dtype.kind == "i"
+    row7 = out[out["doc_id"] == 7].iloc[0]
+    assert row7["cluster"] == 2 and row7["n_chars"] == 900
+
+
 def test_token_budget_sample(ray_session):
     """Per-source token budget: md5-rank prefix whose running token
     total stays within budget — equals a sequential replay, is

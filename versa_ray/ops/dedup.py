@@ -892,6 +892,75 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
     return assign_clusters(ds, pairs, id_col=id_col)
 
 
+def near_dup_keep_best(ds, by, text_col="text", id_col="doc_id",
+                       threshold=0.5, ascending=False, num_buckets=64, **kw):
+    """Quality-aware near-dedup keep rule: one row per near-dup
+    cluster, keeping the BEST document — argmax of the ``by`` column
+    (argmin with ``ascending=True``), ties to the smallest id —
+    instead of :func:`minhash_dedup`'s min-id representative. This is
+    the curation variant: dedup a crawl but keep the longest /
+    highest-quality copy.
+
+    Returns ``(id_col, cluster, by)`` rows. Cluster assignments come
+    from :func:`minhash_dedup`; the quality column joins on through
+    one slim id-bucket shuffle (two ints + ``by`` per row — text
+    never transits), and the per-cluster argmax is the
+    ``grouped_topk`` combiner (local top-1 per batch, one coarse
+    shuffle)."""
+    from .agg import grouped_topk
+
+    assigns = minhash_dedup(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold, **kw
+    )
+    quality = ds.map_batches(
+        lambda df: df[[id_col, by]], batch_format="pandas"
+    )
+    # the tagged union null-fills each side's exclusive columns, which
+    # floats integer dtypes — restore them from the input schema
+    # (metadata-only for parquet reads)
+    sch = ds.schema()
+    by_dtype = dict(zip(sch.names, sch.types))[by].to_pandas_dtype()
+
+    def _tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kind"] = np.int8(1)
+        df["_cbucket"] = coarse_bucket(df, [id_col], num_buckets)
+        return df
+
+    def _tag_q(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kind"] = np.int8(0)
+        df["_cbucket"] = coarse_bucket(df, [id_col], num_buckets)
+        return df
+
+    def _merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "_kind" not in bucket.columns or not len(bucket):
+            return pd.DataFrame(
+                {id_col: [], "cluster": pd.Series([], dtype="int64"),
+                 by: []}
+            )
+        a = bucket[bucket["_kind"] == 1][[id_col, "cluster"]]
+        q = bucket[bucket["_kind"] == 0][[id_col, by]]
+        m = a.merge(q, on=id_col)
+        m["cluster"] = m["cluster"].astype("int64")
+        m[by] = m[by].astype(by_dtype)
+        return m
+
+    joined = (
+        assigns.map_batches(_tag_a, batch_format="pandas")
+        .union(quality.map_batches(_tag_q, batch_format="pandas"))
+        .groupby("_cbucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+    best = grouped_topk(
+        joined, ["cluster"], by, k=1, ascending=ascending,
+        tie_cols=[id_col], num_buckets=num_buckets,
+    )
+    return best.map_batches(
+        lambda df: df.drop(columns=["rank"]), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

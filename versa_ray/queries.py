@@ -756,6 +756,15 @@ def _docs(sf_dir):
     )
 
 
+def _docs_with(sf_dir, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns),
+        override_num_blocks=_blocks_for(),
+    )
+
+
 def q_doc_exact_dedup(sf_dir):
     import ray.data as rd
 
@@ -1104,6 +1113,17 @@ def q_doc_fingerprint(sf_dir):
 
 def q_doc_minhash_dedup(sf_dir):
     return dd.minhash_dedup(_docs(sf_dir), threshold=0.5, concurrency=2)
+
+
+def q_doc_near_dup_keep_best(sf_dir):
+    """Quality-aware near-dedup: one kept doc per near-dup cluster —
+    the LONGEST (n_chars argmax, ties to smallest id) instead of the
+    min-id representative. The DuckDB oracle replays the exact-Jaccard
+    connected components and picks the same argmax via QUALIFY."""
+    return dd.near_dup_keep_best(
+        _docs_with(sf_dir, ["doc_id", "text", "n_chars"]),
+        by="n_chars", threshold=0.5, concurrency=2,
+    )
 
 
 def q_doc_near_dup_pairs(sf_dir):
@@ -2493,6 +2513,7 @@ def build_queries():
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_near_dup_pairs": q_doc_near_dup_pairs,
+        "doc_near_dup_keep_best": q_doc_near_dup_keep_best,
     })
 
 
@@ -3213,6 +3234,32 @@ def build_oracles():
         # this corpus — verified at both sf tiers) + connected
         # components via a recursive reachability CTE, cluster = min
         # reachable id. Mirrors ops.dedup.minhash_dedup end to end.
+        "doc_near_dup_keep_best": (
+            "WITH RECURSIVE "
+            "words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(w)-1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+            "ELSE [array_to_string(w, ' ')] END AS s FROM words), "
+            "p AS (SELECT a.doc_id AS src, b.doc_id AS dst "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(list_concat(a.s, b.s))) >= 0.5), "
+            "edges AS (SELECT src, dst FROM p "
+            "UNION ALL SELECT dst, src FROM p), "
+            "reach(node, r) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r), "
+            "cl AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster "
+            "FROM reach GROUP BY node) "
+            "SELECT d.doc_id, cl.cluster, d.n_chars "
+            "FROM cl JOIN documents d USING (doc_id) "
+            "QUALIFY row_number() OVER (PARTITION BY cl.cluster "
+            "ORDER BY d.n_chars DESC, d.doc_id) = 1"
+        ),
         "doc_minhash_dedup": (
             "WITH RECURSIVE "
             "words AS (SELECT doc_id, "
