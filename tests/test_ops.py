@@ -1475,6 +1475,101 @@ def test_png_codec_roundtrip_all_filters():
         decode_png(bytes(blob))
 
 
+def test_jpeg_codec():
+    """Baseline JFIF codec: lossy round-trip within tolerance on
+    arbitrary images, EXACT analytic reconstruction on constant-block
+    mosaics (all 256 values, two qualities), DHT-driven decode, and
+    hard failures on corrupt/unsupported streams."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from versa_ray.ops.jpeg import decode_jpeg, encode_jpeg, quant_table
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (24, 32, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 15
+    # decode is deterministic
+    assert (decode_jpeg(encode_jpeg(g, quality=90)) == dec).all()
+    rgb = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec3 = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert dec3.shape == (16, 16, 3)
+    assert np.abs(dec3.astype(int) - rgb.astype(int)).max() <= 15
+    # smooth content compresses near-losslessly
+    x = np.linspace(0, 255, 32)
+    smooth = np.clip((x[None, :] + x[:, None]) / 2, 0, 255).astype(np.uint8)
+    d4 = decode_jpeg(encode_jpeg(smooth, quality=90))[:, :, 0]
+    assert np.abs(d4.astype(int) - smooth.astype(int)).max() <= 3
+
+    def analytic(c, q):
+        dcq = math.floor(8 * (c - 128) / q + 0.5 + 1e-9)
+        return min(255, max(0, math.floor(dcq * q / 8 + 0.5 + 1e-9) + 128))
+
+    for quality in (40, 85):
+        q = int(quant_table(quality)[0, 0])
+        img = np.zeros((8, 8 * 256), dtype=np.uint8)
+        for c in range(256):
+            img[:, c * 8:(c + 1) * 8] = c
+        out = decode_jpeg(encode_jpeg(img, quality=quality))[:, :, 0]
+        for c in range(256):
+            assert (out[:, c * 8:(c + 1) * 8] == analytic(c, q)).all(), (
+                quality, c
+            )
+
+    blob = encode_jpeg(g)
+    for bad in (b"junk", blob[:40], blob[:-2]):
+        with _pytest.raises(ValueError):
+            decode_jpeg(bad)
+    with _pytest.raises(ValueError):  # non-multiple-of-8 dims
+        encode_jpeg(np.zeros((10, 16), np.uint8))
+
+
+def test_decode_image_jpeg_dispatch():
+    """DecodeImage magic-byte dispatch decodes JPEG payloads through
+    the real codec (codec='jpeg') alongside PNG and fake payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from versa_ray.ops.jpeg import decode_jpeg, encode_jpeg
+    from versa_ray.ops.multimodal import DecodeImage, encode_png
+
+    rng = np.random.RandomState(4)
+    g = rng.randint(0, 256, (8, 16), dtype=np.uint8)
+    png_img = rng.randint(0, 256, (6, 7, 3), dtype=np.uint8)
+    jblob = encode_jpeg(g, quality=80)
+    want_sum = int(decode_jpeg(jblob)[:, :, 0].astype(np.int64).sum())
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array(
+                [jblob, encode_png(png_img), b"\x01\x02\x03" * 50],
+                pa.binary(),
+            ),
+        }
+    )
+    out = DecodeImage(fake=True)(tbl)
+    assert out["codec"].to_pylist() == ["jpeg", "png", "fake"]
+    assert out["width"].to_pylist()[0] == 16
+    assert out["sum_r"].to_pylist()[0] == want_sum
+    # corrupt JPEG body behind a valid magic: fake=True falls back,
+    # fake=False raises
+    corrupt = pa.table(
+        {
+            "media_id": pa.array([9], pa.int64()),
+            "payload": pa.array([b"\xff\xd8" + bytes(64)], pa.binary()),
+        }
+    )
+    fb = DecodeImage(fake=True)(corrupt)
+    assert fb["codec"].to_pylist() == ["fake"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DecodeImage(fake=False)(corrupt)
+
+
 def test_y4m_codec_roundtrip():
     """Y4M encode/decode round-trips mono and 4:2:0 streams with
     exact planes, header params, and hard failures on corruption."""

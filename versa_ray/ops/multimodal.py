@@ -5,7 +5,7 @@ columns beside them. Decode/resize/frame-sample stages are actor-pool
 ``map_batches`` classes with real Ray plumbing (schema, batch sizing,
 actor signatures, output layout).
 
-Three REAL codecs ship with no third-party deps:
+Four REAL codecs ship with no third-party deps:
 
 * WAV (PCM) via the stdlib ``wave`` module — ``encode_wav`` /
   ``decode_wav`` and the ``DecodeAudio`` actor stage.
@@ -13,17 +13,20 @@ Three REAL codecs ship with no third-party deps:
   with all five scanline filters implemented (encoder can apply any
   filter; decoder inverts them vectorized per row), and the
   ``DecodePng`` actor stage.
+* JPEG (baseline JFIF) via ``ops/jpeg.py`` — real marker walk,
+  DHT-driven Huffman entropy coding, DCT/quantization both
+  directions, grayscale + YCbCr 4:4:4.
 * Y4M (YUV4MPEG2) video via a real container parse — ``encode_y4m``
   / ``decode_y4m`` (mono and 4:2:0 planar colorspaces), the
   ``DecodeVideo`` actor stage, and REAL frame extraction in
   ``FrameSample`` (Y4M payloads yield actual luma planes).
 
-Compressed codecs (JPEG/WEBP images, H.26x/VP9 video) are still
-stubbed: ``DecodeImage`` / ``FrameSample`` dispatch on magic bytes —
-PNG / Y4M payloads decode through the REAL codecs; other formats
-raise NotImplementedError unless ``fake=True`` selects the
-deterministic byte-level fake, which keeps downstream stages
-testable.
+Remaining stubs: formats that need PIL/opencv/ffmpeg (WEBP/AVIF
+images, H.26x/VP9 video). ``DecodeImage`` / ``FrameSample`` dispatch
+on magic bytes — PNG / JPEG / Y4M payloads decode through the REAL
+codecs; other formats raise NotImplementedError unless ``fake=True``
+selects the deterministic byte-level fake, which keeps downstream
+stages testable.
 
 Batch-size guidance baked into helpers: media rows are wide, so
 batches stay small (default 32) and blocks hold few rows — let the
@@ -76,8 +79,10 @@ class DecodeImage:
     features ``(media_id, codec, width, height, sum_r, sum_g, sum_b)``.
 
     Dispatches on MAGIC BYTES per payload: PNG payloads go through the
-    REAL zlib/struct codec below (``decode_png``) regardless of
-    ``fake``. Formats this environment cannot decode (JPEG/WEBP/... —
+    REAL zlib/struct codec below (``decode_png``) and JPEG payloads
+    through the REAL baseline JFIF codec (``ops/jpeg.py`` — marker
+    walk, DHT-driven Huffman decode, inverse DCT), regardless of
+    ``fake``. Formats this environment cannot decode (WEBP/AVIF/... —
     no PIL/opencv) raise NotImplementedError at decode time unless
     ``fake=True``, which routes them to the documented deterministic
     byte-level stand-in (codec='fake': width = payload length,
@@ -89,15 +94,23 @@ class DecodeImage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg
+
         codecs, wds, hts, s_r, s_g, s_b = [], [], [], [], [], []
         for payload in batch["payload"]:
             data = payload.as_py()
             decoded = False
+            real = None
             if data[:8] == PNG_SIGNATURE:
+                real = ("png", decode_png)
+            elif data[:2] == b"\xff\xd8":
+                real = ("jpeg", decode_jpeg)
+            if real is not None:
+                name, codec_fn = real
                 try:
-                    img = decode_png(data)
+                    img = codec_fn(data)
                 except (ValueError, IndexError, struct.error, zlib.error):
-                    # corrupt/truncated PNG body behind a valid magic:
+                    # corrupt/truncated body behind a valid magic:
                     # with fake=True (keep-everything-decodable mode)
                     # fall through to the byte-level stand-in instead
                     # of killing the whole decode task on one payload
@@ -106,7 +119,7 @@ class DecodeImage:
                 else:
                     h, w, ch = img.shape
                     sums = img.reshape(-1, ch).astype(np.int64).sum(axis=0)
-                    codecs.append("png")
+                    codecs.append(name)
                     wds.append(w)
                     hts.append(h)
                     s_r.append(int(sums[0]))
@@ -125,9 +138,9 @@ class DecodeImage:
                 s_b.append(int(arr[1::2].sum()))
             else:
                 raise NotImplementedError(
-                    "non-PNG image decode requires PIL/opencv, not present "
-                    "in this environment; construct with fake=True for the "
-                    "deterministic byte-level stand-in"
+                    "non-PNG/JPEG image decode requires PIL/opencv, not "
+                    "present in this environment; construct with fake=True "
+                    "for the deterministic byte-level stand-in"
                 )
         return pa.table(
             {

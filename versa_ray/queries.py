@@ -2280,6 +2280,49 @@ def q_multimodal_png_features(sf_dir):
     return decode_png_features(media)
 
 
+def q_multimodal_jpeg_features(sf_dir):
+    """REAL (lossy!) image codec path: deterministic constant-per-8x8-
+    block grayscale mosaics derived from doc_id are encoded to
+    baseline JFIF at quality 40 (q_dc = 20 — real quantization loss)
+    and decoded back by the DecodeImage pool through the full marker/
+    Huffman/IDCT pipeline. Constant blocks make the lossy
+    reconstruction ANALYTIC (AC coefficients are exactly zero), so
+    the DuckDB oracle replays the quantize→dequantize→round chain
+    bit-exactly: recon = clip(floor(floor(8(c-128)/20 + .5 + 1e-9)
+    * 20/8 + .5 + 1e-9) + 128, 0, 255). Any drift in the entropy
+    coding, zigzag, or DCT scaling hash-mismatches."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import decode_features
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.jpeg import encode_jpeg
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            bw = 2 + d % 3
+            bh = 1 + d % 2
+            img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+            for i in range(bw * bh):
+                by, bx = divmod(i, bw)
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    d * 37 + i * 29
+                ) % 256
+            ids.append(d)
+            payloads.append(encode_jpeg(img, quality=40))
+        return pa_.table(
+            {
+                "media_id": pa_.array(ids, type=pa_.int64()),
+                "payload": pa_.array(payloads, type=pa_.binary()),
+            }
+        )
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32
+    )
+    return decode_features(media, fake=False)
+
+
 def _synth_y4m_batch(tbl):
     """Deterministic Y4M videos from doc_ids: luma pixel (flat index
     p) of frame f is ``(d*31 + f*17 + p*7) % 256``; even doc_ids are
@@ -2449,6 +2492,7 @@ def build_queries():
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "fullquery_negation": q_fullquery_negation,
@@ -2634,6 +2678,27 @@ def build_oracles():
             "CAST(h AS BIGINT) AS height, CAST(SUM(r) AS BIGINT) AS sum_r, "
             "CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
             "FROM px GROUP BY doc_id, w, h ORDER BY media_id"
+        ),
+        "multimodal_jpeg_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 2 + (doc_id % 3) AS bw, "
+            "1 + (doc_id % 2) AS bh FROM ids), "
+            "bs AS (SELECT unnest(generate_series(0, 7)) AS i), "
+            "px AS (SELECT p.doc_id, p.bw, p.bh, "
+            "(p.doc_id * 37 + b.i * 29) % 256 AS c "
+            "FROM par p JOIN bs b ON b.i < p.bw * p.bh), "
+            "rec AS (SELECT doc_id, bw, bh, "
+            "LEAST(255, GREATEST(0, CAST(floor("
+            "floor(8.0 * (c - 128) / 20 + 0.5 + 0.000000001) * 20 / 8.0 "
+            "+ 0.5 + 0.000000001) AS BIGINT) + 128)) AS r FROM px) "
+            "SELECT doc_id AS media_id, 'jpeg' AS codec, "
+            "CAST(bw * 8 AS BIGINT) AS width, "
+            "CAST(bh * 8 AS BIGINT) AS height, "
+            "CAST(SUM(64 * r) AS BIGINT) AS sum_r, "
+            "CAST(SUM(64 * r) AS BIGINT) AS sum_g, "
+            "CAST(SUM(64 * r) AS BIGINT) AS sum_b "
+            "FROM rec GROUP BY doc_id, bw, bh ORDER BY media_id"
         ),
         "multimodal_video_features": (
             "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
