@@ -2073,6 +2073,46 @@ def q_lineitem_agg(sf_dir):
     )
 
 
+def q_order_priority_revenue(sf_dir):
+    """Big x big fact join on the skew-salted path: lineitem ⋈ orders
+    on orderkey (left side salted, right side replicated per salt),
+    then revenue per order priority. Revenue is EXACT integer 1e-4
+    currency units — cents x (100 - discount%) — so the distributed
+    sum is associativity-proof and the DuckDB oracle hash-exact (a
+    float SUM over a big fact table diverges from a serial SUM in the
+    last bits)."""
+    import ray.data as rd
+
+    from .ops.agg import grouped_agg_small
+    from .ops.joins import salted_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_blocks_for(),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        override_num_blocks=_blocks_for(),
+    )
+
+    def _rev(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"], "rev_e4": cents * (100 - disc)}
+        )
+
+    joined = salted_join(
+        li.map_batches(_rev, batch_format="pandas"), orders,
+        on="l_orderkey", right_on="o_orderkey", salt=4,
+    )
+    return grouped_agg_small(
+        joined, ["o_orderpriority"], {"revenue_e4": ("rev_e4", "sum")}
+    )
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2488,6 +2528,7 @@ def build_queries():
         "lineitem_quantiles": q_lineitem_quantiles,
         "lineitem_quantiles_exact": q_lineitem_quantiles_exact,
         "orders_by_segment": q_orders_by_segment,
+        "order_priority_revenue": q_order_priority_revenue,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -3278,6 +3319,14 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "order_priority_revenue": (
+            "SELECT o_orderpriority, CAST(SUM("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4 FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey GROUP BY o_orderpriority "
+            "ORDER BY o_orderpriority"
         ),
         "orders_by_segment": (
             "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, "
