@@ -2113,6 +2113,52 @@ def q_order_priority_revenue(sf_dir):
     )
 
 
+def q_lineitem_urgent_semi(sf_dir):
+    """Bloom-pushdown semi-join, exact semantics: lineitem rows whose
+    orderkey belongs to a 1-URGENT order. The bloom (distributed
+    bitmap build, broadcast probe) prunes the fact table first — its
+    false positives are then removed by the exact distributed
+    semi-join, so the bloom stage changes cost, never the answer —
+    and the DuckDB IN-subquery oracle hash-checks the final rollup
+    per linestatus (exact integer quantity-cents sum)."""
+    import ray.data as rd
+
+    from .ops.agg import grouped_agg_small
+    from .ops.joins import bloom_semi_filter, build_bloom, semi_join_keys
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_quantity"],
+        override_num_blocks=_blocks_for(),
+    )
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        override_num_blocks=_blocks_for(),
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+
+    bloom = build_bloom(keys, "o_orderkey")
+    pruned = bloom_semi_filter(li, bloom, "l_orderkey")
+    exact = semi_join_keys(
+        pruned, keys, on="l_orderkey", keys_on="o_orderkey",
+        left_cols=["l_orderkey", "l_linestatus", "l_quantity"],
+    )
+
+    def _q100(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_linestatus": df["l_linestatus"],
+                "qty100": (df["l_quantity"] * 100).round().astype("int64"),
+            }
+        )
+
+    return grouped_agg_small(
+        exact.map_batches(_q100, batch_format="pandas"),
+        ["l_linestatus"],
+        {"n_items": ("l_linestatus", "size"), "sum_qty100": ("qty100", "sum")},
+    )
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2529,6 +2575,7 @@ def build_queries():
         "lineitem_quantiles_exact": q_lineitem_quantiles_exact,
         "orders_by_segment": q_orders_by_segment,
         "order_priority_revenue": q_order_priority_revenue,
+        "lineitem_urgent_semi": q_lineitem_urgent_semi,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -3319,6 +3366,14 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "lineitem_urgent_semi": (
+            "SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty100 FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
         ),
         "order_priority_revenue": (
             "SELECT o_orderpriority, CAST(SUM("
