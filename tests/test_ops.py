@@ -1527,6 +1527,40 @@ def test_jpeg_codec():
         encode_jpeg(np.zeros((10, 16), np.uint8))
 
 
+def test_jpeg_decoder_fuzz():
+    """Malformed JPEG streams must fail with the exception classes
+    DecodeImage's fake-mode fallback catches (ValueError/IndexError/
+    struct.error) — never hang or leak another type."""
+    import struct as _struct
+
+    import numpy as np
+
+    from versa_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(6)
+    blob = bytearray(encode_jpeg(rng.randint(0, 256, (8, 8), np.uint8)))
+    ok_types = (ValueError, IndexError, _struct.error)
+    # random tails behind a valid SOI
+    for _ in range(50):
+        n = int(rng.randint(0, 200))
+        payload = b"\xff\xd8" + rng.randint(0, 256, n, np.uint8).tobytes()
+        try:
+            decode_jpeg(payload)
+        except ok_types:
+            pass
+    # single-byte corruptions of a valid stream either decode to a
+    # well-formed array or raise one of the caught types
+    for _ in range(60):
+        i = int(rng.randint(2, len(blob) - 2))
+        mut = bytearray(blob)
+        mut[i] ^= int(rng.randint(1, 256))
+        try:
+            out = decode_jpeg(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ok_types:
+            pass
+
+
 def test_decode_image_jpeg_dispatch():
     """DecodeImage magic-byte dispatch decodes JPEG payloads through
     the real codec (codec='jpeg') alongside PNG and fake payloads."""

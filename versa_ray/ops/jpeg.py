@@ -429,6 +429,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if end < 0:
         raise ValueError("missing EOI")
     r = _BitReader(payload[pos:end])
+    # a block costs >= 13 entropy bits (4-bit DC code + 9-bit EOB), so
+    # dims that imply more blocks than the stream could hold are a
+    # corrupt SOF — reject before allocating h x w buffers
+    if (h // 8) * (w_ // 8) * nc > (end - pos) * 8 // 13 + 1:
+        raise ValueError("frame dimensions exceed entropy data")
     out = np.zeros((h, w_, nc), dtype=np.float64)
     preds = [0] * nc
     comp_qt = []
@@ -449,6 +454,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 dct, act = dec_tabs[ci]
                 zz = np.zeros(64, dtype=np.int64)
                 s = _read_symbol(r, dct)
+                if s > 11:  # baseline DC size categories are 0..11
+                    raise ValueError("corrupt DC coefficient stream")
                 diff = _extend(r.bits(s), s) if s else 0
                 preds[ci] += diff
                 zz[0] = preds[ci]
@@ -462,7 +469,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         continue
                     run, size = sym >> 4, sym & 0xF
                     k += run
-                    if k > 63 or size == 0:
+                    if k > 63 or size == 0 or size > 10:
+                        # baseline AC size categories are 1..10
                         raise ValueError("corrupt AC coefficient stream")
                     zz[k] = _extend(r.bits(size), size)
                     k += 1
