@@ -954,6 +954,46 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(u1) == 20
 
 
+def test_approx_distinct_hll(ray_session):
+    """HyperLogLog distinct count: within 5% of exact at several
+    cardinalities, partition-invariant (register merge is exact max),
+    global and per-key modes agree with pandas nunique."""
+    import numpy as np
+    import ray.data as rd
+
+    from versa_ray.ops.agg import approx_distinct
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], [20000, 3000, 50]),
+            "v": np.concatenate(
+                [
+                    rng.randint(0, 12000, 20000),   # ~10.6k distinct
+                    np.arange(3000) * 17,           # 3000 distinct
+                    np.arange(50),                  # 50 distinct
+                ]
+            ),
+        }
+    )
+    truth = df.groupby("k")["v"].nunique()
+    ds = rd.from_pandas(df).repartition(7)
+    est = approx_distinct(ds, "v", key="k").to_pandas().set_index("k")
+    for k in ("a", "b", "c"):
+        rel = abs(est.loc[k, "approx_distinct"] - truth[k]) / truth[k]
+        assert rel < 0.05, (k, est.loc[k, "approx_distinct"], truth[k])
+    # partition invariance: registers merge by max, so the estimate is
+    # bit-identical across block layouts
+    est2 = approx_distinct(
+        rd.from_pandas(df).repartition(2), "v", key="k"
+    ).to_pandas().set_index("k")
+    assert (est["approx_distinct"] == est2["approx_distinct"]).all()
+    # global mode
+    g = approx_distinct(ds, "v")
+    g_truth = df["v"].nunique()
+    assert abs(g - g_truth) / g_truth < 0.05
+
+
 def test_near_dup_keep_best(ray_session):
     """Quality-aware near-dedup keeps the argmax-quality doc of each
     planted cluster (ties to smallest id) and every singleton."""

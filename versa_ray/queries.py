@@ -2159,6 +2159,48 @@ def q_lineitem_urgent_semi(sf_dir):
     )
 
 
+def q_events_user_hll(sf_dir):
+    """HyperLogLog approximate distinct users per event type —
+    the classic decomposable distinct-count sketch (per-batch 4 KiB
+    register arrays merged by elementwise max; value cardinality
+    never ships). No SQL oracle by nature (the estimate depends on
+    the register hash); instead the query HARD-FAILS (raises) if any
+    group's estimate drifts more than 5% from the exact distributed
+    distinct count computed alongside it — self-gating like the ANN
+    recall gates. Emits (event_type, approx_distinct, exact_distinct,
+    rel_err) rows."""
+    import ray.data as rd
+
+    from .ops.agg import approx_distinct
+    from .ops.dedup import dedup_rows
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+        override_num_blocks=_blocks_for(),
+    )
+    approx = approx_distinct(ev, "user_id", key="event_type").to_pandas()
+    exact = (
+        dedup_rows(ev, ["event_type", "user_id"])
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact_distinct"})
+    )
+    out = approx.merge(exact, on="event_type")
+    out["rel_err"] = (
+        (out["approx_distinct"] - out["exact_distinct"]).abs()
+        / out["exact_distinct"].clip(lower=1)
+    )
+    if (out["rel_err"] > 0.05).any():
+        raise AssertionError(
+            "HLL distinct drifted >5%% from exact: %s"
+            % out.to_dict("records")
+        )
+    out["approx_distinct"] = out["approx_distinct"].round(2)
+    out["rel_err"] = out["rel_err"].round(4)
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2576,6 +2618,7 @@ def build_queries():
         "orders_by_segment": q_orders_by_segment,
         "order_priority_revenue": q_order_priority_revenue,
         "lineitem_urgent_semi": q_lineitem_urgent_semi,
+        "events_user_hll": q_events_user_hll,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
