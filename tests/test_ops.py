@@ -954,6 +954,40 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(u1) == 20
 
 
+def test_triangle_count(ray_session):
+    """Distributed node-iterator triangle count equals brute-force
+    enumeration on a random graph; empty and triangle-free graphs
+    return 0."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from versa_ray.ops.graph import triangle_count
+
+    rng = np.random.RandomState(0)
+    n = 40
+    pairs = [
+        (a, b) for a in range(n) for b in range(a + 1, n)
+        if rng.rand() < 0.2
+    ]
+    es = set(pairs)
+    brute = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    )
+    edges = pd.DataFrame(pairs, columns=["u", "v"]).astype("int64")
+    got = triangle_count(rd.from_pandas(edges).repartition(5))
+    assert int(got["n_triangles"].iloc[0]) == brute and brute > 0
+    # a path graph has no triangles (and the all-empty-blocks path
+    # must still emit the single 0 row)
+    path = pd.DataFrame(
+        {"u": range(9), "v": range(1, 10)}
+    ).astype("int64")
+    got0 = triangle_count(rd.from_pandas(path))
+    assert int(got0["n_triangles"].iloc[0]) == 0
+
+
 def test_approx_distinct_hll(ray_session):
     """HyperLogLog distinct count: within 5% of exact at several
     cardinalities, partition-invariant (register merge is exact max),

@@ -2201,6 +2201,43 @@ def q_events_user_hll(sf_dir):
     return out.sort_values("event_type", ignore_index=True)
 
 
+def q_part_triangles(sf_dir):
+    """Exact triangle count of the parts-co-ordered graph (two parts
+    are adjacent when some order contains both): per-order pair
+    explosion (item counts are bounded per order) → distinct
+    canonical edges → distributed node-iterator wedge/edge semi-join
+    (`ops/graph.triangle_count`). DuckDB replays it with a three-way
+    edge self-join, hash-exact."""
+    import ray.data as rd
+
+    from .ops.dedup import bucketed_group_apply, dedup_rows
+    from .ops.graph import triangle_count
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_blocks_for(),
+    )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="int64"),
+                 "v": pd.Series([], dtype="int64")}
+            )
+        parts = np.unique(group["l_partkey"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"u": parts[:0], "v": parts[:0]})
+        ia, ib = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"u": parts[ia], "v": parts[ib]})
+
+    edges = dedup_rows(
+        bucketed_group_apply(li, ["l_orderkey"], _pairs, min_group_size=2),
+        ["u", "v"],
+    )
+    return triangle_count(edges)
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2619,6 +2656,7 @@ def build_queries():
         "order_priority_revenue": q_order_priority_revenue,
         "lineitem_urgent_semi": q_lineitem_urgent_semi,
         "events_user_hll": q_events_user_hll,
+        "part_triangles": q_part_triangles,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -3409,6 +3447,14 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "part_triangles": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"
         ),
         "lineitem_urgent_semi": (
             "SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_items, "
