@@ -954,6 +954,39 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(u1) == 20
 
 
+def test_funnel_counts(ray_session):
+    """Funnel semantics: earliest qualifying event per step, strictly
+    ordered, optional anchor window; cumulative-reach counts."""
+    import ray.data as rd
+
+    from versa_ray.ops.windows import funnel_counts
+
+    rows = []
+
+    def ev(u, t, ty):
+        rows.append(
+            {"user_id": u, "event_type": ty,
+             "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t)}
+        )
+
+    ev(1, 0, "view"); ev(1, 10, "click"); ev(1, 20, "purchase")  # full
+    ev(2, 0, "view"); ev(2, 5, "click")                          # 2 steps
+    ev(3, 0, "click"); ev(3, 5, "view")      # click precedes view -> 1
+    ev(4, 0, "purchase")                                         # 0 steps
+    ev(5, 0, "view"); ev(5, 200, "click"); ev(5, 210, "purchase")
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(3)
+    out = funnel_counts(ds, ["view", "click", "purchase"])
+    assert out["step"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [4, 3, 2]
+    # 1h anchor window cuts user 5's late click/purchase
+    outw = funnel_counts(ds, ["view", "click", "purchase"], within="1h")
+    assert outw["n_users"].tolist() == [4, 2, 1]
+    # no qualifying events at all -> explicit zero rows
+    none = funnel_counts(ds, ["signup", "view"])
+    assert none["n_users"].tolist() == [0, 0]
+
+
 def test_triangle_count(ray_session):
     """Distributed node-iterator triangle count equals brute-force
     enumeration on a random graph; empty and triangle-free graphs

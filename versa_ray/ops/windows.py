@@ -10,6 +10,7 @@ relying on per-key locality, not global order.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -215,3 +216,96 @@ def session_windows(ds, ts_col="ts", key="user_id", gap="30min"):
         return out.reset_index(drop=True)
 
     return bucketed_group_apply(ds, [key], _sessions)
+
+
+def funnel_counts(ds, steps, ts_col="ts", user_col="user_id",
+                  type_col="event_type", within=None, num_buckets=64):
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly after it, then step 3 after that, ... Each user's
+    progression uses the EARLIEST qualifying event per step (first
+    step-1 event, first step-2 event strictly later, ...). With
+    ``within`` (a pandas Timedelta / string like ``"2h"``), every
+    subsequent step must also land within that window of the STEP-1
+    anchor event.
+
+    One coarse-bucket shuffle on the user key; per user the step scan
+    is a few ``searchsorted`` probes over that user's sorted per-step
+    timestamps — no corpus-wide sort, nothing user-cardinality on the
+    driver. Returns one row per step: ``(step_ix, step, n_users)``
+    (cumulative-reach counts, so n_users is non-increasing)."""
+    from .dedup import bucketed_group_apply
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    win = pd.Timedelta(within) if within is not None else None
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[type_col].isin(steps)]
+        return pd.DataFrame(
+            {
+                user_col: sub[user_col],
+                type_col: sub[type_col],
+                ts_col: sub[ts_col],
+            }
+        )
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({"step_ix": pd.Series([], dtype="int64")})
+        per_step = {
+            s: np.sort(g[ts_col].to_numpy())
+            for s, g in group.groupby(type_col, sort=False)
+        }
+        reached = 0
+        t = None
+        anchor = None
+        for s in steps:
+            arr = per_step.get(s)
+            if arr is None or not len(arr):
+                break
+            if t is None:
+                t = arr[0]
+                anchor = t
+            else:
+                ix = np.searchsorted(arr, t, side="right")
+                if ix >= len(arr):
+                    break
+                t = arr[ix]
+                if win is not None and t - anchor > win:
+                    break
+            reached += 1
+        return pd.DataFrame({"step_ix": np.arange(reached, dtype="int64")})
+
+    slim = ds.map_batches(_slim, batch_format="pandas")
+    per_user = bucketed_group_apply(
+        slim, [user_col], _scan, num_buckets=num_buckets
+    )
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        if "step_ix" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"step_ix": pd.Series([], dtype="int64"),
+                 "n_users": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("step_ix", as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    # <= num_buckets x len(steps) partial rows merge on the driver,
+    # padding steps nobody reached with explicit zero rows
+    parts = per_user.map_batches(_count, batch_format="pandas").to_pandas()
+    if len(parts):
+        merged = parts.groupby("step_ix", as_index=False)["n_users"].sum()
+        counts = dict(zip(merged["step_ix"].astype(int),
+                          merged["n_users"].astype(int)))
+    else:
+        counts = {}
+    return pd.DataFrame(
+        {
+            "step_ix": np.arange(len(steps), dtype="int64"),
+            "step": steps,
+            "n_users": np.array(
+                [counts.get(i, 0) for i in range(len(steps))], dtype="int64"
+            ),
+        }
+    )

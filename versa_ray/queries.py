@@ -2238,6 +2238,24 @@ def q_part_triangles(sf_dir):
     return triangle_count(edges)
 
 
+def q_events_funnel(sf_dir):
+    """Ordered funnel (view → click → purchase): users counted at each
+    step they reach, where every step's event must be STRICTLY later
+    than the previous step's earliest qualifying event. One user-key
+    bucket shuffle; per-user scan is a few searchsorted probes. The
+    DuckDB oracle replays the same chained MIN(ts) recurrence."""
+    import ray.data as rd
+
+    from .ops.windows import funnel_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        override_num_blocks=_blocks_for(),
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2657,6 +2675,7 @@ def build_queries():
         "lineitem_urgent_semi": q_lineitem_urgent_semi,
         "events_user_hll": q_events_user_hll,
         "part_triangles": q_part_triangles,
+        "events_funnel": q_events_funnel,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -3447,6 +3466,22 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "SELECT 0 AS step_ix, 'view' AS step, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s2 "
+            "UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) "
+            "FROM s3) ORDER BY step_ix"
         ),
         "part_triangles": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
