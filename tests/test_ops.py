@@ -987,6 +987,40 @@ def test_funnel_counts(ray_session):
     assert none["n_users"].tolist() == [0, 0]
 
 
+def test_cohort_retention(ray_session):
+    """Cohort table: first-activity day buckets, per-day return
+    counts, duplicate events within a day collapse."""
+    import ray.data as rd
+
+    from versa_ray.ops.windows import cohort_retention
+
+    rows = []
+
+    def ev(u, day):
+        rows.append(
+            {"user_id": u,
+             "ts": pd.Timestamp("2024-01-01")
+             + pd.Timedelta(days=day, hours=3)}
+        )
+
+    ev(1, 0); ev(1, 0); ev(1, 1); ev(1, 5)
+    ev(2, 0); ev(2, 5)
+    ev(3, 1); ev(3, 2)
+    out = (
+        cohort_retention(rd.from_pandas(pd.DataFrame(rows)).repartition(3))
+        .to_pandas()
+        .sort_values(["cohort", "period_offset"], ignore_index=True)
+    )
+    got = [
+        (str(r.cohort.date()), int(r.period_offset), int(r.n_users))
+        for r in out.itertuples()
+    ]
+    assert got == [
+        ("2024-01-01", 0, 2), ("2024-01-01", 1, 1), ("2024-01-01", 5, 2),
+        ("2024-01-02", 0, 1), ("2024-01-02", 1, 1),
+    ]
+
+
 def test_triangle_count(ray_session):
     """Distributed node-iterator triangle count equals brute-force
     enumeration on a random graph; empty and triangle-free graphs

@@ -309,3 +309,53 @@ def funnel_counts(ds, steps, ts_col="ts", user_col="user_id",
             ),
         }
     )
+
+
+def cohort_retention(ds, ts_col="ts", user_col="user_id", freq="D",
+                     num_buckets=64):
+    """Cohort retention table: users bucketed by their FIRST activity
+    period (the cohort), counted in every later period they return.
+    Returns ``(cohort, period_offset, n_users)`` — offset 0 is the
+    cohort size, offset k the users active k periods after their
+    first.
+
+    Scale shape: (user, period) pairs dedup through one coarse-bucket
+    shuffle, each user's rows meet once more to pick up the min
+    period (second bucket shuffle), and the final count is a
+    small-cardinality rollup (periods x periods rows). Nothing
+    user-cardinality touches the driver."""
+    from .agg import grouped_agg_small
+    from .dedup import bucketed_group_apply, dedup_rows
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_col: df[user_col],
+                "_period": pd.to_datetime(df[ts_col]).dt.floor(freq),
+            }
+        )
+
+    ud = dedup_rows(
+        ds.map_batches(_slim, batch_format="pandas"),
+        [user_col, "_period"],
+        num_buckets=num_buckets,
+    )
+
+    def _offsets(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {"cohort": pd.Series([], dtype="datetime64[ns]"),
+                 "period_offset": pd.Series([], dtype="int64")}
+            )
+        p = group["_period"]
+        cohort = p.min()
+        off = ((p - cohort) / pd.Timedelta("1" + freq)).astype("int64")
+        return pd.DataFrame({"cohort": cohort, "period_offset": off})
+
+    per_user = bucketed_group_apply(
+        ud, [user_col], _offsets, num_buckets=num_buckets
+    )
+    return grouped_agg_small(
+        per_user, ["cohort", "period_offset"],
+        {"n_users": ("period_offset", "size")},
+    )

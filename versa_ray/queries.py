@@ -2256,6 +2256,23 @@ def q_events_funnel(sf_dir):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_events_cohort_retention(sf_dir):
+    """Daily cohort retention over the events stream: users bucketed
+    by first-activity day, counted in every later day they return.
+    Two coarse-bucket shuffles (distinct (user, day), then per-user
+    min-day offsets) + a small rollup. The DuckDB oracle replays it
+    with date_trunc + a min-day self-join."""
+    import ray.data as rd
+
+    from .ops.windows import cohort_retention
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        override_num_blocks=_blocks_for(),
+    )
+    return cohort_retention(ev, freq="D")
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2676,6 +2693,7 @@ def build_queries():
         "events_user_hll": q_events_user_hll,
         "part_triangles": q_part_triangles,
         "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -3466,6 +3484,17 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "events_cohort_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "date_trunc('day', ts) AS d FROM events), "
+            "c AS (SELECT user_id, MIN(d) AS cohort FROM ud "
+            "GROUP BY user_id) "
+            "SELECT c.cohort, "
+            "CAST(date_diff('day', c.cohort, ud.d) AS BIGINT) "
+            "AS period_offset, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM ud JOIN c ON ud.user_id = c.user_id "
+            "GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset"
         ),
         "events_funnel": (
             "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
