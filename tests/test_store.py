@@ -247,6 +247,25 @@ def test_remove_statements(ray_session):
     assert (links[5][0], links[5][1], links[5][2]) not in remaining
 
 
+def test_intersect_statements(ray_session):
+    """Distributed statement intersection: full-quad equality, both
+    sides Datasets, duplicates collapse, schema dtypes preserved."""
+    links = _sample_links()
+    a = linkset.from_links(links[:8] + links[:2])      # dup rows in a
+    b = linkset.from_links(links[4:])
+    out = linkset.intersect_statements(a, b).to_pandas()
+    want = {(l[0], l[1], l[2]) for l in links[4:8]}
+    got = set(map(tuple, out[["origin", "rel", "target"]].itertuples(
+        index=False)))
+    assert got == want and len(out) == len(want)
+    assert out["target_is_iri"].dtype == bool
+    # disjoint sets intersect empty
+    empty = linkset.intersect_statements(
+        linkset.from_links(links[:2]), linkset.from_links(links[5:7])
+    )
+    assert empty.count() == 0
+
+
 def test_partition_metrics(ray_session, tmp_path):
     """Per-partition metrics come from Parquet footers only and must
     account for every row; the write-time manifest records them."""

@@ -137,6 +137,36 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+def intersect_statements(a, b, num_buckets=64):
+    """Statement-set INTERSECTION of two link-sets (full-quad
+    equality, attrs included). Both sides may be corpus-sized: a's
+    rows dedup and carry their composite quad key, b reduces to its
+    distinct quad keys, and one coarse-bucket semi-join
+    (ops.joins.semi_join_keys) keeps a's statements present in b —
+    no driver-side key set, no broadcast. Complements
+    ``remove_statements`` (difference vs a small set) and ``union``."""
+    from ..ops.dedup import dedup_rows
+    from ..ops.joins import semi_join_keys
+
+    left = dedup_rows(with_quad_key(a), ["qkey"], num_buckets=num_buckets)
+    right = with_quad_key(b).map_batches(
+        lambda tbl: tbl.select(["qkey"]), batch_format="pyarrow"
+    )
+    out = semi_join_keys(
+        left, right, on="qkey", num_buckets=num_buckets,
+        left_cols=["origin", "rel", "target", "target_is_iri", "attrs",
+                   "qkey"],
+    )
+    def _restore(df):
+        # the semi-join's tagged union null-fills left columns on key
+        # rows, upcasting bool to object — restore the link schema
+        df = df.drop(columns=["qkey"])
+        df["target_is_iri"] = df["target_is_iri"].astype(bool)
+        return df
+
+    return out.map_batches(_restore, batch_format="pandas")
+
+
 def with_quad_key(ds, key_col="qkey"):
     """Append a composite string key LOSSLESSLY encoding the full quad
     (separator-escaped) and locally pre-dedup each batch (combiner

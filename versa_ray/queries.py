@@ -2273,6 +2273,33 @@ def q_events_cohort_retention(sf_dir):
     return cohort_retention(ev, freq="D")
 
 
+def q_links_intersect(sf_dir):
+    """Statement-set intersection of two derived link-sets (neither a
+    subset of the other): TYPE/NAME statements ∩ nation/region-origin
+    statements. Both sides stay distributed — quad keys meet in one
+    coarse-bucket semi-join, no driver-side key set. DuckDB replays
+    it with INTERSECT."""
+    import pyarrow.compute as pc_
+
+    from .model import linkset
+
+    ls = tpch_linkset(sf_dir)
+    a = linkset.union(
+        linkset.match(ls, rel=TYPE), linkset.match(ls, rel=NAME),
+        dedup=False,
+    )
+
+    def _prefix(tbl):
+        mask = pc_.or_(
+            pc_.starts_with(tbl["origin"], "urn:versa:nation:"),
+            pc_.starts_with(tbl["origin"], "urn:versa:region:"),
+        )
+        return tbl.filter(mask)
+
+    b = ls.map_batches(_prefix, batch_format="pyarrow")
+    return linkset.intersect_statements(a, b)
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2694,6 +2721,7 @@ def build_queries():
         "part_triangles": q_part_triangles,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
+        "links_intersect": q_links_intersect,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -2980,6 +3008,12 @@ def build_oracles():
         ),
         "links_match_attrs": f"{L} SELECT * FROM links WHERE attrs = '{SRC_ATTRS}'",
         "links_dedup": f"{L} SELECT DISTINCT * FROM links",
+        "links_intersect": (
+            f"{L} SELECT * FROM links WHERE rel IN ('{TYPE}', '{NAME}') "
+            "INTERSECT SELECT * FROM links WHERE "
+            "origin LIKE 'urn:versa:nation:%' "
+            "OR origin LIKE 'urn:versa:region:%'"
+        ),
         "links_remove": (
             f"{L} SELECT * FROM links WHERE NOT (rel = '{NAME}' AND origin IN "
             "('urn:versa:nation:0','urn:versa:nation:1','urn:versa:nation:2',"
