@@ -2300,6 +2300,42 @@ def q_links_intersect(sf_dir):
     return linkset.intersect_statements(a, b)
 
 
+def q_lineitem_monthly_top_parts(sf_dir):
+    """Windowed grouped top-k by composition: month tumbling windows
+    (vectorized timestamp floor) × per-month part-quantity rollup ×
+    grouped_topk(k=3) — the 'trending items per window' shape.
+    Quantities sum in integer centiunits; DuckDB replays with
+    date_trunc + a row_number window."""
+    import ray.data as rd
+
+    from .ops.agg import grouped_agg_small, grouped_topk
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_partkey", "l_quantity"],
+        override_num_blocks=_blocks_for(),
+    )
+
+    def _month(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": pd.to_datetime(df["l_shipdate"])
+                .dt.to_period("M").dt.start_time,
+                "l_partkey": df["l_partkey"],
+                "qty100": (df["l_quantity"] * 100).round().astype("int64"),
+            }
+        )
+
+    per_part = grouped_agg_small(
+        li.map_batches(_month, batch_format="pandas"),
+        ["month", "l_partkey"], {"qty100": ("qty100", "sum")},
+    )
+    return grouped_topk(
+        per_part, ["month"], "qty100", k=3, ascending=False,
+        tie_cols=["l_partkey"],
+    )
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast join: orders ⋈ customer (small side broadcast via
     ray.put), revenue per market segment. Join + partial combine are
@@ -2722,6 +2758,7 @@ def build_queries():
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "links_intersect": q_links_intersect,
+        "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
@@ -3518,6 +3555,16 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "lineitem_monthly_top_parts": (
+            "WITH m AS (SELECT date_trunc('month', l_shipdate) AS month, "
+            "l_partkey, SUM(CAST(round(l_quantity * 100) AS BIGINT)) "
+            "AS qty100 FROM lineitem GROUP BY 1, 2), "
+            "r AS (SELECT month, l_partkey, qty100, row_number() OVER ("
+            "PARTITION BY month ORDER BY qty100 DESC, l_partkey) AS rank "
+            "FROM m) SELECT month, l_partkey, CAST(qty100 AS BIGINT) "
+            "AS qty100, CAST(rank AS BIGINT) AS rank FROM r "
+            "WHERE rank <= 3 ORDER BY month, rank"
         ),
         "events_cohort_retention": (
             "WITH ud AS (SELECT DISTINCT user_id, "
