@@ -1019,6 +1019,27 @@ def test_cohort_retention(ray_session):
         ("2024-01-01", 0, 2), ("2024-01-01", 1, 1), ("2024-01-01", 5, 2),
         ("2024-01-02", 0, 1), ("2024-01-02", 1, 1),
     ]
+    # digit-prefixed freq: "2D" buckets must divide by 2 days, not 12
+    out2 = (
+        cohort_retention(
+            rd.from_pandas(pd.DataFrame(rows)), freq="2D"
+        )
+        .to_pandas()
+        .sort_values(["cohort", "period_offset"], ignore_index=True)
+    )
+    got2 = [
+        (str(r.cohort.date()), int(r.period_offset), int(r.n_users))
+        for r in out2.itertuples()
+    ]
+    # floor("2D") is epoch-anchored: 2024-01-01 (odd day number)
+    # floors to 2023-12-31. u1 periods {12-31, 01-02, 01-06} = offsets
+    # 0,1,3; u2 {12-31, 01-06} = 0,3; u3 {01-02, 01-03->01-02} = {0}.
+    # The point under test: offsets divide by 2 DAYS (the "2D" freq),
+    # not the string-concatenation bug's 12 days.
+    assert got2 == [
+        ("2023-12-31", 0, 2), ("2023-12-31", 1, 1), ("2023-12-31", 3, 2),
+        ("2024-01-02", 0, 1),
+    ]
 
 
 def test_triangle_count(ray_session):

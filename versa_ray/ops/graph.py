@@ -463,8 +463,9 @@ def triangle_count(edges_ds, u="u", v="v", num_buckets=64):
     below it). For adversarial skew, pre-renumber nodes by ascending
     degree so hubs sit highest and generate no wedges.
 
-    Returns a one-row pandas DataFrame ``(n_triangles,)`` — the\n    per-bucket match counts (<= ``num_buckets`` rows) merge on the\n    driver."""
-    from .agg import grouped_agg_small
+    Returns a one-row pandas DataFrame ``(n_triangles,)`` — the
+    per-bucket match counts (<= ``num_buckets`` rows) merge on the
+    driver."""
     from .dedup import bucketed_group_apply, coarse_bucket
 
     def _wedges(group: pd.DataFrame) -> pd.DataFrame:

@@ -429,12 +429,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if end < 0:
         raise ValueError("missing EOI")
     r = _BitReader(payload[pos:end])
-    # a block costs >= 13 entropy bits (4-bit DC code + 9-bit EOB), so
-    # dims that imply more blocks than the stream could hold are a
-    # corrupt SOF — reject before allocating h x w buffers
-    if (h // 8) * (w_ // 8) * nc > (end - pos) * 8 // 13 + 1:
-        raise ValueError("frame dimensions exceed entropy data")
-    out = np.zeros((h, w_, nc), dtype=np.float64)
     preds = [0] * nc
     comp_qt = []
     for ci in range(nc):
@@ -443,11 +437,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("missing quant table %d" % tq)
         comp_qt.append(qts[tq])
     dec_tabs = []
+    min_mcu_bits = 0
     for sc in scan:
         dkey, akey = 0x00 | sc["td"], 0x10 | sc["ta"]
         if dkey not in huff or akey not in huff:
             raise ValueError("missing Huffman table")
         dec_tabs.append((huff[dkey], huff[akey]))
+        # every block spends at least one DC code and one AC code
+        # (EOB); the shortest code length of EACH PARSED TABLE bounds
+        # it — table-derived, so streams with other tables (e.g.
+        # Annex K, ~6 bits/block) are judged by their own costs
+        min_mcu_bits += min(ln for _, ln in huff[dkey]) + min(
+            ln for _, ln in huff[akey]
+        )
+    # dims implying more blocks than the entropy stream could hold are
+    # a corrupt SOF — reject before allocating h x w buffers
+    if (h // 8) * (w_ // 8) * max(min_mcu_bits, 1) > (end - pos) * 8 + 7:
+        raise ValueError("frame dimensions exceed entropy data")
+    out = np.zeros((h, w_, nc), dtype=np.float64)
     for by in range(0, h, 8):
         for bx in range(0, w_, 8):
             for ci in range(nc):

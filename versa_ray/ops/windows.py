@@ -349,7 +349,8 @@ def cohort_retention(ds, ts_col="ts", user_col="user_id", freq="D",
             )
         p = group["_period"]
         cohort = p.min()
-        off = ((p - cohort) / pd.Timedelta("1" + freq)).astype("int64")
+        step = pd.Timedelta(pd.tseries.frequencies.to_offset(freq))
+        off = ((p - cohort) / step).astype("int64")
         return pd.DataFrame({"cohort": cohort, "period_offset": off})
 
     per_user = bucketed_group_apply(

@@ -2135,7 +2135,9 @@ def q_lineitem_urgent_semi(sf_dir):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"],
         override_num_blocks=_blocks_for(),
-    ).filter(expr="o_orderpriority == '1-URGENT'")
+    ).filter(expr="o_orderpriority == '1-URGENT'").materialize()
+    # materialized: the key set feeds BOTH the bloom build and the
+    # exact semi-join — lazy, the scan+filter would run twice
 
     bloom = build_bloom(keys, "o_orderkey")
     pruned = bloom_semi_filter(li, bloom, "l_orderkey")
