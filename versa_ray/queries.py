@@ -2709,9 +2709,20 @@ def _staleness_rotate(queries: dict) -> dict:
         if not rounds:
             return queries
         latest = set(json.loads(rounds[-1][1].read_text()))
+        ever = set()
+        for _, p in rounds:
+            ever |= set(json.loads(p.read_text()))
     except Exception:
         return queries
-    fresh = {k: v for k, v in queries.items() if k not in latest}
+    # three classes, front to back: NEVER driver-checked anywhere
+    # (new queries must land inside the ~50-row window on their first
+    # eligible round), then stale (checked, but not in the latest
+    # artifact), then just-checked
+    fresh = {k: v for k, v in queries.items() if k not in ever}
+    fresh.update(
+        (k, v) for k, v in queries.items()
+        if k in ever and k not in latest
+    )
     fresh.update((k, v) for k, v in queries.items() if k in latest)
     return fresh
 
