@@ -954,6 +954,53 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(u1) == 20
 
 
+def test_edit_distance_pairs(ray_session):
+    """FastSS distance-<=1 pair detection equals brute-force DP on a
+    word list with insertions, deletions, substitutions, and exact
+    duplicates; the O(len) predicate matches full Levenshtein."""
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import _edit_distance_leq1, edit_distance_pairs
+
+    def lev(a, b):
+        d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            d[i][0] = i
+        for j in range(len(b) + 1):
+            d[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1, d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a)][len(b)]
+
+    rng = random.Random(0)
+    for _ in range(2000):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        assert _edit_distance_leq1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    words = ["hello", "hallo", "hell", "hello!", "world", "word",
+             "sword", "apple", "appl", "apples", "banana", "banana"]
+    df = pd.DataFrame({"doc_id": range(len(words)), "text": words})
+    got = edit_distance_pairs(
+        rd.from_pandas(df).repartition(3), "text"
+    ).to_pandas()
+    got_set = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    want = {
+        (i, j)
+        for i in range(len(words)) for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    }
+    assert got_set == want
+    dup = got[(got["id_a"] == 10) & (got["id_b"] == 11)]
+    assert len(dup) == 1 and int(dup["dist"].iloc[0]) == 0
+
+
 def test_funnel_counts(ray_session):
     """Funnel semantics: earliest qualifying event per step, strictly
     ordered, optional anchor window; cumulative-reach counts."""

@@ -892,6 +892,79 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", threshold=0.5, **kw):
     return assign_clusters(ds, pairs, id_col=id_col)
 
 
+def _edit_distance_leq1(a: str, b: str) -> bool:
+    """True iff Levenshtein(a, b) <= 1 — O(len) two-pointer check."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is one longer: a must equal b with one char dropped
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_pairs(ds, col, id_col="doc_id", num_buckets=64):
+    """All pairs of rows whose ``col`` strings are within Levenshtein
+    distance 1 (typo-duplicates) — FastSS deletion neighborhoods:
+
+    each string emits itself plus its single-character deletions as
+    candidate keys; two strings within distance 1 ALWAYS share a key
+    (equal strings share the string, a substitution shares the
+    deletion at the edited position, an insertion/deletion makes one
+    string a deletion variant of the other), so candidates come from
+    one coarse-bucket shuffle of (variant, id) rows — never all
+    pairs — and each candidate pair is verified with an exact O(len)
+    distance-<=1 check. Variant volume is ~len(s)+1 rows per string;
+    cap/segment very long strings upstream.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``."""
+
+    def _variants(df: pd.DataFrame) -> pd.DataFrame:
+        ids, variants, origs = [], [], []
+        for i, s in zip(df[id_col], df[col].fillna("")):
+            ids.append(i)
+            variants.append(s)
+            origs.append(s)
+            for k in range(len(s)):
+                ids.append(i)
+                variants.append(s[:k] + s[k + 1:])
+                origs.append(s)
+        return pd.DataFrame({"_var": variants, id_col: ids, "_s": origs})
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([id_col])
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "dist": pd.Series([], dtype="int64")}
+            )
+        ids = g[id_col].to_numpy()
+        strs = g["_s"].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        rows = []
+        for x, y in zip(ia, ib):
+            if ids[x] == ids[y]:
+                continue
+            if _edit_distance_leq1(strs[x], strs[y]):
+                lo, hi = sorted((int(ids[x]), int(ids[y])))
+                rows.append((lo, hi, int(strs[x] != strs[y])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "dist"]).astype(
+            {"id_a": "int64", "id_b": "int64", "dist": "int64"}
+        )
+
+    cands = bucketed_group_apply(
+        ds.map_batches(_variants, batch_format="pandas"),
+        ["_var"], _pairs, num_buckets=num_buckets, min_group_size=2,
+    )
+    return dedup_rows(cands, ["id_a", "id_b"], num_buckets=num_buckets)
+
+
 def near_dup_keep_best(ds, by, text_col="text", id_col="doc_id",
                        threshold=0.5, ascending=False, num_buckets=64, **kw):
     """Quality-aware near-dedup keep rule: one row per near-dup

@@ -1126,6 +1126,43 @@ def q_doc_near_dup_keep_best(sf_dir):
     )
 
 
+def q_edit_distance_pairs(sf_dir):
+    """Typo-duplicate detection: all string pairs within Levenshtein
+    distance 1 via FastSS deletion-neighborhood bucketing (candidates
+    from one shuffle, never all pairs; exact O(len) verify). The
+    corpus plants deterministic collisions (distance 0) and
+    single-char insertions/substitutions (distance 1); the DuckDB
+    oracle rebuilds the same strings and cross-checks with its
+    built-in levenshtein()."""
+    import pyarrow as pa_
+
+    from .ops.dedup import edit_distance_pairs
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        ids, strs = [], []
+        for d in tbl["doc_id"].to_pylist():
+            s = "token" + str((d * 13) % 97)
+            ids.append(d)
+            strs.append(s)
+            if d % 3 == 0:
+                ids.append(d + 1000000)
+                strs.append(s + "x")
+            elif d % 3 == 1:
+                ids.append(d + 1000000)
+                strs.append("z" + s[1:])
+        return pa_.table(
+            {
+                "doc_id": pa_.array(ids, type=pa_.int64()),
+                "text": pa_.array(strs, type=pa_.string()),
+            }
+        )
+
+    corpus = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=64
+    )
+    return edit_distance_pairs(corpus, "text")
+
+
 def q_doc_near_dup_pairs(sf_dir):
     """LSH candidates + exact word-3-shingle Jaccard verification,
     hash-checked against a DuckDB exact all-pairs oracle (possible
@@ -2841,6 +2878,7 @@ def build_queries():
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_near_dup_pairs": q_doc_near_dup_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "doc_near_dup_keep_best": q_doc_near_dup_keep_best,
     })
 
@@ -3568,6 +3606,23 @@ def build_oracles():
             " AS DOUBLE), 0.75) FROM lineitem"
             " UNION ALL SELECT 0.95, quantile_disc(CAST(l_extendedprice"
             " AS DOUBLE), 0.95) FROM lineitem"
+        ),
+        "edit_distance_pairs": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "base AS (SELECT doc_id AS id, "
+            "'token' || CAST((doc_id * 13) % 97 AS VARCHAR) AS s FROM ids), "
+            "mut AS (SELECT doc_id + 1000000 AS id, "
+            "'token' || CAST((doc_id * 13) % 97 AS VARCHAR) || 'x' AS s "
+            "FROM ids WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT doc_id + 1000000, "
+            "'z' || substr('token' || CAST((doc_id * 13) % 97 AS VARCHAR), 2) "
+            "FROM ids WHERE doc_id % 3 = 1), "
+            "allr AS (SELECT * FROM base UNION ALL SELECT * FROM mut) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+            "FROM allr a JOIN allr b ON a.id < b.id "
+            "WHERE levenshtein(a.s, b.s) <= 1 ORDER BY id_a, id_b"
         ),
         "lineitem_monthly_top_parts": (
             "WITH m AS (SELECT date_trunc('month', l_shipdate) AS month, "
