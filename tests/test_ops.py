@@ -2504,3 +2504,69 @@ def test_range_join_overlap_tz_aware(ray_session):
     a = set(zip(got.event_id.astype(int), got.win_id_r.astype(int)))
     assert a == set(zip(want.event_id, want.win_id))
     assert not got.duplicated(["event_id", "win_id_r"]).any()
+
+
+def _brute_dup_spans(docs, k=3, min_docs=2):
+    """Reference: brute-force duplicated-gram run detection."""
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    toks = {d: (t or "").split() for d, t in docs}
+    for d, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            where[tuple(tk[p:p + k])].add(d)
+    dup = {g for g, ds_ in where.items() if len(ds_) >= min_docs}
+    spans = []
+    for d, tk in toks.items():
+        run = None
+        for p in range(len(tk) - k + 1):
+            if tuple(tk[p:p + k]) in dup:
+                if run is None:
+                    run = [p, p]
+                else:
+                    run[1] = p
+            elif run is not None:
+                spans.append((d, run[0], run[1] + k - 1))
+                run = None
+        if run is not None:
+            spans.append((d, run[0], run[1] + k - 1))
+    return set(spans)
+
+
+def test_dup_spans_brute_force(ray_session):
+    import ray.data as rd
+    from versa_ray.ops.dedup import dup_spans, remove_dup_spans
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(40):
+        n = rng.randint(0, 30)
+        docs.append((d, " ".join(rng.choice(vocab, n))))
+    # plant an exact shared passage and a doc shorter than k
+    shared = "alpha beta gamma delta epsilon"
+    docs.append((100, f"x0 {shared} x1"))
+    docs.append((101, f"{shared} y0 y1 y2"))
+    docs.append((102, "tiny"))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    k = 3
+    ds = rd.from_pandas(df).repartition(5)
+    got = dup_spans(ds, k=k, num_buckets=7).to_pandas()
+    want = _brute_dup_spans(docs, k=k)
+    assert set(zip(got.doc_id.astype(int), got.span_start.astype(int),
+                   got.span_end.astype(int))) == want
+    assert not got.duplicated(["doc_id", "span_start"]).any()
+    # the planted passage is found in both carriers, maximally
+    assert (100, 1, 5) in want and (101, 0, 4) in want
+
+    stripped = remove_dup_spans(ds, k=k, num_buckets=7).to_pandas()
+    assert len(stripped) == len(df)
+    bydoc = dict(zip(stripped.doc_id.astype(int), stripped.text))
+    cover = {}
+    for d, a, b in want:
+        cover.setdefault(d, set()).update(range(a, b + 1))
+    for d, t in docs:
+        tk = (t or "").split()
+        keep = [w for i, w in enumerate(tk) if i not in cover.get(d, ())]
+        assert bydoc[d] == " ".join(keep)

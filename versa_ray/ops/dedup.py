@@ -2236,3 +2236,176 @@ def semantic_dedup(ds, threshold=0.95, k=16, n_iters=3,
 
     return bucketed_group_apply(
         tagged, ["cluster"], _cluster_dedup, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection (exact-substring dedup)
+
+
+def dup_spans(ds, text_col="text", id_col="doc_id", k=8, min_docs=2,
+              num_buckets=64):
+    """Cross-document duplicated-SPAN detection: the exact-substring
+    dedup of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022), re-expressed for Ray Data as k-token-
+    gram duplicate runs instead of a monolithic corpus suffix array
+    (which cannot stream). A k-gram is *duplicated* when it occurs in
+    at least ``min_docs`` DISTINCT documents; within each document,
+    maximal runs of consecutive duplicated k-gram start positions
+    collapse to one span covering tokens ``span_start .. span_end``
+    (inclusive, 0-based; ``span_end`` is the last token of the last
+    duplicated gram in the run). This finds every duplicated token
+    substring of length >= k shared by >= min_docs documents — the
+    same guarantee the suffix-array formulation gives for threshold k.
+
+    Scale shape: two coarse-bucket shuffles. Pass 1 buckets k-grams by
+    a dtype-agnostic hash of the gram STRING (the string itself rides
+    the shuffle so hash collisions can never merge distinct grams) and
+    keeps positions whose gram clears the distinct-document bar; pass
+    2 re-buckets the surviving (doc, position) rows by document id and
+    collapses runs vectorized. Volume is proportional to total corpus
+    tokens — never all-pairs, and nothing lands driver-side.
+
+    Returns a Dataset of ``(id_col, span_start, span_end)`` rows.
+    Tokenization is ``str.split()`` (any-whitespace), replayable in
+    SQL as ``regexp_split_to_array(trim(text), '\\s+')``.
+    """
+
+    def _grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, grams = [], [], []
+        for did, txt in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+            toks = (txt or "").split()
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            ids.extend([did] * n)
+            poss.extend(range(n))
+            grams.extend(
+                " ".join(toks[p:p + k]) for p in range(n))
+        out = pd.DataFrame({
+            id_col: np.asarray(ids, dtype=np.int64),
+            "pos": np.asarray(poss, dtype=np.int64),
+            "gram": pd.Series(grams, dtype=object),
+        })
+        out["_gbucket"] = (
+            pd.util.hash_pandas_object(out["gram"], index=False)
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def _mark(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                id_col: np.empty(0, np.int64),
+                "pos": np.empty(0, np.int64),
+                "_dbucket": np.empty(0, np.int32),
+            })
+        nuniq = bucket.groupby("gram")[id_col].transform("nunique")
+        hit = bucket.loc[nuniq >= min_docs, [id_col, "pos"]]
+        out = pd.DataFrame({
+            id_col: hit[id_col].to_numpy(dtype=np.int64),
+            "pos": hit["pos"].to_numpy(dtype=np.int64),
+        })
+        out["_dbucket"] = _int_bucket(
+            out[id_col].to_numpy(), num_buckets).astype("int32")
+        return out
+
+    def _spans(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: np.empty(0, np.int64),
+            "span_start": np.empty(0, np.int64),
+            "span_end": np.empty(0, np.int64),
+        })
+        if not len(bucket):
+            return empty
+        g = bucket.sort_values([id_col, "pos"], kind="mergesort")
+        did = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        # Maximal runs of consecutive duplicated-gram starts per doc
+        # (gaps-and-islands): a new island opens whenever the doc id
+        # changes or the position is not the predecessor + 1.
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = (did[1:] != did[:-1]) | (pos[1:] != pos[:-1] + 1)
+        isl = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:] - 1, len(g) - 1]
+        return pd.DataFrame({
+            id_col: did[starts],
+            "span_start": pos[starts],
+            "span_end": pos[ends] + (k - 1),
+        })
+
+    grams = ds.map_batches(_grams, batch_format="pandas")
+    hits = grams.groupby("_gbucket").map_groups(_mark, batch_format="pandas")
+    return hits.groupby("_dbucket").map_groups(_spans, batch_format="pandas")
+
+
+def remove_dup_spans(ds, spans=None, text_col="text", id_col="doc_id",
+                     k=8, min_docs=2, num_buckets=64):
+    """Strip every duplicated span found by :func:`dup_spans` from its
+    document and reassemble the surviving tokens in order (single-
+    space joined). Unlike first-wins line dedup this removes ALL
+    copies — the Lee et al. policy for substring dedup, where keeping
+    one copy is handled upstream by document-level dedup. One extra
+    doc-keyed coarse-bucket shuffle joins spans back to their
+    documents; documents with no duplicated span pass through intact.
+
+    Returns ``(id_col, text_col)`` rows, one per input document.
+    """
+    if spans is None:
+        spans = dup_spans(ds, text_col=text_col, id_col=id_col, k=k,
+                          min_docs=min_docs, num_buckets=num_buckets)
+
+    def _doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            "a": np.full(len(df), -1, dtype=np.int64),
+            "b": np.full(len(df), -1, dtype=np.int64),
+            "txt": df[text_col].astype(object).to_numpy(),
+        })
+        out["_dbucket"] = _int_bucket(
+            out[id_col].to_numpy(), num_buckets).astype("int32")
+        return out
+
+    def _span_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            "a": df["span_start"].to_numpy(dtype=np.int64),
+            "b": df["span_end"].to_numpy(dtype=np.int64),
+            "txt": np.full(len(df), None, dtype=object),
+        })
+        out["_dbucket"] = _int_bucket(
+            out[id_col].to_numpy(), num_buckets).astype("int32")
+        return out
+
+    def _strip(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: np.empty(0, np.int64),
+            text_col: np.empty(0, object),
+        })
+        if not len(bucket):
+            return empty
+        docs = bucket[bucket["a"] < 0]
+        sp = bucket[bucket["a"] >= 0]
+        by_doc = {d: list(zip(g["a"].to_numpy(), g["b"].to_numpy()))
+                  for d, g in sp.groupby(id_col)} if len(sp) else {}
+        ids_out, txt_out = [], []
+        for did, txt in zip(docs[id_col].to_numpy(),
+                            docs["txt"].to_numpy()):
+            toks = (txt or "").split()
+            cuts = by_doc.get(did)
+            if cuts:
+                keep = np.ones(len(toks), dtype=bool)
+                for a, b in cuts:
+                    keep[a:b + 1] = False
+                toks = [t for t, kf in zip(toks, keep) if kf]
+            ids_out.append(did)
+            txt_out.append(" ".join(toks))
+        return pd.DataFrame({
+            id_col: np.asarray(ids_out, dtype=np.int64),
+            text_col: pd.Series(txt_out, dtype=object),
+        })
+
+    both = ds.map_batches(_doc_rows, batch_format="pandas").union(
+        spans.map_batches(_span_rows, batch_format="pandas"))
+    return both.groupby("_dbucket").map_groups(_strip, batch_format="pandas")

@@ -812,6 +812,27 @@ def q_doc_line_dedup(sf_dir):
     return dd.line_dedup(_docs(sf_dir), line_words=10)
 
 
+def q_doc_dup_spans(sf_dir):
+    """Exact-substring dedup detection (Lee et al. 2022 policy,
+    k-gram-run form): maximal per-document token spans whose every
+    8-gram occurs in >= 2 distinct documents (ops.dedup.dup_spans —
+    two coarse-bucket shuffles, gram strings ride the shuffle so hash
+    collisions cannot merge grams). Hash-checked against a DuckDB
+    gaps-and-islands replay."""
+    return dd.dup_spans(
+        _docs_with(sf_dir, ["doc_id", "text"]), k=8, min_docs=2)
+
+
+def q_doc_strip_dup_spans(sf_dir):
+    """Companion to doc_dup_spans: removes ALL copies of every
+    duplicated span from its document and reassembles the survivors
+    in token order (ops.dedup.remove_dup_spans — one extra doc-keyed
+    bucket shuffle). Hash-checked against a DuckDB anti-join over the
+    covered token positions."""
+    return dd.remove_dup_spans(
+        _docs_with(sf_dir, ["doc_id", "text"]), k=8, min_docs=2)
+
+
 def q_doc_incremental_minhash(sf_dir):
     """Cross-run NEAR-dup dedup replay: the corpus arrives as two
     doc_id-ordered micro-batches through a persistent LSH band-bucket
@@ -2822,6 +2843,8 @@ def build_queries():
         "fullquery_large": q_fullquery_large,
         "doc_incremental_minhash": q_doc_incremental_minhash,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_strip_dup_spans": q_doc_strip_dup_spans,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
         "links_jsonld_nested": q_links_jsonld_nested,
@@ -4022,4 +4045,34 @@ def build_oracles():
     out["fullquery_store"] = out["fullquery_negation"]
     out["fullquery_large"] = out["fullquery_negation"]
     out["doc_line_dedup"] = "WITH words AS (\n  SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w FROM documents),\nlns AS (\n  SELECT doc_id, i AS line_idx,\n         array_to_string(w[(i*10+1):((i*10)+10)], ' ') AS line\n  FROM words, unnest(range(0, CAST(greatest(ceil(len(w)/10.0),1) AS BIGINT))) AS t(i)),\nmarked AS (\n  SELECT doc_id, line_idx, line,\n         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn\n  FROM lns)\nSELECT d.doc_id,\n  coalesce(string_agg(CASE WHEN m.rn=1 THEN m.line END, ' ' ORDER BY m.line_idx), '') AS text\nFROM documents d LEFT JOIN marked m USING (doc_id)\nGROUP BY d.doc_id"
+    _dup_grams = """WITH docs2 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text,''))) > 0),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[(i+1):(i+8)], ' ') AS gram
+  FROM docs2, unnest(range(0, greatest(len(toks)-7, 0))) AS t(i)),
+dups AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)"""
+    out["doc_dup_spans"] = _dup_grams + """,
+hits AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS isl
+  FROM grams g JOIN dups USING (gram))
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+FROM hits GROUP BY doc_id, isl"""
+    out["doc_strip_dup_spans"] = _dup_grams + """,
+cover AS (
+  SELECT DISTINCT g.doc_id, g.pos + o AS tokpos
+  FROM grams g JOIN dups USING (gram), unnest(range(0, 8)) AS t(o)),
+toks AS (
+  SELECT d.doc_id, CAST(i AS BIGINT) AS tokpos, d.toks[i+1] AS tok
+  FROM docs2 d, unnest(range(0, len(d.toks))) AS t(i))
+SELECT dd.doc_id,
+  coalesce((SELECT string_agg(t.tok, ' ' ORDER BY t.tokpos) FROM toks t
+    WHERE t.doc_id = dd.doc_id
+      AND NOT EXISTS (SELECT 1 FROM cover c
+                      WHERE c.doc_id = t.doc_id AND c.tokpos = t.tokpos)),
+    '') AS text
+FROM documents dd GROUP BY dd.doc_id"""
     return out
