@@ -178,3 +178,49 @@ def test_wcc_raises_on_iteration_budget(ray_session):
         weakly_connected_components(
             _links_ds(links), max_iters=4
         ).materialize()
+
+
+def test_sameas_canonicalize(ray_session):
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.graph import OWL_SAMEAS, sameas_canonicalize
+
+    SA = OWL_SAMEAS
+    links = [
+        # 3-hop alias chain: z -> y -> x -> canonical urn:e:a
+        ("urn:x", SA, "urn:e:a"), ("urn:y", SA, "urn:x"),
+        ("urn:z", SA, "urn:y"),
+        # statements on aliases and on the canonical node
+        ("urn:z", "urn:rel:name", "literal-zed"),
+        ("urn:e:a", "urn:rel:name", "literal-ay"),
+        # statement pointing AT an alias
+        ("urn:ref", "urn:rel:mentions", "urn:y"),
+        # untouched island
+        ("urn:other", "urn:rel:name", "literal-other"),
+    ]
+    tbl = pa.table({
+        "origin": [o for o, r, t in links],
+        "rel": [r for o, r, t in links],
+        "target": [t for o, r, t in links],
+        "target_is_iri": [not t.startswith("literal") for o, r, t in links],
+        # one attr whose VALUE names an alias — must be rewritten too
+        # (on the literal-zed statement, NOT on a dropped sameAs link)
+        "attrs": ["{}"] * 3 + [json.dumps({"seen-at": "urn:x"})]
+        + ["{}"] * (len(links) - 4),
+    })
+    out = sameas_canonicalize(
+        rd.from_arrow(tbl).repartition(3), num_buckets=5).to_pandas()
+    # NB out["attrs"], not out.attrs — the latter is DataFrame metadata
+    got = set(zip(out.origin, out.rel, out.target, out["attrs"]))
+    # min IRI of {urn:e:a, urn:x, urn:y, urn:z} is urn:e:a
+    assert got == {
+        ("urn:e:a", "urn:rel:name", "literal-zed",
+         json.dumps({"seen-at": "urn:e:a"}, separators=(",", ":"))),
+        ("urn:e:a", "urn:rel:name", "literal-ay", "{}"),
+        ("urn:ref", "urn:rel:mentions", "urn:e:a", "{}"),
+        ("urn:other", "urn:rel:name", "literal-other", "{}"),
+    }
+    assert not out.duplicated(["origin", "rel", "target", "attrs"]).any()

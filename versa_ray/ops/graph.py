@@ -521,3 +521,50 @@ def triangle_count(edges_ds, u="u", v="v", num_buckets=64):
     counts = matched.to_pandas()
     total = int(counts["n"].sum()) if "n" in counts.columns else 0
     return pd.DataFrame({"n_triangles": [np.int64(total)]})
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_canonicalize(links_ds, sameas_rel=OWL_SAMEAS, num_buckets=64):
+    """Entity canonicalization over an ``owl:sameAs``-style equivalence
+    relation — the KG-construction step that collapses aliased
+    entities after record linkage. Components of the (undirected)
+    sameAs graph are computed with distributed min-label propagation
+    (:func:`weakly_connected_components`); every statement is then
+    rewritten so that both ``origin`` and ``target`` (and attr
+    VALUES) refer to the component's lexicographic-min IRI, the
+    sameAs statements themselves are dropped, and the rewritten
+    statements are globally de-duplicated.
+
+    Scale shape: the equivalence mapping is corpus-proportional, so it
+    stays a Dataset end-to-end and the rewrite uses the distributed
+    bucket-join form (``replace_values_ds``), never a broadcast.
+    Reference parity: the reference has no distributed counterpart —
+    its closest surface is the driver-side lookup/toiri pipeline
+    actions (see /root/reference/tools/py/pipeline/core_actions.py),
+    which this op generalizes to transitive alias chains.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..model.linkset import distinct_links, replace_values_ds
+
+    wcc = weakly_connected_components(
+        links_ds, rels=[sameas_rel], num_buckets=num_buckets)
+
+    def _mapping(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["node"] != df["component"]]
+        return pd.DataFrame({
+            "entity": sub["node"].astype(object).to_numpy(),
+            "authority": sub["component"].astype(object).to_numpy(),
+        })
+
+    mapping = wcc.map_batches(_mapping, batch_format="pandas")
+
+    def _drop_sameas(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.not_equal(tbl["rel"], sameas_rel))
+
+    rest = links_ds.map_batches(_drop_sameas, batch_format="pyarrow")
+    return distinct_links(
+        replace_values_ds(rest, mapping, num_buckets=num_buckets))

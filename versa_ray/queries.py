@@ -386,6 +386,51 @@ def q_kg_type_entailment(sf_dir):
     return entail_types(tpch_linkset(sf_dir), SUBCLASS_PAIRS)
 
 
+SAMEAS_REL = "http://www.w3.org/2002/07/owl#sameAs"
+MENTIONS_REL = URN + "mentions"
+
+
+def _alias_links(sf_dir):
+    """Deterministic owl:sameAs test fixture derived from the customer
+    table: every customer with ``c_custkey % 10 == 1`` gains a 2-hop
+    alias chain (alias:b sameAs alias:a sameAs customer), a literal
+    statement ON the alias, and a statement POINTING AT the alias —
+    exercising origin rewrite, target rewrite and transitivity."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def _mk(tbl: pa.Table) -> pa.Table:
+        keys = [int(k) for k in tbl["c_custkey"].to_pylist() if k % 10 == 1]
+        a = [f"{URN}alias:a:{k}" for k in keys]
+        b = [f"{URN}alias:b:{k}" for k in keys]
+        c = [f"{URN}customer:{k}" for k in keys]
+        r = [f"{URN}ref:{k}" for k in keys]
+        nm = [f"Alias of customer {k}" for k in keys]
+        return pa.concat_tables([
+            _links_table(a, SAMEAS_REL, c, True),
+            _links_table(b, SAMEAS_REL, a, True),
+            _links_table(b, NAME, nm, False),
+            _links_table(r, MENTIONS_REL, a, True),
+        ])
+
+    return cust.map_batches(_mk, batch_format="pyarrow")
+
+
+def q_kg_sameas_canonical(sf_dir):
+    """owl:sameAs entity canonicalization (ops.graph.sameas_canonicalize):
+    min-label WCC over the sameAs graph, then a fully distributed
+    bucket-join rewrite of origins AND targets to the component's
+    min IRI, sameAs statements dropped, result globally deduped. The
+    corpus-proportional mapping never broadcasts. Hash-checked
+    against a DuckDB recursive-CTE + left-join-rewrite oracle."""
+    from .ops.graph import sameas_canonicalize
+
+    ds = tpch_linkset(sf_dir).union(_alias_links(sf_dir))
+    return sameas_canonicalize(ds)
+
+
 def q_links_shacl(sf_dir):
     """SHACL-lite shape validation: one origin-keyed bucket shuffle of
     tagged type rows + rule-bounded property-count partials. Rules
@@ -2869,6 +2914,7 @@ def build_queries():
         "links_duplicate_statements": q_links_duplicate_statements,
         "links_out_degrees": q_links_out_degrees,
         "graph_wcc": q_graph_wcc,
+        "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_type_entailment": q_kg_type_entailment,
         "links_shacl": q_links_shacl,
         "miniquery_conj": q_miniquery_conj,
@@ -3236,6 +3282,40 @@ def build_oracles():
             "SELECT origin, cls FROM types UNION ALL "
             "SELECT t.origin, c.p AS cls FROM types t "
             "JOIN closure c ON t.cls = c.c)"
+        ),
+        "kg_sameas_canonical": (
+            f"WITH RECURSIVE links AS ({LINKSET_SQL}), "
+            "aliased AS (SELECT CAST(c_custkey AS VARCHAR) AS k "
+            "FROM customer WHERE c_custkey % 10 = 1), "
+            "extra(origin, rel, target, target_is_iri, attrs) AS ("
+            f"SELECT 'urn:versa:alias:a:' || k, '{SAMEAS_REL}', "
+            "'urn:versa:customer:' || k, TRUE, '{}' FROM aliased "
+            "UNION ALL "
+            f"SELECT 'urn:versa:alias:b:' || k, '{SAMEAS_REL}', "
+            "'urn:versa:alias:a:' || k, TRUE, '{}' FROM aliased "
+            "UNION ALL "
+            f"SELECT 'urn:versa:alias:b:' || k, '{NAME}', "
+            "'Alias of customer ' || k, FALSE, '{}' FROM aliased "
+            "UNION ALL "
+            f"SELECT 'urn:versa:ref:' || k, '{MENTIONS_REL}', "
+            "'urn:versa:alias:a:' || k, TRUE, '{}' FROM aliased), "
+            "all_links AS (SELECT * FROM links UNION ALL SELECT * FROM extra), "
+            "e0 AS (SELECT origin AS a, target AS b FROM all_links "
+            f"WHERE rel = '{SAMEAS_REL}'), "
+            "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), "
+            "reach(node, lab) AS ("
+            "SELECT DISTINCT a, a FROM edges "
+            "UNION "
+            "SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node), "
+            "canon AS (SELECT node, min(lab) AS authority "
+            "FROM reach GROUP BY node) "
+            "SELECT DISTINCT coalesce(co.authority, l.origin) AS origin, "
+            "l.rel, coalesce(ct.authority, l.target) AS target, "
+            "l.target_is_iri, l.attrs "
+            "FROM all_links l "
+            "LEFT JOIN canon co ON co.node = l.origin "
+            "LEFT JOIN canon ct ON ct.node = l.target "
+            f"WHERE l.rel <> '{SAMEAS_REL}'"
         ),
         "graph_wcc": (
             "WITH RECURSIVE e0 AS ("
