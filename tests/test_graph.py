@@ -224,3 +224,52 @@ def test_sameas_canonicalize(ray_session):
         ("urn:other", "urn:rel:name", "literal-other", "{}"),
     }
     assert not out.duplicated(["origin", "rel", "target", "attrs"]).any()
+
+
+def test_cooccurrence_edges(ray_session):
+    import itertools
+    import math
+    from collections import Counter
+
+    import pytest
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.graph import cooccurrence_edges
+
+    # mentions with a duplicate (doc 1 mentions E twice) — must count once
+    rows = [
+        (1, "E"), (1, "F"), (1, "E"), (1, "G"),
+        (2, "E"), (2, "F"),
+        (3, "F"), (3, "G"),
+        (4, "H"),              # lone mention: no pairs
+    ]
+    N = 10
+    tbl = pa.table({
+        "doc_id": [r[0] for r in rows],
+        "entity": [r[1] for r in rows],
+    })
+    out = cooccurrence_edges(
+        rd.from_arrow(tbl).repartition(3), total_docs=N, num_buckets=5,
+    ).to_pandas()
+
+    docs = {}
+    for d, e in rows:
+        docs.setdefault(d, set()).add(e)
+    want = Counter()
+    for ents in docs.values():
+        for a, b in itertools.combinations(sorted(ents), 2):
+            want[(a, b)] += 1
+    df_e = Counter()
+    for ents in docs.values():
+        for e in ents:
+            df_e[e] += 1
+    got = {(r.entity_a, r.entity_b): (r.n_docs, r.pmi)
+           for r in out.itertuples()}
+    assert set(got) == set(want)
+    for (a, b), (n, pmi) in got.items():
+        assert n == want[(a, b)]
+        assert pmi == pytest.approx(
+            math.log(want[(a, b)] * N / (df_e[a] * df_e[b])))
+

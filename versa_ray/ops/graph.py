@@ -568,3 +568,112 @@ def sameas_canonicalize(links_ds, sameas_rel=OWL_SAMEAS, num_buckets=64):
     rest = links_ds.map_batches(_drop_sameas, batch_format="pyarrow")
     return distinct_links(
         replace_values_ds(rest, mapping, num_buckets=num_buckets))
+
+
+def cooccurrence_edges(mentions_ds, total_docs, id_col="doc_id",
+                       entity_col="entity", min_count=1, num_buckets=64):
+    """Entity co-occurrence graph construction from a (doc, entity)
+    mention stream — the edge-building step of KG-from-text: two
+    entities are linked when they are mentioned in the same document,
+    weighted by document co-occurrence count and document-level PMI
+    ``ln(n_ab * N / (n_a * n_b))``.
+
+    Scale shape: mentions dedup to distinct (doc, entity) via a
+    coarse-bucket shuffle; a doc-keyed bucket pass emits each
+    document's entity pairs (bounded by the schema-sized entity vocab
+    squared, NOT corpus-sized) with per-bucket partial counts; a
+    pair-keyed bucket pass finalizes counts. Per-entity document
+    frequencies have entity-vocab cardinality, so they ride the small
+    two-phase combiner (``grouped_agg_small``) and broadcast into the
+    final PMI map — the corpus itself never lands driver-side.
+
+    ``total_docs`` is the corpus document count N (callers know it
+    from read metadata; counting here would force an extra pass).
+    Returns ``(entity_a, entity_b, n_docs, pmi)`` with
+    ``entity_a < entity_b`` and ``n_docs >= min_count``.
+    """
+    import ray
+
+    from .agg import grouped_agg_small
+    from .dedup import dedup_rows
+
+    m = dedup_rows(
+        mentions_ds.map_batches(
+            lambda df: df[[id_col, entity_col]], batch_format="pandas"),
+        [id_col, entity_col], num_buckets=num_buckets)
+
+    ent_df = grouped_agg_small(
+        m, [entity_col], {"n_docs": (id_col, "size")}).to_pandas()
+    ent_ref = ray.put(dict(zip(ent_df[entity_col], ent_df["n_docs"])))
+
+    def _doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, entity_col]].copy()
+        out["_dbucket"] = (
+            pd.util.hash_pandas_object(out[id_col], index=False)
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def _pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "entity_a": pd.Series([], dtype=object),
+            "entity_b": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "_pbucket": pd.Series([], dtype="int32"),
+        })
+        if not len(bucket):
+            return empty
+        a_out, b_out = [], []
+        for _, g in bucket.groupby(id_col):
+            ents = sorted(g[entity_col].unique())
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    a_out.append(ents[i])
+                    b_out.append(ents[j])
+        if not a_out:
+            return empty
+        out = pd.DataFrame({
+            "entity_a": pd.Series(a_out, dtype=object),
+            "entity_b": pd.Series(b_out, dtype=object),
+        })
+        # partial count within this doc bucket (combiner)
+        out = out.groupby(["entity_a", "entity_b"], as_index=False).agg(
+            n=("entity_a", "size"))
+        out["n"] = out["n"].astype("int64")
+        out["_pbucket"] = (
+            pd.util.hash_pandas_object(
+                out[["entity_a", "entity_b"]], index=False)
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def _finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "entity_a": pd.Series([], dtype=object),
+            "entity_b": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64"),
+        })
+        if not len(bucket):
+            return empty
+        out = bucket.groupby(["entity_a", "entity_b"], as_index=False).agg(
+            n_docs=("n", "sum"))
+        out = out[out["n_docs"] >= min_count]
+        if not len(out):
+            return empty
+        ent = ray.get(ent_ref)
+        na = out["entity_a"].map(ent).to_numpy(dtype=np.float64)
+        nb = out["entity_b"].map(ent).to_numpy(dtype=np.float64)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["pmi"] = np.log(
+            out["n_docs"].to_numpy(dtype=np.float64)
+            * float(total_docs) / (na * nb))
+        return out
+
+    return (
+        m.map_batches(_doc_bucket, batch_format="pandas")
+        .groupby("_dbucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("_pbucket")
+        .map_groups(_finalize, batch_format="pandas")
+    )

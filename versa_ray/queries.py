@@ -1108,6 +1108,24 @@ def q_doc_mentions(sf_dir):
     return detect_mentions(_docs(sf_dir), GAZETTEER, concurrency=2)
 
 
+def q_kg_mention_cooccurrence(sf_dir):
+    """Entity co-occurrence edge construction from gazetteer mentions
+    (ops.graph.cooccurrence_edges): distinct (doc, entity) dedup, a
+    doc-keyed pair-emit pass with per-bucket partial counts, a
+    pair-keyed finalize, and PMI from broadcast entity-vocab-sized
+    document frequencies. Hash-checked against a DuckDB self-join +
+    ln replay of the same whole-token-run mention contract."""
+    import pyarrow.parquet as _pq
+
+    from .ops.graph import cooccurrence_edges
+    from .ops.mentions import detect_mentions
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return cooccurrence_edges(
+        detect_mentions(_docs(sf_dir), GAZETTEER, concurrency=2),
+        total_docs=n)
+
+
 MIXTURE_RATES = {"src0": 0.25, "src1": 0.75}
 
 
@@ -2915,6 +2933,7 @@ def build_queries():
         "links_out_degrees": q_links_out_degrees,
         "graph_wcc": q_graph_wcc,
         "kg_sameas_canonical": q_kg_sameas_canonical,
+        "kg_mention_cooccurrence": q_kg_mention_cooccurrence,
         "kg_type_entailment": q_kg_type_entailment,
         "links_shacl": q_links_shacl,
         "miniquery_conj": q_miniquery_conj,
@@ -3587,6 +3606,34 @@ def build_oracles():
             "SELECT d.doc_id, g.surface, g.entity FROM documents d, gaz g "
             "WHERE regexp_matches('#' || lower(d.text) || '#', "
             "'[^a-z0-9]' || g.pat || '[^a-z0-9]')"
+        ),
+        "kg_mention_cooccurrence": (
+            "WITH gaz(surface, pat, entity) AS (VALUES "
+            + ", ".join(
+                "('{}', '{}', '{}')".format(
+                    surf.lower().replace("'", "''"),
+                    _re2_escape(surf.lower()).replace("'", "''"),
+                    iri.replace("'", "''"),
+                )
+                for surf, iri in sorted(GAZETTEER.items())
+            )
+            + "), "
+            "m AS (SELECT DISTINCT d.doc_id, g.entity "
+            "FROM documents d, gaz g "
+            "WHERE regexp_matches('#' || lower(d.text) || '#', "
+            "'[^a-z0-9]' || g.pat || '[^a-z0-9]')), "
+            "ec AS (SELECT entity, CAST(count(*) AS BIGINT) AS n "
+            "FROM m GROUP BY entity), "
+            "pairs AS (SELECT a.entity AS entity_a, b.entity AS entity_b, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM m a JOIN m b ON a.doc_id = b.doc_id "
+            "AND a.entity < b.entity GROUP BY 1, 2) "
+            "SELECT p.entity_a, p.entity_b, p.n_docs, "
+            "ln(CAST(p.n_docs AS DOUBLE) "
+            "* (SELECT count(*) FROM documents) / (ea.n * eb.n)) AS pmi "
+            "FROM pairs p "
+            "JOIN ec ea ON ea.entity = p.entity_a "
+            "JOIN ec eb ON eb.entity = p.entity_b"
         ),
         # per-source keep-rate boundaries from
         # ops.sample.mixture_bound_hex(MIXTURE_RATES)
