@@ -2570,3 +2570,42 @@ def test_dup_spans_brute_force(ray_session):
         tk = (t or "").split()
         keep = [w for i, w in enumerate(tk) if i not in cover.get(d, ())]
         assert bydoc[d] == " ".join(keep)
+
+
+def test_doc_bigram_perplexity_brute(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from versa_ray.ops.lm import doc_bigram_perplexity
+
+    rng = np.random.RandomState(5)
+    vocab = [f"t{i}" for i in range(9)]
+    docs = [(d, " ".join(rng.choice(vocab, rng.randint(0, 14))))
+            for d in range(60)]
+    docs.append((200, ""))        # empty
+    docs.append((201, "lone"))    # single token: no bigrams
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    out = doc_bigram_perplexity(
+        rd.from_pandas(df).repartition(6), num_buckets=7).to_pandas()
+
+    toks = {d: t.split() for d, t in docs}
+    V = len({w for tk in toks.values() for w in tk})
+    c2, c1 = Counter(), Counter()
+    for tk in toks.values():
+        for a, b in zip(tk[:-1], tk[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    got = {r.doc_id: (r.n_bigrams, r.log_ppl2) for r in out.itertuples()}
+    assert set(got) == {d for d, _ in docs}
+    for d, tk in toks.items():
+        n = max(len(tk) - 1, 0)
+        assert got[d][0] == n
+        if n == 0:
+            assert got[d][1] == 0.0
+        else:
+            s = sum(math.log((c2[(a, b)] + 1.0) / (c1[a] + V))
+                    for a, b in zip(tk[:-1], tk[1:]))
+            assert got[d][1] == pytest.approx(-s / n, abs=1e-6)

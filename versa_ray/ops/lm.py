@@ -218,3 +218,146 @@ def doc_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("_cbucket")
         .map_groups(_finalize, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM — the distributed-by-construction sibling of doc_perplexity
+
+
+def _doc_bigram_counts(df: pd.DataFrame, id_col: str,
+                       text_col: str) -> pd.DataFrame:
+    """Per-document bigram counts ``(id, w1, w2, m)`` — in-batch
+    groupby keeps cardinality at distinct-(doc, bigram)."""
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "w1": pd.Series([], dtype=object),
+                          "w2": pd.Series([], dtype=object),
+                          "m": pd.Series([], dtype="int64")})
+    if not len(df):
+        return empty
+    ids_out, w1_out, w2_out = [], [], []
+    for did, txt in zip(df[id_col].to_numpy(),
+                        df[text_col].fillna("").to_numpy()):
+        toks = txt.split()
+        if len(toks) < 2:
+            continue
+        ids_out.extend([did] * (len(toks) - 1))
+        w1_out.extend(toks[:-1])
+        w2_out.extend(toks[1:])
+    if not ids_out:
+        return empty
+    raw = pd.DataFrame({id_col: np.asarray(ids_out, dtype=np.int64),
+                        "w1": pd.Series(w1_out, dtype=object),
+                        "w2": pd.Series(w2_out, dtype=object)})
+    g = raw.groupby([id_col, "w1", "w2"], as_index=False, sort=False).size()
+    g = g.rename(columns={"size": "m"})
+    g["m"] = g["m"].astype("int64")
+    return g
+
+
+def doc_bigram_perplexity(ds, text_col: str = "text",
+                          id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document add-one-smoothed BIGRAM log-perplexity
+    ``(id_col, n_bigrams, log_ppl2)`` against the corpus-estimated
+    bigram LM: ``p(w2 | w1) = (C(w1 w2) + 1) / (C1(w1) + V)`` where
+    ``C1(w1)`` counts w1 as a bigram left context and ``V`` is the
+    corpus distinct-token count; ``log_ppl2 = -(1/n) * sum ln p``
+    (0.0 when a document has fewer than two tokens). Rounded
+    half-away-from-zero to 6 dp for SQL ``round()`` parity.
+
+    Scale shape: unlike the unigram LM there is no broadcast fallback
+    — the bigram table is corpus-proportional BY CONSTRUCTION, so
+    everything is keyed shuffles: one w1-keyed coarse-bucket pass
+    merges partial bigram counts AND derives the context totals
+    ``C1`` inside the same bucket (every (w1, *) row co-locates), a
+    tagged union attaches log-probs to per-doc bigram counts in that
+    same pass, and a doc-keyed pass re-aggregates documents. The only
+    driver-side value is the scalar ``V`` (from ``token_counts``).
+    Hot contexts skew buckets; the in-bucket merge is vectorized and
+    coarse buckets hold many contexts each, which bounds the skew a
+    hot single KEY would otherwise cause.
+    """
+    V = int(token_counts(ds, text_col=text_col,
+                         num_buckets=num_buckets).count())
+
+    def _tag_partials(df: pd.DataFrame) -> pd.DataFrame:
+        bc = _doc_bigram_counts(df, id_col, text_col)
+        out = bc.groupby(["w1", "w2"], as_index=False, sort=False)["m"].sum()
+        out = out.rename(columns={"m": "n"})
+        out["n"] = out["n"].astype("int64")
+        out[id_col] = np.int64(0)
+        out["m"] = np.int64(0)
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = coarse_bucket(out, ["w1"], num_buckets)
+        return out[[id_col, "w1", "w2", "m", "n", "_kind", "_cbucket"]]
+
+    def _tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = _doc_bigram_counts(df, id_col, text_col)
+        # per-doc anchor so token-poor documents still reach finalize;
+        # anchors bucket by DOC id (see doc_perplexity)
+        anchor = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "w1": np.full(len(df), "", dtype=object),
+            "w2": np.full(len(df), "", dtype=object),
+            "m": np.zeros(len(df), dtype="int64"),
+        })
+        out = pd.concat([out, anchor], ignore_index=True)
+        out["n"] = np.int64(-1)
+        out["_kind"] = np.int8(1)
+        by_w1 = coarse_bucket(out, ["w1"], num_buckets)
+        is_anchor = out["m"].to_numpy() == 0
+        if is_anchor.any():
+            by_id = coarse_bucket(out, [id_col], num_buckets)
+            by_w1 = np.where(is_anchor, by_id, by_w1).astype("int32")
+        out["_cbucket"] = by_w1
+        return out[[id_col, "w1", "w2", "m", "n", "_kind", "_cbucket"]]
+
+    def _attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "m", "_logp"]
+        if not len(bucket) or "_kind" not in bucket.columns:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "m": pd.Series([], dtype="int64"),
+                "_logp": pd.Series([], dtype="float64")})
+        part = bucket[bucket["_kind"] == 0]
+        docs = bucket[bucket["_kind"] == 1].copy()
+        if not len(docs):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "m": pd.Series([], dtype="int64"),
+                "_logp": pd.Series([], dtype="float64")})
+        c2 = part.groupby(["w1", "w2"], sort=False)["n"].sum()
+        c1 = part.groupby("w1", sort=False)["n"].sum()
+        key = pd.MultiIndex.from_arrays([docs["w1"], docs["w2"]])
+        n2 = c2.reindex(key).fillna(0).to_numpy().astype("float64")
+        n1 = c1.reindex(docs["w1"]).fillna(0).to_numpy().astype("float64")
+        m = docs["m"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lp = m.astype("float64") * np.log((n2 + 1.0) / (n1 + float(V)))
+        docs["_logp"] = np.where(m > 0, lp, 0.0)
+        return docs[cols]
+
+    def _bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = coarse_bucket(df, [id_col], num_buckets)
+        return df
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False, sort=False).agg(
+            sum_logp=("_logp", "sum"), n_bigrams=("m", "sum"))
+        out = pd.DataFrame({id_col: g[id_col].to_numpy()})
+        out["n_bigrams"] = g["n_bigrams"].astype("int64")
+        n = g["n_bigrams"].to_numpy().astype("float64")
+        out["log_ppl2"] = _round6(
+            np.where(n > 0, -g["sum_logp"].to_numpy() / np.maximum(n, 1),
+                     0.0))
+        return out
+
+    tagged = ds.map_batches(_tag_partials, batch_format="pandas").union(
+        ds.map_batches(_tag_docs, batch_format="pandas"))
+    attached = tagged.groupby("_cbucket").map_groups(
+        _attach, batch_format="pandas")
+    return (
+        attached.map_batches(_bucket_doc, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_finalize, batch_format="pandas")
+    )

@@ -1108,6 +1108,18 @@ def q_doc_mentions(sf_dir):
     return detect_mentions(_docs(sf_dir), GAZETTEER, concurrency=2)
 
 
+def q_doc_lm2_perplexity(sf_dir):
+    """Per-document add-one BIGRAM log-perplexity against the
+    corpus-estimated bigram LM (ops.lm.doc_bigram_perplexity): the
+    bigram table is corpus-proportional by construction so there is
+    no broadcast path — context totals derive inside the same
+    w1-keyed bucket pass that merges bigram counts and attaches doc
+    log-probs. Hash-checked against a DuckDB join replay."""
+    from .ops.lm import doc_bigram_perplexity
+
+    return doc_bigram_perplexity(_docs_with(sf_dir, ["doc_id", "text"]))
+
+
 def q_kg_mention_cooccurrence(sf_dir):
     """Entity co-occurrence edge construction from gazetteer mentions
     (ops.graph.cooccurrence_edges): distinct (doc, entity) dedup, a
@@ -2858,6 +2870,7 @@ def build_queries():
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_lm2_perplexity": q_doc_lm2_perplexity,
         "doc_url_normalize": q_doc_url_normalize,
         "host_doc_counts": q_host_doc_counts,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -4006,6 +4019,36 @@ def build_oracles():
             "CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
             "round(CASE WHEN coalesce(a.n_tokens, 0) > 0 "
             "THEN -a.slp / a.n_tokens ELSE 0.0 END, 6) AS log_ppl "
+            "FROM documents doc LEFT JOIN agg a USING (doc_id)"
+        ),
+        "doc_lm2_perplexity": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "coalesce(text,''), '[ \\t\\r\\n\\f\\v]+')) AS token "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, token FROM tok WHERE token <> ''), "
+            "vocab AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v "
+            "FROM tk), "
+            "docs2 AS (SELECT doc_id, regexp_split_to_array(trim("
+            "coalesce(text,'')), '[ \\t\\r\\n\\f\\v]+') AS toks "
+            "FROM documents "
+            "WHERE length(trim(coalesce(text,''))) > 0), "
+            "big AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2 "
+            "FROM docs2, unnest(range(0, greatest(len(toks)-1, 0))) "
+            "AS t(i)), "
+            "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 "
+            "FROM big GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 "
+            "FROM big GROUP BY 1), "
+            "terms AS (SELECT b.doc_id, "
+            "ln((c2.n2 + 1.0) / (c1.n1 + vocab.v)) AS lp "
+            "FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
+            "CROSS JOIN vocab), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "sum(lp) AS slp FROM terms GROUP BY doc_id) "
+            "SELECT doc.doc_id, "
+            "CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "round(CASE WHEN coalesce(a.n_bigrams, 0) > 0 "
+            "THEN -a.slp / a.n_bigrams ELSE 0.0 END, 6) AS log_ppl2 "
             "FROM documents doc LEFT JOIN agg a USING (doc_id)"
         ),
         # PII scrub replayed in the exact engine order (email -> ip ->
