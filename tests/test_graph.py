@@ -273,3 +273,38 @@ def test_cooccurrence_edges(ray_session):
         assert pmi == pytest.approx(
             math.log(want[(a, b)] * N / (df_e[a] * df_e[b])))
 
+
+
+def test_bfs_depths(ray_session):
+    import pytest
+
+    from versa_ray.ops.graph import bfs_depths
+
+    # diamond + chain + cycle + unreachable island; two seeds where
+    # one node is reachable at different depths (min must win)
+    edges = [
+        ("urn:s", "urn:a"), ("urn:s", "urn:b"),
+        ("urn:a", "urn:c"), ("urn:b", "urn:c"),      # diamond -> c depth 2
+        ("urn:c", "urn:d"), ("urn:d", "urn:s"),      # cycle back to seed
+        ("urn:t", "urn:d"),                          # second seed: d at 1
+        ("urn:i1", "urn:i2"),                        # island, unreachable
+    ]
+    links = [(a, "urn:g:rel", b) for a, b in edges]
+    out = bfs_depths(_links_ds(links), seeds=["urn:s", "urn:t"],
+                     num_buckets=5).to_pandas()
+    got = dict(zip(out.node, out.depth))
+    assert got == {"urn:s": 0, "urn:t": 0, "urn:a": 1, "urn:b": 1,
+                   "urn:d": 1, "urn:c": 2}
+
+    # max_depth prunes
+    out2 = bfs_depths(_links_ds(links), seeds=["urn:s"], max_depth=1,
+                      num_buckets=5).to_pandas()
+    assert dict(zip(out2.node, out2.depth)) == {
+        "urn:s": 0, "urn:a": 1, "urn:b": 1}
+
+    # non-convergence raises rather than silently truncating
+    chain = [(f"urn:c:{i:02d}", "urn:g:rel", f"urn:c:{i + 1:02d}")
+             for i in range(12)]
+    with pytest.raises(RuntimeError, match="converge"):
+        bfs_depths(_links_ds(chain), seeds=["urn:c:00"],
+                   max_iters=4, num_buckets=5).materialize()

@@ -677,3 +677,129 @@ def cooccurrence_edges(mentions_ds, total_docs, id_col="doc_id",
         .groupby("_pbucket")
         .map_groups(_finalize, batch_format="pandas")
     )
+
+
+def bfs_depths(links_ds, seeds, rels=None, max_depth=None, max_iters=50,
+               num_buckets=None):
+    """Minimum hop distance from any seed along directed IRI edges —
+    ``(node, depth)`` with seeds at depth 0, unreachable nodes absent.
+    The breadth-first sibling of ``transitive_closure_ds``: the
+    frontier lives in the Dataset (never driver-side), one fused
+    coarse-bucket shuffle per hop over a tagged working set (visited
+    marker carrying the settled depth / edge keyed by src / traversal
+    token carrying the candidate depth), convergence signalled by a
+    per-round emitted-token scalar. Because every round-r token
+    carries depth r, the first visit IS the minimum — no relaxation
+    rounds. Raises rather than returning a silently truncated result
+    when ``max_iters`` hops don't quiesce; ``max_depth`` bounds
+    exploration (tokens past it are never emitted, so the loop
+    terminates early and nodes beyond it are absent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_buckets = 16
+
+    rel_set = None if rels is None else sorted({str(r) for r in rels})
+
+    def _init(tbl: pa.Table) -> pa.Table:
+        mask = pc.and_(tbl["target_is_iri"], pc.is_valid(tbl["target"]))
+        if rel_set is not None:
+            mask = pc.and_(
+                mask, pc.is_in(tbl["rel"], value_set=pa.array(rel_set)))
+        sub = tbl.filter(mask)
+        n = len(sub)
+        return pa.table({
+            "key": sub["origin"],
+            "kind": pa.array([1] * n, type=pa.int8()),
+            "other": sub["target"],
+            "d": pa.array([0] * n, type=pa.int32()),
+        })
+
+    seed_list = sorted({str(s) for s in seeds})
+    seed_tbl = pa.table({
+        "key": pa.array(seed_list, type=pa.string()),
+        "kind": pa.array([2] * len(seed_list), type=pa.int8()),
+        "other": pa.array([None] * len(seed_list), type=pa.string()),
+        "d": pa.array([0] * len(seed_list), type=pa.int32()),
+    })
+    work = links_ds.map_batches(_init, batch_format="pyarrow").union(
+        rd.from_arrow(seed_tbl))
+
+    def _bucketize(df: pd.DataFrame) -> "pa.Table":
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["key"], index=False) % num_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _hop(bucket: pd.DataFrame) -> pd.DataFrame:
+        visited = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        toks = bucket[bucket["kind"] == 2]
+        depth = dict(zip(visited["key"], visited["d"]))
+        newly = {}
+        for key, d in zip(toks["key"], toks["d"]):
+            d = int(d)
+            if key not in depth and (key not in newly or d < newly[key]):
+                newly[key] = d
+        depth.update(newly)
+        out = [
+            pd.DataFrame({
+                "key": list(depth), "kind": np.int8(0), "other": None,
+                "d": np.array(list(depth.values()), dtype=np.int32),
+            }),
+            edg[["key", "kind", "other", "d"]],
+        ]
+        if newly:
+            hits = edg[edg["key"].isin(newly)].copy()
+            nd = hits["key"].map(newly).to_numpy(dtype=np.int64) + 1
+            if max_depth is not None:
+                keep = nd <= int(max_depth)
+                hits, nd = hits[keep], nd[keep]
+            if len(hits):
+                out.append(pd.DataFrame({
+                    "key": hits["other"].to_numpy(), "kind": np.int8(2),
+                    "other": None, "d": nd.astype(np.int32),
+                }))
+                out.append(pd.DataFrame({
+                    "key": ["__new__"], "kind": np.int8(4), "other": None,
+                    "d": np.array([len(hits)], dtype=np.int32),
+                }))
+        return pd.concat(out, ignore_index=True)
+
+    pending = 0
+    for _ in range(max_iters):
+        work = (
+            work.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_hop, batch_format="pandas")
+            .materialize()
+        )
+        pending = work.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(df.loc[df["kind"] == 4, "d"].sum())]}),
+            batch_format="pandas",
+        ).sum("n")
+        work = work.map_batches(
+            lambda df: df[df["kind"] != 4], batch_format="pandas")
+        if not pending:
+            break
+    if pending:
+        raise RuntimeError(
+            f"bfs_depths did not converge in {max_iters} hops "
+            f"({pending} traversal tokens still pending); raise max_iters")
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df["kind"] == 0]
+        return pd.DataFrame({
+            "node": hit["key"].to_numpy(),
+            "depth": hit["d"].to_numpy().astype("int64"),
+        })
+
+    return work.map_batches(_out, batch_format="pandas")

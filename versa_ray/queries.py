@@ -1120,6 +1120,42 @@ def q_doc_lm2_perplexity(sf_dir):
     return doc_bigram_perplexity(_docs_with(sf_dir, ["doc_id", "text"]))
 
 
+PLACED_BY = URN + "placedBy"
+
+
+def q_kg_bfs_depth(sf_dir):
+    """Minimum hop distance from a seed set (ops.graph.bfs_depths):
+    breadth-first frontier expansion where the frontier stays a
+    Dataset end-to-end — one fused coarse-bucket shuffle per hop over
+    a tagged (visited / edge / token) working set, the driver sees a
+    scalar per round. Graph: order -placedBy-> customer -inNation->
+    nation -inRegion-> region (depth 3 from order seeds). Hash-checked
+    against a DuckDB recursive-CTE min-depth oracle."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .ops.graph import bfs_depths
+
+    def _order_links(tbl: pa.Table) -> pa.Table:
+        ok = tbl["o_orderkey"].to_pylist()
+        ck = tbl["o_custkey"].to_pylist()
+        return _links_table(
+            [f"{URN}order:{k}" for k in ok], PLACED_BY,
+            [f"{URN}customer:{c}" for c in ck], True)
+
+    order_links = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(_order_links, batch_format="pyarrow")
+    links = tpch_linkset(sf_dir).union(order_links)
+
+    keys = _pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_pylist()
+    seeds = [f"{URN}order:{k}" for k in keys if k % 100 == 1]
+    return bfs_depths(
+        links, seeds, rels=[PLACED_BY, IN_NATION, IN_REGION])
+
+
 def q_kg_mention_cooccurrence(sf_dir):
     """Entity co-occurrence edge construction from gazetteer mentions
     (ops.graph.cooccurrence_edges): distinct (doc, entity) dedup, a
@@ -2947,6 +2983,7 @@ def build_queries():
         "graph_wcc": q_graph_wcc,
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_mention_cooccurrence": q_kg_mention_cooccurrence,
+        "kg_bfs_depth": q_kg_bfs_depth,
         "kg_type_entailment": q_kg_type_entailment,
         "links_shacl": q_links_shacl,
         "miniquery_conj": q_miniquery_conj,
@@ -3348,6 +3385,28 @@ def build_oracles():
             "LEFT JOIN canon co ON co.node = l.origin "
             "LEFT JOIN canon ct ON ct.node = l.target "
             f"WHERE l.rel <> '{SAMEAS_REL}'"
+        ),
+        "kg_bfs_depth": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT 'urn:versa:order:' || CAST(o_orderkey AS VARCHAR) AS a, "
+            "'urn:versa:customer:' || CAST(o_custkey AS VARCHAR) AS b "
+            "FROM orders "
+            "UNION ALL "
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), "
+            "'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR) "
+            "FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) "
+            "FROM nation), "
+            "walk(node, depth) AS ("
+            "SELECT 'urn:versa:order:' || CAST(o_orderkey AS VARCHAR), 0 "
+            "FROM orders WHERE o_orderkey % 100 = 1 "
+            "UNION "
+            "SELECT e.b, w.depth + 1 FROM walk w "
+            "JOIN edges e ON e.a = w.node WHERE w.depth < 40) "
+            "SELECT node, CAST(min(depth) AS BIGINT) AS depth "
+            "FROM walk GROUP BY node"
         ),
         "graph_wcc": (
             "WITH RECURSIVE e0 AS ("
