@@ -2609,3 +2609,81 @@ def test_doc_bigram_perplexity_brute(ray_session):
             s = sum(math.log((c2[(a, b)] + 1.0) / (c1[a] + V))
                     for a, b in zip(tk[:-1], tk[1:]))
             assert got[d][1] == pytest.approx(-s / n, abs=1e-6)
+
+
+def test_bmp_codec_roundtrip():
+    from versa_ray.ops.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(8)
+    # widths that exercise every row-padding case (w*3 % 4 in 0..3)
+    for h, w in [(1, 1), (3, 2), (5, 3), (4, 4), (9, 7), (6, 33)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+    # top-down variant (negative height) decodes too
+    img = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(img[::-1]))  # stored bottom-up of flipped
+    import struct as _struct
+
+    _struct.pack_into("<i", blob, 22, -4)    # flip to top-down
+    assert np.array_equal(decode_bmp(bytes(blob)), img[::-1][::-1])
+    # malformed inputs raise cleanly
+    for bad in [b"", b"BM", encode_bmp(img)[:30]]:
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_gif_codec_roundtrip():
+    from versa_ray.ops.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(13)
+    # palette sizes straddling every code-width boundary, plus images
+    # large enough to force LZW code growth and 4096-entry resets
+    for n in [1, 2, 3, 4, 5, 16, 17, 64, 129, 256]:
+        pal = rng.randint(0, 256, (n, 3), dtype=np.uint8)
+        for h, w in [(1, 1), (7, 5), (60, 80)]:
+            idx = rng.randint(0, n, (h, w), dtype=np.uint8)
+            got = decode_gif(encode_gif(idx, pal))
+            assert np.array_equal(got, pal[idx]), (n, h, w)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (300, 300), dtype=np.uint8)  # table resets
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    # highly repetitive input (deep LZW strings)
+    idx = np.tile(np.arange(6, dtype=np.uint8), (50, 40))[:50, :200]
+    pal8 = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal8)), pal8[idx])
+    # malformed inputs raise cleanly
+    blob = encode_gif(idx, pal8)
+    for bad in [b"", b"GIF89a", blob[:20], blob[:-5]]:
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_decode_image_bmp_gif_dispatch():
+    import pyarrow as pa
+
+    from versa_ray.ops.multimodal import DecodeImage, encode_bmp, encode_gif
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    pal = rng.randint(0, 256, (9, 3), dtype=np.uint8)
+    idx = rng.randint(0, 9, (4, 7), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_bmp(img), encode_gif(idx, pal)],
+                            pa.binary()),
+    })
+    out = DecodeImage(fake=False)(tbl)
+    assert out["codec"].to_pylist() == ["bmp", "gif"]
+    assert out["width"].to_pylist() == [6, 7]
+    assert out["height"].to_pylist() == [5, 4]
+    assert out["sum_r"].to_pylist() == [
+        int(img[:, :, 0].astype(np.int64).sum()),
+        int(pal[idx][:, :, 0].astype(np.int64).sum())]
+    # corrupt GIF body behind a valid magic: fake=True falls back
+    corrupt = pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "payload": pa.array([b"GIF89a" + bytes(40)], pa.binary()),
+    })
+    assert DecodeImage(fake=True)(corrupt)["codec"].to_pylist() == ["fake"]
+    with pytest.raises(ValueError):
+        DecodeImage(fake=False)(corrupt)

@@ -5,7 +5,7 @@ columns beside them. Decode/resize/frame-sample stages are actor-pool
 ``map_batches`` classes with real Ray plumbing (schema, batch sizing,
 actor signatures, output layout).
 
-Four REAL codecs ship with no third-party deps:
+Six REAL codecs ship with no third-party deps:
 
 * WAV (PCM) via the stdlib ``wave`` module — ``encode_wav`` /
   ``decode_wav`` and the ``DecodeAudio`` actor stage.
@@ -16,6 +16,11 @@ Four REAL codecs ship with no third-party deps:
 * JPEG (baseline JFIF) via ``ops/jpeg.py`` — real marker walk,
   DHT-driven Huffman entropy coding, DCT/quantization both
   directions, grayscale + YCbCr 4:4:4.
+* BMP (24-bit BI_RGB) via ``struct`` — ``encode_bmp`` /
+  ``decode_bmp`` (bottom-up and top-down rows, 4-byte padding).
+* GIF (87a/89a) via a real LZW codec both directions —
+  ``encode_gif`` / ``decode_gif`` (global/local color tables,
+  code-width growth, 4096-entry table resets, sub-block framing).
 * Y4M (YUV4MPEG2) video via a real container parse — ``encode_y4m``
   / ``decode_y4m`` (mono and 4:2:0 planar colorspaces), the
   ``DecodeVideo`` actor stage, and REAL frame extraction in
@@ -23,8 +28,8 @@ Four REAL codecs ship with no third-party deps:
 
 Remaining stubs: formats that need PIL/opencv/ffmpeg (WEBP/AVIF
 images, H.26x/VP9 video). ``DecodeImage`` / ``FrameSample`` dispatch
-on magic bytes — PNG / JPEG / Y4M payloads decode through the REAL
-codecs; other formats raise NotImplementedError unless ``fake=True``
+on magic bytes — PNG / JPEG / BMP / GIF / Y4M payloads decode through
+the REAL codecs; other formats raise NotImplementedError unless ``fake=True``
 selects the deterministic byte-level fake, which keeps downstream
 stages testable.
 
@@ -79,10 +84,11 @@ class DecodeImage:
     features ``(media_id, codec, width, height, sum_r, sum_g, sum_b)``.
 
     Dispatches on MAGIC BYTES per payload: PNG payloads go through the
-    REAL zlib/struct codec below (``decode_png``) and JPEG payloads
+    REAL zlib/struct codec below (``decode_png``), JPEG payloads
     through the REAL baseline JFIF codec (``ops/jpeg.py`` — marker
-    walk, DHT-driven Huffman decode, inverse DCT), regardless of
-    ``fake``. Formats this environment cannot decode (WEBP/AVIF/... —
+    walk, DHT-driven Huffman decode, inverse DCT), BMP through the
+    real 24-bit BI_RGB parser and GIF through the real LZW codec,
+    regardless of ``fake``. Formats this environment cannot decode (WEBP/AVIF/... —
     no PIL/opencv) raise NotImplementedError at decode time unless
     ``fake=True``, which routes them to the documented deterministic
     byte-level stand-in (codec='fake': width = payload length,
@@ -105,6 +111,10 @@ class DecodeImage:
                 real = ("png", decode_png)
             elif data[:2] == b"\xff\xd8":
                 real = ("jpeg", decode_jpeg)
+            elif data[:2] == b"BM":
+                real = ("bmp", decode_bmp)
+            elif data[:6] in (b"GIF87a", b"GIF89a"):
+                real = ("gif", decode_gif)
             if real is not None:
                 name, codec_fn = real
                 try:
@@ -138,9 +148,9 @@ class DecodeImage:
                 s_b.append(int(arr[1::2].sum()))
             else:
                 raise NotImplementedError(
-                    "non-PNG/JPEG image decode requires PIL/opencv, not "
-                    "present in this environment; construct with fake=True "
-                    "for the deterministic byte-level stand-in"
+                    "non-PNG/JPEG/BMP/GIF image decode requires PIL/opencv, "
+                    "not present in this environment; construct with "
+                    "fake=True for the deterministic byte-level stand-in"
                 )
         return pa.table(
             {
@@ -673,3 +683,305 @@ def decode_png_features(ds, concurrency=2, batch_size=32):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP codec (24-bit uncompressed BI_RGB) — stdlib struct only
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """BMP bytes from an (H, W, 3) RGB uint8 array: BITMAPINFOHEADER,
+    24-bit BI_RGB, bottom-up rows padded to 4 bytes, BGR order."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    row_len = (w * 3 + 3) & ~3
+    pad = row_len - w * 3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):           # bottom-up
+        body.extend(arr[y, :, ::-1].tobytes())   # BGR
+        body.extend(b"\x00" * pad)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(H, W, 3) RGB uint8 from 24-bit BI_RGB BMP bytes (bottom-up or
+    top-down). Raises ValueError on other bit depths/compressions."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError("unsupported BMP core header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BI_RGB supported")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    row_len = (w * 3 + 3) & ~3
+    need = off + row_len * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP body")
+    rows = np.frombuffer(
+        payload[off:off + row_len * h], dtype=np.uint8
+    ).reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    img = rows[:, :, ::-1]                   # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec (GIF87a/89a, global palette, LZW both directions)
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width when
+    the next free code fills it, resets the table at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    buf = b""
+    for byte in data:
+        nb = buf + bytes([byte])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf], code_size)
+        table[nb] = next_code
+        next_code += 1
+        # one entry LATER than the decoder's bump: the decoder's table
+        # lags the encoder's by exactly one entry (its first code after
+        # CLEAR adds nothing), so widths stay in lockstep this way
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], code_size)
+        # the decoder adds a table entry for this final code too (and
+        # may widen) before it reads EOI — mirror that phantom
+        # increment or EOI lands at the wrong width exactly when the
+        # last code falls on a width boundary
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int,
+                        expected: int) -> bytes:
+    """Inverse of :func:`_lzw_compress_gif`; ``expected`` bounds the
+    output so corrupt streams can't balloon."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width):
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    table = None
+    prev = None
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if table is None:
+            raise ValueError("GIF LZW data before CLEAR")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            out.extend(table[code])
+        else:
+            if code < next_code and code < len(table):
+                entry = table[code]
+            elif code == next_code:
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError("bad GIF LZW code")
+            out.extend(entry)
+            if next_code < 4096:
+                table.append(table[prev] + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        prev = code
+        if len(out) > expected:
+            raise ValueError("GIF LZW stream longer than image")
+    if len(out) != expected:
+        raise ValueError("GIF LZW stream shorter than image")
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF89a bytes from an (H, W) uint8 palette-index array and an
+    (N, 3) uint8 palette (N <= 256): real logical-screen descriptor,
+    global color table padded to a power of two, LZW-compressed image
+    data in 255-byte sub-blocks."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("encode_gif expects (H, W) indices, (N, 3) palette")
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError("palette size 1..256")
+    if indices.max(initial=0) >= n:
+        raise ValueError("index out of palette range")
+    gct_bits = 1
+    while (1 << gct_bits) < n:
+        gct_bits += 1
+    gct = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    gct[:n] = palette
+    h, w = indices.shape
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HH", w, h))
+    out.append(0x80 | (7 << 4) | (gct_bits - 1))   # GCT flag, size
+    out.extend(b"\x00\x00")                        # bg color, aspect
+    out.extend(gct.tobytes())
+    out.append(0x2C)                               # image descriptor
+    out.extend(struct.pack("<HHHH", 0, 0, w, h))
+    out.append(0x00)                               # no LCT, sequential
+    min_code = max(2, gct_bits)
+    out.append(min_code)
+    lzw = _lzw_compress_gif(indices.tobytes(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0x00)                               # block terminator
+    out.append(0x3B)                               # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """(H, W, 3) RGB uint8 from GIF bytes: header/LSD parse, global
+    and local color tables, extension-block skipping, real LZW
+    decode of the FIRST image. Raises ValueError on interlaced
+    images and malformed streams."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    if len(payload) < pos + 7:
+        raise ValueError("truncated GIF header")
+    _sw, _sh = struct.unpack_from("<HH", payload, pos)
+    packed = payload[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        if len(payload) < pos + size * 3:
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(
+            payload[pos:pos + size * 3], dtype=np.uint8).reshape(size, 3)
+        pos += size * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                          # trailer
+            break
+        if block == 0x21:                          # extension
+            pos += 1                               # label
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if len(payload) < pos + 9:
+            raise ValueError("truncated GIF image descriptor")
+        _ix, _iy, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            if len(payload) < pos + size * 3:
+                raise ValueError("truncated GIF local color table")
+            table = np.frombuffer(
+                payload[pos:pos + size * 3], dtype=np.uint8
+            ).reshape(size, 3)
+            pos += size * 3
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError("bad GIF LZW minimum code size")
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            lzw.extend(payload[pos:pos + ln])
+            pos += ln
+        idx = np.frombuffer(
+            _lzw_decompress_gif(bytes(lzw), min_code, w * h),
+            dtype=np.uint8,
+        ).reshape(h, w)
+        if idx.max(initial=0) >= len(table):
+            raise ValueError("GIF index outside color table")
+        return np.ascontiguousarray(table[idx])
+    raise ValueError("GIF contains no image block")

@@ -2714,6 +2714,81 @@ def q_multimodal_png_features(sf_dir):
     return decode_png_features(media)
 
 
+def q_multimodal_bmp_features(sf_dir):
+    """REAL image codec path: deterministic RGB images derived from
+    doc_id are encoded to 24-bit BI_RGB BMP (odd widths exercise the
+    4-byte row padding) and decoded back by the DecodeImage actor
+    pool (magic-byte dispatch -> real BMP parser). The DuckDB oracle
+    computes the sums analytically from the pixel formula."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import decode_features
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.multimodal import encode_bmp
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            w = 15 + (d % 4) * 3
+            h = 9 + (d % 3) * 2
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            c = np.arange(3, dtype=np.int64)
+            img = (
+                (d * 19 + x[None, :, None] * 5 + y[:, None, None] * 11
+                 + c[None, None, :] * 7) % 256
+            ).astype(np.uint8)
+            ids.append(d)
+            payloads.append(encode_bmp(img))
+        return pa_.table({
+            "media_id": pa_.array(ids, type=pa_.int64()),
+            "payload": pa_.array(payloads, type=pa_.binary()),
+        })
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32)
+    return decode_features(media, fake=False)
+
+
+def q_multimodal_gif_features(sf_dir):
+    """REAL image codec path: deterministic palette images derived
+    from doc_id are encoded to GIF89a (real LZW with code-width
+    growth) and decoded back by the DecodeImage actor pool
+    (magic-byte dispatch -> real LZW decode + palette lookup). The
+    DuckDB oracle replays index and palette formulas analytically —
+    any LZW drift hash-mismatches."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import decode_features
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.multimodal import encode_gif
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            w = 13 + (d % 5) * 5
+            h = 8 + (d % 4) * 3
+            np_ = 2 + (d % 7) * 9
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            idx = ((d * 11 + x[None, :] * 3 + y[:, None] * 5)
+                   % np_).astype(np.uint8)
+            p = np.arange(np_, dtype=np.int64)
+            c = np.arange(3, dtype=np.int64)
+            pal = ((d * 7 + p[:, None] * 17 + c[None, :] * 23)
+                   % 256).astype(np.uint8)
+            ids.append(d)
+            payloads.append(encode_gif(idx, pal))
+        return pa_.table({
+            "media_id": pa_.array(ids, type=pa_.int64()),
+            "payload": pa_.array(payloads, type=pa_.binary()),
+        })
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32)
+    return decode_features(media, fake=False)
+
+
 def q_multimodal_jpeg_features(sf_dir):
     """REAL (lossy!) image codec path: deterministic constant-per-8x8-
     block grayscale mosaics derived from doc_id are encoded to
@@ -2946,6 +3021,8 @@ def build_queries():
         "multimodal_features": q_multimodal_features,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_bmp_features": q_multimodal_bmp_features,
+        "multimodal_gif_features": q_multimodal_gif_features,
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -3138,6 +3215,46 @@ def build_oracles():
             "CAST(h AS BIGINT) AS height, CAST(SUM(r) AS BIGINT) AS sum_r, "
             "CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
             "FROM px GROUP BY doc_id, w, h ORDER BY media_id"
+        ),
+        "multimodal_bmp_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 15 + (doc_id % 4) * 3 AS w, "
+            "9 + (doc_id % 3) * 2 AS h FROM ids), "
+            "xs AS (SELECT unnest(generate_series(0, 23)) AS x), "
+            "ys AS (SELECT unnest(generate_series(0, 12)) AS y), "
+            "px AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 19 + x.x * 5 + y.y * 11) % 256 AS r, "
+            "(p.doc_id * 19 + x.x * 5 + y.y * 11 + 7) % 256 AS g, "
+            "(p.doc_id * 19 + x.x * 5 + y.y * 11 + 14) % 256 AS b "
+            "FROM par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h) "
+            "SELECT doc_id AS media_id, 'bmp' AS codec, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM(r) AS BIGINT) AS sum_r, "
+            "CAST(SUM(g) AS BIGINT) AS sum_g, "
+            "CAST(SUM(b) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY doc_id, w, h"
+        ),
+        "multimodal_gif_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 13 + (doc_id % 5) * 5 AS w, "
+            "8 + (doc_id % 4) * 3 AS h, 2 + (doc_id % 7) * 9 AS np "
+            "FROM ids), "
+            "xs AS (SELECT unnest(generate_series(0, 32)) AS x), "
+            "ys AS (SELECT unnest(generate_series(0, 16)) AS y), "
+            "px AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 11 + x.x * 3 + y.y * 5) % p.np AS idx "
+            "FROM par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h) "
+            "SELECT px.doc_id AS media_id, 'gif' AS codec, "
+            "CAST(px.w AS BIGINT) AS width, CAST(px.h AS BIGINT) AS height, "
+            "CAST(SUM((px.doc_id * 7 + px.idx * 17) % 256) AS BIGINT) "
+            "AS sum_r, "
+            "CAST(SUM((px.doc_id * 7 + px.idx * 17 + 23) % 256) AS BIGINT) "
+            "AS sum_g, "
+            "CAST(SUM((px.doc_id * 7 + px.idx * 17 + 46) % 256) AS BIGINT) "
+            "AS sum_b "
+            "FROM px GROUP BY px.doc_id, px.w, px.h"
         ),
         "multimodal_jpeg_features": (
             "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
