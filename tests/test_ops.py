@@ -2687,3 +2687,40 @@ def test_decode_image_bmp_gif_dispatch():
     assert DecodeImage(fake=True)(corrupt)["codec"].to_pylist() == ["fake"]
     with pytest.raises(ValueError):
         DecodeImage(fake=False)(corrupt)
+
+
+def test_heavy_hitters(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.agg import heavy_hitters
+
+    rng = np.random.RandomState(17)
+    # 3 planted hitters in a long tail of singletons
+    vals = (["hot-a"] * 300 + ["hot-b"] * 150 + ["hot-c"] * 60
+            + [f"tail-{i}" for i in range(490)])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    total = len(df)
+
+    out = heavy_hitters(
+        rd.from_pandas(df).repartition(5), "v", threshold_frac=0.05,
+        width=256, depth=3,
+    ).to_pandas()
+    got = dict(zip(out.v, out.n))
+    # threshold = ceil(0.05 * 1000) = 50 -> all three planted hitters
+    assert got == {"hot-a": 300, "hot-b": 150, "hot-c": 60}
+
+    # a threshold nothing clears returns an empty frame, not an error
+    out2 = heavy_hitters(
+        rd.from_pandas(df).repartition(5), "v", threshold_frac=0.9,
+        width=64, depth=2,
+    ).to_pandas()
+    assert len(out2) == 0
+
+    # tiny sketch (massive collisions) still yields EXACT answers —
+    # collisions only widen the candidate set
+    out3 = heavy_hitters(
+        rd.from_pandas(df).repartition(5), "v", threshold_frac=0.05,
+        width=8, depth=1,
+    ).to_pandas()
+    assert dict(zip(out3.v, out3.n)) == got

@@ -470,3 +470,104 @@ def approx_distinct(ds, col, key=None, precision=12):
 
     partials = ds.map_batches(_partial_k, batch_format="pandas")
     return bucketed_group_apply(partials, [key], _final_k)
+
+
+def _cms_rows(vals: "pd.Series", depth: int, width: int) -> np.ndarray:
+    """(depth, len) column indices for a count-min sketch: row k uses
+    pandas' siphash with a distinct 16-byte key — deterministic and
+    replayable at probe time."""
+    out = np.empty((depth, len(vals)), dtype=np.int64)
+    for k in range(depth):
+        h = pd.util.hash_pandas_object(
+            vals, index=False, hash_key=f"{k:016d}")
+        out[k] = (h % np.uint64(width)).to_numpy().astype(np.int64)
+    return out
+
+
+def heavy_hitters(ds, col, threshold_frac=0.01, width=2048, depth=4):
+    """Values of ``col`` occurring in at least ``threshold_frac`` of
+    all rows, with EXACT counts — ``(col, n)`` rows.
+
+    Count-min sketch as a PRUNER, exactness from a verify pass (the
+    same discipline as ``bloom_semi_filter``: the sketch changes
+    cost, never the answer):
+
+    1. per-batch CMS partials (depth x width int64 + a row-count
+       scalar) merged by elementwise SUM driver-side — blocks x
+       ``depth*width*8`` bytes, never value cardinality;
+    2. candidate harvest: each batch probes its DISTINCT values
+       against the broadcast sketch; CMS only over-estimates, so
+       every true heavy hitter survives and the candidate set stays
+       near ``1/threshold_frac`` values (plus bounded collision
+       noise) — small enough to broadcast;
+    3. exact verify: rows are semi-filtered by the broadcast
+       candidate set and counted on one coarse-bucket shuffle; the
+       threshold cut uses the EXACT counts.
+    """
+    import ray
+
+    from .dedup import coarse_bucket
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sketch = np.zeros((depth, width), dtype=np.int64)
+        if len(df):
+            vals = df[col]
+            idx = _cms_rows(vals, depth, width)
+            for k in range(depth):
+                np.add.at(sketch[k], idx[k], 1)
+        return pd.DataFrame({"sketch": [sketch.tobytes()],
+                             "n": [len(df)]})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["sketch"]:
+        sketch += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    total = int(parts["n"].sum())
+    threshold = int(np.ceil(threshold_frac * total))
+    sk_ref = ray.put(sketch)
+
+    def _candidates(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].drop_duplicates()
+        if not len(vals):
+            return pd.DataFrame({col: vals})
+        sk = ray.get(sk_ref)
+        idx = _cms_rows(vals, depth, width)
+        est = sk[np.arange(depth)[:, None], idx].min(axis=0)
+        return pd.DataFrame({col: vals[est >= threshold]})
+
+    cdf = ds.map_batches(_candidates, batch_format="pandas").to_pandas()
+    # all-empty candidate batches concatenate to a 0-column frame
+    cand = set(cdf[col].drop_duplicates()) if col in cdf.columns else set()
+    if not cand:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {col: pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}))
+    cand_ref = ray.put(cand)
+
+    def _count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if col not in df.columns or not len(df):
+            return pd.DataFrame({col: pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_cbucket": pd.Series([], dtype="int32")})
+        sel = df[df[col].isin(ray.get(cand_ref))]
+        vc = sel[col].value_counts()
+        out = pd.DataFrame({col: vc.index.to_numpy(),
+                            "n": vc.to_numpy().astype("int64")})
+        out["_cbucket"] = coarse_bucket(out, [col], 16)
+        return out
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        if col not in group.columns or not len(group):
+            return pd.DataFrame({col: pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        g = group.groupby(col, as_index=False, sort=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g[g["n"] >= threshold]
+
+    return (
+        ds.map_batches(_count_partial, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -2330,6 +2330,25 @@ def q_lineitem_urgent_semi(sf_dir):
     )
 
 
+def q_events_heavy_hitters(sf_dir):
+    """Heavy hitters with EXACT counts: a count-min sketch prunes the
+    candidate set (per-batch depth x width partials summed
+    driver-side, distinct values probed against the broadcast
+    sketch), then an exact coarse-bucket count verifies — the sketch
+    changes cost, never the answer (ops.agg.heavy_hitters, same
+    discipline as the bloom semi-join). Hash-checked against the
+    plain GROUP BY / HAVING oracle."""
+    import ray.data as rd
+
+    from .ops.agg import heavy_hitters
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        override_num_blocks=_blocks_for(),
+    )
+    return heavy_hitters(ev, "user_id", threshold_frac=0.007)
+
+
 def q_events_user_hll(sf_dir):
     """HyperLogLog approximate distinct users per event type —
     the classic decomposable distinct-count sketch (per-batch 4 KiB
@@ -3012,6 +3031,7 @@ def build_queries():
         "order_priority_revenue": q_order_priority_revenue,
         "lineitem_urgent_semi": q_lineitem_urgent_semi,
         "events_user_hll": q_events_user_hll,
+        "events_heavy_hitters": q_events_heavy_hitters,
         "part_triangles": q_part_triangles,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
@@ -3502,6 +3522,11 @@ def build_oracles():
             "LEFT JOIN canon co ON co.node = l.origin "
             "LEFT JOIN canon ct ON ct.node = l.target "
             f"WHERE l.rel <> '{SAMEAS_REL}'"
+        ),
+        "events_heavy_hitters": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY user_id HAVING count(*) >= CAST(ceil(0.007 * "
+            "(SELECT count(*) FROM events)) AS BIGINT)"
         ),
         "kg_bfs_depth": (
             "WITH RECURSIVE edges AS ("
