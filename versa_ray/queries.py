@@ -2599,25 +2599,26 @@ def q_kg_linkset(sf_dir):
 
 def q_multimodal_features(sf_dir):
     """Generic image decode with MAGIC-BYTE dispatch over a MIXED
-    corpus: even doc_ids carry real PNG payloads (same deterministic
-    pixel formula as q_multimodal_png_features — decoded through the
-    real zlib/struct codec, filter rotating through all five types),
-    odd doc_ids carry an opaque byte payload from a deterministic
-    formula (routed to the documented fake stand-in). One DecodeImage
-    actor pool handles both; the DuckDB oracle replays BOTH feature
-    formulas analytically, so codec dispatch or decode drift on
-    either path hash-mismatches."""
+    corpus covering every real codec in one actor pool: doc_id % 4
+    routes to real PNG (filter rotating through all five types), real
+    GIF (LZW), real BMP (row padding), or an opaque byte payload
+    (the documented fake stand-in — formats this env cannot decode).
+    The DuckDB oracle replays ALL FOUR feature formulas analytically,
+    so codec dispatch or decode drift on any path hash-mismatches.
+    (The lossy JPEG path has its own query — its oracle needs the
+    constant-block trick.)"""
     import pyarrow as pa_
 
     from .ops.multimodal import decode_features
 
     def _synth(tbl: pa_.Table) -> pa_.Table:
-        from .ops.multimodal import encode_png
+        from .ops.multimodal import encode_bmp, encode_gif, encode_png
 
         ids, payloads = [], []
         for d in tbl["doc_id"].to_pylist():
             ids.append(d)
-            if d % 2 == 0:
+            m = d % 4
+            if m == 0:
                 w = 16 + (d % 5) * 4
                 h = 12 + (d % 3) * 4
                 x = np.arange(w, dtype=np.int64)
@@ -2628,6 +2629,30 @@ def q_multimodal_features(sf_dir):
                      + c[None, None, :] * 5) % 256
                 ).astype(np.uint8)
                 payloads.append(encode_png(img, filter_type=d % 5))
+            elif m == 1:
+                w = 13 + (d % 5) * 5
+                h = 8 + (d % 3) * 3
+                np_ = 2 + (d % 7) * 9
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                idx = ((d * 11 + x[None, :] * 3 + y[:, None] * 5)
+                       % np_).astype(np.uint8)
+                p = np.arange(np_, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                pal = ((d * 7 + p[:, None] * 17 + c[None, :] * 23)
+                       % 256).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            elif m == 2:
+                w = 15 + (d % 5) * 3
+                h = 9 + (d % 3) * 2
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                img = (
+                    (d * 19 + x[None, :, None] * 5 + y[:, None, None] * 11
+                     + c[None, None, :] * 7) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
             else:
                 n = 512 + (d % 5) * 64
                 k = np.arange(n, dtype=np.int64)
@@ -4346,10 +4371,10 @@ def build_oracles():
         "multimodal_features": (
             "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
             "LIMIT 128), "
-            "png_par AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, "
-            "12 + (doc_id % 3) * 4 AS h FROM ids WHERE doc_id % 2 = 0), "
-            "xs AS (SELECT unnest(generate_series(0, 31)) AS x), "
+            "xs AS (SELECT unnest(generate_series(0, 36)) AS x), "
             "ys AS (SELECT unnest(generate_series(0, 23)) AS y), "
+            "png_par AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, "
+            "12 + (doc_id % 3) * 4 AS h FROM ids WHERE doc_id % 4 = 0), "
             "px AS (SELECT p.doc_id, p.w, p.h, "
             "(p.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS r, "
             "(p.doc_id * 31 + x.x * 7 + y.y * 13 + 5) % 256 AS g, "
@@ -4360,8 +4385,34 @@ def build_oracles():
             "CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS "
             "sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
             "FROM px GROUP BY doc_id, w, h), "
+            "gif_par AS (SELECT doc_id, 13 + (doc_id % 5) * 5 AS w, "
+            "8 + (doc_id % 3) * 3 AS h, 2 + (doc_id % 7) * 9 AS np "
+            "FROM ids WHERE doc_id % 4 = 1), "
+            "gpx AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 11 + x.x * 3 + y.y * 5) % p.np AS idx "
+            "FROM gif_par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h), "
+            "gif AS (SELECT doc_id AS media_id, 'gif' AS codec, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM((doc_id * 7 + idx * 17) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((doc_id * 7 + idx * 17 + 23) % 256) AS BIGINT) "
+            "AS sum_g, "
+            "CAST(SUM((doc_id * 7 + idx * 17 + 46) % 256) AS BIGINT) "
+            "AS sum_b "
+            "FROM gpx GROUP BY doc_id, w, h), "
+            "bmp_par AS (SELECT doc_id, 15 + (doc_id % 5) * 3 AS w, "
+            "9 + (doc_id % 3) * 2 AS h FROM ids WHERE doc_id % 4 = 2), "
+            "bpx AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 19 + x.x * 5 + y.y * 11) % 256 AS r, "
+            "(p.doc_id * 19 + x.x * 5 + y.y * 11 + 7) % 256 AS g, "
+            "(p.doc_id * 19 + x.x * 5 + y.y * 11 + 14) % 256 AS b "
+            "FROM bmp_par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h), "
+            "bmp AS (SELECT doc_id AS media_id, 'bmp' AS codec, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS "
+            "sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
+            "FROM bpx GROUP BY doc_id, w, h), "
             "fake_par AS (SELECT doc_id, 512 + (doc_id % 5) * 64 AS n "
-            "FROM ids WHERE doc_id % 2 = 1), "
+            "FROM ids WHERE doc_id % 4 = 3), "
             "ks AS (SELECT unnest(generate_series(0, 767)) AS k), "
             "bs AS (SELECT p.doc_id, p.n, k.k, "
             "(p.doc_id * 97 + k.k * 31) % 256 AS b "
@@ -4372,7 +4423,8 @@ def build_oracles():
             "CAST(SUM(CASE WHEN k % 2 = 0 THEN b END) AS BIGINT) AS sum_g, "
             "CAST(SUM(CASE WHEN k % 2 = 1 THEN b END) AS BIGINT) AS sum_b "
             "FROM bs GROUP BY doc_id) "
-            "SELECT * FROM png UNION ALL SELECT * FROM fake "
+            "SELECT * FROM png UNION ALL SELECT * FROM gif "
+            "UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM fake "
             "ORDER BY media_id"
         ),
         # doc_minhash_dedup / doc_simhash / doc_langid / doc_quality /
