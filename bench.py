@@ -82,6 +82,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "doc_bm25",
         "doc_line_dedup",
         "doc_pack_sequences",
+        "doc_dup_spans",
+        "doc_lm2_perplexity",
     ]
     qmap = Q.build_queries()
     out = {}

@@ -2724,3 +2724,36 @@ def test_heavy_hitters(ray_session):
         width=8, depth=1,
     ).to_pandas()
     assert dict(zip(out3.v, out3.n)) == got
+
+
+def test_grouped_quantile_disc_and_filter(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.agg import (filter_above_group_quantile,
+                                   grouped_quantile_disc)
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c"], 400),
+        "val": rng.randint(0, 50, 400).astype("int64"),
+        "row": np.arange(400, dtype="int64"),
+    })
+    for q in [0.0, 0.25, 0.5, 0.9, 1.0]:
+        got = grouped_quantile_disc(
+            rd.from_pandas(df).repartition(5), "grp", "val", q,
+            num_buckets=4).to_pandas()
+        want = {}
+        for g, sub in df.groupby("grp"):
+            v = np.sort(sub["val"].to_numpy())
+            want[g] = v[max(int(np.ceil(q * len(v))) - 1, 0)]
+        assert dict(zip(got.grp, got.val)) == want, q
+
+    kept = filter_above_group_quantile(
+        rd.from_pandas(df).repartition(5), "grp", "val", 0.5,
+        num_buckets=4).to_pandas()
+    med = {g: np.sort(s["val"].to_numpy())[
+        max(int(np.ceil(0.5 * len(s))) - 1, 0)]
+        for g, s in df.groupby("grp")}
+    want_rows = {int(r.row) for r in df.itertuples()
+                 if r.val > med[r.grp]}
+    assert {int(r) for r in kept.row} == want_rows

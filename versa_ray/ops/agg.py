@@ -18,7 +18,8 @@ import pandas as pd
 
 __all__ = [
     "grouped_agg_small", "grouped_topk", "approx_quantiles",
-    "exact_quantiles", "approx_distinct",
+    "exact_quantiles", "approx_distinct", "heavy_hitters",
+    "grouped_quantile_disc", "filter_above_group_quantile",
 ]
 
 _FINAL_HOW = {"sum": "sum", "size": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -571,3 +572,73 @@ def heavy_hitters(ds, col, threshold_frac=0.01, width=2048, depth=4):
         .groupby("_cbucket")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def grouped_quantile_disc(ds, key, col, q, num_buckets=64):
+    """EXACT per-group discrete quantile (SQL ``quantile_disc``
+    semantics: the element at 0-indexed rank ``ceil(q*N) - 1`` within
+    each group) — ``(key, col)`` rows, one per group.
+
+    Per-batch partial ``(key, value, m)`` counts (combiner: distinct
+    values per batch, not rows), ONE coarse-bucket shuffle on the
+    group key, exact rank selection from the merged counts. Assumes
+    per-group DISTINCT-VALUE cardinality fits a task (quality scores,
+    token/char lengths, bounded ints) — the multi-round global
+    ``exact_quantiles`` covers the unbounded-cardinality case."""
+    from .dedup import coarse_bucket
+
+    q = float(q)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if key not in df.columns or not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 col: pd.Series([], dtype="float64"),
+                                 "m": pd.Series([], dtype="int64"),
+                                 "_cbucket": pd.Series([], dtype="int32")})
+        g = df.groupby([key, col], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "m"})
+        g["m"] = g["m"].astype("int64")
+        g["_cbucket"] = coarse_bucket(g, [key], num_buckets)
+        return g
+
+    def _select(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 col: pd.Series([], dtype="float64")})
+        rows = []
+        merged = group.groupby([key, col], as_index=False, sort=False)[
+            "m"].sum()
+        for kv, g in merged.groupby(key, sort=False):
+            g = g.sort_values(col, kind="mergesort")
+            m = g["m"].to_numpy()
+            n = int(m.sum())
+            rank = max(int(np.ceil(q * n)) - 1, 0)
+            ix = int(np.searchsorted(np.cumsum(m), rank + 1))
+            rows.append({key: kv, col: g[col].to_numpy()[ix]})
+        return pd.DataFrame(rows, columns=[key, col])
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_select, batch_format="pandas")
+    )
+
+
+def filter_above_group_quantile(ds, key, col, q, num_buckets=64):
+    """Keep rows whose ``col`` is STRICTLY above their group's exact
+    discrete ``q``-quantile — the 'keep the best half per language /
+    domain' curation primitive. The per-group thresholds come from
+    :func:`grouped_quantile_disc` (group-cardinality rows) and
+    broadcast into one streaming filter pass; the corpus itself is
+    never shuffled."""
+    import ray
+
+    th = grouped_quantile_disc(
+        ds, key, col, q, num_buckets=num_buckets).to_pandas()
+    ref = ray.put(dict(zip(th[key], th[col])))
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        cut = df[key].map(ray.get(ref))
+        return df[df[col].to_numpy() > cut.to_numpy()]
+
+    return ds.map_batches(_filter, batch_format="pandas")

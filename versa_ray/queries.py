@@ -2330,6 +2330,20 @@ def q_lineitem_urgent_semi(sf_dir):
     )
 
 
+def q_doc_above_median_chars(sf_dir):
+    """'Keep the best half per language' curation primitive: exact
+    per-group discrete median from ONE coarse-bucket shuffle of
+    (lang, n_chars) partial counts, broadcast thresholds, streaming
+    strictly-above filter — the corpus never shuffles
+    (ops.agg.filter_above_group_quantile). Hash-checked against the
+    DuckDB quantile_disc window replay."""
+    from .ops.agg import filter_above_group_quantile
+
+    return filter_above_group_quantile(
+        _docs_with(sf_dir, ["doc_id", "lang", "n_chars"]),
+        key="lang", col="n_chars", q=0.5)
+
+
 def q_events_heavy_hitters(sf_dir):
     """Heavy hitters with EXACT counts: a count-min sketch prunes the
     candidate set (per-batch depth x width partials summed
@@ -3057,6 +3071,7 @@ def build_queries():
         "lineitem_urgent_semi": q_lineitem_urgent_semi,
         "events_user_hll": q_events_user_hll,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "doc_above_median_chars": q_doc_above_median_chars,
         "part_triangles": q_part_triangles,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
@@ -3547,6 +3562,12 @@ def build_oracles():
             "LEFT JOIN canon co ON co.node = l.origin "
             "LEFT JOIN canon ct ON ct.node = l.target "
             f"WHERE l.rel <> '{SAMEAS_REL}'"
+        ),
+        "doc_above_median_chars": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, n_chars, "
+            "quantile_disc(n_chars, 0.5) OVER (PARTITION BY lang) AS med "
+            "FROM documents) WHERE n_chars > med"
         ),
         "events_heavy_hitters": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
