@@ -308,3 +308,34 @@ def test_bfs_depths(ray_session):
     with pytest.raises(RuntimeError, match="converge"):
         bfs_depths(_links_ds(chain), seeds=["urn:c:00"],
                    max_iters=4, num_buckets=5).materialize()
+
+
+def test_negative_samples(ray_session):
+    import hashlib
+
+    from versa_ray.ops.graph import negative_samples
+
+    links = [(f"urn:s:{i}", "urn:rel:x", f"urn:s:{(i + 1) % 8}")
+             for i in range(8)]
+    links.append(("urn:s:0", "urn:rel:name", "literal-l"))  # non-IRI
+    ds = _links_ds(links)
+    out = negative_samples(ds, n_neg=3, num_buckets=5).to_pandas()
+
+    ents = sorted({f"urn:s:{i}" for i in range(8)})
+    n = len(ents)
+    # brute-force replay of the contract
+    want = []
+    for o, r, t in links:
+        if t.startswith("literal"):
+            continue
+        for i in range(1, 4):
+            raw = int(hashlib.md5(f"{o}|{r}|{t}|{i}".encode())
+                      .hexdigest()[:15], 16)
+            e = ents[raw % n]
+            if e == t:
+                e = ents[(raw + 1) % n]
+            want.append((o, r, t, i, e))
+    got = sorted(zip(out.origin, out.rel, out.target,
+                     out.neg_i.astype(int), out.neg_entity))
+    assert got == sorted(want)
+    assert (out.neg_entity != out.target).all()

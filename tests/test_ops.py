@@ -2757,3 +2757,27 @@ def test_grouped_quantile_disc_and_filter(ray_session):
     want_rows = {int(r.row) for r in df.itertuples()
                  if r.val > med[r.grp]}
     assert {int(r) for r in kept.row} == want_rows
+
+
+def test_zip_with_index(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.agg import zip_with_index
+
+    rng = np.random.RandomState(31)
+    vals = [f"urn:e:{i:05d}" for i in rng.permutation(800)]
+    df = pd.DataFrame({"entity": vals, "payload": np.arange(800)})
+    out = zip_with_index(
+        rd.from_pandas(df).repartition(6), "entity", num_buckets=7
+    ).to_pandas()
+    srt = sorted(vals)
+    assert len(out) == 800
+    assert sorted(out._index) == list(range(800))
+    assert all(srt[ix] == e for e, ix in zip(out.entity, out._index))
+    # payload column rides along untouched
+    pay = dict(zip(df.entity, df.payload))
+    assert all(pay[e] == p for e, p in zip(out.entity, out.payload))
+    # integer keys and a single row
+    one = zip_with_index(
+        rd.from_pandas(pd.DataFrame({"k": [42]})), "k").to_pandas()
+    assert one.to_dict("records") == [{"k": 42, "_index": 0}]

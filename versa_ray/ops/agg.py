@@ -20,6 +20,7 @@ __all__ = [
     "grouped_agg_small", "grouped_topk", "approx_quantiles",
     "exact_quantiles", "approx_distinct", "heavy_hitters",
     "grouped_quantile_disc", "filter_above_group_quantile",
+    "zip_with_index",
 ]
 
 _FINAL_HOW = {"sum": "sum", "size": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -642,3 +643,89 @@ def filter_above_group_quantile(ds, key, col, q, num_buckets=64):
         return df[df[col].to_numpy() > cut.to_numpy()]
 
     return ds.map_batches(_filter, batch_format="pandas")
+
+
+def zip_with_index(ds, order_by, num_buckets=64, samples_per_batch=64,
+                   out_col="_index"):
+    """Assign each row its GLOBAL 0-based rank under ``order_by`` —
+    the zip-with-index primitive — without a driver-side sort of the
+    data. ``order_by`` must be a UNIQUE key (ranks among duplicates
+    would be partition-dependent; callers wanting ties pass a
+    tie-breaking composite as a single column).
+
+    Three bounded passes: (1) per-batch boundary samples give
+    ``num_buckets - 1`` split points (driver sees blocks x samples
+    KEY VALUES only); (2) per-batch partial counts per range bucket
+    -> driver prefix sums (``num_buckets`` scalars); (3) one
+    range-bucket shuffle, local sort inside each bucket, index =
+    bucket offset + arange. Sample skew makes buckets UNEVEN, never
+    wrong — searchsorted with the same boundaries on both passes is
+    deterministic and monotone."""
+    import ray
+
+    key = order_by
+
+    def _sample(df: pd.DataFrame) -> pd.DataFrame:
+        if key not in df.columns or not len(df):
+            return pd.DataFrame({"v": pd.Series([], dtype=object)})
+        v = df[key].sort_values().to_numpy()
+        idx = np.linspace(0, len(v) - 1, min(samples_per_batch, len(v)))
+        return pd.DataFrame({"v": pd.Series(v[idx.astype(int)],
+                                            dtype=object)})
+
+    samp = np.sort(
+        ds.map_batches(_sample, batch_format="pandas")
+        .to_pandas()["v"].to_numpy())
+    if not len(samp):
+        bounds = np.array([], dtype=object)
+    else:
+        cut = np.linspace(0, len(samp) - 1, num_buckets + 1)[1:-1]
+        bounds = samp[cut.astype(int)]
+    b_ref = ray.put(bounds)
+
+    def _bucket_of(vals):
+        b = ray.get(b_ref)
+        if not len(b):
+            return np.zeros(len(vals), dtype=np.int32)
+        return np.searchsorted(b, vals, side="right").astype(np.int32)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        if key not in df.columns or not len(df):
+            return pd.DataFrame({"b": pd.Series([], dtype="int32"),
+                                 "n": pd.Series([], dtype="int64")})
+        bk = _bucket_of(df[key].to_numpy())
+        u, c = np.unique(bk, return_counts=True)
+        return pd.DataFrame({"b": u.astype("int32"),
+                             "n": c.astype("int64")})
+
+    cdf = ds.map_batches(_counts, batch_format="pandas").to_pandas()
+    per_bucket = np.zeros(max(int(len(bounds)) + 1, 1), dtype=np.int64)
+    if len(cdf):
+        for b, n in zip(cdf["b"], cdf["n"]):
+            per_bucket[int(b)] += int(n)
+    offsets = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+    o_ref = ray.put(offsets)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_zb"] = (_bucket_of(df[key].to_numpy())
+                     if key in df.columns and len(df)
+                     else pd.Series([], dtype="int32"))
+        return df
+
+    def _assign(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in group.columns
+                 if c != "_zb"} | {out_col: pd.Series([], dtype="int64")})
+        g = group.sort_values(key, kind="mergesort")
+        off = ray.get(o_ref)[int(g["_zb"].iloc[0])]
+        g = g.drop(columns=["_zb"])
+        g[out_col] = off + np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_zb")
+        .map_groups(_assign, batch_format="pandas")
+    )

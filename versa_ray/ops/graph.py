@@ -803,3 +803,147 @@ def bfs_depths(links_ds, seeds, rels=None, max_depth=None, max_iters=50,
         })
 
     return work.map_batches(_out, batch_format="pandas")
+
+
+def negative_samples(links_ds, n_neg=2, rels=None, num_buckets=64):
+    """TransE-style corrupted-triple generation for KG-embedding
+    training: every (origin, rel, IRI-target) statement yields
+    ``n_neg`` deterministic negatives, the corrupted target drawn
+    from the entity vocabulary (distinct origins, rank-ordered) by an
+    md5 of the triple and the sample index — reproducible across runs
+    and replayable in SQL. The TRUE target is excluded: a draw that
+    lands on it deterministically shifts to the next entity (mod n),
+    which never re-collides for n >= 2.
+
+    Scale shape: the entity vocabulary gets global ranks via
+    :func:`versa_ray.ops.agg.zip_with_index` (three bounded passes,
+    no driver materialization); sampled ranks resolve to entities
+    with ONE tagged-union coarse-bucket join per resolution round
+    (two rounds: initial draw, then only the collision rows).
+    Returns ``(origin, rel, target, neg_i, neg_entity)``.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .agg import zip_with_index
+
+    rel_set = None if rels is None else sorted({str(r) for r in rels})
+
+    def _ents(tbl: pa.Table) -> pa.Table:
+        return pa.table({"entity": tbl["origin"]})
+
+    from .dedup import dedup_rows
+
+    ents = dedup_rows(
+        links_ds.map_batches(_ents, batch_format="pyarrow"),
+        ["entity"], num_buckets=num_buckets)
+    indexed = zip_with_index(ents, "entity", num_buckets=num_buckets)
+    n = int(indexed.count())
+    if n < 2:
+        raise ValueError("negative_samples needs >= 2 distinct entities")
+
+    def _pos(tbl: pa.Table) -> pa.Table:
+        mask = pc.and_(tbl["target_is_iri"], pc.is_valid(tbl["target"]))
+        if rel_set is not None:
+            mask = pc.and_(
+                mask, pc.is_in(tbl["rel"], value_set=pa.array(rel_set)))
+        sub = tbl.filter(mask)
+        return pa.table({"origin": sub["origin"], "rel": sub["rel"],
+                         "target": sub["target"]})
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        rows_o, rows_r, rows_t, rows_i, rows_raw = [], [], [], [], []
+        for o, r, t in zip(df["origin"], df["rel"], df["target"]):
+            for i in range(1, n_neg + 1):
+                raw = int(hashlib.md5(
+                    f"{o}|{r}|{t}|{i}".encode()).hexdigest()[:15], 16)
+                rows_o.append(o)
+                rows_r.append(r)
+                rows_t.append(t)
+                rows_i.append(i)
+                rows_raw.append(raw)
+        return pd.DataFrame({
+            "origin": pd.Series(rows_o, dtype=object),
+            "rel": pd.Series(rows_r, dtype=object),
+            "target": pd.Series(rows_t, dtype=object),
+            "neg_i": pd.Series(rows_i, dtype="int64"),
+            "raw": pd.Series(rows_raw, dtype="int64"),
+            "ix": pd.Series(np.asarray(rows_raw, dtype=np.int64) % n,
+                            dtype="int64"),
+        })
+
+    def _resolve(samples):
+        """Attach indexed.entity at samples.ix via one tagged-union
+        coarse-bucket join keyed on the rank."""
+        cols = ["origin", "rel", "target", "neg_i", "raw", "ix"]
+
+        def _s_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[cols].copy()
+            out["_kind"] = np.int8(1)
+            out["_ent"] = ""
+            out["_jb"] = (out["ix"].to_numpy() % num_buckets).astype(
+                "int32")
+            return out
+
+        def _e_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {c: pd.Series([""] * len(df), dtype=object) for c in
+                 ["origin", "rel", "target"]})
+            out["neg_i"] = np.int64(0)
+            out["raw"] = np.int64(0)
+            out["ix"] = df["_index"].to_numpy(dtype=np.int64)
+            out["_kind"] = np.int8(0)
+            out["_ent"] = df["entity"].astype(object).to_numpy()
+            out["_jb"] = (out["ix"].to_numpy() % num_buckets).astype(
+                "int32")
+            return out
+
+        def _join(bucket: pd.DataFrame) -> pd.DataFrame:
+            out_cols = cols + ["_ent"]
+            if "_kind" not in bucket.columns or not len(bucket):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=object) for c in out_cols})
+            ent = bucket[bucket["_kind"] == 0][["ix", "_ent"]]
+            smp = bucket[bucket["_kind"] == 1][cols]
+            m = smp.merge(ent, on="ix", how="left")
+            return m[out_cols]
+
+        both = samples.map_batches(_s_rows, batch_format="pandas").union(
+            indexed.map_batches(_e_rows, batch_format="pandas"))
+        return both.groupby("_jb").map_groups(_join, batch_format="pandas")
+
+    pos = links_ds.map_batches(_pos, batch_format="pyarrow")
+    first = _resolve(pos.map_batches(_expand, batch_format="pandas"))
+
+    def _split_ok(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[df["_ent"] != df["target"]]
+        return pd.DataFrame({
+            "origin": ok["origin"].astype(object).to_numpy(),
+            "rel": ok["rel"].astype(object).to_numpy(),
+            "target": ok["target"].astype(object).to_numpy(),
+            "neg_i": ok["neg_i"].to_numpy(dtype=np.int64),
+            "neg_entity": ok["_ent"].astype(object).to_numpy(),
+        })
+
+    def _split_collide(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["_ent"] == df["target"]].copy()
+        c["ix"] = (c["raw"].to_numpy(dtype=np.int64) + 1) % n
+        return c[["origin", "rel", "target", "neg_i", "raw", "ix"]]
+
+    ok = first.map_batches(_split_ok, batch_format="pandas")
+    fixed = _resolve(
+        first.map_batches(_split_collide, batch_format="pandas")
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "origin": df["origin"].astype(object).to_numpy(),
+            "rel": df["rel"].astype(object).to_numpy(),
+            "target": df["target"].astype(object).to_numpy(),
+            "neg_i": df["neg_i"].to_numpy(dtype=np.int64),
+            "neg_entity": df["_ent"].astype(object).to_numpy(),
+        }),
+        batch_format="pandas",
+    )
+    return ok.union(fixed)

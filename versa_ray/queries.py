@@ -1156,6 +1156,20 @@ def q_kg_bfs_depth(sf_dir):
         links, seeds, rels=[PLACED_BY, IN_NATION, IN_REGION])
 
 
+def q_kg_negative_samples(sf_dir):
+    """Deterministic TransE-style corrupted triples for KG-embedding
+    training (ops.graph.negative_samples): entity vocabulary ranked
+    by the distributed zip-with-index primitive (three bounded
+    passes), two md5 draws per geography statement resolved to
+    entities by tagged-union rank joins, true-target collisions
+    shifted to the next rank. Hash-checked against a DuckDB
+    row_number + hex-cast md5 replay."""
+    from .ops.graph import negative_samples
+
+    return negative_samples(
+        tpch_linkset(sf_dir), n_neg=2, rels=[IN_NATION, IN_REGION])
+
+
 def q_kg_mention_cooccurrence(sf_dir):
     """Entity co-occurrence edge construction from gazetteer mentions
     (ops.graph.cooccurrence_edges): distinct (doc, entity) dedup, a
@@ -3120,6 +3134,7 @@ def build_queries():
         "graph_wcc": q_graph_wcc,
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_mention_cooccurrence": q_kg_mention_cooccurrence,
+        "kg_negative_samples": q_kg_negative_samples,
         "kg_bfs_depth": q_kg_bfs_depth,
         "kg_type_entailment": q_kg_type_entailment,
         "links_shacl": q_links_shacl,
@@ -3568,6 +3583,30 @@ def build_oracles():
             "SELECT doc_id, lang, n_chars, "
             "quantile_disc(n_chars, 0.5) OVER (PARTITION BY lang) AS med "
             "FROM documents) WHERE n_chars > med"
+        ),
+        "kg_negative_samples": (
+            f"WITH links AS ({LINKSET_SQL}), "
+            "ents AS (SELECT DISTINCT origin AS entity FROM links), "
+            "idx AS (SELECT entity, "
+            "row_number() OVER (ORDER BY entity) - 1 AS ix FROM ents), "
+            "nn AS (SELECT count(*) AS n FROM ents), "
+            "pos AS (SELECT origin, rel, target FROM links "
+            "WHERE target_is_iri "
+            f"AND rel IN ('{IN_NATION}', '{IN_REGION}')), "
+            "ii AS (SELECT 1 AS neg_i UNION ALL SELECT 2), "
+            "draws AS (SELECT p.origin, p.rel, p.target, i.neg_i, "
+            "CAST(('0x' || left(md5(p.origin || '|' || p.rel || '|' || "
+            "p.target || '|' || CAST(i.neg_i AS VARCHAR)), 15)) AS BIGINT) "
+            "AS raw FROM pos p CROSS JOIN ii i), "
+            "res1 AS (SELECT d.origin, d.rel, d.target, d.neg_i, d.raw, "
+            "e.entity AS ent FROM draws d CROSS JOIN nn "
+            "JOIN idx e ON e.ix = d.raw % nn.n) "
+            "SELECT origin, rel, target, neg_i, ent AS neg_entity "
+            "FROM res1 WHERE ent <> target "
+            "UNION ALL "
+            "SELECT r.origin, r.rel, r.target, r.neg_i, e2.entity "
+            "FROM res1 r CROSS JOIN nn JOIN idx e2 "
+            "ON e2.ix = (r.raw + 1) % nn.n WHERE r.ent = r.target"
         ),
         "events_heavy_hitters": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
