@@ -2781,3 +2781,35 @@ def test_zip_with_index(ray_session):
     one = zip_with_index(
         rd.from_pandas(pd.DataFrame({"k": [42]})), "k").to_pandas()
     assert one.to_dict("records") == [{"k": 42, "_index": 0}]
+
+
+def test_inter_event_gaps(ray_session):
+    import ray.data as rd
+
+    from versa_ray.ops.windows import inter_event_gaps
+
+    rng = np.random.RandomState(41)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.randint(0, 9, n).astype("int64"),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**9, n), unit="us"),
+    })
+    ev = pd.concat(  # a single-event user exercises the 0-gap row
+        [ev, pd.DataFrame({"user_id": [99],
+                           "ts": [pd.Timestamp("2026-01-02")]})],
+        ignore_index=True)
+    out = inter_event_gaps(
+        rd.from_pandas(ev).repartition(5), num_buckets=4).to_pandas()
+    got = {int(r.user_id): (r.n_events, r.n_gaps, r.min_gap_us,
+                            r.max_gap_us, r.sum_gap_us)
+           for r in out.itertuples()}
+    for uid, g in ev.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]"))
+        gaps = np.diff(ts).astype(np.int64)
+        want = (len(ts), len(gaps),
+                int(gaps.min()) if len(gaps) else 0,
+                int(gaps.max()) if len(gaps) else 0,
+                int(gaps.sum()) if len(gaps) else 0)
+        assert got[int(uid)] == want, uid
+    assert got[99] == (1, 0, 0, 0, 0)

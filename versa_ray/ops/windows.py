@@ -360,3 +360,54 @@ def cohort_retention(ds, ts_col="ts", user_col="user_id", freq="D",
         per_user, ["cohort", "period_offset"],
         {"n_users": ("period_offset", "size")},
     )
+
+
+def inter_event_gaps(ds, ts_col="ts", key="user_id", num_buckets=64):
+    """Per-key inter-event gap statistics over a timestamp-ordered
+    stream: ``(key, n_events, n_gaps, min_gap_us, max_gap_us,
+    sum_gap_us)`` where a gap is the exact MICROSECONDS between consecutive
+    events of the same key (gap VALUES depend only on sorted
+    timestamps, so tie order is irrelevant). The classic
+    sessionization-diagnostics rollup. One coarse-bucket shuffle on the key; gaps diff
+    vectorized inside each key group; keys with a single event emit
+    ``n_gaps = 0`` and NULL-free sentinel stats (0s)."""
+    from ..ops.dedup import coarse_bucket
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, ts_col]].copy()
+        out["_cbucket"] = coarse_bucket(out, [key], num_buckets)
+        return out
+
+    def _stats(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame({
+                key: pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "min_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+            })
+        rows = []
+        for kv, g in group.groupby(key, sort=False):
+            ts = np.sort(g[ts_col].to_numpy().astype("datetime64[us]"))
+            gaps = np.diff(ts).astype(np.int64)   # exact microseconds
+            rows.append({
+                key: kv,
+                "n_events": len(ts),
+                "n_gaps": len(gaps),
+                "min_gap_us": int(gaps.min()) if len(gaps) else 0,
+                "max_gap_us": int(gaps.max()) if len(gaps) else 0,
+                "sum_gap_us": int(gaps.sum()) if len(gaps) else 0,
+            })
+        out = pd.DataFrame(rows)
+        for c in ["n_events", "n_gaps", "min_gap_us", "max_gap_us",
+                  "sum_gap_us"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_stats, batch_format="pandas")
+    )

@@ -2358,6 +2358,22 @@ def q_doc_above_median_chars(sf_dir):
         key="lang", col="n_chars", q=0.5)
 
 
+def q_events_gap_stats(sf_dir):
+    """Per-user inter-event gap rollup in exact microseconds
+    (ops.windows.inter_event_gaps): one coarse-bucket shuffle on the
+    user key, vectorized diff over sorted timestamps per group.
+    Hash-checked against a DuckDB LAG window replay."""
+    import ray.data as rd
+
+    from .ops.windows import inter_event_gaps
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        override_num_blocks=_blocks_for(),
+    )
+    return inter_event_gaps(ev, ts_col="ts", key="user_id")
+
+
 def q_events_heavy_hitters(sf_dir):
     """Heavy hitters with EXACT counts: a count-min sketch prunes the
     candidate set (per-batch depth x width partials summed
@@ -3085,6 +3101,7 @@ def build_queries():
         "lineitem_urgent_semi": q_lineitem_urgent_semi,
         "events_user_hll": q_events_user_hll,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "events_gap_stats": q_events_gap_stats,
         "doc_above_median_chars": q_doc_above_median_chars,
         "part_triangles": q_part_triangles,
         "events_funnel": q_events_funnel,
@@ -3607,6 +3624,18 @@ def build_oracles():
             "SELECT r.origin, r.rel, r.target, r.neg_i, e2.entity "
             "FROM res1 r CROSS JOIN nn JOIN idx e2 "
             "ON e2.ix = (r.raw + 1) % nn.n WHERE r.ent = r.target"
+        ),
+        "events_gap_stats": (
+            "WITH g AS (SELECT user_id, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS gap "
+            "FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(coalesce(min(gap), 0) AS BIGINT) AS min_gap_us, "
+            "CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us, "
+            "CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us "
+            "FROM g GROUP BY user_id"
         ),
         "events_heavy_hitters": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
