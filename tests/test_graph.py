@@ -339,3 +339,38 @@ def test_negative_samples(ray_session):
                      out.neg_i.astype(int), out.neg_entity))
     assert got == sorted(want)
     assert (out.neg_entity != out.target).all()
+
+
+def test_clustering_coefficients(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.graph import clustering_coefficients
+
+    rng = np.random.RandomState(19)
+    n = 40
+    edges = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                    for a, b in rng.randint(0, n, size=(160, 2))
+                    if a != b})
+    tbl = pa.table({"u": [e[0] for e in edges],
+                    "v": [e[1] for e in edges]})
+    out = clustering_coefficients(
+        rd.from_arrow(tbl).repartition(5), num_buckets=6).to_pandas()
+
+    eset = set(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {int(r.node): (int(r.degree), int(r.triangles), r.cc)
+           for r in out.itertuples()}
+    assert set(got) == set(adj)
+    for x, nbrs in adj.items():
+        t = sum(1 for a, b in itertools.combinations(sorted(nbrs), 2)
+                if (a, b) in eset)
+        d = len(nbrs)
+        cc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[x][0] == d and got[x][1] == t, x
+        assert abs(got[x][2] - cc) < 1e-12, x

@@ -947,3 +947,128 @@ def negative_samples(links_ds, n_neg=2, rels=None, num_buckets=64):
         batch_format="pandas",
     )
     return ok.union(fixed)
+
+
+def clustering_coefficients(edges_ds, u="u", v="v", num_buckets=64):
+    """EXACT per-node local clustering coefficient of an undirected
+    simple graph given as canonical edges (``u < v``, distinct):
+    ``cc(x) = 2 * T(x) / (deg(x) * (deg(x) - 1))`` with ``T(x)`` the
+    triangles through x; nodes with degree < 2 report 0.0.
+
+    Extends the :func:`triangle_count` node-iterator shape: wedges
+    carry their CENTER through the edge semi-join, every matched
+    wedge credits all three corners, per-node triangle counts and
+    degrees merge on node-keyed coarse-bucket shuffles, and one final
+    tagged-union join divides. Returns ``(node, degree, triangles,
+    cc)`` rows — every node incident to an edge appears."""
+    from .dedup import bucketed_group_apply, coarse_bucket
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                              u: pd.Series([], dtype="int64"),
+                              v: pd.Series([], dtype="int64")})
+        if not len(group):
+            return empty
+        nb = np.sort(group[v].to_numpy())
+        n = len(nb)
+        if n < 2:
+            return empty
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame({
+            "c": np.full(len(ia), group[u].iloc[0], dtype=np.int64),
+            u: nb[ia], v: nb[ib]})
+
+    wedges = bucketed_group_apply(
+        edges_ds, [u], _wedges, num_buckets=num_buckets, min_group_size=2)
+
+    def _tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[u, v]].copy()
+        out["c"] = np.int64(-1)
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = coarse_bucket(out, [u, v], num_buckets)
+        return out[["c", u, v, "_kind", "_cbucket"]]
+
+    def _tag_w(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["c", u, v]].copy()
+        out["_kind"] = np.int8(1)
+        out["_cbucket"] = coarse_bucket(out, [u, v], num_buckets)
+        return out
+
+    def _match(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "t": pd.Series([], dtype="int64")})
+        if "_kind" not in bucket.columns or not len(bucket):
+            return empty
+        e = bucket[bucket["_kind"] == 0]
+        w = bucket[bucket["_kind"] == 1]
+        if not len(e) or not len(w):
+            return empty
+        ekeys = pd.MultiIndex.from_frame(e[[u, v]])
+        wkeys = pd.MultiIndex.from_frame(w[[u, v]])
+        hit = w[wkeys.isin(ekeys)]
+        if not len(hit):
+            return empty
+        # each matched wedge (c, x, y) is the triangle {c, x, y}:
+        # credit all three corners
+        nodes = np.concatenate([hit["c"].to_numpy(),
+                                hit[u].to_numpy(), hit[v].to_numpy()])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": un.astype(np.int64),
+                             "t": cn.astype(np.int64)})
+
+    tri_partial = (
+        edges_ds.map_batches(_tag_e, batch_format="pandas")
+        .union(wedges.map_batches(_tag_w, batch_format="pandas"))
+        .groupby("_cbucket")
+        .map_groups(_match, batch_format="pandas")
+    )
+
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df[u].to_numpy(), df[v].to_numpy()]) \
+            if len(df) else np.empty(0, dtype=np.int64)
+        un, cn = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": un.astype(np.int64),
+                             "d": cn.astype(np.int64)})
+
+    def _tag(kind, val_col):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in df.columns or not len(df):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "t": pd.Series([], dtype="int64"),
+                    "d": pd.Series([], dtype="int64"),
+                    "_nbucket": pd.Series([], dtype="int32")})
+            out = pd.DataFrame({"node": df["node"].to_numpy(dtype=np.int64)})
+            out["t"] = (df[val_col].to_numpy(dtype=np.int64)
+                        if kind == 1 else np.int64(0))
+            out["d"] = (df[val_col].to_numpy(dtype=np.int64)
+                        if kind == 0 else np.int64(0))
+            out["_nbucket"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        return _t
+
+    def _finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "degree": pd.Series([], dtype="int64"),
+                "triangles": pd.Series([], dtype="int64"),
+                "cc": pd.Series([], dtype="float64")})
+        g = bucket.groupby("node", as_index=False, sort=False).agg(
+            triangles=("t", "sum"), degree=("d", "sum"))
+        d = g["degree"].to_numpy(dtype=np.float64)
+        t = g["triangles"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cc = np.where(d >= 2, 2.0 * t / (d * np.maximum(d - 1, 1)), 0.0)
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(dtype=np.int64),
+            "degree": g["degree"].astype("int64"),
+            "triangles": g["triangles"].astype("int64"),
+            "cc": cc.astype("float64")})
+
+    deg_partial = edges_ds.map_batches(_deg_partial, batch_format="pandas")
+    both = deg_partial.map_batches(_tag(0, "d"), batch_format="pandas").union(
+        tri_partial.map_batches(_tag(1, "t"), batch_format="pandas"))
+    return both.groupby("_nbucket").map_groups(
+        _finalize, batch_format="pandas")

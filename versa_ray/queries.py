@@ -1156,6 +1156,48 @@ def q_kg_bfs_depth(sf_dir):
         links, seeds, rels=[PLACED_BY, IN_NATION, IN_REGION])
 
 
+def _coorder_edges(sf_dir):
+    """Canonical distinct edges of the parts-co-ordered graph (two
+    parts adjacent when some order contains both)."""
+    import ray.data as rd
+
+    from .ops.dedup import bucketed_group_apply, dedup_rows
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_blocks_for(),
+    )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="int64"),
+                 "v": pd.Series([], dtype="int64")}
+            )
+        parts = np.unique(group["l_partkey"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"u": parts[:0], "v": parts[:0]})
+        ia, ib = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"u": parts[ia], "v": parts[ib]})
+
+    return dedup_rows(
+        bucketed_group_apply(li, ["l_orderkey"], _pairs, min_group_size=2),
+        ["u", "v"],
+    )
+
+
+def q_part_clustering(sf_dir):
+    """Per-node local clustering coefficient of the parts-co-ordered
+    graph (ops.graph.clustering_coefficients): wedges carry their
+    center through the edge semi-join, matched wedges credit all
+    three corners, degrees and triangle counts merge on node-keyed
+    shuffles. Hash-checked against a DuckDB three-way-join replay."""
+    from .ops.graph import clustering_coefficients
+
+    return clustering_coefficients(_coorder_edges(sf_dir))
+
+
 def q_kg_negative_samples(sf_dir):
     """Deterministic TransE-style corrupted triples for KG-embedding
     training (ops.graph.negative_samples): entity vocabulary ranked
@@ -2442,34 +2484,9 @@ def q_part_triangles(sf_dir):
     canonical edges → distributed node-iterator wedge/edge semi-join
     (`ops/graph.triangle_count`). DuckDB replays it with a three-way
     edge self-join, hash-exact."""
-    import ray.data as rd
-
-    from .ops.dedup import bucketed_group_apply, dedup_rows
     from .ops.graph import triangle_count
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_partkey"],
-        override_num_blocks=_blocks_for(),
-    )
-
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if not len(group):
-            return pd.DataFrame(
-                {"u": pd.Series([], dtype="int64"),
-                 "v": pd.Series([], dtype="int64")}
-            )
-        parts = np.unique(group["l_partkey"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"u": parts[:0], "v": parts[:0]})
-        ia, ib = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"u": parts[ia], "v": parts[ib]})
-
-    edges = dedup_rows(
-        bucketed_group_apply(li, ["l_orderkey"], _pairs, min_group_size=2),
-        ["u", "v"],
-    )
-    return triangle_count(edges)
+    return triangle_count(_coorder_edges(sf_dir))
 
 
 def q_events_funnel(sf_dir):
@@ -3152,6 +3169,7 @@ def build_queries():
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_mention_cooccurrence": q_kg_mention_cooccurrence,
         "kg_negative_samples": q_kg_negative_samples,
+        "part_clustering": q_part_clustering,
         "kg_bfs_depth": q_kg_bfs_depth,
         "kg_type_entailment": q_kg_type_entailment,
         "links_shacl": q_links_shacl,
@@ -4138,6 +4156,26 @@ def build_oracles():
             "UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s2 "
             "UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) "
             "FROM s3) ORDER BY step_ix"
+        ),
+        "part_clustering": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "nodes AS (SELECT u AS node FROM e "
+            "UNION ALL SELECT v FROM e), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+            "FROM nodes GROUP BY node), "
+            "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            "tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles "
+            "FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri) GROUP BY node) "
+            "SELECT d.node, d.degree, "
+            "coalesce(t.triangles, 0) AS triangles, "
+            "CASE WHEN d.degree >= 2 THEN 2.0 * coalesce(t.triangles, 0) "
+            "/ (d.degree * (d.degree - 1)) ELSE 0.0 END AS cc "
+            "FROM deg d LEFT JOIN tcnt t USING (node)"
         ),
         "part_triangles": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
