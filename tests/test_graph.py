@@ -374,3 +374,43 @@ def test_clustering_coefficients(ray_session):
         cc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
         assert got[x][0] == d and got[x][1] == t, x
         assert abs(got[x][2] - cc) < 1e-12, x
+
+
+def test_personalized_pagerank(ray_session):
+    import pytest
+
+    from versa_ray.ops.graph import pagerank
+
+    links, edges = _graph_links()
+    ds = _links_ds(links)
+    seeds = ["urn:g:a"]
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, n_iters=15,
+                             personalize=seeds).take_all()}
+
+    # dense reference with the same recurrence, personalized
+    nodes = sorted({s for s, t in edges} | {t for s, t in edges})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    sv = np.zeros(n)
+    for sd in seeds:
+        sv[ix[sd]] = 1.0 / len(seeds)
+    out_deg = np.zeros(n)
+    for s, t in edges:
+        out_deg[ix[s]] += 1
+    r = sv.copy()
+    for _ in range(14):
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[ix[t]] += r[ix[s]] / out_deg[ix[s]]
+        dangling = r[out_deg == 0].sum()
+        r = 0.15 * sv + 0.85 * (inflow + dangling * sv)
+    want = dict(zip(nodes, r))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="not nodes"):
+        pagerank(ds, n_iters=3,
+                 personalize=["urn:g:a", "urn:not-there"]).take_all()

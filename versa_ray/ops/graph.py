@@ -59,7 +59,8 @@ def _iri_edges(links_ds):
     return links_ds.map_batches(_edges, batch_format="pyarrow")
 
 
-def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None):
+def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None,
+             personalize=None):
     """Distributed PageRank over the IRI-target entity graph.
 
     Working-set rows (all string-keyed): kind 0 = node state
@@ -68,8 +69,16 @@ def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None):
     coarse-bucket shuffle per iteration: apply incoming contributions
     to this node's rank AND emit outgoing shares with the new rank.
     Dangling-node mass is summed per bucket, aggregated driver-side
-    (one scalar per iteration), and re-injected uniformly next round.
-    Returns a Dataset (node, rank); ranks sum to 1."""
+    (one scalar per iteration), and re-injected next round.
+    Returns a Dataset (node, rank); ranks sum to 1.
+
+    ``personalize``: optional iterable of seed nodes — teleport and
+    dangling mass then flow to the UNIFORM-OVER-SEEDS distribution
+    s(x) instead of 1/N (personalized PageRank, the entity-relatedness
+    primitive): r = (1-d)*s + d*(inflow + dangling*s), r0 = s. The
+    seed set is schema-sized by definition and broadcasts in the
+    step closure; raises if any seed is not in the graph (its teleport
+    mass would silently vanish)."""
     import ray
     import pyarrow as pa
 
@@ -140,6 +149,23 @@ def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None):
                       "rank": pa.array([], type=pa.float64())})
         )
 
+    seeds = None
+    if personalize is not None:
+        seeds = sorted({str(x) for x in personalize})
+        if not seeds:
+            raise ValueError("personalize must be a non-empty seed set")
+        seed_set = set(seeds)
+        found = work.map_batches(
+            lambda df, _ss=seed_set: pd.DataFrame({"n": [int(
+                df.loc[df["kind"] == 0, "key"].isin(_ss).sum())]}),
+            batch_format="pandas",
+        ).sum("n") or 0
+        if int(found) != len(seeds):
+            raise ValueError(
+                f"{len(seeds) - int(found)} personalization seeds are "
+                "not nodes of the graph")
+        s_mass = 1.0 / len(seeds)
+
     init_rank = 1.0 / n_nodes
     state = {"dangling": 0.0}
 
@@ -155,9 +181,14 @@ def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None):
             # emitted as fresh kind-3 rows (stale ones are consumed
             # and dropped here each round)
             if first:
-                rank = pd.Series(init_rank, index=nodes.index)
+                if seeds is None:
+                    r0 = np.full(len(nodes), init_rank)
+                else:
+                    r0 = np.where(
+                        nodes["key"].isin(seed_set).to_numpy(),
+                        s_mass, 0.0)
                 rank_map = pd.DataFrame(
-                    {"key": nodes["key"].to_numpy(), "_r": rank.to_numpy()}
+                    {"key": nodes["key"].to_numpy(), "_r": r0}
                 )
             else:
                 contrib = (
@@ -167,10 +198,19 @@ def pagerank(links_ds, damping=0.85, n_iters=20, num_buckets=None):
                 base = pd.DataFrame({"key": nodes["key"].to_numpy()})
                 base = base.merge(contrib, on="key", how="left")
                 inflow = base["_c"].fillna(0.0).to_numpy()
-                new_rank = (
-                    (1.0 - damping) / n_nodes
-                    + damping * (inflow + dangling_in / n_nodes)
-                )
+                if seeds is None:
+                    new_rank = (
+                        (1.0 - damping) / n_nodes
+                        + damping * (inflow + dangling_in / n_nodes)
+                    )
+                else:
+                    sv = np.where(
+                        base["key"].isin(seed_set).to_numpy(),
+                        s_mass, 0.0)
+                    new_rank = (
+                        (1.0 - damping) * sv
+                        + damping * (inflow + dangling_in * sv)
+                    )
                 rank_map = pd.DataFrame(
                     {"key": base["key"].to_numpy(), "_r": new_rank}
                 )

@@ -418,6 +418,30 @@ def _alias_links(sf_dir):
     return cust.map_batches(_mk, batch_format="pyarrow")
 
 
+def q_kg_personalized_pagerank(sf_dir):
+    """Personalized PageRank seeded on the region entities — the
+    entity-relatedness primitive (teleport + dangling mass flow to
+    the uniform-over-seeds vector instead of 1/N; same fused
+    one-shuffle-per-iteration engine as kg_pagerank). Hash-checked
+    against the same unrolled-CTE DuckDB replay, generalized with the
+    seed vector; ranks rounded to 8 decimals on both sides."""
+    import pyarrow.parquet as _pq
+
+    from .ops.graph import pagerank
+
+    keys = _pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    seeds = [f"{URN}region:{k}" for k in keys]
+    out = pagerank(
+        tpch_linkset(sf_dir), n_iters=10, personalize=seeds).to_pandas()
+    total = float(out["rank"].sum())
+    if abs(total - 1.0) > 1e-6:
+        raise AssertionError(f"personalized pagerank mass {total} != 1")
+    out["rank"] = out["rank"].round(8)
+    return out.sort_values("node", ignore_index=True)
+
+
 def q_kg_sameas_canonical(sf_dir):
     """owl:sameAs entity canonicalization (ops.graph.sameas_canonicalize):
     min-label WCC over the sameAs graph, then a fully distributed
@@ -3144,6 +3168,7 @@ def build_queries():
         "doc_strip_dup_spans": q_doc_strip_dup_spans,
         # --- formerly no-oracle; fresh oracles added round 4 ---
         "kg_pagerank": q_kg_pagerank,
+        "kg_personalized_pagerank": q_kg_personalized_pagerank,
         "links_jsonld_nested": q_links_jsonld_nested,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -3208,7 +3233,7 @@ def build_queries():
     })
 
 
-def _pagerank_sql(n_iters=10, damping=0.85):
+def _pagerank_sql(n_iters=10, damping=0.85, seed_pred=None):
     """DuckDB replay of ops.graph.pagerank with the iteration count
     UNROLLED into CTE steps (aggregation inside a recursive CTE member
     is not portable SQL): r0 = 1/N over the src+dst node set; step k
@@ -3218,14 +3243,32 @@ def _pagerank_sql(n_iters=10, damping=0.85):
     on zero-out-degree nodes. n_iters=10 in the engine means the
     first loop iteration emits r0 unchanged, then 9 updates — so the
     oracle emits r9. Rounded to 8 decimals to absorb summation-order
-    float drift (both sides round identically)."""
+    float drift (both sides round identically).
+
+    ``seed_pred``: optional SQL predicate over ``node`` selecting the
+    personalization seeds — teleport/dangling then flow to the
+    uniform-over-seeds vector s instead of 1/N, and r0 = s (the
+    personalized replay of ops.graph.pagerank(personalize=...))."""
+    if seed_pred is None:
+        svec = ("svec AS MATERIALIZED (SELECT node, "
+                "1.0/(SELECT n FROM meta) AS s FROM nodes), ")
+    else:
+        svec = (
+            "seeds AS MATERIALIZED (SELECT node FROM nodes "
+            f"WHERE {seed_pred}), "
+            "smeta AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS k "
+            "FROM seeds), "
+            "svec AS MATERIALIZED (SELECT n.node, CASE WHEN sd.node IS "
+            "NOT NULL THEN 1.0/(SELECT k FROM smeta) ELSE 0.0 END AS s "
+            "FROM nodes n LEFT JOIN seeds sd USING (node)), ")
     steps = []
     prev = "r0"
     for k in range(1, n_iters):
         steps.append(
-            f"r{k} AS MATERIALIZED (SELECT n.node, (1 - {damping})/m.n + {damping} * "
-            f"(COALESCE(f.inflow, 0) + dg.mass/m.n) AS rank "
-            f"FROM nodes n CROSS JOIN meta m "
+            f"r{k} AS MATERIALIZED (SELECT n.node, "
+            f"(1 - {damping}) * v.s + {damping} * "
+            f"(COALESCE(f.inflow, 0) + dg.mass * v.s) AS rank "
+            f"FROM nodes n JOIN svec v USING (node) "
             f"LEFT JOIN (SELECT e.dst AS node, SUM(p.rank / dd.d) AS inflow "
             f"FROM edges e JOIN {prev} p ON p.node = e.src "
             f"JOIN deg dd ON dd.src = e.src GROUP BY e.dst) f USING (node) "
@@ -3243,7 +3286,8 @@ def _pagerank_sql(n_iters=10, damping=0.85):
         "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d "
         "FROM edges GROUP BY src), "
         "meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
-        "r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM meta) AS rank FROM nodes), "
+        + svec +
+        "r0 AS MATERIALIZED (SELECT node, s AS rank FROM svec), "
         + ", ".join(steps)
         + f" SELECT node, round(rank, 8) AS rank FROM {prev} ORDER BY node"
     )
@@ -3276,6 +3320,9 @@ def build_oracles():
     L = f"WITH links AS ({LINKSET_SQL})"
     out = {
         "kg_pagerank": _pagerank_sql(n_iters=10, damping=0.85),
+        "kg_personalized_pagerank": _pagerank_sql(
+            n_iters=10, damping=0.85,
+            seed_pred="node LIKE 'urn:versa:region:%'"),
         "fullquery_negation": (
             f"{L} SELECT DISTINCT origin AS c FROM links "
             f"WHERE rel = '{SEGMENT}' AND target = 'BUILDING' "
