@@ -414,3 +414,44 @@ def test_personalized_pagerank(ray_session):
     with pytest.raises(ValueError, match="not nodes"):
         pagerank(ds, n_iters=3,
                  personalize=["urn:g:a", "urn:not-there"]).take_all()
+
+
+def test_k_core(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from versa_ray.ops.graph import k_core
+
+    rng = np.random.RandomState(23)
+    n = 60
+    edges = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                    for a, b in rng.randint(0, n, size=(220, 2))
+                    if a != b})
+    tbl = pa.table({"u": [e[0] for e in edges],
+                    "v": [e[1] for e in edges]})
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    def ref_core(edges, k):
+        es = set(edges)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {x for x, d in deg.items() if d < k}
+            if not bad:
+                return set(deg)
+            es = {(a, b) for a, b in es if a not in bad and b not in bad}
+
+    for k in (2, 3, 5):
+        got = set(k_core(ds, k=k, num_buckets=4).to_pandas()["node"])
+        assert got == ref_core(edges, k), k
+
+    # k high enough to empty the graph: result is empty, not an error
+    assert k_core(ds, k=50, num_buckets=4).count() == 0
+
+    # a triangle fan that needs several peel rounds but hits the budget
+    chain = pa.table({"u": list(range(0, 9)), "v": list(range(1, 10))})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(rd.from_arrow(chain), k=2, max_rounds=1).count()

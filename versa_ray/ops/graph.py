@@ -1112,3 +1112,120 @@ def clustering_coefficients(edges_ds, u="u", v="v", num_buckets=64):
         tri_partial.map_batches(_tag(1, "t"), batch_format="pandas"))
     return both.groupby("_nbucket").map_groups(
         _finalize, batch_format="pandas")
+
+
+def k_core(edges_ds, k, max_rounds=50, num_buckets=64):
+    """Nodes of the ``k``-core: the maximal subgraph where every node
+    has degree >= k (undirected simple graph as canonical ``u < v``
+    distinct edges). Iterative peeling, fully distributed: each round
+    recomputes degrees of the SURVIVING subgraph (one node-keyed
+    coarse-bucket shuffle over edge endpoints), drops nodes below k,
+    and filters edges incident to dropped nodes (a second bucket pass
+    keyed on each endpoint). The driver sees one dropped-count scalar
+    per round; converged = a round that drops nothing. Raises if
+    ``max_rounds`` rounds still dropped nodes — a silently truncated
+    peel is NOT the k-core (it may keep nodes the next round would
+    drop). Returns a Dataset of ``(node,)`` rows."""
+    import ray.data as rd
+
+    from .dedup import coarse_bucket
+
+    edges = edges_ds
+    for _ in range(max_rounds):
+        def _ends(df: pd.DataFrame) -> pd.DataFrame:
+            nodes = (np.concatenate([df["u"].to_numpy(),
+                                     df["v"].to_numpy()])
+                     if len(df) else np.empty(0, dtype=np.int64))
+            un, cn = np.unique(nodes, return_counts=True)
+            out = pd.DataFrame({"node": un.astype(np.int64),
+                                "d": cn.astype(np.int64)})
+            out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _drop(group: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in group.columns or not len(group):
+                return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+            g = group.groupby("node", as_index=False, sort=False)["d"].sum()
+            return g.loc[g["d"] < k, ["node"]]
+
+        dropped = (
+            edges.map_batches(_ends, batch_format="pandas")
+            .groupby("_nb")
+            .map_groups(_drop, batch_format="pandas")
+            .materialize()
+        )
+        n_dropped = int(dropped.count())
+        if n_dropped == 0:
+            break
+
+        # filter edges touching a dropped node: tagged union bucketed
+        # on each endpoint; an edge survives only if BOTH endpoint
+        # checks pass, so it is emitted from the u-keyed row only when
+        # the v-keyed row also survived — implemented as two chained
+        # semi-filters (each one bucket pass)
+        for end in ("u", "v"):
+            def _tag_e(df: pd.DataFrame, end=end) -> pd.DataFrame:
+                out = df[["u", "v"]].copy()
+                out["node"] = out[end].to_numpy()
+                out["_kind"] = np.int8(1)
+                out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+                return out
+
+            def _tag_d(df: pd.DataFrame) -> pd.DataFrame:
+                if "node" not in df.columns or not len(df):
+                    return pd.DataFrame({
+                        "u": pd.Series([], dtype="int64"),
+                        "v": pd.Series([], dtype="int64"),
+                        "node": pd.Series([], dtype="int64"),
+                        "_kind": pd.Series([], dtype="int8"),
+                        "_nb": pd.Series([], dtype="int32")})
+                out = pd.DataFrame({
+                    "u": np.zeros(len(df), dtype=np.int64),
+                    "v": np.zeros(len(df), dtype=np.int64),
+                    "node": df["node"].to_numpy(dtype=np.int64)})
+                out["_kind"] = np.int8(0)
+                out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+                return out
+
+            def _keep(bucket: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                      "v": pd.Series([], dtype="int64")})
+                if "_kind" not in bucket.columns or not len(bucket):
+                    return empty
+                bad = set(bucket.loc[bucket["_kind"] == 0, "node"])
+                e = bucket[bucket["_kind"] == 1]
+                if not len(e):
+                    return empty
+                keep = ~e["node"].isin(bad)
+                return e.loc[keep, ["u", "v"]]
+
+            edges = (
+                edges.map_batches(_tag_e, batch_format="pandas")
+                .union(dropped.map_batches(_tag_d, batch_format="pandas"))
+                .groupby("_nb")
+                .map_groups(_keep, batch_format="pandas")
+            )
+        edges = edges.materialize()
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} peel rounds; "
+            "raise max_rounds")
+
+    def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = (np.unique(np.concatenate([df["u"].to_numpy(),
+                                           df["v"].to_numpy()]))
+                 if len(df) else np.empty(0, dtype=np.int64))
+        out = pd.DataFrame({"node": nodes.astype(np.int64)})
+        out["_nb"] = (out["node"].to_numpy() % num_buckets).astype("int32")
+        return out
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in group.columns or not len(group):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return group[["node"]].drop_duplicates()
+
+    return (
+        edges.map_batches(_nodes, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(_dedup, batch_format="pandas")
+    )
