@@ -455,3 +455,137 @@ def test_k_core(ray_session):
     chain = pa.table({"u": list(range(0, 9)), "v": list(range(1, 10))})
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(rd.from_arrow(chain), k=2, max_rounds=1).count()
+
+
+def test_neighborhood_jaccard(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.graph import neighborhood_jaccard
+
+    rng = np.random.RandomState(31)
+    n = 50
+    edges = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                    for a, b in rng.randint(0, n, size=(180, 2))
+                    if a != b})
+    tbl = pa.table({"u": [e[0] for e in edges],
+                    "v": [e[1] for e in edges]})
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    for min_sim in (0.0 + 1e-12, 0.3, 0.6):
+        out = neighborhood_jaccard(ds, min_sim=min_sim,
+                                   num_buckets=4).to_pandas()
+        got = {(int(r.u), int(r.v)): (int(r.common), r.jaccard)
+               for r in out.itertuples()}
+        want = {}
+        for a, b in itertools.combinations(sorted(adj), 2):
+            c = len(adj[a] & adj[b])
+            if not c:
+                continue
+            j = c / len(adj[a] | adj[b])
+            if j >= min_sim:
+                want[(a, b)] = (c, j)
+        assert set(got) == set(want), min_sim
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-12
+
+    # max_degree skips hub centers (undercount documented)
+    full = neighborhood_jaccard(ds, min_sim=1e-12).to_pandas()
+    capped = neighborhood_jaccard(ds, min_sim=1e-12,
+                                  max_degree=4).to_pandas()
+    assert len(capped) <= len(full)
+
+
+def test_degree_assortativity(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.graph import degree_assortativity
+
+    rng = np.random.RandomState(37)
+    n = 45
+    edges = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                    for a, b in rng.randint(0, n, size=(150, 2))
+                    if a != b})
+    tbl = pa.table({"u": [e[0] for e in edges],
+                    "v": [e[1] for e in edges]})
+    got = degree_assortativity(
+        rd.from_arrow(tbl).repartition(4)).to_pandas()
+    assert list(got.columns) == ["assortativity"] and len(got) == 1
+
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = np.array([deg[a] for a, b in edges] + [deg[b] for a, b in edges],
+                  dtype=float)
+    ys = np.array([deg[b] for a, b in edges] + [deg[a] for a, b in edges],
+                  dtype=float)
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["assortativity"].iloc[0] - want) < 1e-12
+
+    # regular graph (a cycle): degenerate -> NaN
+    cyc = pa.table({"u": list(range(9)) ,
+                    "v": [i + 1 for i in range(8)] + [0]})
+    # canonicalize u<v
+    cu = [min(a, b) for a, b in zip(cyc["u"].to_pylist(), cyc["v"].to_pylist())]
+    cv = [max(a, b) for a, b in zip(cyc["u"].to_pylist(), cyc["v"].to_pylist())]
+    r = degree_assortativity(
+        rd.from_arrow(pa.table({"u": cu, "v": cv}))).to_pandas()
+    assert np.isnan(r["assortativity"].iloc[0])
+
+
+def test_label_propagation(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versa_ray.ops.graph import label_propagation
+
+    rng = np.random.RandomState(41)
+    # two planted communities plus random noise edges
+    edges = set()
+    for base in (0, 30):
+        for _ in range(80):
+            a, b = rng.randint(base, base + 30, size=2)
+            if a != b:
+                edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    for _ in range(6):
+        a = int(rng.randint(0, 30)); b = int(rng.randint(30, 60))
+        edges.add((a, b))
+    edges = sorted(edges)
+    tbl = pa.table({"u": [e[0] for e in edges],
+                    "v": [e[1] for e in edges]})
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def ref_lpa(rounds):
+        lab = {x: x for x in adj}
+        for _ in range(rounds):
+            new = {}
+            for x, nbrs in adj.items():
+                counts = {}
+                for nb in nbrs:
+                    counts[lab[nb]] = counts.get(lab[nb], 0) + 1
+                best = sorted(counts.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[x] = best
+            lab = new
+        return lab
+
+    for rounds in (1, 3, 4):
+        got = {int(r["node"]): int(r["label"])
+               for r in label_propagation(
+                   ds, n_rounds=rounds, num_buckets=4).take_all()}
+        assert got == ref_lpa(rounds), rounds

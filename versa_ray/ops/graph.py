@@ -1130,7 +1130,10 @@ def k_core(edges_ds, k, max_rounds=50, num_buckets=64):
 
     from .dedup import coarse_bucket
 
-    edges = edges_ds
+    # materialize once: every peel round reads `edges` 2-3x, and a lazy
+    # input would re-execute its whole upstream (edge projection,
+    # m>=N reductions) each time
+    edges = edges_ds.materialize()
     for _ in range(max_rounds):
         def _ends(df: pd.DataFrame) -> pd.DataFrame:
             nodes = (np.concatenate([df["u"].to_numpy(),
@@ -1152,6 +1155,7 @@ def k_core(edges_ds, k, max_rounds=50, num_buckets=64):
             edges.map_batches(_ends, batch_format="pandas")
             .groupby("_nb")
             .map_groups(_drop, batch_format="pandas")
+            .repartition(8)
             .materialize()
         )
         n_dropped = int(dropped.count())
@@ -1205,7 +1209,12 @@ def k_core(edges_ds, k, max_rounds=50, num_buckets=64):
                 .groupby("_nb")
                 .map_groups(_keep, batch_format="pandas")
             )
-        edges = edges.materialize()
+        # repartition BEFORE materializing: each union+groupby grows the
+        # block count (sort output blocks ~ input blocks), and ten rounds
+        # of compounding leaves hundreds of near-empty blocks whose sort
+        # overhead dwarfs the actual data (measured 0.4s -> ~40s/round at
+        # sf0.01 without this)
+        edges = edges.repartition(num_buckets).materialize()
     else:
         raise RuntimeError(
             f"k_core did not converge in {max_rounds} peel rounds; "
@@ -1229,3 +1238,436 @@ def k_core(edges_ds, k, max_rounds=50, num_buckets=64):
         .groupby("_nb")
         .map_groups(_dedup, batch_format="pandas")
     )
+
+
+def neighborhood_jaccard(edges_ds, min_sim=0.5, u="u", v="v",
+                         num_buckets=64, max_degree=None):
+    """Node pairs whose neighborhoods overlap, with EXACT Jaccard
+    similarity ``|N(a) & N(b)| / |N(a) | N(b)|`` — the classic
+    structural entity-resolution signal over a KG (two entities whose
+    link neighborhoods agree are merge candidates; reference
+    pipelines do this per-pair in the driver, cf. demo dedup recipes).
+
+    Input is an undirected simple graph as canonical distinct ``u <
+    v`` edges. Candidates come from wedge enumeration at the shared
+    neighbor (a pair with J > 0 shares at least one neighbor, so
+    every such pair is emitted by at least one wedge center) — NEVER
+    all-pairs. Common counts merge on a pair-keyed coarse-bucket
+    shuffle, degrees on a node-keyed one, and two slim tagged-union
+    bucket joins attach endpoint degrees (the pair table never ships
+    whole-graph state). ``|N(a) | N(b)| = deg(a) + deg(b) - common``.
+
+    Wedge fan-out is quadratic in the center's degree; ``max_degree``
+    (optional) skips hub centers, which makes the result a documented
+    UNDERCOUNT of common neighbors through skipped hubs — leave it
+    None for exact. Returns ``(u, v, common, jaccard)`` for pairs
+    with ``jaccard >= min_sim``."""
+    from .dedup import bucketed_group_apply, coarse_bucket
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "a": np.concatenate([df[u].to_numpy(),
+                                 df[v].to_numpy()]).astype(np.int64),
+            "b": np.concatenate([df[v].to_numpy(),
+                                 df[u].to_numpy()]).astype(np.int64)})
+
+    # adj feeds both the wedge pass and the degree pass; deg feeds two
+    # attach passes — materialize so the upstream edge projection runs
+    # once, not four times
+    adj = edges_ds.map_batches(_bidir, batch_format="pandas").materialize()
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                              "y": pd.Series([], dtype="int64")})
+        nb = np.unique(group["b"].to_numpy())
+        if len(nb) < 2 or (max_degree is not None and len(nb) > max_degree):
+            return empty
+        ia, ib = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame({"x": nb[ia].astype(np.int64),
+                             "y": nb[ib].astype(np.int64)})
+
+    pairs = bucketed_group_apply(adj, ["a"], _wedges,
+                                 num_buckets=num_buckets, min_group_size=2)
+
+    def _pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = coarse_bucket(df, ["x", "y"], num_buckets)
+        return df
+
+    def _pcount(g: pd.DataFrame) -> pd.DataFrame:
+        if "x" not in g.columns or not len(g):
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "common": pd.Series([], dtype="int64")})
+        out = g.groupby(["x", "y"], as_index=False, sort=False).size()
+        out.columns = ["x", "y", "common"]
+        return out.astype({"common": "int64"})
+
+    common = (pairs.map_batches(_pbucket, batch_format="pandas")
+              .groupby("_pb").map_groups(_pcount, batch_format="pandas"))
+
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        un, cn = (np.unique(df["a"].to_numpy(), return_counts=True)
+                  if len(df) else (np.empty(0, dtype=np.int64),) * 2)
+        return pd.DataFrame({"node": un.astype(np.int64),
+                             "d": cn.astype(np.int64)})
+
+    def _dsum(g: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in g.columns or not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64")})
+        return g.groupby("node", as_index=False, sort=False)["d"].sum()
+
+    def _nbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_nb"] = coarse_bucket(df, ["node"], num_buckets)
+        return df
+
+    deg = (adj.map_batches(_deg_partial, batch_format="pandas")
+           .map_batches(_nbucket, batch_format="pandas")
+           .groupby("_nb").map_groups(_dsum, batch_format="pandas")
+           .materialize())
+
+    def _attach(pair_ds, end_col, out_col):
+        # tagged union bucketed on the endpoint: kind 0 = degree rows,
+        # kind 1 = pair rows keyed by that endpoint
+        pcols = [c for c in ("x", "y", "common", "dx") if c != out_col]
+
+        def _tag_p(df: pd.DataFrame) -> pd.DataFrame:
+            cols = [c for c in pcols if c in df.columns]
+            if "x" not in df.columns or not len(df):
+                out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                    for c in pcols})
+            else:
+                out = df[cols].copy()
+            out["node"] = (out[end_col].to_numpy(dtype=np.int64)
+                           if len(out) else
+                           np.empty(0, dtype=np.int64))
+            out["d"] = np.int64(-1)
+            out["_kind"] = np.int8(1)
+            out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _tag_d(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df) if "node" in df.columns else 0
+            out = pd.DataFrame({c: np.zeros(n, dtype=np.int64)
+                                for c in pcols})
+            out["node"] = (df["node"].to_numpy(dtype=np.int64) if n
+                           else np.empty(0, dtype=np.int64))
+            out["d"] = (df["d"].to_numpy(dtype=np.int64) if n
+                        else np.empty(0, dtype=np.int64))
+            out["_kind"] = np.int8(0)
+            out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _join(bucket: pd.DataFrame) -> pd.DataFrame:
+            cols = pcols + [out_col]
+            empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                  for c in cols})
+            if "_kind" not in bucket.columns or not len(bucket):
+                return empty
+            p = bucket[bucket["_kind"] == 1]
+            d = bucket[bucket["_kind"] == 0]
+            if not len(p):
+                return empty
+            m = pd.Series(d["d"].to_numpy(), index=d["node"].to_numpy())
+            out = p[pcols].copy()
+            # every pair endpoint has >= 1 edge, so the lookup always
+            # hits; a miss would mean mis-bucketed keys — fail loud
+            got = m.reindex(p["node"].to_numpy())
+            if got.isna().any():
+                raise AssertionError("degree lookup missed a node")
+            out[out_col] = got.to_numpy(dtype=np.int64)
+            return out
+
+        return (pair_ds.map_batches(_tag_p, batch_format="pandas")
+                .union(deg.map_batches(_tag_d, batch_format="pandas"))
+                .groupby("_nb").map_groups(_join, batch_format="pandas"))
+
+    with_dx = _attach(common, "x", "dx")
+    with_dy = _attach(with_dx, "y", "dy")
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({u: pd.Series([], dtype="int64"),
+                              v: pd.Series([], dtype="int64"),
+                              "common": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if "x" not in df.columns or not len(df):
+            return empty
+        c = df["common"].to_numpy(dtype=np.float64)
+        union = (df["dx"].to_numpy(dtype=np.float64)
+                 + df["dy"].to_numpy(dtype=np.float64) - c)
+        jac = c / union
+        keep = jac >= min_sim
+        return pd.DataFrame({
+            u: df["x"].to_numpy(dtype=np.int64)[keep],
+            v: df["y"].to_numpy(dtype=np.int64)[keep],
+            "common": df["common"].to_numpy(dtype=np.int64)[keep],
+            "jaccard": jac[keep]})
+
+    return with_dy.map_batches(_score, batch_format="pandas")
+
+
+def degree_assortativity(edges_ds, u="u", v="v"):
+    """Degree assortativity coefficient of an undirected simple graph
+    (canonical ``u < v`` distinct edges): the Pearson correlation of
+    endpoint degrees over the edge list with each edge counted in
+    BOTH orientations (Newman 2002's r). One node-keyed bucket
+    shuffle for degrees, two slim tagged joins to annotate edges,
+    then six scalar moments reduce to the driver — nothing
+    edge-cardinality ever materializes driver-side. Returns a
+    one-row ``(assortativity,)`` Dataset; NaN on degenerate graphs
+    (all degrees equal)."""
+    import math
+
+    import ray.data as rd
+
+    from .dedup import coarse_bucket
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "common": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "x": np.concatenate([df[u].to_numpy(),
+                                 df[v].to_numpy()]).astype(np.int64),
+            "y": np.concatenate([df[v].to_numpy(),
+                                 df[u].to_numpy()]).astype(np.int64),
+            "common": np.zeros(2 * len(df), dtype=np.int64)})
+
+    # shape bidirectional edges as (x, y, common=0) pair rows so the
+    # degree attach below mirrors neighborhood_jaccard's tagged join
+    bidir = edges_ds.map_batches(_bidir, batch_format="pandas").materialize()
+
+    # degrees + attach, inlined (same tagged-union shape as above)
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        un, cn = (np.unique(df["x"].to_numpy(), return_counts=True)
+                  if len(df) else (np.empty(0, dtype=np.int64),) * 2)
+        return pd.DataFrame({"node": un.astype(np.int64),
+                             "d": cn.astype(np.int64)})
+
+    def _dsum(g: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in g.columns or not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64")})
+        return g.groupby("node", as_index=False, sort=False)["d"].sum()
+
+    def _nbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_nb"] = coarse_bucket(df, ["node"], 64)
+        return df
+
+    deg = (bidir.map_batches(_deg_partial, batch_format="pandas")
+           .map_batches(_nbucket, batch_format="pandas")
+           .groupby("_nb").map_groups(_dsum, batch_format="pandas")
+           .materialize())
+
+    def _attach(pair_ds, end_col, out_col, pcols):
+        def _tag_p(df: pd.DataFrame) -> pd.DataFrame:
+            cols = [c for c in pcols if c in df.columns]
+            if "x" not in df.columns or not len(df):
+                out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                    for c in pcols})
+            else:
+                out = df[cols].copy()
+            out["node"] = (out[end_col].to_numpy(dtype=np.int64)
+                           if len(out) else np.empty(0, dtype=np.int64))
+            out["d"] = np.int64(-1)
+            out["_kind"] = np.int8(1)
+            out["_nb"] = coarse_bucket(out, ["node"], 64)
+            return out
+
+        def _tag_d(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df) if "node" in df.columns else 0
+            out = pd.DataFrame({c: np.zeros(n, dtype=np.int64)
+                                for c in pcols})
+            out["node"] = (df["node"].to_numpy(dtype=np.int64) if n
+                           else np.empty(0, dtype=np.int64))
+            out["d"] = (df["d"].to_numpy(dtype=np.int64) if n
+                        else np.empty(0, dtype=np.int64))
+            out["_kind"] = np.int8(0)
+            out["_nb"] = coarse_bucket(out, ["node"], 64)
+            return out
+
+        def _join(bucket: pd.DataFrame) -> pd.DataFrame:
+            cols = pcols + [out_col]
+            empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                  for c in cols})
+            if "_kind" not in bucket.columns or not len(bucket):
+                return empty
+            p = bucket[bucket["_kind"] == 1]
+            d = bucket[bucket["_kind"] == 0]
+            if not len(p):
+                return empty
+            m = pd.Series(d["d"].to_numpy(), index=d["node"].to_numpy())
+            out = p[pcols].copy()
+            got = m.reindex(p["node"].to_numpy())
+            if got.isna().any():
+                raise AssertionError("degree lookup missed a node")
+            out[out_col] = got.to_numpy(dtype=np.int64)
+            return out
+
+        return (pair_ds.map_batches(_tag_p, batch_format="pandas")
+                .union(deg.map_batches(_tag_d, batch_format="pandas"))
+                .groupby("_nb").map_groups(_join, batch_format="pandas"))
+
+    with_dx = _attach(bidir, "x", "dx", ["x", "y", "common"])
+    with_dy = _attach(with_dx, "y", "dy", ["x", "y", "common", "dx"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        if "dx" not in df.columns or not len(df):
+            z = 0.0
+            return pd.DataFrame({"n": [0.0], "sx": [z], "sy": [z],
+                                 "sxx": [z], "syy": [z], "sxy": [z]})
+        x = df["dx"].to_numpy(dtype=np.float64)
+        y = df["dy"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()]})
+
+    parts = with_dy.map_batches(_moments, batch_format="pandas").to_pandas()
+    n, sx, sy = parts["n"].sum(), parts["sx"].sum(), parts["sy"].sum()
+    sxx, syy, sxy = (parts["sxx"].sum(), parts["syy"].sum(),
+                     parts["sxy"].sum())
+    cov = sxy - sx * sy / n if n else float("nan")
+    vx = sxx - sx * sx / n if n else float("nan")
+    vy = syy - sy * sy / n if n else float("nan")
+    r = cov / math.sqrt(vx * vy) if n and vx > 0 and vy > 0 else float("nan")
+    return rd.from_pandas(pd.DataFrame({"assortativity": [r]}))
+
+
+def label_propagation(edges_ds, n_rounds=4, u="u", v="v", num_buckets=64):
+    """Community detection by synchronous label propagation with a
+    DETERMINISTIC update rule, run for exactly ``n_rounds`` rounds:
+    every node starts labeled with its own id, and each round adopts
+    the label occurring most often among its neighbors, ties broken
+    by the smallest label. Classic LPA randomizes order and stops at
+    a fixpoint; pinning the round count and the tie-break makes the
+    result a pure function of the graph, so an external replay (the
+    DuckDB oracle unrolls the same rounds) can check it bit-exactly.
+
+    Fully distributed: labels live in a node-keyed Dataset; each
+    round is two coarse-bucket shuffles — one keyed on the NEIGHBOR
+    endpoint to annotate adjacency rows with the neighbor's current
+    label (with per-bucket partial (node, label) counts so only
+    count rows ride the second shuffle), one keyed on the node for
+    the global count merge + argmax. Nothing graph-sized touches the
+    driver. Returns ``(node, label)`` rows for every node incident
+    to an edge."""
+    from .dedup import coarse_bucket
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "a": np.concatenate([df[u].to_numpy(),
+                                 df[v].to_numpy()]).astype(np.int64),
+            "b": np.concatenate([df[v].to_numpy(),
+                                 df[u].to_numpy()]).astype(np.int64)})
+
+    adj = edges_ds.map_batches(_bidir, batch_format="pandas").materialize()
+
+    def _init_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        un = (np.unique(df["a"].to_numpy()) if len(df)
+              else np.empty(0, dtype=np.int64))
+        out = pd.DataFrame({"node": un.astype(np.int64)})
+        out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+        return out
+
+    def _init_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in g.columns or not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        un = g["node"].drop_duplicates()
+        return pd.DataFrame({"node": un.to_numpy(dtype=np.int64),
+                             "label": un.to_numpy(dtype=np.int64)})
+
+    labels = (adj.map_batches(_init_nodes, batch_format="pandas")
+              .groupby("_nb").map_groups(_init_dedup,
+                                         batch_format="pandas"))
+
+    for _ in range(n_rounds):
+        def _tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            if "a" not in df.columns or not len(df):
+                return pd.DataFrame({
+                    "a": pd.Series([], dtype="int64"),
+                    "key": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                    "_kind": pd.Series([], dtype="int8"),
+                    "_nb": pd.Series([], dtype="int32")})
+            out = pd.DataFrame({
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "key": df["b"].to_numpy(dtype=np.int64)})
+            out["label"] = np.int64(-1)
+            out["_kind"] = np.int8(1)
+            out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+            return out
+
+        def _tag_lbl(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df) if "node" in df.columns else 0
+            out = pd.DataFrame({
+                "a": np.zeros(n, dtype=np.int64),
+                "key": (df["node"].to_numpy(dtype=np.int64) if n
+                        else np.empty(0, dtype=np.int64)),
+                "label": (df["label"].to_numpy(dtype=np.int64) if n
+                          else np.empty(0, dtype=np.int64))})
+            out["_kind"] = np.int8(0)
+            out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+            return out
+
+        def _annotate(bucket: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                  "label": pd.Series([], dtype="int64"),
+                                  "c": pd.Series([], dtype="int64")})
+            if "_kind" not in bucket.columns or not len(bucket):
+                return empty
+            e = bucket[bucket["_kind"] == 1]
+            l = bucket[bucket["_kind"] == 0]
+            if not len(e):
+                return empty
+            m = pd.Series(l["label"].to_numpy(), index=l["key"].to_numpy())
+            got = m.reindex(e["key"].to_numpy())
+            if got.isna().any():
+                raise AssertionError("label lookup missed a node")
+            out = pd.DataFrame({
+                "node": e["a"].to_numpy(dtype=np.int64),
+                "label": got.to_numpy(dtype=np.int64)})
+            # partial counts: only (node, label, c) rows ride the
+            # second shuffle, not raw adjacency
+            g = out.groupby(["node", "label"], as_index=False,
+                            sort=False).size()
+            g.columns = ["node", "label", "c"]
+            return g.astype({"c": "int64"})
+
+        def _nbucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_nb2"] = coarse_bucket(df, ["node"], num_buckets)
+            return df
+
+        def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in g.columns or not len(g):
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64")})
+            s = g.groupby(["node", "label"], as_index=False,
+                          sort=False)["c"].sum()
+            s = s.sort_values(["node", "c", "label"],
+                              ascending=[True, False, True])
+            return s.drop_duplicates("node")[["node", "label"]]
+
+        labels = (
+            adj.map_batches(_tag_adj, batch_format="pandas")
+            .union(labels.map_batches(_tag_lbl, batch_format="pandas"))
+            .groupby("_nb").map_groups(_annotate, batch_format="pandas")
+            .map_batches(_nbucket, batch_format="pandas")
+            .groupby("_nb2").map_groups(_argmax, batch_format="pandas")
+        ).repartition(num_buckets).materialize()
+        # repartition bounds per-round block growth (union+2 groupbys
+        # compound sort-output blocks; see k_core)
+
+    return labels

@@ -1211,17 +1211,14 @@ def _coorder_edges(sf_dir):
     )
 
 
-def q_part_kcore(sf_dir):
-    """3-core of the twice-co-ordered parts graph (edges require >= 2
-    distinct shared orders, which leaves a sparse periphery for the
-    peel to remove — ~10 rounds at sf0.01): iterative distributed
-    peeling (ops.graph.k_core), one degree shuffle + two endpoint
-    semi-filters per round, scalar dropped-count to the driver,
-    raises rather than returning a truncated core. Hash-checked
-    against a DuckDB unrolled-round replay (both sides bound to the
-    same 24 rounds, so disagreement can only be loud, never silent)."""
+def _coorder_edges_multi(sf_dir, min_orders=2):
+    """Canonical edges of the TWICE-co-ordered parts graph: two parts
+    adjacent only when >= ``min_orders`` distinct orders contain
+    both. Orders of magnitude sparser than the plain co-order graph
+    (hub parts co-order with hundreds of others once, but repeat
+    co-orders are rare) — the right projection for quadratic-fan-out
+    consumers (wedge enumeration, peeling)."""
     from .ops.dedup import bucketed_group_apply, coarse_bucket
-    from .ops.graph import k_core
 
     import ray.data as rd
 
@@ -1255,14 +1252,96 @@ def q_part_kcore(sf_dir):
             return pd.DataFrame({"u": pd.Series([], dtype="int64"),
                                  "v": pd.Series([], dtype="int64")})
         g = group.groupby(["u", "v"], as_index=False, sort=False).size()
-        return g.loc[g["size"] >= 2, ["u", "v"]]
+        return g.loc[g["size"] >= min_orders, ["u", "v"]]
 
-    edges = (
+    return (
         pairs.map_batches(_bucket, batch_format="pandas")
         .groupby("_eb")
         .map_groups(_multi, batch_format="pandas")
     )
-    return k_core(edges, k=3, max_rounds=24)
+
+
+def q_part_kcore(sf_dir):
+    """3-core of the twice-co-ordered parts graph (edges require >= 2
+    distinct shared orders, which leaves a sparse periphery for the
+    peel to remove — ~10 rounds at sf0.01): iterative distributed
+    peeling (ops.graph.k_core), one degree shuffle + two endpoint
+    semi-filters per round, scalar dropped-count to the driver,
+    raises rather than returning a truncated core. Hash-checked
+    against a DuckDB unrolled-round replay (both sides bound to the
+    same 24 rounds, so disagreement can only be loud, never silent)."""
+    from .ops.graph import k_core
+
+    return k_core(_coorder_edges_multi(sf_dir), k=3, max_rounds=24)
+
+
+def _lpa_sql(n_rounds=4):
+    """DuckDB replay of ops.graph.label_propagation over the parts
+    co-order graph, rounds UNROLLED into materialized CTE steps
+    (MATERIALIZED matters: DuckDB inlines plain CTEs, and a chain
+    referenced 2-3x per step explodes the scan tree exponentially).
+    Deterministic rule: label_k(v) = argmax-count over neighbors'
+    label_{k-1}, ties to the smallest label — replayed with a
+    QUALIFY row_number ordered (count DESC, label ASC)."""
+    steps = []
+    for k in range(1, n_rounds + 1):
+        steps.append(
+            f"l{k} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT bd.a AS node, p.label AS label, count(*) AS c "
+            f"FROM bd JOIN l{k - 1} p ON p.node = bd.b GROUP BY 1, 2 "
+            f"QUALIFY row_number() OVER (PARTITION BY bd.a "
+            f"ORDER BY count(*) DESC, p.label ASC) = 1))")
+    return (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, "
+        "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+        "bd AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+        "UNION ALL SELECT v, u FROM e), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label "
+        "FROM bd), "
+        + ", ".join(steps)
+        + f" SELECT node, label FROM l{n_rounds}"
+    )
+
+
+def q_part_communities(sf_dir):
+    """Communities of the parts co-order graph by 4 rounds of
+    deterministic synchronous label propagation
+    (ops.graph.label_propagation: argmax neighbor label, ties to the
+    smallest; two coarse-bucket shuffles per round, label table never
+    driver-side). The bounded round count makes the result a pure
+    function of the graph, hash-checked against a DuckDB
+    unrolled-round QUALIFY replay."""
+    from .ops.graph import label_propagation
+
+    return label_propagation(_coorder_edges(sf_dir), n_rounds=4)
+
+
+def q_part_neighbor_jaccard(sf_dir):
+    """Structural entity-resolution candidates over the
+    twice-co-ordered parts graph: node pairs whose neighbor sets
+    agree with Jaccard >= 0.25 (ops.graph.neighborhood_jaccard).
+    Candidates come from wedge enumeration at the shared neighbor —
+    never all-pairs — and degrees ride two slim tagged bucket joins.
+    The m>=2 projection matters: wedge fan-out is quadratic in hub
+    degree, and the PLAIN co-order graph's sf0.01 hubs (degree ~10^3)
+    push the wedge set past 10^8 in both engine and oracle.
+    Hash-checked against a DuckDB bidirectional self-join replay."""
+    from .ops.graph import neighborhood_jaccard
+
+    return neighborhood_jaccard(_coorder_edges_multi(sf_dir),
+                                min_sim=0.25)
+
+
+def q_part_assortativity(sf_dir):
+    """Degree assortativity (Newman's r: Pearson correlation of
+    endpoint degrees over both edge orientations) of the parts
+    co-order graph; six scalar moments reduce to the driver, nothing
+    edge-cardinality materializes. Hash-checked against DuckDB
+    corr() over the same bidirectional degree-annotated edge list."""
+    from .ops.graph import degree_assortativity
+
+    return degree_assortativity(_coorder_edges(sf_dir))
 
 
 def q_part_clustering(sf_dir):
@@ -3249,6 +3328,9 @@ def build_queries():
         "kg_mention_cooccurrence": q_kg_mention_cooccurrence,
         "kg_negative_samples": q_kg_negative_samples,
         "part_kcore": q_part_kcore,
+        "part_communities": q_part_communities,
+        "part_neighbor_jaccard": q_part_neighbor_jaccard,
+        "part_assortativity": q_part_assortativity,
         "part_clustering": q_part_clustering,
         "kg_bfs_depth": q_kg_bfs_depth,
         "kg_type_entailment": q_kg_type_entailment,
@@ -4260,6 +4342,40 @@ def build_oracles():
             "FROM s3) ORDER BY step_ix"
         ),
         "part_kcore": 'WITH e0 AS MATERIALIZED (SELECT u, v FROM (SELECT a.l_partkey AS u, b.l_partkey AS v, count(DISTINCT a.l_orderkey) AS m FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2) WHERE m >= 2), d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node), e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN d1 du ON du.node = e.u JOIN d1 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY node), e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e JOIN d2 du ON du.node = e.u JOIN d2 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node), e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e JOIN d3 du ON du.node = e.u JOIN d3 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d4 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY node), e4 AS MATERIALIZED (SELECT e.u, e.v FROM e3 e JOIN d4 du ON du.node = e.u JOIN d4 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d5 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4) GROUP BY node), e5 AS MATERIALIZED (SELECT e.u, e.v FROM e4 e JOIN d5 du ON du.node = e.u JOIN d5 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d6 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5) GROUP BY node), e6 AS MATERIALIZED (SELECT e.u, e.v FROM e5 e JOIN d6 du ON du.node = e.u JOIN d6 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d7 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6) GROUP BY node), e7 AS MATERIALIZED (SELECT e.u, e.v FROM e6 e JOIN d7 du ON du.node = e.u JOIN d7 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d8 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e7 UNION ALL SELECT v FROM e7) GROUP BY node), e8 AS MATERIALIZED (SELECT e.u, e.v FROM e7 e JOIN d8 du ON du.node = e.u JOIN d8 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d9 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8) GROUP BY node), e9 AS MATERIALIZED (SELECT e.u, e.v FROM e8 e JOIN d9 du ON du.node = e.u JOIN d9 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d10 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e9 UNION ALL SELECT v FROM e9) GROUP BY node), e10 AS MATERIALIZED (SELECT e.u, e.v FROM e9 e JOIN d10 du ON du.node = e.u JOIN d10 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d11 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10) GROUP BY node), e11 AS MATERIALIZED (SELECT e.u, e.v FROM e10 e JOIN d11 du ON du.node = e.u JOIN d11 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d12 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e11 UNION ALL SELECT v FROM e11) GROUP BY node), e12 AS MATERIALIZED (SELECT e.u, e.v FROM e11 e JOIN d12 du ON du.node = e.u JOIN d12 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d13 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12) GROUP BY node), e13 AS MATERIALIZED (SELECT e.u, e.v FROM e12 e JOIN d13 du ON du.node = e.u JOIN d13 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d14 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e13 UNION ALL SELECT v FROM e13) GROUP BY node), e14 AS MATERIALIZED (SELECT e.u, e.v FROM e13 e JOIN d14 du ON du.node = e.u JOIN d14 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d15 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e14 UNION ALL SELECT v FROM e14) GROUP BY node), e15 AS MATERIALIZED (SELECT e.u, e.v FROM e14 e JOIN d15 du ON du.node = e.u JOIN d15 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d16 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e15 UNION ALL SELECT v FROM e15) GROUP BY node), e16 AS MATERIALIZED (SELECT e.u, e.v FROM e15 e JOIN d16 du ON du.node = e.u JOIN d16 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d17 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e16 UNION ALL SELECT v FROM e16) GROUP BY node), e17 AS MATERIALIZED (SELECT e.u, e.v FROM e16 e JOIN d17 du ON du.node = e.u JOIN d17 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d18 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e17 UNION ALL SELECT v FROM e17) GROUP BY node), e18 AS MATERIALIZED (SELECT e.u, e.v FROM e17 e JOIN d18 du ON du.node = e.u JOIN d18 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d19 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e18 UNION ALL SELECT v FROM e18) GROUP BY node), e19 AS MATERIALIZED (SELECT e.u, e.v FROM e18 e JOIN d19 du ON du.node = e.u JOIN d19 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d20 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e19 UNION ALL SELECT v FROM e19) GROUP BY node), e20 AS MATERIALIZED (SELECT e.u, e.v FROM e19 e JOIN d20 du ON du.node = e.u JOIN d20 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d21 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e20 UNION ALL SELECT v FROM e20) GROUP BY node), e21 AS MATERIALIZED (SELECT e.u, e.v FROM e20 e JOIN d21 du ON du.node = e.u JOIN d21 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d22 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e21 UNION ALL SELECT v FROM e21) GROUP BY node), e22 AS MATERIALIZED (SELECT e.u, e.v FROM e21 e JOIN d22 du ON du.node = e.u JOIN d22 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d23 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e22 UNION ALL SELECT v FROM e22) GROUP BY node), e23 AS MATERIALIZED (SELECT e.u, e.v FROM e22 e JOIN d23 du ON du.node = e.u JOIN d23 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3), d24 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e23 UNION ALL SELECT v FROM e23) GROUP BY node), e24 AS MATERIALIZED (SELECT e.u, e.v FROM e23 e JOIN d24 du ON du.node = e.u JOIN d24 dv ON dv.node = e.v WHERE du.d >= 3 AND dv.d >= 3) SELECT DISTINCT node FROM (SELECT u AS node FROM e24 UNION ALL SELECT v FROM e24)',
+        "part_communities": _lpa_sql(n_rounds=4),
+        "part_neighbor_jaccard": (
+            "WITH e AS MATERIALIZED (SELECT u, v FROM ("
+            "SELECT a.l_partkey AS u, b.l_partkey AS v, "
+            "count(DISTINCT a.l_orderkey) AS m "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2) WHERE m >= 2), "
+            "bd AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS MATERIALIZED (SELECT a AS node, "
+            "CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY a), "
+            "com AS MATERIALIZED (SELECT x.b AS u, y.b AS v, "
+            "CAST(count(*) AS BIGINT) AS common FROM bd x JOIN bd y "
+            "ON x.a = y.a AND x.b < y.b GROUP BY 1, 2) "
+            "SELECT c.u, c.v, c.common, "
+            "CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common) AS jaccard "
+            "FROM com c JOIN deg du ON du.node = c.u "
+            "JOIN deg dv ON dv.node = c.v "
+            "WHERE CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common) "
+            ">= 0.25"
+        ),
+        "part_assortativity": (
+            "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "bd AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS MATERIALIZED (SELECT a AS node, "
+            "CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY a) "
+            "SELECT corr(du.d, dv.d) AS assortativity "
+            "FROM bd JOIN deg du ON du.node = bd.a "
+            "JOIN deg dv ON dv.node = bd.b"
+        ),
         "part_clustering": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
             "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
