@@ -589,3 +589,44 @@ def test_label_propagation(ray_session):
                for r in label_propagation(
                    ds, n_rounds=rounds, num_buckets=4).take_all()}
         assert got == ref_lpa(rounds), rounds
+
+
+def test_hits_scores(ray_session):
+    """Integer HITS vs a dense numpy replay of the same rounds,
+    including nodes with no in- or out-edges."""
+    import ray.data as rd
+
+    from versa_ray.ops.graph import hits_scores
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(0, n, 260)
+    dst = rng.integers(0, n, 260)
+    keep = src != dst
+    edges = sorted({(int(a), int(b)) for a, b in
+                    zip(src[keep], dst[keep])})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["u", "v"]))
+
+    for n_rounds in (1, 2, 3):
+        out = (hits_scores(ds, n_rounds=n_rounds)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+
+        nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+        idx = {x: i for i, x in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+        for a, b in edges:
+            A[idx[a], idx[b]] = 1
+        h = np.ones(len(nodes), dtype=np.int64)
+        for _ in range(n_rounds):
+            a_vec = A.T @ h
+            h = A @ a_vec
+        assert list(out["node"]) == nodes
+        assert list(out["hub"]) == list(h)
+        assert list(out["auth"]) == list(a_vec)
+
+    # partition invariance
+    out8 = (hits_scores(ds.repartition(8), n_rounds=2)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    out1 = (hits_scores(ds.repartition(1), n_rounds=2)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out8, out1)

@@ -1671,3 +1671,184 @@ def label_propagation(edges_ds, n_rounds=4, u="u", v="v", num_buckets=64):
         # compound sort-output blocks; see k_core)
 
     return labels
+
+
+def hits_scores(edges_ds, n_rounds=2, u="u", v="v", num_buckets=64):
+    """Unnormalized integer HITS (Kleinberg hubs & authorities) over
+    a DIRECTED graph of distinct ``u -> v`` edges, run for exactly
+    ``n_rounds`` full rounds: all scores start at 1, and each round
+    computes ``auth(v) = sum of hub(u) over in-edges`` then
+    ``hub(u) = sum of auth(v) over out-edges`` (the new auths, per
+    the classic update order). Skipping the per-round L2
+    normalization keeps every score an exact int64 — a sum of
+    products of edge counts — so the result is a pure integer
+    function of the graph that an external replay (the DuckDB oracle
+    unrolls the same rounds as joins) checks bit-exactly; the RANKING
+    is identical to normalized HITS after the same rounds because the
+    normalizer is one positive scalar per round. The reference has no
+    distributed counterpart (its graph utilities are driver loops,
+    cf. /root/reference/tools/py/util.py jsondump/simple walks).
+
+    Fully distributed: scores live in node-keyed Datasets; each
+    half-round is the same two coarse-bucket shuffles as
+    label_propagation — a tagged union keyed on the score-side
+    endpoint annotates edges with current scores and emits per-bucket
+    PARTIAL sums (only (node, s) partials ride the second shuffle),
+    then a node-keyed merge sums exactly. A per-round scalar max
+    check raises on int64 overflow risk (scores grow ~ degree^(2r))
+    instead of wrapping silently.
+
+    Returns ``(node, hub, auth)`` for every node incident to an
+    edge; a node with no in-edges has auth 0, no out-edges hub 0.
+    """
+    from .dedup import coarse_bucket
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "a": df[u].to_numpy().astype(np.int64),
+            "b": df[v].to_numpy().astype(np.int64)})
+
+    edges = edges_ds.map_batches(_edges, batch_format="pandas").materialize()
+
+    def _init_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        both = (np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+                if len(df) else np.empty(0, dtype=np.int64))
+        out = pd.DataFrame({"node": np.unique(both).astype(np.int64)})
+        out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+        return out
+
+    def _init_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in g.columns or not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        un = g["node"].drop_duplicates()
+        return pd.DataFrame({"node": un.to_numpy(dtype=np.int64),
+                             "s": np.ones(len(un), dtype=np.int64)})
+
+    nodes = (edges.map_batches(_init_nodes, batch_format="pandas")
+             .groupby("_nb").map_groups(_init_dedup, batch_format="pandas")
+             ).materialize()
+
+    def _half_round(scores, score_end, out_end):
+        """out(out_end) = sum of scores(score_end) over edges."""
+
+        def _tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            if "a" not in df.columns or not len(df):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "key": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "_kind": pd.Series([], dtype="int8"),
+                    "_nb": pd.Series([], dtype="int32")})
+            out = pd.DataFrame({
+                "node": df[out_end].to_numpy(dtype=np.int64),
+                "key": df[score_end].to_numpy(dtype=np.int64)})
+            out["s"] = np.int64(0)
+            out["_kind"] = np.int8(1)
+            out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+            return out
+
+        def _tag_score(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df) if "node" in df.columns else 0
+            out = pd.DataFrame({
+                "node": np.zeros(n, dtype=np.int64),
+                "key": (df["node"].to_numpy(dtype=np.int64) if n
+                        else np.empty(0, dtype=np.int64)),
+                "s": (df["s"].to_numpy(dtype=np.int64) if n
+                      else np.empty(0, dtype=np.int64))})
+            out["_kind"] = np.int8(0)
+            out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+            return out
+
+        def _annotate(bucket: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                  "s": pd.Series([], dtype="int64")})
+            if "_kind" not in bucket.columns or not len(bucket):
+                return empty
+            e = bucket[bucket["_kind"] == 1]
+            sc = bucket[bucket["_kind"] == 0]
+            if not len(e):
+                return empty
+            m = pd.Series(sc["s"].to_numpy(), index=sc["key"].to_numpy())
+            got = m.reindex(e["key"].to_numpy())
+            if got.isna().any():
+                raise AssertionError("HITS score lookup missed a node")
+            out = pd.DataFrame({
+                "node": e["node"].to_numpy(dtype=np.int64),
+                "s": got.to_numpy(dtype=np.int64)})
+            # partial sums: only (node, s) partials ride the second
+            # shuffle, not annotated adjacency
+            return out.groupby("node", as_index=False, sort=False)["s"].sum()
+
+        def _nbucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_nb2"] = coarse_bucket(df, ["node"], num_buckets)
+            return df
+
+        def _merge(g: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in g.columns or not len(g):
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "s": pd.Series([], dtype="int64")})
+            return g.groupby("node", as_index=False, sort=False)["s"].sum()
+
+        return (
+            edges.map_batches(_tag_edge, batch_format="pandas")
+            .union(scores.map_batches(_tag_score, batch_format="pandas"))
+            .groupby("_nb").map_groups(_annotate, batch_format="pandas")
+            .map_batches(_nbucket, batch_format="pandas")
+            .groupby("_nb2").map_groups(_merge, batch_format="pandas")
+        ).repartition(num_buckets).materialize()
+        # repartition bounds per-round block growth (see k_core)
+
+    hub = nodes
+    auth = nodes
+    for _ in range(n_rounds):
+        auth = _half_round(hub, score_end="a", out_end="b")
+        hub = _half_round(auth, score_end="b", out_end="a")
+        mx = max(int(hub.max("s") or 0), int(auth.max("s") or 0))
+        if mx > (1 << 40):
+            raise OverflowError(
+                f"hits_scores: round max score {mx} exceeds 2^40; another "
+                "round could overflow int64 — lower n_rounds")
+
+    # outer-merge hub/auth/node tables on one node-keyed shuffle;
+    # nodes with no out-edges (in-edges) get hub (auth) 0
+    from .dedup import coarse_bucket as _cb
+
+    def _tag(which):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df) if "node" in df.columns else 0
+            out = pd.DataFrame({
+                "node": (df["node"].to_numpy(dtype=np.int64) if n
+                         else np.empty(0, dtype=np.int64)),
+                "s": (df["s"].to_numpy(dtype=np.int64) if n
+                      else np.empty(0, dtype=np.int64))})
+            out["_kind"] = np.int8(which)
+            out["_nb"] = _cb(out, ["node"], num_buckets)
+            return out
+        return _t
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "hub": pd.Series([], dtype="int64"),
+                              "auth": pd.Series([], dtype="int64")})
+        if "_kind" not in g.columns or not len(g):
+            return empty
+        base = g.loc[g["_kind"] == 0, "node"].drop_duplicates()
+        h = g[g["_kind"] == 1].set_index("node")["s"]
+        a = g[g["_kind"] == 2].set_index("node")["s"]
+        idx = base.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "node": idx,
+            "hub": h.reindex(idx).fillna(0).to_numpy(dtype=np.int64),
+            "auth": a.reindex(idx).fillna(0).to_numpy(dtype=np.int64)})
+
+    return (
+        nodes.map_batches(_tag(0), batch_format="pandas")
+        .union(hub.map_batches(_tag(1), batch_format="pandas"),
+               auth.map_batches(_tag(2), batch_format="pandas"))
+        .groupby("_nb").map_groups(_final, batch_format="pandas")
+    )

@@ -1344,6 +1344,45 @@ def q_part_assortativity(sf_dir):
     return degree_assortativity(_coorder_edges(sf_dir))
 
 
+def q_kg_hits(sf_dir):
+    """Kleinberg hubs & authorities over the customer->part directed
+    bipartite order graph (customer u links to every part they ever
+    ordered), 2 full rounds of UNNORMALIZED integer HITS
+    (ops.graph.hits_scores): hubs are broad-basket customers,
+    authorities popular parts. All-integer scores make the iteration
+    a pure function of the graph — the DuckDB oracle unrolls the
+    same rounds as joins and hash-checks every (node, hub, auth)
+    bit-exactly. Part nodes are offset by 10_000_000 to disjointify
+    the key spaces."""
+    import ray.data as rd
+
+    from .ops.dedup import dedup_rows
+    from .ops.graph import hits_scores
+    from .ops.joins import salted_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_blocks_for(),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_blocks_for(),
+    )
+    joined = salted_join(li, orders, on="l_orderkey",
+                         right_on="o_orderkey", salt=4)
+
+    def _edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": df["o_custkey"].to_numpy(dtype=np.int64),
+            "v": df["l_partkey"].to_numpy(dtype=np.int64) + 10_000_000})
+
+    edges = dedup_rows(
+        joined.map_batches(_edge, batch_format="pandas"), ["u", "v"])
+    return hits_scores(edges, n_rounds=2)
+
+
 def q_part_clustering(sf_dir):
     """Per-node local clustering coefficient of the parts-co-ordered
     graph (ops.graph.clustering_coefficients): wedges carry their
@@ -3328,6 +3367,7 @@ def build_queries():
         "kg_mention_cooccurrence": q_kg_mention_cooccurrence,
         "kg_negative_samples": q_kg_negative_samples,
         "part_kcore": q_part_kcore,
+        "kg_hits": q_kg_hits,
         "part_communities": q_part_communities,
         "part_neighbor_jaccard": q_part_neighbor_jaccard,
         "part_assortativity": q_part_assortativity,
@@ -4363,6 +4403,23 @@ def build_oracles():
             "JOIN deg dv ON dv.node = c.v "
             "WHERE CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common) "
             ">= 0.25"
+        ),
+        "kg_hits": (
+            "WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u, "
+            "10000000 + l.l_partkey AS v FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey), "
+            "nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e), "
+            "a1 AS (SELECT v AS node, COUNT(*)::BIGINT AS s FROM e GROUP BY v), "
+            "h1 AS (SELECT e.u AS node, SUM(a1.s)::BIGINT AS s FROM e "
+            "JOIN a1 ON a1.node = e.v GROUP BY e.u), "
+            "a2 AS (SELECT e.v AS node, SUM(h1.s)::BIGINT AS s FROM e "
+            "JOIN h1 ON h1.node = e.u GROUP BY e.v), "
+            "h2 AS (SELECT e.u AS node, SUM(a2.s)::BIGINT AS s FROM e "
+            "JOIN a2 ON a2.node = e.v GROUP BY e.u) "
+            "SELECT n.node AS node, COALESCE(h2.s, 0)::BIGINT AS hub, "
+            "COALESCE(a2.s, 0)::BIGINT AS auth FROM nodes n "
+            "LEFT JOIN h2 ON h2.node = n.node "
+            "LEFT JOIN a2 ON a2.node = n.node"
         ),
         "part_assortativity": (
             "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, "
