@@ -630,3 +630,53 @@ def test_hits_scores(ray_session):
     out1 = (hits_scores(ds.repartition(1), n_rounds=2)
             .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(out8, out1)
+
+
+def test_schema_profile(ray_session):
+    """Schema induction: multi-typed entities contribute one count
+    per type combination; untyped entities and literal targets get
+    the sentinel types."""
+    import ray.data as rd
+
+    from versa_ray.core import VTYPE_REL
+    from versa_ray.ops.graph import schema_profile
+
+    T = str(VTYPE_REL)
+    links = [
+        # a is BOTH Person and Agent; b is Org; c untyped
+        ("urn:x:a", T, "urn:x:Person", True),
+        ("urn:x:a", T, "urn:x:Agent", True),
+        ("urn:x:b", T, "urn:x:Org", True),
+        ("urn:x:a", "urn:x:works_for", "urn:x:b", True),
+        ("urn:x:a", "urn:x:knows", "urn:x:c", True),   # untyped target
+        ("urn:x:c", "urn:x:knows", "urn:x:a", True),   # untyped origin
+        ("urn:x:a", "urn:x:name", "Alice", False),     # literal
+        ("urn:x:b", "urn:x:name", "Beta Corp", False),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        links, columns=["origin", "rel", "target", "target_is_iri"]
+    ).assign(attrs="{}"))
+
+    out = (schema_profile(ds, num_buckets=8).to_pandas()
+           .sort_values(["rel", "origin_type", "target_type"])
+           .reset_index(drop=True))
+    got = {tuple(r[:3]): r[3] for r in out.itertuples(index=False)}
+    exp = {
+        # works_for: a has two types -> two combination rows
+        ("urn:x:works_for", "urn:x:Person", "urn:x:Org"): 1,
+        ("urn:x:works_for", "urn:x:Agent", "urn:x:Org"): 1,
+        ("urn:x:knows", "urn:x:Person", "urn:versa:Untyped"): 1,
+        ("urn:x:knows", "urn:x:Agent", "urn:versa:Untyped"): 1,
+        ("urn:x:knows", "urn:versa:Untyped", "urn:x:Person"): 1,
+        ("urn:x:knows", "urn:versa:Untyped", "urn:x:Agent"): 1,
+        ("urn:x:name", "urn:x:Person", "urn:versa:Literal"): 1,
+        ("urn:x:name", "urn:x:Agent", "urn:versa:Literal"): 1,
+        ("urn:x:name", "urn:x:Org", "urn:versa:Literal"): 1,
+    }
+    assert got == exp
+
+    # partition invariance
+    out8 = (schema_profile(ds.repartition(8), num_buckets=4).to_pandas()
+            .sort_values(["rel", "origin_type", "target_type"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out8)

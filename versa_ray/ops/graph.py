@@ -1852,3 +1852,160 @@ def hits_scores(edges_ds, n_rounds=2, u="u", v="v", num_buckets=64):
                auth.map_batches(_tag(2), batch_format="pandas"))
         .groupby("_nb").map_groups(_final, batch_format="pandas")
     )
+
+
+def schema_profile(links_ds, type_rel=None, num_buckets=64,
+                   untyped="urn:versa:Untyped",
+                   literal="urn:versa:Literal"):
+    """Schema induction / domain-range profiling over a built KG:
+    for every non-type rel, count links per ``(rel, origin_type,
+    target_type)`` — the usage matrix an ontology validator checks
+    declared domains/ranges against, and the first artifact a KG
+    builder inspects after construction (which predicates connect
+    which entity classes, and how often). Literal targets profile as
+    ``literal``; entities with no type link as ``untyped``; an
+    entity with MULTIPLE type links contributes one count per type
+    combination (standard RDF semantics). The reference computes
+    nothing like this distributed — its type utilities are driver
+    loops over resourcetypes (cf. /root/reference/tools/py/util.py).
+
+    Two coarse-bucket tagged-union joins (origin-keyed type attach,
+    then target-keyed), partial counts inside the second join's
+    buckets, and a small rollup — only (rel, type, type, n) partials
+    leave the joins, never annotated link rows.
+
+    Returns ``(rel, origin_type, target_type, n)``.
+    """
+    from ..core import VTYPE_REL
+    from .agg import grouped_agg_small
+    from .dedup import coarse_bucket
+
+    type_rel = str(type_rel or VTYPE_REL)
+
+    def _typed(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["rel"] == type_rel]
+        return pd.DataFrame({"key": t["origin"].to_numpy(object),
+                             "t": t["target"].to_numpy(object)})
+
+    typed = links_ds.map_batches(_typed, batch_format="pandas").materialize()
+
+    empty1 = pd.DataFrame({"rel": pd.Series([], dtype=object),
+                           "key": pd.Series([], dtype=object),
+                           "iri": pd.Series([], dtype=bool),
+                           "otype": pd.Series([], dtype=object)})
+
+    def _tag_link(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["rel"] != type_rel]
+        out = pd.DataFrame({
+            "rel": l["rel"].to_numpy(object),
+            "key": l["origin"].to_numpy(object),
+            "extra": l["target"].to_numpy(object),
+            "iri": l["target_is_iri"].to_numpy(bool),
+            "t": np.full(len(l), "", dtype=object)})
+        out["_kind"] = np.int8(1)
+        out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+        return out
+
+    def _tag_typed(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df) if "key" in df.columns else 0
+        out = pd.DataFrame({
+            "rel": np.full(n, "", dtype=object),
+            "key": (df["key"].to_numpy(object) if n
+                    else np.empty(0, dtype=object)),
+            "extra": np.full(n, "", dtype=object),
+            "iri": np.zeros(n, dtype=bool),
+            "t": (df["t"].to_numpy(object) if n
+                  else np.empty(0, dtype=object))})
+        out["_kind"] = np.int8(0)
+        out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+        return out
+
+    def _attach_origin(g: pd.DataFrame) -> pd.DataFrame:
+        if "_kind" not in g.columns or not len(g):
+            return empty1.copy()
+        links = g[g["_kind"] == 1][["rel", "key", "extra", "iri"]]
+        if not len(links):
+            return empty1.copy()
+        ty = g[g["_kind"] == 0][["key", "t"]]
+        m = links.merge(ty, on="key", how="left")
+        # target becomes the next join key; origin type rides along
+        return pd.DataFrame({
+            "rel": m["rel"].to_numpy(object),
+            "key": m["extra"].to_numpy(object),
+            "iri": m["iri"].to_numpy(bool),
+            "otype": m["t"].fillna(untyped).to_numpy(object)})
+
+    annotated = (
+        links_ds.map_batches(_tag_link, batch_format="pandas")
+        .union(typed.map_batches(_tag_typed, batch_format="pandas"))
+        .groupby("_nb").map_groups(_attach_origin, batch_format="pandas")
+    )
+
+    empty2 = pd.DataFrame({"rel": pd.Series([], dtype=object),
+                           "origin_type": pd.Series([], dtype=object),
+                           "target_type": pd.Series([], dtype=object),
+                           "n": pd.Series([], dtype="int64")})
+
+    def _tag_ann(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df) if "rel" in df.columns else 0
+        out = pd.DataFrame({
+            "rel": (df["rel"].to_numpy(object) if n
+                    else np.empty(0, dtype=object)),
+            "key": (df["key"].to_numpy(object) if n
+                    else np.empty(0, dtype=object)),
+            "iri": (df["iri"].to_numpy(bool) if n
+                    else np.empty(0, dtype=bool)),
+            "otype": (df["otype"].to_numpy(object) if n
+                      else np.empty(0, dtype=object)),
+            "t": np.full(n, "", dtype=object)})
+        out["_kind"] = np.int8(1)
+        out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+        # literal targets need no type lookup — spread them uniformly
+        # instead of keying on the literal value (a hot literal like a
+        # 5-value segment column would concentrate one bucket)
+        if n:
+            lit = ~out["iri"].to_numpy(bool)
+            out.loc[lit, "_nb"] = (
+                np.arange(n, dtype=np.int32) % num_buckets)[lit]
+        return out
+
+    def _tag_typed2(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df) if "key" in df.columns else 0
+        out = pd.DataFrame({
+            "rel": np.full(n, "", dtype=object),
+            "key": (df["key"].to_numpy(object) if n
+                    else np.empty(0, dtype=object)),
+            "iri": np.zeros(n, dtype=bool),
+            "otype": np.full(n, "", dtype=object),
+            "t": (df["t"].to_numpy(object) if n
+                  else np.empty(0, dtype=object))})
+        out["_kind"] = np.int8(0)
+        out["_nb"] = coarse_bucket(out, ["key"], num_buckets)
+        return out
+
+    def _attach_target(g: pd.DataFrame) -> pd.DataFrame:
+        if "_kind" not in g.columns or not len(g):
+            return empty2.copy()
+        links = g[g["_kind"] == 1][["rel", "key", "iri", "otype"]]
+        if not len(links):
+            return empty2.copy()
+        ty = g[g["_kind"] == 0][["key", "t"]]
+        lit = links[~links["iri"]].copy()
+        lit["t"] = literal
+        ir = links[links["iri"]].merge(ty, on="key", how="left")
+        ir["t"] = ir["t"].fillna(untyped)
+        both = pd.concat([lit, ir], ignore_index=True)
+        # partial counts: only (rel, otype, ttype, n) leaves the bucket
+        out = (both.groupby(["rel", "otype", "t"], as_index=False,
+                            sort=False).size())
+        out.columns = ["rel", "origin_type", "target_type", "n"]
+        return out.astype({"n": "int64"})
+
+    partials = (
+        annotated.map_batches(_tag_ann, batch_format="pandas")
+        .union(typed.map_batches(_tag_typed2, batch_format="pandas"))
+        .groupby("_nb").map_groups(_attach_target, batch_format="pandas")
+    )
+    return grouped_agg_small(
+        partials, ["rel", "origin_type", "target_type"],
+        {"n": ("n", "sum")})

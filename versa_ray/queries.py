@@ -1383,6 +1383,18 @@ def q_kg_hits(sf_dir):
     return hits_scores(edges, n_rounds=2)
 
 
+def q_kg_schema_profile(sf_dir):
+    """Schema induction over the urn:versa linkset
+    (ops.graph.schema_profile): link counts per (rel, origin_type,
+    target_type) — the usage matrix an ontology domain/range
+    validator checks, computed with two type-attach bucket joins and
+    only count partials leaving them. Hash-checked against a DuckDB
+    double-LEFT-JOIN replay over the same linkset CTE."""
+    from .ops.graph import schema_profile
+
+    return schema_profile(tpch_linkset(sf_dir))
+
+
 def q_part_clustering(sf_dir):
     """Per-node local clustering coefficient of the parts-co-ordered
     graph (ops.graph.clustering_coefficients): wedges carry their
@@ -3368,6 +3380,7 @@ def build_queries():
         "kg_negative_samples": q_kg_negative_samples,
         "part_kcore": q_part_kcore,
         "kg_hits": q_kg_hits,
+        "kg_schema_profile": q_kg_schema_profile,
         "part_communities": q_part_communities,
         "part_neighbor_jaccard": q_part_neighbor_jaccard,
         "part_assortativity": q_part_assortativity,
@@ -4403,6 +4416,18 @@ def build_oracles():
             "JOIN deg dv ON dv.node = c.v "
             "WHERE CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common) "
             ">= 0.25"
+        ),
+        "kg_schema_profile": (
+            f"{L}, typed AS (SELECT origin AS key, target AS t "
+            f"FROM links WHERE rel = '{TYPE}') "
+            "SELECT l.rel AS rel, "
+            "COALESCE(ot.t, 'urn:versa:Untyped') AS origin_type, "
+            "CASE WHEN NOT l.target_is_iri THEN 'urn:versa:Literal' "
+            "ELSE COALESCE(tt.t, 'urn:versa:Untyped') END AS target_type, "
+            "COUNT(*)::BIGINT AS n FROM links l "
+            "LEFT JOIN typed ot ON ot.key = l.origin "
+            "LEFT JOIN typed tt ON l.target_is_iri AND tt.key = l.target "
+            f"WHERE l.rel <> '{TYPE}' GROUP BY 1, 2, 3"
         ),
         "kg_hits": (
             "WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u, "
