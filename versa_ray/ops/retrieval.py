@@ -243,3 +243,118 @@ def tfidf_keywords(ds, top_m=3, text_col="text", id_col="doc_id",
     return bucketed_group_apply(
         scored, ["doc_id"], _topm, num_buckets=num_buckets
     )
+
+
+def _stable_term_bucket(values: "pd.Series", num_buckets: int) -> np.ndarray:
+    """Process-stable hash bucket of a term series — same convention
+    as the link store's partition hash (``model/store.py``): pandas'
+    fixed-key 64-bit string hash, vectorized, no randomization."""
+    h = pd.util.hash_pandas_object(
+        values.astype(str).reset_index(drop=True), index=False
+    )
+    return (h % num_buckets).astype("int32").to_numpy()
+
+
+def build_inverted_index(ds, index_dir, num_term_buckets=64,
+                         text_col="text", id_col="doc_id"):
+    """Materialize an inverted index (term -> postings with term
+    frequency) as term-bucket Hive-partitioned Parquet.
+
+    ``bm25_search``/``tfidf_keywords`` deliberately avoid an index
+    (one-shot scans); this is the REPEATED-lookup sibling: pay one
+    pass now, answer term probes later by opening only the probed
+    buckets.
+
+    Shuffle-free by construction: each document lives wholly inside
+    one input row, so a per-batch ``groupby([doc, term])`` is already
+    the globally exact term frequency — no cross-batch combine ever
+    runs. The single streaming pass tokenizes (vectorized
+    ``str.findall`` on the lowercased text — the shared
+    ``[a-z0-9]+`` tokenizer contract), explodes via ``repeat`` (no
+    Python row loop), reduces to ``(doc, term, tf)`` and writes one
+    directory per ``term_bucket=N`` — a failed build resumes per
+    partition, and 100-TB scale changes bucket COUNT, not the plan.
+
+    Lookup cost: ``len(probe_bucket_set) / num_term_buckets`` of the
+    index's bytes, independent of corpus size per bucket count.
+    """
+    import json
+    import os
+
+    def _postings(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RUN)
+        n = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            id_col: df[id_col].to_numpy().repeat(n),
+            "term": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+                + [np.array([], dtype=object)]
+            ),
+        })
+        out = (
+            flat.groupby([id_col, "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        out["tf"] = out["tf"].astype("int64")
+        out["term_bucket"] = _stable_term_bucket(
+            out["term"], num_term_buckets)
+        return out
+
+    ds.map_batches(_postings, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["term_bucket"]
+    )
+    with open(os.path.join(index_dir, "_invidx_meta.json"), "w") as f:
+        json.dump({"num_term_buckets": int(num_term_buckets),
+                   "id_col": id_col}, f)
+    return index_dir
+
+
+def lookup_postings(index_dir, terms, id_col=None):
+    """Pruned postings probe: read ONLY the Hive partitions whose
+    bucket some probe term hashes to, then the exact term mask inside
+    ``map_batches``. Returns a Dataset of ``(id, term, tf)``."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_invidx_meta.json")) as f:
+        meta = json.load(f)
+    if id_col is None:
+        id_col = meta["id_col"]
+    probe = sorted({t for t in terms})
+    buckets = sorted(set(
+        _stable_term_bucket(
+            pd.Series(probe, dtype=object), meta["num_term_buckets"]
+        ).tolist()
+    ))
+    dirs = [os.path.join(index_dir, f"term_bucket={b}") for b in buckets]
+    # explicit file list (read_parquet takes dirs singly, not in a
+    # list) — same driver-side path pruning the link store uses
+    files = [
+        os.path.join(d, f)
+        for d in dirs if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    cols = [id_col, "term", "tf"]
+    if not files:
+        return rd.from_pandas(pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "term": pd.Series([], dtype=object),
+             "tf": pd.Series([], dtype="int64")}))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    probe_arr = pa.array(probe, type=pa.string())
+
+    def _mask(tbl: "pa.Table") -> "pa.Table":
+        # Arrow-native mask: zero-copy batches, and the schema
+        # survives all-empty blocks (a pandas block would come back
+        # column-less)
+        keep = pc.is_in(tbl.column("term"), value_set=probe_arr)
+        return tbl.select(cols).filter(keep)
+
+    return rd.read_parquet(files, columns=cols).map_batches(
+        _mask, batch_format="pyarrow")

@@ -1465,6 +1465,31 @@ def q_doc_top_per_group(sf_dir):
     return out.select_columns(["lang", "source", "doc_id", "n_chars", "rank"])
 
 
+PROBE_TERMS = ("merge", "window", "customer", "vector")
+
+
+def q_doc_postings(sf_dir):
+    """Materialized inverted index + pruned probe: ONE shuffle-free
+    pass builds term-bucket Hive-partitioned postings (per-doc term
+    frequency is exact per batch because a document never spans
+    rows), then the probe opens ONLY the partitions the probe terms
+    hash to. Hash-exact vs the plain GROUP BY oracle."""
+    import shutil
+    import tempfile
+
+    from .ops.retrieval import build_inverted_index, lookup_postings
+
+    idx = tempfile.mkdtemp(prefix="vr_invidx_")
+    try:
+        build_inverted_index(_docs(sf_dir), idx, num_term_buckets=32)
+        out = lookup_postings(idx, PROBE_TERMS)
+        # materialize inside the guard: the probe must finish before
+        # the index directory goes away
+        return out.to_pandas().reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_doc_tfidf(sf_dir):
     """Top-3 TF-IDF keywords per document. Corpus-vocabulary df is
     computed and attached in ONE term-keyed coarse-bucket shuffle
@@ -3410,6 +3435,7 @@ def build_queries():
         "doc_top_tokens": q_doc_top_tokens,
         "doc_bm25": q_doc_bm25,
         "doc_tfidf": q_doc_tfidf,
+        "doc_postings": q_doc_postings,
         "doc_split": q_doc_split,
         "doc_mixture": q_doc_mixture,
         "doc_mentions": q_doc_mentions,
@@ -4138,6 +4164,16 @@ def build_oracles():
             "regexp_split_to_array(text, '[ \\t\\r\\n\\f\\v]+')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token) "
             "ORDER BY n DESC, token LIMIT 50"
+        ),
+        # inverted-index probe: per-doc term frequency of the probe
+        # terms, same [a-z0-9]+ tokenizer contract
+        "doc_postings": (
+            "SELECT doc_id, term, count(*)::BIGINT AS tf FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), "
+            "'[^a-z0-9]+')) AS term FROM documents) "
+            "WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in PROBE_TERMS)
+            + ") GROUP BY doc_id, term"
         ),
         # BM25 (Lucene idf variant, k1=1.2 b=0.75) over [a-z0-9]+
         # tokens of lowercased text; scores rounded to 9 decimals
