@@ -278,3 +278,46 @@ def test_incremental_minhash_replay_equals_batch_randomized(ray_session,
         pd.testing.assert_frame_equal(inc_df, batch)
         assert inc_df.set_index("doc_id")["cluster"][14] == 1
         assert inc_df.set_index("doc_id")["cluster"][33] == 20
+
+
+def test_inverted_index_matches_brute_force_randomized(ray_session,
+                                                       tmp_path):
+    """Randomized corpora (unicode noise, empty docs, multi-block
+    inputs, string ids): bucket-pruned postings lookup equals the
+    brute-force tokenizer truth for every probe, including probes
+    absent from the corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.retrieval import (
+        build_inverted_index, lookup_postings, tokenize)
+
+    rng = np.random.RandomState(23)
+    vocab = ["tok%d" % i for i in range(40)] + ["héllo", "naïve", "∑x"]
+    for trial in range(3):
+        docs = {
+            "d%03d" % i: " ".join(
+                rng.choice(vocab, rng.randint(0, 30)))
+            for i in range(50)
+        }
+        docs["d_empty"] = ""
+        df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        ds = rd.from_pandas([df.iloc[:17], df.iloc[17:39], df.iloc[39:]])
+        idx = str(tmp_path / f"invidx{trial}")
+        build_inverted_index(ds, idx, num_term_buckets=4)
+        probe = list(rng.choice(vocab, 5)) + ["absent_term"]
+        got_df = lookup_postings(idx, probe).to_pandas()
+        got = {
+            (r.doc_id, r.term): int(r.tf) for r in got_df.itertuples()
+        }
+        want = {}
+        for did, text in docs.items():
+            toks = tokenize(text)
+            for t in set(probe):
+                # the tokenizer contract lowercases and strips
+                # non-[a-z0-9]; probe terms are matched as stored
+                tf = toks.count(t)
+                if tf:
+                    want[(did, t)] = tf
+        assert got == want, f"trial {trial}: {got} != {want}"
