@@ -1490,6 +1490,96 @@ def q_doc_postings(sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+BPE_MERGES = 10  # rounds in the replayable BPE queries (oracle unrolls them)
+
+
+def q_doc_bpe_merges(sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): one
+    corpus pass reduces to the vocabulary-sized word-frequency table;
+    each merge round is one pass over that table + a pair-keyed
+    coarse-bucket shuffle + a <=num_buckets-row driver argmax. The
+    merge table (the tokenizer MODEL) is the only driver-side object.
+    Hash-exact vs the unrolled-round DuckDB replay."""
+    from .ops.bpe import train_bpe
+
+    return train_bpe(_docs_with(sf_dir, ["text"]), num_merges=BPE_MERGES)
+
+
+def q_doc_bpe_tokens(sf_dir):
+    """Per-doc BPE token counts under the trained merge list: encode
+    is one streaming corpus pass on an actor pool with the (tiny)
+    merge model broadcast once and a per-actor word memo. Hash-exact
+    vs the oracle that replays the same merges then re-encodes."""
+    from .ops.bpe import encode_bpe, train_bpe
+
+    docs = _docs_with(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=BPE_MERGES)
+    return encode_bpe(docs, merges)
+
+
+def _bpe_sql(n_merges, select):
+    """DuckDB replay of ops.bpe.train_bpe / encode_bpe with the merge
+    rounds UNROLLED into materialized CTE steps (MATERIALIZED for the
+    same reason as the k-core oracle: plain CTEs get inlined and the
+    per-round triple reference explodes the scan tree). The contract
+    both sides share: [a-z0-9]+ lowercase pre-tokenizer; a word's
+    symbol string is space-joined chars + ' </w>' padded with one
+    space each side; a merge is leftmost-non-overlapping
+    replace(' lhs rhs ' -> ' lhsrhs '); winner = max freq, ties to
+    lexicographically smallest (lhs, rhs)."""
+    parts = [
+        "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        "AS word FROM documents) GROUP BY word)",
+        "w0 AS MATERIALIZED (SELECT word, ' ' || array_to_string("
+        "regexp_extract_all(word, '.'), ' ') || ' </w> ' AS sym, freq "
+        "FROM wf)",
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT lhs, rhs, "
+            f"CAST(sum(freq) AS BIGINT) AS n FROM ("
+            f"SELECT syms[i] AS lhs, syms[i + 1] AS rhs, freq FROM ("
+            f"SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) "
+            f"AS i FROM (SELECT string_split(trim(sym), ' ') AS syms, freq "
+            f"FROM w{k}))) GROUP BY lhs, rhs)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT lhs, rhs, n FROM p{k} "
+            f"ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        # coalesce: if the corpus exhausts its pairs before n_merges
+        # rounds, m{k} is empty and the pattern degenerates to '   '
+        # (never present in single-spaced syms) — a no-op round, same
+        # as the engine's early break
+        parts.append(
+            f"w{k + 1} AS MATERIALIZED (SELECT word, replace(sym, "
+            f"' ' || coalesce((SELECT lhs FROM m{k}), '') || ' ' || "
+            f"coalesce((SELECT rhs FROM m{k}), '') || ' ', "
+            f"' ' || coalesce((SELECT lhs || rhs FROM m{k}), '') || ' ') "
+            f"AS sym, freq FROM w{k})"
+        )
+    if select == "merges":
+        union = " UNION ALL ".join(
+            f'SELECT CAST({k} AS BIGINT) AS "rank", lhs, rhs, n FROM m{k}'
+            for k in range(n_merges)
+        )
+        tail = f'SELECT "rank", lhs, rhs, n FROM ({union}) ORDER BY "rank"'
+    else:
+        tail = (
+            "SELECT doc.doc_id, CAST(coalesce(t.n_words, 0) AS BIGINT) AS "
+            "n_words, CAST(coalesce(t.n_bpe_tokens, 0) AS BIGINT) AS "
+            "n_bpe_tokens FROM documents doc LEFT JOIN ("
+            "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            "CAST(sum(len(string_split(trim(w.sym), ' '))) AS BIGINT) AS "
+            "n_bpe_tokens FROM (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS word FROM documents) d "
+            f"JOIN w{n_merges} w USING (word) GROUP BY d.doc_id) t "
+            "USING (doc_id)"
+        )
+    return "WITH " + ", ".join(parts) + " " + tail
+
+
 def q_doc_tfidf(sf_dir):
     """Top-3 TF-IDF keywords per document. Corpus-vocabulary df is
     computed and attached in ONE term-keyed coarse-bucket shuffle
@@ -3436,6 +3526,8 @@ def build_queries():
         "doc_bm25": q_doc_bm25,
         "doc_tfidf": q_doc_tfidf,
         "doc_postings": q_doc_postings,
+        "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_split": q_doc_split,
         "doc_mixture": q_doc_mixture,
         "doc_mentions": q_doc_mentions,
@@ -4175,6 +4267,10 @@ def build_oracles():
             + ", ".join(f"'{t}'" for t in PROBE_TERMS)
             + ") GROUP BY doc_id, term"
         ),
+        # BPE tokenizer training / encoding, merge rounds unrolled
+        # into materialized CTE steps (see _bpe_sql contract notes)
+        "doc_bpe_merges": _bpe_sql(BPE_MERGES, "merges"),
+        "doc_bpe_tokens": _bpe_sql(BPE_MERGES, "encode"),
         # BM25 (Lucene idf variant, k1=1.2 b=0.75) over [a-z0-9]+
         # tokens of lowercased text; scores rounded to 9 decimals
         # before ranking, ties by doc_id — mirrors ops.retrieval
