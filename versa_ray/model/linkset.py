@@ -167,6 +167,56 @@ def intersect_statements(a, b, num_buckets=64):
     return out.map_batches(_restore, batch_format="pandas")
 
 
+def diff_statements(a, b, num_buckets=64):
+    """Symmetric statement-set DIFFERENCE of two link-set snapshots —
+    the KG version diff: distinct quads present only in ``a`` emit
+    with ``change='removed'``, only in ``b`` with ``change='added'``
+    (set semantics; full-quad equality including attrs, the same
+    contract as ``intersect_statements``). ONE tagged-union
+    coarse-bucket shuffle carries both sides: ``with_quad_key``
+    pre-dedups each batch (combiner), every copy of a quad co-locates
+    by key, and the per-bucket side test is a local nunique. No
+    reference counterpart (Versa diffs models by driver-side
+    statement iteration)."""
+    from ..ops.dedup import coarse_bucket
+
+    cols = ["origin", "rel", "target", "target_is_iri", "attrs"]
+
+    def _tag(side):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_side"] = np.int8(side)
+            df["_cbucket"] = coarse_bucket(df, ["qkey"], num_buckets)
+            return df
+        return _t
+
+    tagged = (
+        with_quad_key(a).map_batches(_tag(0), batch_format="pandas")
+        .union(with_quad_key(b).map_batches(_tag(1), batch_format="pandas"))
+    )
+
+    def _emit(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket) or "qkey" not in bucket.columns:
+            return pd.DataFrame(
+                {"origin": pd.Series([], dtype=object),
+                 "rel": pd.Series([], dtype=object),
+                 "target": pd.Series([], dtype=object),
+                 "target_is_iri": pd.Series([], dtype=bool),
+                 "attrs": pd.Series([], dtype=object),
+                 "change": pd.Series([], dtype=object)})
+        u = bucket.drop_duplicates(subset=["qkey", "_side"])
+        nsides = u.groupby("qkey")["_side"].transform("nunique")
+        only = u[nsides == 1]
+        out = only[cols].copy()
+        out["target_is_iri"] = out["target_is_iri"].astype(bool)
+        out["change"] = np.where(
+            only["_side"].to_numpy() == 0, "removed", "added")
+        return out
+
+    return tagged.groupby("_cbucket").map_groups(
+        _emit, batch_format="pandas")
+
+
 def with_quad_key(ds, key_col="qkey"):
     """Append a composite string key LOSSLESSLY encoding the full quad
     (separator-escaped) and locally pre-dedup each batch (combiner

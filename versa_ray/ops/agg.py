@@ -729,3 +729,91 @@ def zip_with_index(ds, order_by, num_buckets=64, samples_per_batch=64,
         .groupby("_zb")
         .map_groups(_assign, batch_format="pandas")
     )
+
+
+def percent_rank(ds, col, out_col="pct_rank", num_buckets=64,
+                 samples_per_batch=64):
+    """SQL ``percent_rank() OVER (ORDER BY col)``: for each row,
+    (count of strictly smaller values) / (N - 1), ties sharing a
+    rank — computed exactly and distributed.
+
+    Same three bounded passes as ``zip_with_index`` (boundary sample
+    -> split points; per-range counts -> driver prefix sums of
+    ``num_buckets`` scalars; one range shuffle) but TIE-AWARE where
+    zip_with_index requires unique keys: ranges split by VALUE with
+    ``searchsorted(side='right')`` on both passes, so EQUAL values
+    always co-locate in one range and their shared strictly-smaller
+    count is the range offset plus a local ``searchsorted(side=
+    'left')``. The only float op is the final single IEEE division of
+    two exact integers, so a SQL replay agrees bit-for-bit."""
+    import ray
+
+    def _sample(df: pd.DataFrame) -> pd.DataFrame:
+        if col not in df.columns or not len(df):
+            return pd.DataFrame({"v": pd.Series([], dtype=object)})
+        v = df[col].sort_values().to_numpy()
+        idx = np.linspace(0, len(v) - 1, min(samples_per_batch, len(v)))
+        return pd.DataFrame({"v": pd.Series(v[idx.astype(int)],
+                                            dtype=object)})
+
+    samp = np.sort(
+        ds.map_batches(_sample, batch_format="pandas")
+        .to_pandas()["v"].to_numpy())
+    if not len(samp):
+        bounds = np.array([], dtype=object)
+    else:
+        cut = np.linspace(0, len(samp) - 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(samp[cut.astype(int)])
+    b_ref = ray.put(bounds)
+
+    def _bucket_of(vals):
+        b = ray.get(b_ref)
+        if not len(b):
+            return np.zeros(len(vals), dtype=np.int32)
+        return np.searchsorted(b, vals, side="right").astype(np.int32)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        if col not in df.columns or not len(df):
+            return pd.DataFrame({"b": pd.Series([], dtype="int32"),
+                                 "n": pd.Series([], dtype="int64")})
+        bk = _bucket_of(df[col].to_numpy())
+        u, c = np.unique(bk, return_counts=True)
+        return pd.DataFrame({"b": u.astype("int32"),
+                             "n": c.astype("int64")})
+
+    cdf = ds.map_batches(_counts, batch_format="pandas").to_pandas()
+    per_bucket = np.zeros(max(int(len(bounds)) + 1, 1), dtype=np.int64)
+    if len(cdf):
+        for b, n in zip(cdf["b"], cdf["n"]):
+            per_bucket[int(b)] += int(n)
+    n_total = int(per_bucket.sum())
+    denom = float(max(n_total - 1, 1))
+    offsets = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+    o_ref = ray.put(offsets)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_prb"] = (_bucket_of(df[col].to_numpy())
+                      if col in df.columns and len(df)
+                      else pd.Series([], dtype="int32"))
+        return df
+
+    def _assign(group: pd.DataFrame) -> pd.DataFrame:
+        if col not in group.columns or not len(group):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in group.columns
+                 if c != "_prb"}
+                | {out_col: pd.Series([], dtype="float64")})
+        vals = group[col].to_numpy()
+        sv = np.sort(vals)
+        smaller = np.searchsorted(sv, vals, side="left").astype(np.int64)
+        off = int(ray.get(o_ref)[int(group["_prb"].iloc[0])])
+        g = group.drop(columns=["_prb"]).copy()
+        g[out_col] = (off + smaller) / denom
+        return g
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_prb")
+        .map_groups(_assign, batch_format="pandas")
+    )

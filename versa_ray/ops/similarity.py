@@ -761,3 +761,135 @@ def kmeans_assign(ds, centroids, vec_col="embedding", id_col="vec_id"):
              "cluster": np.argmax(mat @ c.T, axis=1).astype(np.int64)})
 
     return ds.map_batches(_assign, batch_format="pandas")
+
+
+def sparse_tf_cosine_pairs(ds, threshold: float = 0.5,
+                           max_df_frac: float = 0.02, min_df: int = 2,
+                           max_df: int | None = None, ngram_n: int = 1,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_buckets: int = 64):
+    """Sparse term-frequency cosine similarity between documents:
+    pairs whose raw-tf vectors have cosine >= ``threshold``, with the
+    candidate set generated TERM-AT-A-TIME (the classic sparse-index
+    approach) — never all document pairs.
+
+    Exactness discipline: per-doc tf and norm^2 are exact integers
+    computed per batch (a document never spans input rows); per-pair
+    dot products are INTEGER sums through the shuffle, so they are
+    associativity-proof; the only float op is the final
+    ``dot / sqrt(n2a * n2b)`` — a single IEEE expression on identical
+    exact integers, so the engine and a SQL replay agree bit-for-bit
+    on the comparison and (after round-to-6) on the emitted value.
+
+    Scale/skew guard: terms with document frequency above
+    ``floor(max_df_frac * N)`` are EXCLUDED from candidate generation
+    (stop-word-like terms explode C(df,2) and contribute little
+    cosine mass). That makes this operator "cosine restricted to the
+    df-pruned term space" — the dot is over pruned terms while norms
+    cover the full vector, so reported cosine is a LOWER BOUND of the
+    unpruned cosine; the pruning rule is part of the operator contract
+    and the oracle replays it. Per-term pair emission is bounded by
+    C(max_df, 2); the pair-keyed reduce is an integer sum.
+
+    ``ngram_n``: terms are word n-grams (space-joined runs of n
+    consecutive tokens) instead of single words — the right setting
+    for low-vocabulary corpora where every unigram is stopword-dense.
+    ``max_df``: absolute cap overriding the fraction — pass it on
+    large corpora, where ``frac * N`` grows the per-term C(df, 2)
+    candidate emission quadratically.
+
+    Returns ``(id_a, id_b, dot, cos)`` with id_a < id_b.
+    """
+    from .dedup import bucketed_group_apply, coarse_bucket
+
+    from .retrieval import _TOKEN_RUN  # shared [a-z0-9]+ contract
+
+    if max_df is None:
+        n_docs = ds.count()
+        max_df = max(min_df, int(np.floor(max_df_frac * n_docs)))
+
+    def _tf(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: explode via repeat, per-(doc, term) tf is exact
+        # per batch because a document never spans input rows; n2 is
+        # the doc's full-vector squared norm, attached to every tf row
+        # so the pair stage never needs a separate norm join
+        empty = pd.DataFrame({
+            id_col: df[id_col].iloc[0:0],
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype="int64"),
+            "n2": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        toks = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RUN)
+        if ngram_n > 1:
+            toks = toks.map(lambda ws: [
+                " ".join(ws[i:i + ngram_n])
+                for i in range(len(ws) - ngram_n + 1)])
+        n = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            id_col: df[id_col].to_numpy().repeat(n),
+            "term": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+                + [np.array([], dtype=object)]),
+        })
+        if not len(flat):
+            return empty
+        out = (
+            flat.groupby([id_col, "term"], sort=False)
+            .size().rename("tf").reset_index()
+        )
+        out["tf"] = out["tf"].astype("int64")
+        out["n2"] = (
+            (out["tf"] ** 2).groupby(out[id_col]).transform("sum")
+        ).astype("int64")
+        return out[[id_col, "term", "tf", "n2"]]
+
+    def _term_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids0 = group[id_col].iloc[0:0].reset_index(drop=True)
+        empty = pd.DataFrame({
+            "id_a": ids0, "id_b": ids0,
+            "prod": pd.Series([], dtype="int64"),
+            "n2a": pd.Series([], dtype="int64"),
+            "n2b": pd.Series([], dtype="int64")})
+        dfreq = len(group)
+        if dfreq < min_df or dfreq > max_df:
+            return empty
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        tf = g["tf"].to_numpy()
+        n2 = g["n2"].to_numpy()
+        ia, ib = np.triu_indices(dfreq, k=1)
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ib],
+            "prod": (tf[ia] * tf[ib]).astype("int64"),
+            "n2a": n2[ia], "n2b": n2[ib]})
+
+    tf_rows = ds.map_batches(_tf, batch_format="pandas")
+    pair_parts = bucketed_group_apply(
+        tf_rows, ["term"], _term_pairs,
+        num_buckets=num_buckets, min_group_size=min_df)
+
+    def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pbucket"] = coarse_bucket(df, ["id_a", "id_b"], num_buckets)
+        return df
+
+    def _finalize(df: pd.DataFrame):
+        import pyarrow as _pa
+
+        agg = df.groupby(["id_a", "id_b"], as_index=False).agg(
+            dot=("prod", "sum"), n2a=("n2a", "first"), n2b=("n2b", "first"))
+        cos = agg["dot"].to_numpy() / np.sqrt(
+            (agg["n2a"] * agg["n2b"]).to_numpy().astype("float64"))
+        keep = cos >= threshold
+        out = agg.loc[keep, ["id_a", "id_b", "dot"]].copy()
+        out["cos"] = np.round(cos[keep], 6)
+        # Arrow keeps the schema even when every bucket filters to
+        # zero rows (empty pandas blocks come back column-less)
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        pair_parts.map_batches(_bucket_pairs, batch_format="pandas")
+        .groupby("_pbucket")
+        .map_groups(_finalize, batch_format="pandas")
+    )

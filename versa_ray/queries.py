@@ -1580,6 +1580,42 @@ def _bpe_sql(n_merges, select):
     return "WITH " + ", ".join(parts) + " " + tail
 
 
+COS_PAIR_THRESHOLD = 0.05  # rare-term lower-bound cosine (see docstring)
+
+
+def q_doc_cos_pairs(sf_dir):
+    """Sparse tf-cosine document pairs over word BIGRAMS (the
+    synthetic corpus has ~31 distinct unigrams, all stopword-dense;
+    bigrams give a selective term space), term-at-a-time candidates
+    (never all pairs), df-pruned (the pruning rule is part of the
+    operator contract and the oracle replays it). Integer dot
+    products through the shuffle; hash-exact vs the SQL join replay."""
+    from .ops.similarity import sparse_tf_cosine_pairs
+
+    return sparse_tf_cosine_pairs(
+        _docs_with(sf_dir, ["doc_id", "text"]),
+        threshold=COS_PAIR_THRESHOLD, max_df_frac=0.06, ngram_n=2)
+
+
+def q_doc_len_pct_rank(sf_dir):
+    """Exact distributed percent_rank over document char lengths
+    (ties share ranks): three bounded passes — boundary sample,
+    per-range counts to the driver as num_buckets ints, one range
+    shuffle with a local searchsorted. Hash-exact vs the SQL window
+    function (the final division is one IEEE op on exact integers)."""
+    from .ops.agg import percent_rank
+
+    def _prep(df):
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_chars": df["text"].fillna("").str.len().astype("int64"),
+        })
+
+    ds = _docs_with(sf_dir, ["doc_id", "text"]).map_batches(
+        _prep, batch_format="pandas")
+    return percent_rank(ds, "n_chars")
+
+
 def q_doc_tfidf(sf_dir):
     """Top-3 TF-IDF keywords per document. Corpus-vocabulary df is
     computed and attached in ONE term-keyed coarse-bucket shuffle
@@ -2874,6 +2910,32 @@ def q_links_intersect(sf_dir):
     return linkset.intersect_statements(a, b)
 
 
+def q_links_diff(sf_dir):
+    """KG snapshot diff: symmetric statement-set difference of the
+    same two derived link-sets as links_intersect, tagged
+    'removed' (left-only) / 'added' (right-only). One tagged-union
+    coarse-bucket shuffle; DuckDB replays with two EXCEPTs."""
+    import pyarrow.compute as pc_
+
+    from .model import linkset
+
+    ls = tpch_linkset(sf_dir)
+    a = linkset.union(
+        linkset.match(ls, rel=TYPE), linkset.match(ls, rel=NAME),
+        dedup=False,
+    )
+
+    def _prefix(tbl):
+        mask = pc_.or_(
+            pc_.starts_with(tbl["origin"], "urn:versa:nation:"),
+            pc_.starts_with(tbl["origin"], "urn:versa:region:"),
+        )
+        return tbl.filter(mask)
+
+    b = ls.map_batches(_prefix, batch_format="pyarrow")
+    return linkset.diff_statements(a, b)
+
+
 def q_lineitem_monthly_top_parts(sf_dir):
     """Windowed grouped top-k by composition: month tumbling windows
     (vectorized timestamp floor) × per-month part-quantity rollup ×
@@ -3447,6 +3509,7 @@ def build_queries():
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "links_intersect": q_links_intersect,
+        "links_diff": q_links_diff,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -3528,6 +3591,8 @@ def build_queries():
         "doc_postings": q_doc_postings,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_cos_pairs": q_doc_cos_pairs,
+        "doc_len_pct_rank": q_doc_len_pct_rank,
         "doc_split": q_doc_split,
         "doc_mixture": q_doc_mixture,
         "doc_mentions": q_doc_mentions,
@@ -3821,6 +3886,19 @@ def build_oracles():
             "INTERSECT SELECT * FROM links WHERE "
             "origin LIKE 'urn:versa:nation:%' "
             "OR origin LIKE 'urn:versa:region:%'"
+        ),
+        # KG snapshot diff: left-only quads 'removed', right-only
+        # 'added' (set semantics — EXCEPT dedups like the engine)
+        "links_diff": (
+            f"{L}, a AS (SELECT * FROM links WHERE rel IN "
+            f"('{TYPE}', '{NAME}')), "
+            "b AS (SELECT * FROM links WHERE "
+            "origin LIKE 'urn:versa:nation:%' "
+            "OR origin LIKE 'urn:versa:region:%') "
+            "SELECT *, 'removed' AS change FROM (SELECT * FROM a "
+            "EXCEPT SELECT * FROM b) "
+            "UNION ALL SELECT *, 'added' AS change FROM ("
+            "SELECT * FROM b EXCEPT SELECT * FROM a)"
         ),
         "links_remove": (
             f"{L} SELECT * FROM links WHERE NOT (rel = '{NAME}' AND origin IN "
@@ -4271,6 +4349,41 @@ def build_oracles():
         # into materialized CTE steps (see _bpe_sql contract notes)
         "doc_bpe_merges": _bpe_sql(BPE_MERGES, "merges"),
         "doc_bpe_tokens": _bpe_sql(BPE_MERGES, "encode"),
+        # sparse tf-cosine pairs over the df-pruned term space: dot is
+        # an integer sum (associativity-proof); the cosine is one IEEE
+        # division on exact ints, so the threshold compare replays
+        "doc_cos_pairs": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS t FROM documents), "
+            "grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS term "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) "
+            "AS i FROM toks)), "
+            "tf AS MATERIALIZED (SELECT doc_id, term, "
+            "CAST(count(*) AS BIGINT) AS tf FROM grams "
+            "GROUP BY doc_id, term), "
+            "norm AS MATERIALIZED (SELECT doc_id, "
+            "CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY doc_id), "
+            "keep AS MATERIALIZED (SELECT term FROM tf GROUP BY term "
+            "HAVING count(*) >= 2 AND count(*) <= greatest(2, CAST(floor("
+            "0.06 * (SELECT count(*) FROM documents)) AS BIGINT))), "
+            "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot "
+            "FROM tf a JOIN keep USING (term) JOIN tf b USING (term) "
+            "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, dot, round(dot / sqrt(CAST(na.n2 * nb.n2 "
+            "AS DOUBLE)), 6) AS cos FROM pair "
+            "JOIN norm na ON na.doc_id = pair.id_a "
+            "JOIN norm nb ON nb.doc_id = pair.id_b "
+            "WHERE dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= "
+            + repr(COS_PAIR_THRESHOLD)
+        ),
+        # exact percent_rank over char lengths; the division is one
+        # IEEE op on exact ints so no rounding is needed on either side
+        "doc_len_pct_rank": (
+            "SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS "
+            "n_chars, percent_rank() OVER (ORDER BY "
+            "length(coalesce(text, ''))) AS pct_rank FROM documents"
+        ),
         # BM25 (Lucene idf variant, k1=1.2 b=0.75) over [a-z0-9]+
         # tokens of lowercased text; scores rounded to 9 decimals
         # before ranking, ties by doc_id — mirrors ops.retrieval
