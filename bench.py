@@ -150,13 +150,14 @@ def main():
             result["scaling"] = {"error": str(e)[:200]}
 
     # at-scale scaling evidence: the same two-leg measurement at 1M
-    # pages (sf1-equivalent workload), single attempt — ~6 min. ON BY
-    # DEFAULT whenever the wall-clock budget allows (the sf0.1 suite
-    # finished inside GRAFT_BENCH_SF1_BUDGET_SEC, default 600 — a slow
-    # host run signals contention where another 6-min measurement
-    # would both lie and starve the driver's budget). Opt out with
+    # pages (sf1-equivalent workload), single attempt — ~6-12 min. ON
+    # BY DEFAULT whenever the wall-clock budget allows (the sf0.1
+    # suite finished inside GRAFT_BENCH_SF1_BUDGET_SEC — default 1000,
+    # sized so a uniformly slower VM still emits the block while a
+    # pathologically contended run, which would lie AND starve the
+    # driver's budget, skips with its reason recorded). Opt out with
     # GRAFT_BENCH_NO_SF1_SCALING=1; force with GRAFT_BENCH_SF1_SCALING=1.
-    budget = float(os.environ.get("GRAFT_BENCH_SF1_BUDGET_SEC", "600"))
+    budget = float(os.environ.get("GRAFT_BENCH_SF1_BUDGET_SEC", "1000"))
     suite_sec = time.perf_counter() - t_start
     want_sf1 = os.environ.get("GRAFT_BENCH_SF1_SCALING") or (
         not os.environ.get("GRAFT_BENCH_NO_SF1_SCALING")
@@ -171,7 +172,9 @@ def main():
     if want_sf1:
         try:
             result["scaling_sf1"] = _scaling_with_retry(
-                max_attempts=1, pages=1_000_000
+                max_attempts=1,
+                pages=int(os.environ.get("GRAFT_BENCH_SF1_PAGES",
+                                         "1000000")),
             )
         except Exception as e:
             result["scaling_sf1"] = {"error": str(e)[:200]}
