@@ -121,3 +121,46 @@ def test_diff_statements(ray_session):
     got = sorted(zip(out["origin"], out["change"]))
     assert got == [("u:2", "removed"), ("u:3", "added")]
     assert out["target_is_iri"].dtype == bool
+
+
+def test_random_walks_brute(ray_session):
+    import hashlib
+
+    from versa_ray.ops.graph import random_walks
+
+    rng = np.random.default_rng(11)
+    # random directed graph incl. a sink (node 99 has no out-edges)
+    src = rng.integers(0, 12, size=60)
+    dst = rng.integers(0, 12, size=60)
+    keep = src != dst
+    edges = pd.DataFrame({"src": np.concatenate([src[keep], [3]]),
+                          "dst": np.concatenate([dst[keep], [99]])})
+    edges = edges.drop_duplicates(ignore_index=True)
+    L = 5
+    got = (
+        random_walks(rd.from_pandas(edges).repartition(4), walk_len=L,
+                     num_buckets=4)
+        .to_pandas().sort_values(["walk_id", "step"])
+    )
+
+    adj = {}
+    for s, d in edges.itertuples(index=False):
+        adj.setdefault(int(s), []).append(int(d))
+    for v in adj:
+        adj[v].sort()
+    want = []
+    for seed in sorted(adj):
+        node = seed
+        want.append((seed, 0, seed))
+        for k in range(L):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            draw = int(hashlib.md5(
+                f"{seed}|{k}".encode()).hexdigest()[:15], 16)
+            node = nbrs[draw % len(nbrs)]
+            want.append((seed, k + 1, node))
+    assert sorted(zip(got["walk_id"], got["step"], got["node"])) == sorted(
+        want)
+    # the sink must actually have truncated at least one walk
+    assert len(want) < len(adj) * (L + 1)

@@ -2009,3 +2009,142 @@ def schema_profile(links_ds, type_rel=None, num_buckets=64,
     return grouped_agg_small(
         partials, ["rel", "origin_type", "target_type"],
         {"n": ("n", "sum")})
+
+
+def random_walks(edges, walk_len, src_col="src", dst_col="dst",
+                 num_buckets=64):
+    """Deterministic fixed-length random walks from EVERY node of a
+    directed edge set — the node2vec/DeepWalk corpus-prep primitive,
+    made a pure function of the graph so an external replay can check
+    it bit-exactly (the repo's md5-draw convention, shared with
+    ``negative_samples``): at step ``k`` the walk started at seed
+    ``w`` moves to the out-neighbor whose rank in the dst-ascending
+    adjacency list is ``md5(str(w) + '|' + str(k))[:15hex] %
+    out_degree``. Walks at sink nodes stop early.
+
+    Scale shape: the adjacency (distinct edges + per-src rank/degree,
+    one coarse-bucket shuffle, materialized once) re-joins the
+    frontier in ONE tagged-union coarse-bucket shuffle per step —
+    the same per-round cost family as pagerank/bfs_depths; the
+    frontier is seeds-sized and the md5 draws are one digest per
+    live walk per step. Returns ``(walk_id, step, node)`` with step 0
+    = the seed itself.
+    """
+    import hashlib
+
+    from .dedup import coarse_bucket, dedup_rows
+
+    ded = dedup_rows(edges, [src_col, dst_col], num_buckets=num_buckets)
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = coarse_bucket(df, [src_col], num_buckets)
+        return df
+
+    def _adj(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values([src_col, dst_col], ignore_index=True)
+        g["rnk"] = g.groupby(src_col, sort=False).cumcount().astype("int64")
+        g["deg"] = g.groupby(src_col, sort=False)[dst_col].transform(
+            "size").astype("int64")
+        return g.drop(columns=["_cbucket"])
+
+    adj = (
+        ded.map_batches(_rank, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_adj, batch_format="pandas")
+    ).materialize()
+
+    def _seeds(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[[src_col]].drop_duplicates()
+        return pd.DataFrame({"walk_id": u[src_col].to_numpy(),
+                             "node": u[src_col].to_numpy()})
+
+    frontier = dedup_rows(
+        adj.map_batches(_seeds, batch_format="pandas"), ["walk_id"],
+        num_buckets=num_buckets).materialize()
+
+    outs = [frontier]
+    for k in range(walk_len):
+        def _tag_adj(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "node": df[src_col].to_numpy(),
+                "dst": df[dst_col].to_numpy(),
+                "rnk": df["rnk"].to_numpy(),
+                "deg": df["deg"].to_numpy(),
+                # zero placeholder in the SOURCE dtype: a NaN-filled
+                # reindex would upcast walk_id to float across the
+                # tagged union
+                "walk_id": np.zeros(
+                    len(df), dtype=df[src_col].to_numpy().dtype),
+                "_kind": np.full(len(df), 0, dtype=np.int8),
+            })
+            out["_cbucket"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _tag_frontier(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+            if "node" not in df.columns or not len(df):
+                return pd.DataFrame()
+            draws = np.array([
+                int(hashlib.md5(f"{w}|{_k}".encode()).hexdigest()[:15], 16)
+                for w in df["walk_id"]], dtype="int64")
+            out = pd.DataFrame({
+                "node": df["node"].to_numpy(),
+                "dst": df["node"].to_numpy(),  # placeholder, same dtype
+                "rnk": draws,
+                "deg": np.zeros(len(df), dtype="int64"),
+                "walk_id": df["walk_id"].to_numpy(),
+                "_kind": np.full(len(df), 1, dtype=np.int8),
+            })
+            out["_cbucket"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _step(bucket: pd.DataFrame) -> pd.DataFrame:
+            if "_kind" not in bucket.columns or not len(bucket):
+                return pd.DataFrame({
+                    "walk_id": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64")})
+            a = bucket[bucket["_kind"] == 0]
+            f = bucket[bucket["_kind"] == 1]
+            if not len(a) or not len(f):
+                return pd.DataFrame({
+                    "walk_id": f["walk_id"].iloc[0:0],
+                    "node": f["node"].iloc[0:0]})
+            deg = a.groupby("node", sort=False)["deg"].first()
+            fd = f.merge(deg.rename("deg_"), left_on="node",
+                         right_index=True, how="inner")
+            fd["want_rnk"] = fd["rnk"] % fd["deg_"]
+            # the frontier's placeholder dst would suffix-collide with
+            # the adjacency's real dst in the merge
+            fd = fd[["walk_id", "node", "want_rnk"]]
+            hit = fd.merge(
+                a[["node", "rnk", "dst"]].rename(columns={"rnk": "a_rnk"}),
+                left_on=["node", "want_rnk"], right_on=["node", "a_rnk"],
+                how="inner")
+            return pd.DataFrame({"walk_id": hit["walk_id"].to_numpy(),
+                                 "node": hit["dst"].to_numpy()})
+
+        stepped = (
+            adj.map_batches(_tag_adj, batch_format="pandas")
+            .union(frontier.map_batches(_tag_frontier,
+                                        batch_format="pandas"))
+            .groupby("_cbucket")
+            .map_groups(_step, batch_format="pandas")
+        ).materialize()
+        if not stepped.count():
+            break  # every live walk hit a sink; nothing to union in
+        outs.append(stepped)
+        frontier = stepped
+
+    import ray.data as rd  # noqa: F401  (union comes from the Datasets)
+
+    def _with_step(ds_k, k):
+        def _add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["step"] = np.int64(k)
+            return df[["walk_id", "step", "node"]]
+        return ds_k.map_batches(_add, batch_format="pandas")
+
+    result = _with_step(outs[0], 0)
+    for k in range(1, len(outs)):
+        result = result.union(_with_step(outs[k], k))
+    return result
