@@ -817,3 +817,48 @@ def percent_rank(ds, col, out_col="pct_rank", num_buckets=64,
         .groupby("_prb")
         .map_groups(_assign, batch_format="pandas")
     )
+
+
+def histogram(ds, col, bins, lo=None, hi=None):
+    """Exact equi-width histogram ``(bin, n)`` over a numeric column:
+    per-batch ``np.bincount`` partials (one shuffle-free pass), merged
+    in a single bounded task (``bins`` rows per batch partial). Bin
+    rule, shared verbatim with the SQL replay: ``min(bins - 1,
+    floor((v - lo) * bins / (hi - lo)))`` as one double expression —
+    the right edge closes into the last bin. ``lo``/``hi`` default to
+    the exact distributed min/max (a degenerate span puts everything
+    in bin 0 — engine-side contract only; the SQL form divides by
+    zero there). Empty bins are emitted with n = 0."""
+    if lo is None:
+        lo = ds.min(col)
+    if hi is None:
+        hi = ds.max(col)
+    lo_f, hi_f = float(lo), float(hi)
+    span = hi_f - lo_f
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if col not in df.columns or not len(df):
+            return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        v = df[col].to_numpy().astype("float64")
+        if span == 0:
+            ix = np.zeros(len(v), dtype=np.int64)
+        else:
+            ix = np.floor((v - lo_f) * float(bins) / span).astype(np.int64)
+            ix = np.minimum(ix, bins - 1)
+        counts = np.bincount(ix, minlength=bins)
+        return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                             "n": counts.astype("int64")})
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({"bin": np.arange(bins, dtype=np.int64)})
+        out = df.groupby("bin", as_index=False)["n"].sum()
+        out = base.merge(out, on="bin", how="left").fillna({"n": 0})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas")
+    )

@@ -411,3 +411,61 @@ def inter_event_gaps(ds, ts_col="ts", key="user_id", num_buckets=64):
         .groupby("_cbucket")
         .map_groups(_stats, batch_format="pandas")
     )
+
+
+def transition_counts(ds, key="user_id", order_cols=("ts", "event_id"),
+                      type_col="event_type", num_buckets=64):
+    """Per-key consecutive-event transition counts — the Markov-chain
+    / clickstream primitive: ``(from_type, to_type, n)`` where
+    consecutive is under the TOTAL order ``order_cols`` (ts alone has
+    ties; adding the unique id makes tie handling deterministic and
+    SQL-replayable with ``lag() OVER (ORDER BY ts, event_id)``).
+
+    One coarse key-bucket shuffle; inside a bucket the pair extraction
+    is ONE sort + shift over the whole bucket (a same-key mask drops
+    cross-key seams — no per-key Python loop); the final rollup merges
+    at most ``num_buckets x |types|^2`` partial rows in a single task
+    (the transition matrix is types-squared-sized, not data-sized)."""
+    from .dedup import coarse_bucket
+
+    cols = [key, *order_cols, type_col]
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["_cbucket"] = coarse_bucket(out, [key], num_buckets)
+        return out
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "to_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64")})
+        if key not in group.columns or not len(group):
+            return empty
+        g = group.sort_values([key, *order_cols], kind="mergesort",
+                              ignore_index=True)
+        same = g[key].to_numpy()[1:] == g[key].to_numpy()[:-1]
+        frm = g[type_col].to_numpy()[:-1][same]
+        to = g[type_col].to_numpy()[1:][same]
+        if not len(frm):
+            return empty
+        part = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        part["n"] = part["n"].astype("int64")
+        return part
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas")
+    )

@@ -2759,6 +2759,40 @@ def q_doc_above_median_chars(sf_dir):
         key="lang", col="n_chars", q=0.5)
 
 
+def q_events_transitions(sf_dir):
+    """Per-user event-type transition counts (the Markov-chain /
+    clickstream primitive) under the TOTAL order (ts, event_id), so
+    timestamp ties are deterministic: one user-bucket shuffle, one
+    sort+shift per bucket (no per-user loop), types^2-bounded final
+    merge. Hash-exact vs the DuckDB LAG window replay."""
+    import ray.data as rd
+
+    from .ops.windows import transition_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+        override_num_blocks=_blocks_for(),
+    )
+    return transition_counts(ev)
+
+
+def q_lineitem_price_hist(sf_dir):
+    """Exact 32-bin equi-width histogram of l_extendedprice (bounds =
+    exact distributed min/max): shuffle-free np.bincount partials +
+    one bounded merge. The bin rule is one shared double expression,
+    so DuckDB replays it bit-exactly, empty bins included."""
+    import ray.data as rd
+
+    from .ops.agg import histogram
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"],
+        override_num_blocks=_blocks_for(),
+    )
+    return histogram(li, "l_extendedprice", 32)
+
+
 def q_events_gap_stats(sf_dir):
     """Per-user inter-event gap rollup in exact microseconds
     (ops.windows.inter_event_gaps): one coarse-bucket shuffle on the
@@ -3563,6 +3597,8 @@ def build_queries():
         "events_user_hll": q_events_user_hll,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_gap_stats": q_events_gap_stats,
+        "events_transitions": q_events_transitions,
+        "lineitem_price_hist": q_lineitem_price_hist,
         "doc_above_median_chars": q_doc_above_median_chars,
         "part_triangles": q_part_triangles,
         "events_funnel": q_events_funnel,
@@ -4135,6 +4171,29 @@ def build_oracles():
             "SELECT r.origin, r.rel, r.target, r.neg_i, e2.entity "
             "FROM res1 r CROSS JOIN nn JOIN idx e2 "
             "ON e2.ix = (r.raw + 1) % nn.n WHERE r.ent = r.target"
+        ),
+        # Markov transition counts under the total order (ts, event_id)
+        "events_transitions": (
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT event_type, lag(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) WHERE prev IS NOT NULL "
+            "GROUP BY prev, event_type"
+        ),
+        # exact 32-bin equi-width histogram; the bin expression is the
+        # engine's verbatim: least(31, floor((v - lo) * 32.0 / span))
+        "lineitem_price_hist": (
+            "WITH mm AS (SELECT min(l_extendedprice) AS lo, "
+            "max(l_extendedprice) AS hi FROM lineitem), "
+            "b AS (SELECT least(31, CAST(floor((l_extendedprice - mm.lo) "
+            "* 32.0 / (mm.hi - mm.lo)) AS BIGINT)) AS bin "
+            "FROM lineitem, mm), "
+            "c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b "
+            "GROUP BY bin) "
+            "SELECT g.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n FROM ("
+            "SELECT unnest(range(0, 32)) AS bin) g "
+            "LEFT JOIN c USING (bin)"
         ),
         "events_gap_stats": (
             "WITH g AS (SELECT user_id, "
