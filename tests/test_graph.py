@@ -680,3 +680,143 @@ def test_schema_profile(ray_session):
             .sort_values(["rel", "origin_type", "target_type"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out8)
+
+
+def test_link_prediction(ray_session):
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.graph import link_prediction
+
+    rng = random.Random(11)
+    nodes = list(range(24))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["u", "v"]))
+
+    # brute-force reference: CN + integer RA over the full pair space
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = set(edges)
+    want = {}
+    for a, b in itertools.combinations(nodes, 2):
+        if (a, b) in eset:
+            continue
+        common = adj[a] & adj[b]
+        if not common:
+            continue
+        want[(a, b)] = (len(common),
+                        sum(10**9 // len(adj[z]) for z in common))
+
+    out = link_prediction(ds, min_cn=1, num_buckets=5).to_pandas()
+    got = {(int(r.u), int(r.v)): (int(r.cn), int(r.ra_e9))
+           for r in out.itertuples()}
+    assert got == want
+
+    # min_cn filters; scores of survivors unchanged
+    out2 = link_prediction(ds, min_cn=3, num_buckets=5).to_pandas()
+    got2 = {(int(r.u), int(r.v)): (int(r.cn), int(r.ra_e9))
+            for r in out2.itertuples()}
+    assert got2 == {k: v for k, v in want.items() if v[0] >= 3}
+
+    # max_degree drops wedges centered at hubs (documented undercount):
+    # every surviving pair's scores count only sub-cap common neighbors
+    cap = 5
+    out3 = link_prediction(ds, min_cn=1, max_degree=cap,
+                           num_buckets=5).to_pandas()
+    got3 = {(int(r.u), int(r.v)): (int(r.cn), int(r.ra_e9))
+            for r in out3.itertuples()}
+    want3 = {}
+    for a, b in itertools.combinations(nodes, 2):
+        if (a, b) in eset:
+            continue
+        common = [z for z in adj[a] & adj[b] if len(adj[z]) <= cap]
+        if common:
+            want3[(a, b)] = (len(common),
+                             sum(10**9 // len(adj[z]) for z in common))
+    assert got3 == want3
+
+
+def test_shortest_paths(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from versa_ray.ops.graph import shortest_paths
+
+    # the heavy direct edge s->c (w=10) must be IMPROVED two rounds
+    # later by the lighter 3-hop path s->a->b->c (1+1+1) — true
+    # relaxation, not first-visit-wins; plus a cycle, a second seed
+    # and an unreachable island
+    edges = [
+        ("urn:s", "urn:c", 10),
+        ("urn:s", "urn:a", 1), ("urn:a", "urn:b", 1), ("urn:b", "urn:c", 1),
+        ("urn:c", "urn:s", 2),                      # cycle back (no effect)
+        ("urn:t", "urn:b", 4),                      # seed 2: b stays at 2
+        ("urn:i1", "urn:i2", 1),                    # unreachable island
+    ]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst", "w"]))
+    out = shortest_paths(ds, seeds=["urn:s", "urn:t"],
+                         num_buckets=5).to_pandas()
+    got = dict(zip(out.node, out.dist.astype(int)))
+    assert got == {"urn:s": 0, "urn:t": 0, "urn:a": 1, "urn:b": 2,
+                   "urn:c": 3}
+
+    # zero-weight edges are legal (and must not loop forever)
+    z = rd.from_pandas(pd.DataFrame(
+        [("urn:x", "urn:y", 0), ("urn:y", "urn:x", 0)],
+        columns=["src", "dst", "w"]))
+    outz = shortest_paths(z, seeds=["urn:x"], num_buckets=3).to_pandas()
+    assert dict(zip(outz.node, outz.dist.astype(int))) == {
+        "urn:x": 0, "urn:y": 0}
+
+    # hitting the round budget raises rather than returning stale dists
+    chain = [(f"urn:c:{i:02d}", f"urn:c:{i + 1:02d}", 1) for i in range(12)]
+    cds = rd.from_pandas(pd.DataFrame(chain, columns=["src", "dst", "w"]))
+    with pytest.raises(RuntimeError, match="converge"):
+        shortest_paths(cds, seeds=["urn:c:00"], max_rounds=4,
+                       num_buckets=3).materialize()
+
+
+def test_functional_conflicts(ray_session):
+    from versa_ray.ops.validate import functional_conflicts
+
+    links = [
+        # o1 asserts two DIFFERENT nations -> conflict (n_values=2)
+        ("urn:o1", "urn:r:inNation", "urn:n:1"),
+        ("urn:o1", "urn:r:inNation", "urn:n:2"),
+        # o2 re-asserts the SAME nation twice -> dedups, NOT a conflict
+        ("urn:o2", "urn:r:inNation", "urn:n:1"),
+        ("urn:o2", "urn:r:inNation", "urn:n:1"),
+        # o3 conflicts on a literal-valued functional rel (3 values)
+        ("urn:o3", "urn:r:isbn", "literal-a"),
+        ("urn:o3", "urn:r:isbn", "literal-b"),
+        ("urn:o3", "urn:r:isbn", "literal-c"),
+        # o1's multi-valued NON-functional rel is ignored entirely
+        ("urn:o1", "urn:r:tag", "literal-x"),
+        ("urn:o1", "urn:r:tag", "literal-y"),
+    ]
+    out = functional_conflicts(
+        _links_ds(links), ["urn:r:inNation", "urn:r:isbn"],
+        num_buckets=5).to_pandas()
+    got = {(r.origin, r.rel): int(r.n_values) for r in out.itertuples()}
+    assert got == {("urn:o1", "urn:r:inNation"): 2,
+                   ("urn:o3", "urn:r:isbn"): 3}
+
+    # the SAME target string once as IRI and once as literal = two
+    # DISTINCT values (target_is_iri participates in identity)
+    import pyarrow as pa
+    import ray.data as rd
+
+    tbl2 = pa.table({
+        "origin": ["urn:o4", "urn:o4"],
+        "rel": ["urn:r:ref", "urn:r:ref"],
+        "target": ["urn:n:1", "urn:n:1"],
+        "target_is_iri": [True, False],
+        "attrs": ["{}", "{}"],
+    })
+    out2 = functional_conflicts(
+        rd.from_arrow(tbl2), ["urn:r:ref"], num_buckets=3).to_pandas()
+    assert len(out2) == 1 and int(out2.n_values.iloc[0]) == 2

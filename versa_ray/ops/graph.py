@@ -2148,3 +2148,226 @@ def random_walks(edges, walk_len, src_col="src", dst_col="dst",
     for k in range(1, len(outs)):
         result = result.union(_with_step(outs[k], k))
     return result
+
+
+def link_prediction(edges_ds, min_cn=1, max_degree=None, u="u", v="v",
+                    num_buckets=64):
+    """Common-neighbor link prediction over an undirected simple graph
+    given as canonical distinct edges (``u < v``): every NON-edge pair
+    at distance 2 scored by
+
+    - ``cn`` — its exact common-neighbor count, and
+    - ``ra_e9`` — an INTEGER-SCALED resource-allocation index,
+      ``sum over common neighbors z of 10**9 // deg(z)`` (Zhou et al.
+      2009's RA with the per-neighbor term floored at nine decimal
+      digits). The integer form is deliberate: partial scores sum
+      associatively through the shuffle, so the result is
+      partition-invariant and replays bit-exactly in SQL — a float
+      ``sum(1/deg)`` would drift with summation order.
+
+    Fully distributed, never all-pairs:
+
+    1. candidates come from WEDGE ENUMERATION at the shared neighbor —
+       the bidirectional adjacency groups by center z (one coarse-bucket
+       shuffle), each group emits its neighbor pairs (x < y) carrying
+       the partial ``10**9 // deg(z)``;
+    2. one tagged-union coarse-bucket shuffle on the pair key merges
+       wedge partials (count = cn, sum = ra_e9) and drops pairs that
+       are already edges in the same pass.
+
+    ``max_degree``: optional hub cap — centers with more than this many
+    neighbors emit no wedges. Documented UNDERCOUNT knob for power-law
+    graphs (same contract as neighborhood_jaccard); leave None for
+    exact results. Wedge volume is sum-over-centers C(deg, 2).
+
+    Returns a Dataset ``(u, v, cn, ra_e9)`` with ``cn >= min_cn``.
+    """
+    from .dedup import bucketed_group_apply, coarse_bucket
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_c": np.concatenate([df[u].to_numpy(), df[v].to_numpy()]),
+            "_n": np.concatenate([df[v].to_numpy(), df[u].to_numpy()]),
+        })
+
+    adj = edges_ds.map_batches(_bidir, batch_format="pandas")
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        nb = np.unique(group["_n"].to_numpy())
+        d = len(nb)
+        empty = pd.DataFrame({
+            u: nb[:0], v: nb[:0],
+            "_ra": pd.Series([], dtype="int64")})
+        if d < 2 or (max_degree is not None and d > max_degree):
+            return empty
+        ia, ib = np.triu_indices(d, k=1)
+        return pd.DataFrame({
+            u: nb[ia], v: nb[ib],
+            "_ra": np.full(len(ia), 10**9 // d, dtype=np.int64)})
+
+    wedges = bucketed_group_apply(
+        adj, ["_c"], _wedges, num_buckets=num_buckets, min_group_size=2)
+
+    def _tag(kind):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[[u, v]].copy()
+            out["_ra"] = (df["_ra"].to_numpy() if "_ra" in df.columns
+                          else np.int64(0))
+            out["_kind"] = np.int8(kind)
+            out["_cbucket"] = coarse_bucket(out, [u, v], num_buckets)
+            return out
+        return _t
+
+    def _score(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "u": pd.Series([], dtype="int64"),
+            "v": pd.Series([], dtype="int64"),
+            "cn": pd.Series([], dtype="int64"),
+            "ra_e9": pd.Series([], dtype="int64")})
+        empty.columns = [u, v, "cn", "ra_e9"]
+        if "_kind" not in bucket.columns or not len(bucket):
+            return empty
+        e = bucket[bucket["_kind"] == 0]
+        wd = bucket[bucket["_kind"] == 1]
+        if not len(wd):
+            return empty
+        g = wd.groupby([u, v], as_index=False, sort=False).agg(
+            cn=("_ra", "size"), ra_e9=("_ra", "sum"))
+        if len(e):
+            ekeys = pd.MultiIndex.from_frame(e[[u, v]])
+            gkeys = pd.MultiIndex.from_frame(g[[u, v]])
+            g = g[~gkeys.isin(ekeys)]
+        g = g[g["cn"] >= min_cn]
+        return pd.DataFrame({
+            u: g[u].to_numpy(), v: g[v].to_numpy(),
+            "cn": g["cn"].to_numpy().astype(np.int64),
+            "ra_e9": g["ra_e9"].to_numpy().astype(np.int64)})
+
+    return (
+        edges_ds.map_batches(_tag(0), batch_format="pandas")
+        .union(wedges.map_batches(_tag(1), batch_format="pandas"))
+        .groupby("_cbucket")
+        .map_groups(_score, batch_format="pandas")
+    )
+
+
+def shortest_paths(edges_ds, seeds, max_rounds=50, num_buckets=None,
+                   src="src", dst="dst", w="w"):
+    """Minimum total-weight distance from any seed along directed edges
+    with NON-NEGATIVE INTEGER weights — ``(node, dist)``, seeds at 0,
+    unreachable nodes absent. Distributed Bellman-Ford in the
+    bfs_depths mold: the distance table and the relaxation frontier
+    live in the Dataset end-to-end, one fused coarse-bucket shuffle per
+    round over a tagged working set (settled distance / edge keyed by
+    src / relaxation token carrying a candidate distance); the driver
+    sees one improved-node counter scalar per round and stops when a
+    round improves nothing. Unlike BFS, a settled distance may improve
+    in a later round (a longer-hop lighter path), so tokens re-emit on
+    every strict improvement; with non-negative integer weights the
+    improvement chain is finite and the loop converges in at most
+    (max shortest-path hop count + 1) rounds. Raises on hitting
+    ``max_rounds`` rather than returning silently stale distances.
+    Integer distances sum exactly, so results are partition-invariant
+    and replay bit-exactly in a recursive-CTE oracle.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_buckets = 16
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df[src].to_numpy(),
+            "kind": np.int8(1),
+            "other": df[dst].to_numpy(),
+            "d": df[w].to_numpy().astype(np.int64),
+        })
+
+    seed_list = sorted({str(s) for s in seeds})
+    seed_tbl = pa.table({
+        "key": pa.array(seed_list, type=pa.string()),
+        "kind": pa.array([2] * len(seed_list), type=pa.int8()),
+        "other": pa.array([None] * len(seed_list), type=pa.string()),
+        "d": pa.array([0] * len(seed_list), type=pa.int64()),
+    })
+    work = edges_ds.map_batches(_init, batch_format="pandas").union(
+        rd.from_arrow(seed_tbl))
+
+    def _bucketize(df: pd.DataFrame) -> "pa.Table":
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["key"], index=False) % num_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _relax(bucket: pd.DataFrame) -> pd.DataFrame:
+        settled = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        toks = bucket[bucket["kind"] == 2]
+        dist = dict(zip(settled["key"], settled["d"]))
+        improved = {}
+        for key, d in zip(toks["key"], toks["d"]):
+            d = int(d)
+            best = improved.get(key)
+            if best is None:
+                best = dist.get(key)
+            if best is None or d < best:
+                improved[key] = d
+        dist.update(improved)
+        out = [
+            pd.DataFrame({
+                "key": list(dist), "kind": np.int8(0), "other": None,
+                "d": np.array(list(dist.values()), dtype=np.int64),
+            }),
+            edg[["key", "kind", "other", "d"]],
+        ]
+        if improved:
+            hits = edg[edg["key"].isin(improved)]
+            if len(hits):
+                nd = (hits["key"].map(improved).to_numpy(dtype=np.int64)
+                      + hits["d"].to_numpy(dtype=np.int64))
+                out.append(pd.DataFrame({
+                    "key": hits["other"].to_numpy(), "kind": np.int8(2),
+                    "other": None, "d": nd,
+                }))
+            out.append(pd.DataFrame({
+                "key": ["__improved__"], "kind": np.int8(4), "other": None,
+                "d": np.array([len(improved)], dtype=np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    pending = 0
+    for _ in range(max_rounds):
+        work = (
+            work.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_relax, batch_format="pandas")
+            .materialize()
+        )
+        pending = work.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(df.loc[df["kind"] == 4, "d"].sum())]}),
+            batch_format="pandas",
+        ).sum("n")
+        work = work.map_batches(
+            lambda df: df[df["kind"] != 4], batch_format="pandas")
+        if not pending:
+            break
+    if pending:
+        raise RuntimeError(
+            f"shortest_paths did not converge in {max_rounds} rounds "
+            f"({pending} distances still improving); raise max_rounds")
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df["kind"] == 0]
+        return pd.DataFrame({
+            "node": hit["key"].to_numpy(),
+            "dist": hit["d"].to_numpy().astype("int64"),
+        })
+
+    return work.map_batches(_out, batch_format="pandas")

@@ -105,3 +105,65 @@ def validate_shapes(links_ds, rules, type_rel=None, num_buckets=64):
         .groupby("_cbucket")
         .map_groups(_evaluate, batch_format="pandas")
     )
+
+
+def functional_conflicts(links_ds, rels, num_buckets=64):
+    """Functional-property violation detection — the KG-construction
+    QA pass that finds entities asserting MORE THAN ONE distinct value
+    for a property declared functional (owl:FunctionalProperty
+    semantics: a customer in two nations, a book with two ISBNs).
+
+    Emits one row per violated ``(origin, rel)``:
+    ``(origin, rel, n_values)`` with n_values = the number of DISTINCT
+    (target, target_is_iri) values asserted (> 1). Exact-duplicate
+    re-assertions of the same value are NOT conflicts — statements
+    dedup before counting, matching the add/update dup-refusing
+    contract.
+
+    Distributed shape: the rel filter prunes at the scan (only
+    statements of declared-functional rels leave their blocks), then
+    ONE (origin, rel)-keyed coarse-bucket shuffle dedups and counts
+    vectorized inside each bucket. Nothing origin-cardinality ever
+    lands driver-side.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import coarse_bucket
+
+    rel_set = sorted({str(r) for r in rels})
+
+    def _filt(tbl: pa.Table) -> pa.Table:
+        sub = tbl.filter(
+            pc.is_in(tbl["rel"], value_set=pa.array(rel_set)))
+        return sub.select(["origin", "rel", "target", "target_is_iri"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = coarse_bucket(df, ["origin", "rel"], num_buckets)
+        return df
+
+    def _conflicts(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "origin": pd.Series([], dtype=object),
+            "rel": pd.Series([], dtype=object),
+            "n_values": pd.Series([], dtype="int64")})
+        if "origin" not in bucket.columns or not len(bucket):
+            return empty
+        d = bucket.drop_duplicates(
+            ["origin", "rel", "target", "target_is_iri"])
+        g = d.groupby(["origin", "rel"], as_index=False, sort=False).size()
+        g = g[g["size"] > 1]
+        if not len(g):
+            return empty
+        return pd.DataFrame({
+            "origin": g["origin"].to_numpy(),
+            "rel": g["rel"].to_numpy(),
+            "n_values": g["size"].to_numpy().astype(np.int64)})
+
+    return (
+        links_ds.map_batches(_filt, batch_format="pyarrow")
+        .map_batches(_bucket, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_conflicts, batch_format="pandas")
+    )

@@ -46,7 +46,8 @@ def _links_table(origins, rels, targets, is_iri, attrs=None) -> pa.Table:
                             type=pa.string()),
             "target": pa.array(targets, type=pa.string()),
             "target_is_iri": pa.array(
-                [is_iri] * n if isinstance(is_iri, bool) else is_iri
+                [is_iri] * n if isinstance(is_iri, bool) else is_iri,
+                type=pa.bool_(),  # empty batches must not decay to null type
             ),
             "attrs": pa.array([attrs or "{}"] * n, type=pa.string()),
         }
@@ -3554,6 +3555,126 @@ def _staleness_rotate(queries: dict) -> dict:
     return fresh
 
 
+def q_part_link_prediction(sf_dir):
+    """Common-neighbor link prediction over the twice-co-ordered parts
+    graph (ops.graph.link_prediction): every NON-edge pair at distance
+    2 scored by its exact common-neighbor count and the INTEGER-SCALED
+    resource-allocation index sum(10^9 // deg(z)) over shared
+    neighbors z — integer partials sum associatively through the pair
+    shuffle, so scores are partition-invariant and replay bit-exactly
+    (a float sum(1/deg) would drift with summation order). Candidates
+    come from wedge enumeration at the shared neighbor, never
+    all-pairs. Hash-checked against a DuckDB adjacency self-join
+    oracle with the same anti-join on existing edges."""
+    from .ops.graph import link_prediction
+
+    return link_prediction(_coorder_edges_multi(sf_dir), min_cn=2)
+
+
+def q_kg_shortest_paths(sf_dir):
+    """Weighted shortest distances from seed orders (distributed
+    Bellman-Ford, ops.graph.shortest_paths) over the order -placedBy->
+    customer -inNation-> nation -inRegion-> region DAG with
+    deterministic integer weights (orderkey%97+1, custkey%89+1,
+    nationkey+1) — unlike kg_bfs_depth's hop counts, a node's settled
+    distance can improve in a later round, so this exercises true
+    relaxation. The distance table and frontier stay Datasets
+    end-to-end (one fused coarse-bucket shuffle per round; the driver
+    sees one improved-count scalar). Integer distances replay
+    bit-exactly against a DuckDB recursive-CTE min-distance oracle."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .ops.graph import shortest_paths
+
+    def _o(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy()
+        return pd.DataFrame({
+            "src": [f"{URN}order:{k}" for k in ok.tolist()],
+            "dst": [f"{URN}customer:{c}" for c in df["o_custkey"].tolist()],
+            "w": (ok % 97 + 1).astype(np.int64),
+        })
+
+    def _c(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"].to_numpy()
+        return pd.DataFrame({
+            "src": [f"{URN}customer:{k}" for k in ck.tolist()],
+            "dst": [f"{URN}nation:{n}" for n in df["c_nationkey"].tolist()],
+            "w": (ck % 89 + 1).astype(np.int64),
+        })
+
+    def _n(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["n_nationkey"].to_numpy()
+        return pd.DataFrame({
+            "src": [f"{URN}nation:{k}" for k in nk.tolist()],
+            "dst": [f"{URN}region:{r}" for r in df["n_regionkey"].tolist()],
+            "w": (nk + 1).astype(np.int64),
+        })
+
+    edges = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+        .map_batches(_o, batch_format="pandas")
+        .union(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(_c, batch_format="pandas"))
+        .union(
+            rd.read_parquet(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_regionkey"])
+            .map_batches(_n, batch_format="pandas"))
+    )
+    keys = _pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_pylist()
+    seeds = [f"{URN}order:{k}" for k in keys if k % 100 == 1]
+    return shortest_paths(edges, seeds)
+
+
+def _conflict_links(sf_dir):
+    """Planted functional-property violations on the customer
+    linkset: customers with ``c_custkey % 50 == 3`` assert a SECOND,
+    different inNation ((c_nationkey + 7) % 25 — never equal to the
+    original); customers with ``c_custkey % 50 == 17`` RE-assert their
+    existing inNation verbatim (an exact duplicate, which the
+    dup-refusing statement semantics must NOT flag as a conflict)."""
+    import ray.data as rd
+
+    def _mk(tbl: pa.Table) -> pa.Table:
+        ck = tbl["c_custkey"].to_pylist()
+        nk = tbl["c_nationkey"].to_pylist()
+        conf = [(c, n) for c, n in zip(ck, nk) if c % 50 == 3]
+        dup = [(c, n) for c, n in zip(ck, nk) if c % 50 == 17]
+        return pa.concat_tables([
+            _links_table(
+                [f"{URN}customer:{c}" for c, _ in conf], IN_NATION,
+                [f"{URN}nation:{(n + 7) % 25}" for _, n in conf], True),
+            _links_table(
+                [f"{URN}customer:{c}" for c, _ in dup], IN_NATION,
+                [f"{URN}nation:{n}" for _, n in dup], True),
+        ])
+
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_mk, batch_format="pyarrow")
+
+
+def q_kg_functional_conflicts(sf_dir):
+    """Functional-property violation detection
+    (ops.validate.functional_conflicts): (origin, rel) pairs asserting
+    more than one DISTINCT value for a declared-functional rel, over
+    the TPC-H linkset with planted second-nation conflicts AND planted
+    exact-duplicate re-assertions (which must dedup away, not count).
+    Rel filter prunes at the scan; one (origin, rel)-keyed
+    coarse-bucket shuffle dedups and counts. Hash-checked against a
+    DuckDB DISTINCT + GROUP BY HAVING replay of the full statement
+    union."""
+    from .ops.validate import functional_conflicts
+
+    links = tpch_linkset(sf_dir).union(_conflict_links(sf_dir))
+    return functional_conflicts(links, [IN_NATION, IN_REGION])
+
+
 def build_queries():
     # Registration order matters: the correctness driver checks roughly
     # the first ~50 entries per round. _staleness_rotate reorders the
@@ -3606,6 +3727,9 @@ def build_queries():
         "links_intersect": q_links_intersect,
         "links_diff": q_links_diff,
         "kg_random_walks": q_kg_random_walks,
+        "part_link_prediction": q_part_link_prediction,
+        "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_functional_conflicts": q_kg_functional_conflicts,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -4842,6 +4966,78 @@ def build_oracles():
             "CASE WHEN d.degree >= 2 THEN 2.0 * coalesce(t.triangles, 0) "
             "/ (d.degree * (d.degree - 1)) ELSE 0.0 END AS cc "
             "FROM deg d LEFT JOIN tcnt t USING (node)"
+        ),
+        "part_link_prediction": (
+            "WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v, a.l_orderkey AS o "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "e AS MATERIALIZED (SELECT u, v FROM e0 "
+            "GROUP BY u, v HAVING count(*) >= 2), "
+            "adj AS MATERIALIZED (SELECT u AS c, v AS n FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS d "
+            "FROM adj GROUP BY c), "
+            "wd AS (SELECT a1.n AS u, a2.n AS v, a1.c AS c "
+            "FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n), "
+            "s AS (SELECT wd.u, wd.v, CAST(count(*) AS BIGINT) AS cn, "
+            "CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra_e9 "
+            "FROM wd JOIN deg ON deg.c = wd.c GROUP BY wd.u, wd.v) "
+            "SELECT s.u, s.v, s.cn, s.ra_e9 FROM s "
+            "WHERE s.cn >= 2 AND NOT EXISTS "
+            "(SELECT 1 FROM e WHERE e.u = s.u AND e.v = s.v)"
+        ),
+        "kg_shortest_paths": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT 'urn:versa:order:' || CAST(o_orderkey AS VARCHAR) AS a, "
+            "'urn:versa:customer:' || CAST(o_custkey AS VARCHAR) AS b, "
+            "o_orderkey % 97 + 1 AS w FROM orders "
+            "UNION ALL "
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), "
+            "'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR), "
+            "c_custkey % 89 + 1 FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR), "
+            "n_nationkey + 1 FROM nation), "
+            "walk(node, dist) AS ("
+            "SELECT 'urn:versa:order:' || CAST(o_orderkey AS VARCHAR), "
+            "CAST(0 AS BIGINT) FROM orders WHERE o_orderkey % 100 = 1 "
+            "UNION "
+            "SELECT e.b, w.dist + e.w FROM walk w "
+            "JOIN edges e ON e.a = w.node) "
+            "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
+            "FROM walk GROUP BY node"
+        ),
+        "kg_functional_conflicts": (
+            "WITH stmts AS ("
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) "
+            "AS origin, 'http://bibfra.me/vocab/lite/inNation' AS rel, "
+            "'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR) AS target "
+            "FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS VARCHAR), "
+            "'http://bibfra.me/vocab/lite/inNation', "
+            "'urn:versa:nation:' || CAST(s_nationkey AS VARCHAR) "
+            "FROM supplier "
+            "UNION ALL "
+            "SELECT 'urn:versa:nation:' || CAST(n_nationkey AS VARCHAR), "
+            "'http://bibfra.me/vocab/lite/inRegion', "
+            "'urn:versa:region:' || CAST(n_regionkey AS VARCHAR) "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), "
+            "'http://bibfra.me/vocab/lite/inNation', "
+            "'urn:versa:nation:' || CAST((c_nationkey + 7) % 25 AS VARCHAR) "
+            "FROM customer WHERE c_custkey % 50 = 3 "
+            "UNION ALL "
+            "SELECT 'urn:versa:customer:' || CAST(c_custkey AS VARCHAR), "
+            "'http://bibfra.me/vocab/lite/inNation', "
+            "'urn:versa:nation:' || CAST(c_nationkey AS VARCHAR) "
+            "FROM customer WHERE c_custkey % 50 = 17), "
+            "d AS (SELECT DISTINCT origin, rel, target FROM stmts) "
+            "SELECT origin, rel, CAST(count(*) AS BIGINT) AS n_values "
+            "FROM d GROUP BY origin, rel HAVING count(*) > 1"
         ),
         "part_triangles": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
