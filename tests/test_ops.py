@@ -2858,3 +2858,55 @@ def test_inverted_index_build_and_lookup(ray_session, docs_ds, tmp_path):
     empty = lookup_postings(idx, ["zzzznope"])
     assert empty.schema().names == ["doc_id", "term", "tf"]
     assert empty.count() == 0
+
+
+def test_dsir_weights_brute_force(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.curation import dsir_weights
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["the cat sat", "the the dog", "cat dog cat bird",
+                 "", "quantum flux", "the bird"],
+        "lang": ["en", "en", "fr", "en", "fr", "fr"],
+    })
+
+    # pure-python reference: add-one unigram LMs over the shared vocab
+    toks = {r.doc_id: r.text.split() for r in rows.itertuples()}
+    tgt = {r.doc_id: r.lang == "en" for r in rows.itertuples()}
+    ct, cs = {}, {}
+    for d, ts in toks.items():
+        for t in ts:
+            (ct if tgt[d] else cs)[t] = (ct if tgt[d] else cs).get(t, 0) + 1
+    vocab = set(ct) | set(cs)
+    Tt, Ts, V = sum(ct.values()), sum(cs.values()), len(vocab)
+    want = {}
+    for d, ts in toks.items():
+        if not ts:
+            want[d] = (0, 0.0)
+            continue
+        s = sum(math.log((ct.get(t, 0) + 1) / (Tt + V))
+                - math.log((cs.get(t, 0) + 1) / (Ts + V)) for t in ts)
+        want[d] = (len(ts), round(s / len(ts), 6))
+
+    for nb in (3, 17):  # partition invariance across bucket counts
+        out = dsir_weights(
+            rd.from_pandas(rows, override_num_blocks=3),
+            is_target=lambda df: df["lang"].to_numpy() == "en",
+            num_buckets=nb).to_pandas()
+        got = {int(r.doc_id): (int(r.n_tokens), float(r.log_ratio))
+               for r in out.itertuples()}
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0], (nb, d)
+            assert abs(got[d][1] - want[d][1]) < 1e-9, (nb, d)
+
+    # target docs must on average score higher than source docs on a
+    # corpus whose target has a distinctive vocabulary
+    assert np.mean([got[d][1] for d in got if tgt[d] and toks[d]]) > \
+        np.mean([got[d][1] for d in got if not tgt[d]])

@@ -3659,6 +3659,22 @@ def _conflict_links(sf_dir):
     ).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_doc_dsir_weights(sf_dir):
+    """DSIR-style importance weights (ops.curation.dsir_weights, Xie
+    et al. 2023): every document scored by the length-normalized log
+    ratio of its add-one unigram likelihood under the TARGET LM (the
+    lang='en' docs — the curated seed) vs the SOURCE LM (the rest).
+    Two token-keyed coarse-bucket shuffles + one doc-keyed finalize;
+    the driver sees three scalars (T_t, T_s, V); no broadcast.
+    Hash-checked against a DuckDB replay of both LMs and the per-doc
+    term sum."""
+    from .ops.curation import dsir_weights
+
+    return dsir_weights(
+        _docs_with(sf_dir, ["doc_id", "text", "lang"]),
+        is_target=lambda df: df["lang"].to_numpy() == "en")
+
+
 def q_kg_functional_conflicts(sf_dir):
     """Functional-property violation detection
     (ops.validate.functional_conflicts): (origin, rel) pairs asserting
@@ -3730,6 +3746,7 @@ def build_queries():
         "part_link_prediction": q_part_link_prediction,
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_functional_conflicts": q_kg_functional_conflicts,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -5008,6 +5025,33 @@ def build_oracles():
             "JOIN edges e ON e.a = w.node) "
             "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
             "FROM walk GROUP BY node"
+        ),
+        "doc_dsir_weights": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "coalesce(text,''), '[ \\t\\r\\n\\f\\v]+')) AS token "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, token FROM tok WHERE token <> ''), "
+            "fl AS (SELECT t.doc_id, t.token, d.lang = 'en' AS tgt "
+            "FROM tk t JOIN documents d USING (doc_id)), "
+            "cnt AS (SELECT token, "
+            "sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, "
+            "sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs "
+            "FROM fl GROUP BY token), "
+            "scal AS (SELECT sum(ct) AS tt, sum(cs) AS ts, "
+            "count(*) AS v FROM cnt), "
+            "dtc AS (SELECT doc_id, token, count(*) AS m FROM tk "
+            "GROUP BY doc_id, token), "
+            "terms AS (SELECT d.doc_id, d.m, "
+            "ln((c.ct + 1.0) / (s.tt + s.v)) - "
+            "ln((c.cs + 1.0) / (s.ts + s.v)) AS lr "
+            "FROM dtc d JOIN cnt c USING (token) CROSS JOIN scal s), "
+            "agg AS (SELECT doc_id, sum(m) AS n, sum(m * lr) AS slr "
+            "FROM terms GROUP BY doc_id) "
+            "SELECT doc.doc_id, "
+            "CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens, "
+            "round(CASE WHEN coalesce(a.n, 0) > 0 "
+            "THEN a.slr / a.n ELSE 0.0 END, 6) AS log_ratio "
+            "FROM documents doc LEFT JOIN agg a USING (doc_id)"
         ),
         "kg_functional_conflicts": (
             "WITH stmts AS ("
