@@ -820,3 +820,63 @@ def test_functional_conflicts(ray_session):
     out2 = functional_conflicts(
         rd.from_arrow(tbl2), ["urn:r:ref"], num_buckets=3).to_pandas()
     assert len(out2) == 1 and int(out2.n_values.iloc[0]) == 2
+
+
+def test_entail_domain_range(ray_session):
+    from versa_ray.ops.graph import entail_domain_range
+
+    links = [
+        ("urn:a", "urn:r:type", "urn:C"),            # direct type
+        ("urn:a", "urn:r:in", "urn:b"),              # dom+range rel
+        ("urn:b", "urn:r:in", "urn:c"),
+        ("urn:a", "urn:r:name", "literal-x"),        # unruled rel
+        ("urn:d", "urn:r:tag", "literal-y"),         # range rel, literal
+        ("urn:d", "urn:r:tag", "urn:e"),             # range-only rel, IRI
+        ("urn:f", "urn:r:src", "urn:g"),             # domain-only rel
+    ]
+    rules = {
+        "urn:r:in": ("urn:Place", "urn:Container"),
+        "urn:r:tag": (None, "urn:Tag"),              # no domain
+        "urn:r:src": ("urn:Sourced", None),          # no range
+    }
+    out = entail_domain_range(
+        _links_ds(links), rules, type_rel="urn:r:type",
+        num_buckets=5).to_pandas()
+    got = set(zip(out.node, out.cls))
+    assert got == {
+        ("urn:a", "urn:C"),                          # direct
+        ("urn:a", "urn:Place"), ("urn:b", "urn:Place"),   # rdfs2 (domain)
+        ("urn:b", "urn:Container"), ("urn:c", "urn:Container"),  # rdfs3
+        ("urn:e", "urn:Tag"),                        # IRI target only
+        ("urn:f", "urn:Sourced"),
+    }
+    assert len(out) == len(got)  # distinct
+
+
+def test_latest_statements(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.model.linkset import latest_statements
+
+    rows = pd.DataFrame({
+        "origin": ["urn:a", "urn:a", "urn:a", "urn:b", "urn:b", "urn:c"],
+        "rel":    ["urn:r", "urn:r", "urn:s", "urn:r", "urn:r", "urn:r"],
+        "target": ["v1", "v2", "w1", "x2", "x1", "y1"],
+        "target_is_iri": [False] * 6,
+        "attrs": ["{}"] * 6,
+        # urn:b has a TS TIE -> smallest target (x1) must win
+        "ts": [10, 20, 5, 7, 7, 1],
+    })
+    out = latest_statements(
+        rd.from_pandas(rows, override_num_blocks=3), num_buckets=5
+    ).to_pandas()
+    got = {(r.origin, r.rel): (r.target, int(r.ts))
+           for r in out.itertuples()}
+    assert got == {
+        ("urn:a", "urn:r"): ("v2", 20),   # latest wins
+        ("urn:a", "urn:s"): ("w1", 5),    # singleton passes through
+        ("urn:b", "urn:r"): ("x1", 7),    # tie -> smallest target
+        ("urn:c", "urn:r"): ("y1", 1),
+    }
+    assert "rank" not in out.columns

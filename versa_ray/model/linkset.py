@@ -1266,3 +1266,24 @@ def transitive_closure(ds, orig, rel, max_frontier=100_000):
                 "use follow_join for large-frontier traversal"
             )
     return seen
+
+
+def latest_statements(ds, ts_col="ts", num_buckets=64):
+    """Temporal statement resolution — latest-assertion-wins: for each
+    (origin, rel) keep only the most recent statement by ``ts_col``,
+    ties broken by smallest (target, target_is_iri) so the result is a
+    pure function of the statement set. The temporal complement of
+    ops.validate.functional_conflicts: where that op REPORTS multiple
+    asserted values for a functional property, this op RESOLVES them
+    by recency — the standard snapshot step when ingesting
+    slowly-changing assertions (entity attributes re-crawled over
+    time). Two-phase grouped argmax via ops.agg.grouped_topk (k=1):
+    every batch keeps one row per (origin, rel) locally before the
+    single coarse-bucket shuffle, so hot entities cost one combiner
+    row per batch, not their full assertion history."""
+    from ..ops.agg import grouped_topk
+
+    out = grouped_topk(
+        ds, ["origin", "rel"], ts_col, k=1, ascending=False,
+        tie_cols=["target", "target_is_iri"], num_buckets=num_buckets)
+    return out.drop_columns(["rank"])

@@ -2371,3 +2371,56 @@ def shortest_paths(edges_ds, seeds, max_rounds=50, num_buckets=None,
         })
 
     return work.map_batches(_out, batch_format="pandas")
+
+
+def entail_domain_range(links_ds, property_rules, type_rel=None,
+                        num_buckets=64):
+    """RDFS domain/range type entailment (rules rdfs2 + rdfs3): a
+    statement ``(s, p, o)`` where ``p`` declares ``rdfs:domain C``
+    entails ``s a C``; where ``p`` declares ``rdfs:range D`` (and the
+    target is an IRI) it entails ``o a D``. The property schema is
+    closure-sized, so — same discipline as entail_types — it is
+    captured in the stage closure and applied vectorized inside ONE
+    ``map_batches`` pass over the corpus-sized statement stream,
+    followed by a coarse-bucket distinct. No class-keyed shuffle (hot
+    classes are maximally skewed keys).
+
+    ``property_rules``: mapping ``rel -> (domain_cls | None,
+    range_cls | None)``. Returns a Dataset of distinct ``(node, cls)``
+    rows covering the DIRECT types (statements of ``type_rel``) plus
+    every domain/range entailment — compose with ``entail_types`` to
+    additionally close over a subclass hierarchy.
+    """
+    from ..core import VTYPE_REL
+    from .dedup import dedup_rows
+
+    type_rel = str(type_rel or VTYPE_REL)
+    dom = {str(r): str(d) for r, (d, _) in property_rules.items()
+           if d is not None}
+    rng = {str(r): str(g) for r, (_, g) in property_rules.items()
+           if g is not None}
+
+    def _entail(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        t = df[df["rel"] == type_rel]
+        if len(t):
+            parts.append(pd.DataFrame({
+                "node": t["origin"].to_numpy(object),
+                "cls": t["target"].to_numpy(object)}))
+        d = df[df["rel"].isin(dom)]
+        if len(d):
+            parts.append(pd.DataFrame({
+                "node": d["origin"].to_numpy(object),
+                "cls": d["rel"].map(dom).to_numpy(object)}))
+        r = df[df["rel"].isin(rng) & df["target_is_iri"]]
+        if len(r):
+            parts.append(pd.DataFrame({
+                "node": r["target"].to_numpy(object),
+                "cls": r["rel"].map(rng).to_numpy(object)}))
+        if not parts:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "cls": pd.Series([], dtype=object)})
+        return pd.concat(parts, ignore_index=True)
+
+    out = links_ds.map_batches(_entail, batch_format="pandas")
+    return dedup_rows(out, ["node", "cls"], num_buckets=num_buckets)

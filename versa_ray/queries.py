@@ -3659,6 +3659,58 @@ def _conflict_links(sf_dir):
     ).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_kg_latest_statements(sf_dir):
+    """Temporal latest-assertion-wins snapshot
+    (model.linkset.latest_statements): each customer asserts its
+    market segment 1-3 times with deterministic integer timestamps
+    ((custkey*7 + j*13) % 1000 — distinct within a customer); the
+    snapshot keeps the most recent assertion per (origin, rel).
+    Two-phase grouped argmax, one coarse-bucket shuffle. Hash-checked
+    against a DuckDB QUALIFY row_number replay."""
+    import ray.data as rd
+
+    from .model.linkset import latest_statements
+
+    def _mk(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"].to_numpy()
+        k = (ck % 3) + 1
+        reps = np.repeat(ck, k)
+        j = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+        return pd.DataFrame({
+            "origin": [f"{URN}customer:{c}" for c in reps.tolist()],
+            "rel": SEGMENT,
+            "target": [f"seg:{v}" for v in ((reps + j) % 5).tolist()],
+            "target_is_iri": True,
+            "attrs": "{}",
+            "ts": ((reps * 7 + j * 13) % 1000).astype(np.int64),
+        })
+
+    stmts = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(_mk, batch_format="pandas")
+    return latest_statements(stmts)
+
+
+SUBCLASS_TYPE_RULES = {
+    IN_NATION: (URN + "GeoLocated", URN + "Nation"),
+    IN_REGION: (URN + "GeoLocated", URN + "Region"),
+}
+
+
+def q_kg_domain_range(sf_dir):
+    """RDFS domain/range entailment (ops.graph.entail_domain_range,
+    rules rdfs2+rdfs3) over the TPC-H linkset: inNation / inRegion
+    declare domain urn:versa:GeoLocated and ranges Nation / Region, so
+    customers, suppliers and nations entail GeoLocated and their link
+    targets entail Nation / Region — merged distinct with the direct
+    types. One vectorized map pass + coarse-bucket distinct; the
+    property schema rides the stage closure (no class-keyed shuffle).
+    Hash-checked against a DuckDB UNION replay."""
+    from .ops.graph import entail_domain_range
+
+    return entail_domain_range(tpch_linkset(sf_dir), SUBCLASS_TYPE_RULES)
+
+
 def q_doc_dsir_weights(sf_dir):
     """DSIR-style importance weights (ops.curation.dsir_weights, Xie
     et al. 2023): every document scored by the length-normalized log
@@ -3747,6 +3799,8 @@ def build_queries():
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_functional_conflicts": q_kg_functional_conflicts,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "kg_latest_statements": q_kg_latest_statements,
+        "kg_domain_range": q_kg_domain_range,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -5025,6 +5079,42 @@ def build_oracles():
             "JOIN edges e ON e.a = w.node) "
             "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
             "FROM walk GROUP BY node"
+        ),
+        "kg_latest_statements": (
+            "WITH s AS (SELECT "
+            "'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS origin, "
+            f"'{SEGMENT}' AS rel, "
+            "'seg:' || CAST((c_custkey + j) % 5 AS VARCHAR) AS target, "
+            "true AS target_is_iri, '{}' AS attrs, "
+            "CAST((c_custkey * 7 + j * 13) % 1000 AS BIGINT) AS ts "
+            "FROM customer, unnest(range(0, 3)) AS t(j) "
+            "WHERE j <= c_custkey % 3) "
+            "SELECT origin, rel, target, target_is_iri, attrs, ts FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY origin, rel "
+            "ORDER BY ts DESC, target ASC, target_is_iri ASC) = 1"
+        ),
+        "kg_domain_range": (
+            "SELECT node, cls FROM ("
+            "SELECT 'urn:versa:region:' || CAST(r_regionkey AS VARCHAR) "
+            "AS node, 'urn:versa:Region' AS cls FROM region "
+            "UNION SELECT 'urn:versa:nation:' || CAST(n_nationkey AS "
+            "VARCHAR), 'urn:versa:Nation' FROM nation "
+            "UNION SELECT 'urn:versa:customer:' || CAST(c_custkey AS "
+            "VARCHAR), 'urn:versa:Customer' FROM customer "
+            "UNION SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS "
+            "VARCHAR), 'urn:versa:Supplier' FROM supplier "
+            "UNION SELECT 'urn:versa:customer:' || CAST(c_custkey AS "
+            "VARCHAR), 'urn:versa:GeoLocated' FROM customer "
+            "UNION SELECT 'urn:versa:supplier:' || CAST(s_suppkey AS "
+            "VARCHAR), 'urn:versa:GeoLocated' FROM supplier "
+            "UNION SELECT 'urn:versa:nation:' || CAST(c_nationkey AS "
+            "VARCHAR), 'urn:versa:Nation' FROM customer "
+            "UNION SELECT 'urn:versa:nation:' || CAST(s_nationkey AS "
+            "VARCHAR), 'urn:versa:Nation' FROM supplier "
+            "UNION SELECT 'urn:versa:nation:' || CAST(n_nationkey AS "
+            "VARCHAR), 'urn:versa:GeoLocated' FROM nation "
+            "UNION SELECT 'urn:versa:region:' || CAST(n_regionkey AS "
+            "VARCHAR), 'urn:versa:Region' FROM nation)"
         ),
         "doc_dsir_weights": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
