@@ -880,3 +880,60 @@ def test_latest_statements(ray_session):
         ("urn:c", "urn:r"): ("y1", 1),
     }
     assert "rank" not in out.columns
+
+
+def test_multi_source_bfs_and_closeness(ray_session):
+    import collections
+    import random
+
+    import pytest
+    import ray.data as rd
+
+    from versa_ray.ops.graph import closeness_from_seeds, multi_source_bfs
+
+    rng = random.Random(5)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)})
+    bidir = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    ds = rd.from_pandas(pd.DataFrame(bidir, columns=["src", "dst"]))
+    seeds = [0, 7, 29]
+
+    # reference: per-seed python BFS
+    adj = collections.defaultdict(list)
+    for a, b in bidir:
+        adj[a].append(b)
+    want = {}
+    for s in seeds:
+        dist = {s: 0}
+        q = [s]
+        while q:
+            nxt = []
+            for u in q:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            q = nxt
+        for n, d in dist.items():
+            want[(n, s)] = d
+
+    out = multi_source_bfs(ds, seeds, num_buckets=5).to_pandas()
+    got = {(int(r.node), int(r.seed)): int(r.depth)
+           for r in out.itertuples()}
+    assert got == want
+
+    # closeness rollup = exact integer aggregation of the same depths
+    cl = closeness_from_seeds(ds, seeds, num_buckets=5).to_pandas()
+    agg = collections.defaultdict(lambda: [0, 0])
+    for (n, _), d in want.items():
+        agg[n][0] += 1
+        agg[n][1] += d
+    got_cl = {int(r.node): (int(r.n_reached), int(r.sum_depth))
+              for r in cl.itertuples()}
+    assert got_cl == {n: tuple(v) for n, v in agg.items()}
+
+    # round-budget exhaustion raises
+    chain = [(i, i + 1) for i in range(12)]
+    cds = rd.from_pandas(pd.DataFrame(chain, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="converge"):
+        multi_source_bfs(cds, [0], max_iters=4, num_buckets=3).materialize()

@@ -2424,3 +2424,176 @@ def entail_domain_range(links_ds, property_rules, type_rel=None,
 
     out = links_ds.map_batches(_entail, batch_format="pandas")
     return dedup_rows(out, ["node", "cls"], num_buckets=num_buckets)
+
+
+def multi_source_bfs(edges_ds, seeds, max_iters=50, num_buckets=None,
+                     src="src", dst="dst"):
+    """Per-seed minimum hop distances from K seeds in ONE traversal —
+    ``(node, seed, depth)`` for every (seed, node) pair with a path,
+    seeds at depth 0. The K-source generalization of ``bfs_depths``:
+    rather than K sequential BFS runs (K x rounds x shuffles), one
+    tagged working set keyed by NODE carries per-(node, seed) visited
+    markers, so all seeds' frontiers expand in the same fused
+    coarse-bucket shuffle per hop and the round count is the maximum
+    eccentricity over seeds, not the sum. Per-bucket state is
+    O(nodes_in_bucket x K) — K is the documented scale knob (hundreds
+    of seeds: shard the seed set across independent runs). Directed
+    edges; pass both directions for an undirected graph. Raises on
+    hitting ``max_iters`` rather than returning truncated depths.
+
+    The building block for seed-sampled closeness centrality (see
+    ``closeness_from_seeds``) and landmark-distance embeddings.
+    """
+    import ray
+    import ray.data as rd
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_buckets = 16
+
+    seed_list = sorted(set(seeds))
+    sidx = {s: i for i, s in enumerate(seed_list)}
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df[src].to_numpy(),
+            "kind": np.int8(1),
+            "other": df[dst].to_numpy(),
+            "seed": np.int32(-1),
+            "d": np.int32(0),
+        })
+
+    seed_tbl = pd.DataFrame({
+        "key": seed_list,
+        "kind": np.int8(2),
+        "other": seed_list,  # placeholder of the right dtype
+        "seed": np.arange(len(seed_list), dtype=np.int32),
+        "d": np.int32(0),
+    })
+    work = edges_ds.map_batches(_init, batch_format="pandas").union(
+        rd.from_pandas(seed_tbl))
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = (
+            pd.util.hash_pandas_object(df["key"], index=False) % num_buckets
+        ).astype("int32")
+        return df
+
+    def _hop(bucket: pd.DataFrame) -> pd.DataFrame:
+        visited = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        toks = bucket[bucket["kind"] == 2]
+        seen = set(zip(visited["key"], visited["seed"]))
+        newly = {}
+        for key, s, d in zip(toks["key"], toks["seed"], toks["d"]):
+            pair = (key, s)
+            d = int(d)
+            if pair not in seen and (pair not in newly or d < newly[pair]):
+                newly[pair] = d
+        out = [visited[["key", "kind", "other", "seed", "d"]],
+               edg[["key", "kind", "other", "seed", "d"]]]
+        if newly:
+            nf = pd.DataFrame({
+                "key": [k for k, _ in newly],
+                "kind": np.int8(0),
+                "other": [k for k, _ in newly],
+                "seed": np.array([s for _, s in newly], dtype=np.int32),
+                "d": np.array(list(newly.values()), dtype=np.int32),
+            })
+            out.append(nf)
+            if len(edg):
+                em = edg[["key", "other"]].merge(
+                    nf[["key", "seed", "d"]], on="key")
+                if len(em):
+                    out.append(pd.DataFrame({
+                        "key": em["other"].to_numpy(),
+                        "kind": np.int8(2),
+                        "other": em["other"].to_numpy(),
+                        "seed": em["seed"].to_numpy(),
+                        "d": (em["d"].to_numpy() + 1).astype(np.int32),
+                    }))
+                    out.append(pd.DataFrame({
+                        "key": [bucket["key"].iloc[0]], "kind": np.int8(4),
+                        "other": [bucket["key"].iloc[0]],
+                        "seed": np.int32(-1),
+                        "d": np.array([len(em)], dtype=np.int32),
+                    }))
+        return pd.concat(out, ignore_index=True)
+
+    pending = 0
+    for _ in range(max_iters):
+        work = (
+            work.map_batches(_bucketize, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(_hop, batch_format="pandas")
+            .materialize()
+        )
+        pending = work.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(df.loc[df["kind"] == 4, "d"].sum())]}),
+            batch_format="pandas",
+        ).sum("n")
+        work = work.map_batches(
+            lambda df: df[df["kind"] != 4], batch_format="pandas")
+        if not pending:
+            break
+    if pending:
+        raise RuntimeError(
+            f"multi_source_bfs did not converge in {max_iters} hops "
+            f"({pending} traversal tokens still pending); raise max_iters")
+
+    rev = {i: s for s, i in sidx.items()}
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df["kind"] == 0]
+        return pd.DataFrame({
+            "node": hit["key"].to_numpy(),
+            "seed": hit["seed"].map(rev).to_numpy(),
+            "depth": hit["d"].to_numpy().astype("int64"),
+        })
+
+    return work.map_batches(_out, batch_format="pandas")
+
+
+def closeness_from_seeds(edges_ds, seeds, max_iters=50, num_buckets=64,
+                         src="src", dst="dst"):
+    """Seed-sampled closeness centrality: for every node reached by at
+    least one seed, ``(node, n_reached, sum_depth)`` — how many of the
+    K sampled seeds reach it and the total hop distance from them
+    (the standard K-landmark estimator of closeness; exact integers,
+    so the result is partition-invariant and SQL-replayable — the
+    1/sum float inversion is left to the caller). One
+    ``multi_source_bfs`` traversal plus a node-keyed coarse-bucket
+    rollup."""
+    from .dedup import coarse_bucket
+
+    depths = multi_source_bfs(
+        edges_ds, seeds, max_iters=max_iters, num_buckets=num_buckets,
+        src=src, dst=dst)
+
+    def _b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = coarse_bucket(df, ["node"], num_buckets)
+        return df
+
+    def _roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "n_reached": pd.Series([], dtype="int64"),
+                "sum_depth": pd.Series([], dtype="int64")})
+        g = bucket.groupby("node", as_index=False, sort=False).agg(
+            n_reached=("seed", "size"), sum_depth=("depth", "sum"))
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(),
+            "n_reached": g["n_reached"].to_numpy().astype(np.int64),
+            "sum_depth": g["sum_depth"].to_numpy().astype(np.int64)})
+
+    return (
+        depths.map_batches(_b, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_roll, batch_format="pandas")
+    )

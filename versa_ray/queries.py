@@ -3659,6 +3659,34 @@ def _conflict_links(sf_dir):
     ).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_part_closeness(sf_dir):
+    """Seed-sampled closeness centrality over the twice-co-ordered
+    parts graph (ops.graph.closeness_from_seeds): K landmark seeds
+    (p_partkey % 251 == 1) expand in ONE multi-source BFS traversal —
+    per-(node, seed) visited markers share each hop's fused
+    coarse-bucket shuffle instead of K sequential BFS runs — then a
+    node-keyed rollup emits exact integer (n_reached, sum_depth).
+    Hash-checked against a DuckDB recursive-CTE min-depth oracle."""
+    import pyarrow.parquet as _pq
+
+    from .ops.graph import closeness_from_seeds
+
+    edges = _coorder_edges_multi(sf_dir)
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+            "dst": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+        })
+
+    keys = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )["p_partkey"].to_pylist()
+    seeds = [int(k) for k in keys if k % 251 == 1]
+    return closeness_from_seeds(
+        edges.map_batches(_bidir, batch_format="pandas"), seeds)
+
+
 def q_kg_latest_statements(sf_dir):
     """Temporal latest-assertion-wins snapshot
     (model.linkset.latest_statements): each customer asserts its
@@ -3801,6 +3829,7 @@ def build_queries():
         "doc_dsir_weights": q_doc_dsir_weights,
         "kg_latest_statements": q_kg_latest_statements,
         "kg_domain_range": q_kg_domain_range,
+        "part_closeness": q_part_closeness,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -5079,6 +5108,26 @@ def build_oracles():
             "JOIN edges e ON e.a = w.node) "
             "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
             "FROM walk GROUP BY node"
+        ),
+        "part_closeness": (
+            "WITH RECURSIVE e0 AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v, a.l_orderkey AS o "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "e AS MATERIALIZED (SELECT u, v FROM e0 "
+            "GROUP BY u, v HAVING count(*) >= 2), "
+            "bd AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "walk(seed, node, depth) AS ("
+            "SELECT p_partkey, p_partkey, 0 FROM part "
+            "WHERE p_partkey % 251 = 1 "
+            "UNION "
+            "SELECT w.seed, bd.b, w.depth + 1 FROM walk w "
+            "JOIN bd ON bd.a = w.node WHERE w.depth < 40), "
+            "md AS (SELECT seed, node, min(depth) AS d FROM walk "
+            "GROUP BY seed, node) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_reached, "
+            "CAST(sum(d) AS BIGINT) AS sum_depth FROM md GROUP BY node"
         ),
         "kg_latest_statements": (
             "WITH s AS (SELECT "
