@@ -937,3 +937,59 @@ def test_multi_source_bfs_and_closeness(ray_session):
     cds = rd.from_pandas(pd.DataFrame(chain, columns=["src", "dst"]))
     with pytest.raises(RuntimeError, match="converge"):
         multi_source_bfs(cds, [0], max_iters=4, num_buckets=3).materialize()
+
+
+def test_strongly_connected_components(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.graph import strongly_connected_components
+
+    def brute_scc(edges, nodes):
+        reach = {n: {n} for n in nodes}
+        changed = True
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        while changed:
+            changed = False
+            for n in nodes:
+                new = set()
+                for m in reach[n]:
+                    new |= adj.get(m, set())
+                if not new <= reach[n]:
+                    reach[n] |= new
+                    changed = True
+        return {n: min(m for m in nodes
+                       if m in reach[n] and n in reach[m])
+                for n in nodes}
+
+    def run(edges):
+        nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+        ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+        out = strongly_connected_components(ds, num_buckets=5).to_pandas()
+        got = dict(zip(out.node.astype(int), out.comp.astype(int)))
+        assert got == brute_scc(edges, nodes)
+        assert len(out) == len(nodes)  # exactly one row per node
+
+    # two cycles bridged by DAG edges, a tail into a cycle (the tail
+    # is a singleton that becomes ISOLATED after its cycle peels), a
+    # self-loop, and a pure DAG diamond
+    run([(1, 2), (2, 3), (3, 1),          # cycle {1,2,3}
+         (3, 10), (10, 11), (11, 12), (12, 10),  # DAG edge into cycle {10..12}
+         (20, 1),                          # tail -> isolated singleton later
+         (30, 30),                         # self-loop
+         (40, 41), (40, 42), (41, 43), (42, 43)])  # diamond, all singletons
+
+    # one DENSE random graph vs brute force (dense -> a giant SCC and
+    # a shallow condensation, so the peel stays at a few outer rounds;
+    # sparse random digraphs have O(n)-deep singleton chains, which
+    # the op handles but each chain level costs a full FB round — the
+    # docstring documents rounds as graph-shaped)
+    rng = random.Random(3)
+    n = 18
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b] + [(0, 0)]
+    run(edges)

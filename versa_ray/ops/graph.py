@@ -2597,3 +2597,291 @@ def closeness_from_seeds(edges_ds, seeds, max_iters=50, num_buckets=64,
         .groupby("_cbucket")
         .map_groups(_roll, batch_format="pandas")
     )
+
+
+def strongly_connected_components(edges_ds, max_outer=20, max_inner=50,
+                                  num_buckets=64, src="src", dst="dst"):
+    """Strongly connected components of a directed graph over INTEGER
+    node ids — ``(node, comp)`` with ``comp`` = the minimum node id of
+    the SCC. Distributed FB-MIN peeling:
+
+    each outer round computes two min-label fixpoints over the LIVE
+    subgraph — ``F(v)`` = min id that reaches v (forward propagation,
+    including v itself) and ``B(v)`` = min id v reaches (backward) —
+    and assigns every node with ``F(v) == B(v) == m``: m reaches v AND
+    v reaches m, so v is in SCC(m); conversely every SCC is assigned
+    in the round where its minimum member becomes locally minimal.
+    Assigned nodes peel off (node anti-join + two edge endpoint
+    semi-filters, the k_core idiom) and the residual graph repeats.
+    Live nodes are carried EXPLICITLY, so a node isolated by peeling
+    still surfaces as its own singleton SCC.
+
+    Each fixpoint is a label-relaxation loop in the Bellman-Ford mold:
+    one fused coarse-bucket shuffle per round over tagged (label /
+    edge / token) rows, one improved-count scalar to the driver.
+    Round counts are graph-shaped: a min label crosses one edge per
+    round, so long cycles / deep DAG chains cost rounds — the
+    documented mitigation is the same as WCC's (this op targets
+    KG-typical shallow graphs; both budgets RAISE rather than return
+    a silently wrong partition). Worst-case outer rounds = the number
+    of distinct SCC "levels" along the condensation's minimum chain.
+    """
+    from .dedup import coarse_bucket
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df[src].to_numpy().astype(np.int64),
+            "dst": df[dst].to_numpy().astype(np.int64)})
+
+    edges = edges_ds.map_batches(_proj, batch_format="pandas").materialize()
+
+    def _ends(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = (np.unique(np.concatenate([df["src"].to_numpy(),
+                                           df["dst"].to_numpy()]))
+                 if len(df) else np.empty(0, dtype=np.int64))
+        out = pd.DataFrame({"node": nodes.astype(np.int64)})
+        out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+        return out
+
+    def _ddup(group: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in group.columns or not len(group):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return group[["node"]].drop_duplicates()
+
+    nodes = (
+        edges.map_batches(_ends, batch_format="pandas")
+        .groupby("_nb").map_groups(_ddup, batch_format="pandas")
+        .materialize()
+    )
+
+    def _minprop(nodes_ds, edges_ds_live, forward: bool):
+        """Min-label fixpoint: label(v) = min id with a directed path
+        to v (forward=True) / from v (forward=False), incl. v."""
+        frm, to = ("src", "dst") if forward else ("dst", "src")
+
+        def _einit(df: pd.DataFrame) -> pd.DataFrame:
+            e = pd.DataFrame({
+                "key": df[frm].to_numpy(), "kind": np.int8(1),
+                "other": df[to].to_numpy(),
+                "c": np.zeros(len(df), dtype=np.int64)})
+            # setup tokens: every node's own id flows across its edges
+            t = pd.DataFrame({
+                "key": df[to].to_numpy(), "kind": np.int8(2),
+                "other": np.zeros(len(df), dtype=np.int64),
+                "c": df[frm].to_numpy()})
+            return pd.concat([e, t], ignore_index=True)
+
+        def _ninit(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["node"].to_numpy()
+            return pd.DataFrame({
+                "key": n, "kind": np.int8(0),
+                "other": np.zeros(len(n), dtype=np.int64), "c": n})
+
+        work = edges_ds_live.map_batches(
+            _einit, batch_format="pandas").union(
+            nodes_ds.map_batches(_ninit, batch_format="pandas"))
+
+        def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_cbucket"] = coarse_bucket(df, ["key"], num_buckets)
+            return df
+
+        def _relax(bucket: pd.DataFrame) -> pd.DataFrame:
+            lab = bucket[bucket["kind"] == 0]
+            edg = bucket[bucket["kind"] == 1]
+            toks = bucket[bucket["kind"] == 2]
+            cur = dict(zip(lab["key"], lab["c"]))
+            improved = {}
+            for key, c in zip(toks["key"], toks["c"]):
+                c = int(c)
+                best = improved.get(key)
+                if best is None:
+                    best = cur.get(key)
+                if best is not None and c < best:
+                    improved[key] = c
+            cur.update(improved)
+            out = [
+                pd.DataFrame({
+                    "key": np.fromiter(cur, dtype=np.int64, count=len(cur)),
+                    "kind": np.int8(0),
+                    "other": np.int64(0),
+                    "c": np.fromiter(cur.values(), dtype=np.int64,
+                                     count=len(cur))}),
+                edg[["key", "kind", "other", "c"]],
+            ]
+            if improved:
+                hits = edg[edg["key"].isin(improved)]
+                if len(hits):
+                    out.append(pd.DataFrame({
+                        "key": hits["other"].to_numpy(), "kind": np.int8(2),
+                        "other": np.int64(0),
+                        "c": hits["key"].map(improved).to_numpy(
+                            dtype=np.int64)}))
+                out.append(pd.DataFrame({
+                    "key": np.array([-1], dtype=np.int64),
+                    "kind": np.int8(4), "other": np.int64(0),
+                    "c": np.array([len(improved)], dtype=np.int64)}))
+            return pd.concat(out, ignore_index=True)
+
+        pending = 0
+        for _ in range(max_inner):
+            work = (
+                work.map_batches(_bucketize, batch_format="pandas")
+                .groupby("_cbucket")
+                .map_groups(_relax, batch_format="pandas")
+                .materialize()
+            )
+            pending = work.map_batches(
+                lambda df: pd.DataFrame(
+                    {"n": [int(df.loc[df["kind"] == 4, "c"].sum())]}),
+                batch_format="pandas",
+            ).sum("n")
+            work = work.map_batches(
+                lambda df: df[df["kind"] != 4], batch_format="pandas")
+            if not pending:
+                break
+        if pending:
+            raise RuntimeError(
+                f"scc min-label fixpoint did not converge in {max_inner} "
+                f"rounds ({pending} labels still improving); raise "
+                "max_inner")
+
+        def _lab(df: pd.DataFrame) -> pd.DataFrame:
+            hit = df[df["kind"] == 0]
+            return pd.DataFrame({
+                "node": hit["key"].to_numpy(dtype=np.int64),
+                "c": hit["c"].to_numpy(dtype=np.int64)})
+
+        return work.map_batches(_lab, batch_format="pandas")
+
+    assigned = []
+    for _ in range(max_outer):
+        if not nodes.count():
+            break
+        fwd = _minprop(nodes, edges, forward=True)
+        bwd = _minprop(nodes, edges, forward=False)
+
+        # F == B intersect: one node-keyed tagged shuffle
+        def _tagfb(side):
+            def _t(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.copy()
+                out["_side"] = np.int8(side)
+                out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+                return out
+            return _t
+
+        def _match(bucket: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "comp": pd.Series([], dtype="int64")})
+            if "_side" not in bucket.columns or not len(bucket):
+                return empty
+            f = bucket[bucket["_side"] == 0]
+            b = bucket[bucket["_side"] == 1]
+            m = f.merge(b, on="node", suffixes=("_f", "_b"))
+            hit = m[m["c_f"] == m["c_b"]]
+            return pd.DataFrame({
+                "node": hit["node"].to_numpy(dtype=np.int64),
+                "comp": hit["c_f"].to_numpy(dtype=np.int64)})
+
+        newly = (
+            fwd.map_batches(_tagfb(0), batch_format="pandas")
+            .union(bwd.map_batches(_tagfb(1), batch_format="pandas"))
+            .groupby("_nb")
+            .map_groups(_match, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+        if not newly.count():
+            raise RuntimeError(
+                "scc made no progress in an outer round — "
+                "FB-MIN always assigns the SCC of each locally minimal "
+                "node, so this indicates an internal invariant break")
+        assigned.append(newly)
+
+        # peel: nodes anti-join newly; edges endpoint-semi-filter newly
+        def _tag_n(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["node"]].copy()
+            out["_kind"] = np.int8(1)
+            out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _tag_a(df: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in df.columns or not len(df):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "_kind": pd.Series([], dtype="int8"),
+                    "_nb": pd.Series([], dtype="int32")})
+            out = df[["node"]].copy()
+            out["_kind"] = np.int8(0)
+            out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+            return out
+
+        def _survive(bucket: pd.DataFrame) -> pd.DataFrame:
+            if "_kind" not in bucket.columns or not len(bucket):
+                return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+            gone = set(bucket.loc[bucket["_kind"] == 0, "node"])
+            live = bucket[bucket["_kind"] == 1]
+            return live.loc[~live["node"].isin(gone), ["node"]]
+
+        nodes = (
+            nodes.map_batches(_tag_n, batch_format="pandas")
+            .union(newly.map_batches(_tag_a, batch_format="pandas"))
+            .groupby("_nb")
+            .map_groups(_survive, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+
+        for end in ("src", "dst"):
+            def _tag_e(df: pd.DataFrame, end=end) -> pd.DataFrame:
+                out = df[["src", "dst"]].copy()
+                out["node"] = out[end].to_numpy()
+                out["_kind"] = np.int8(1)
+                out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+                return out
+
+            def _tag_g(df: pd.DataFrame) -> pd.DataFrame:
+                if "node" not in df.columns or not len(df):
+                    return pd.DataFrame({
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        "node": pd.Series([], dtype="int64"),
+                        "_kind": pd.Series([], dtype="int8"),
+                        "_nb": pd.Series([], dtype="int32")})
+                out = pd.DataFrame({
+                    "src": np.zeros(len(df), dtype=np.int64),
+                    "dst": np.zeros(len(df), dtype=np.int64),
+                    "node": df["node"].to_numpy(dtype=np.int64)})
+                out["_kind"] = np.int8(0)
+                out["_nb"] = coarse_bucket(out, ["node"], num_buckets)
+                return out
+
+            def _keep(bucket: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame({
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64")})
+                if "_kind" not in bucket.columns or not len(bucket):
+                    return empty
+                gone = set(bucket.loc[bucket["_kind"] == 0, "node"])
+                e = bucket[bucket["_kind"] == 1]
+                if not len(e):
+                    return empty
+                return e.loc[~e["node"].isin(gone), ["src", "dst"]]
+
+            edges = (
+                edges.map_batches(_tag_e, batch_format="pandas")
+                .union(newly.map_batches(_tag_g, batch_format="pandas"))
+                .groupby("_nb")
+                .map_groups(_keep, batch_format="pandas")
+            )
+        edges = edges.repartition(num_buckets).materialize()
+    else:
+        raise RuntimeError(
+            f"scc did not converge in {max_outer} peel rounds; "
+            "raise max_outer")
+
+    out = assigned[0]
+    for part in assigned[1:]:
+        out = out.union(part)
+    return out

@@ -3659,6 +3659,37 @@ def _conflict_links(sf_dir):
     ).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_kg_scc(sf_dir):
+    """Strongly connected components
+    (ops.graph.strongly_connected_components, distributed FB-MIN
+    peeling) over a deterministic directed graph on the customer key
+    space: 10-node cycles within each key block (c -> bs + ((c-bs+1)
+    % 10), bs = (c//10)*10), cross edges c -> c+10 for c % 20 == 5
+    linking even-indexed blocks into the next block (a depth-1
+    condensation DAG, so the peel terminates in ~3 outer rounds), and
+    partial tail blocks whose nodes become ISOLATED singletons after
+    their neighbors peel — exercising the explicit live-node carry.
+    Hash-checked against a DuckDB recursive mutual-reachability
+    oracle."""
+    import ray.data as rd
+
+    from .ops.graph import strongly_connected_components
+
+    def _mk(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"].to_numpy().astype(np.int64)
+        bs = (ck // 10) * 10
+        cyc = pd.DataFrame({"src": ck, "dst": bs + ((ck - bs + 1) % 10)})
+        cross = ck[ck % 20 == 5]
+        return pd.concat([
+            cyc, pd.DataFrame({"src": cross, "dst": cross + 10})],
+            ignore_index=True)
+
+    edges = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(_mk, batch_format="pandas")
+    return strongly_connected_components(edges)
+
+
 def q_part_closeness(sf_dir):
     """Seed-sampled closeness centrality over the twice-co-ordered
     parts graph (ops.graph.closeness_from_seeds): K landmark seeds
@@ -3830,6 +3861,7 @@ def build_queries():
         "kg_latest_statements": q_kg_latest_statements,
         "kg_domain_range": q_kg_domain_range,
         "part_closeness": q_part_closeness,
+        "kg_scc": q_kg_scc,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -5108,6 +5140,25 @@ def build_oracles():
             "JOIN edges e ON e.a = w.node) "
             "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
             "FROM walk GROUP BY node"
+        ),
+        "kg_scc": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT c_custkey AS a, (c_custkey // 10) * 10 + "
+            "((c_custkey - (c_custkey // 10) * 10 + 1) % 10) AS b "
+            "FROM customer "
+            "UNION ALL SELECT c_custkey, c_custkey + 10 FROM customer "
+            "WHERE c_custkey % 20 = 5), "
+            "reach(a, b) AS ("
+            "SELECT a, b FROM edges "
+            "UNION "
+            "SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b), "
+            "nodes AS (SELECT a AS n FROM edges "
+            "UNION SELECT b FROM edges), "
+            "mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a) "
+            "SELECT n.n AS node, CAST(least(n.n, coalesce(min(m.u), n.n)) "
+            "AS BIGINT) AS comp FROM nodes n "
+            "LEFT JOIN mutual m ON m.v = n.n GROUP BY n.n"
         ),
         "part_closeness": (
             "WITH RECURSIVE e0 AS (SELECT DISTINCT a.l_partkey AS u, "
