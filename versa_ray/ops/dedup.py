@@ -2409,3 +2409,67 @@ def remove_dup_spans(ds, spans=None, text_col="text", id_col="doc_id",
     both = ds.map_batches(_doc_rows, batch_format="pandas").union(
         spans.map_batches(_span_rows, batch_format="pandas"))
     return both.groupby("_dbucket").map_groups(_strip, batch_format="pandas")
+
+
+def edit_distance_join(left, right, col, right_col=None, id_col="doc_id",
+                       right_id_col=None, num_buckets=64):
+    """Bipartite Levenshtein-distance-<=1 record linkage: match rows
+    of ``left`` against rows of ``right`` whose strings are within
+    edit distance 1 — the clean-entities-vs-noisy-feed step of KG
+    construction (gazetteer vs crawled mentions, master records vs a
+    corrupted re-crawl). Same FastSS deletion-neighborhood blocking as
+    :func:`edit_distance_pairs` (two strings within distance 1 always
+    share a deletion variant), but candidates are CROSS-side variant
+    collisions only — one tagged coarse-bucket shuffle of
+    (variant, side, id) rows, never a cross join — and every candidate
+    verifies with the exact O(len) distance-<=1 check, so blocking
+    changes cost, never the answer.
+
+    Returns ``(id_l, id_r, dist)`` with dist in {0, 1}. Variant volume
+    is ~len(s)+1 rows per string; cap very long strings upstream.
+    """
+    rcol = right_col or col
+    rid = right_id_col or id_col
+
+    def _variants(c, i, side):
+        def _v(df: pd.DataFrame) -> pd.DataFrame:
+            ids, variants, origs = [], [], []
+            for i_, s in zip(df[i], df[c].fillna("")):
+                ids.append(i_)
+                variants.append(s)
+                origs.append(s)
+                for k in range(len(s)):
+                    ids.append(i_)
+                    variants.append(s[:k] + s[k + 1:])
+                    origs.append(s)
+            out = pd.DataFrame({"_var": variants, "_id": ids, "_s": origs})
+            out["_side"] = np.int8(side)
+            return out
+        return _v
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_l": pd.Series([], dtype="int64"),
+             "id_r": pd.Series([], dtype="int64"),
+             "dist": pd.Series([], dtype="int64")})
+        ls = group[group["_side"] == 0].drop_duplicates(["_id"])
+        rs = group[group["_side"] == 1].drop_duplicates(["_id"])
+        if not len(ls) or not len(rs):
+            return empty
+        rows = []
+        for il, sl in zip(ls["_id"], ls["_s"]):
+            for ir, sr in zip(rs["_id"], rs["_s"]):
+                if _edit_distance_leq1(sl, sr):
+                    rows.append((int(il), int(ir), int(sl != sr)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_l", "id_r", "dist"]).astype(
+            {"id_l": "int64", "id_r": "int64", "dist": "int64"})
+
+    cands = bucketed_group_apply(
+        left.map_batches(_variants(col, id_col, 0), batch_format="pandas")
+        .union(right.map_batches(
+            _variants(rcol, rid, 1), batch_format="pandas")),
+        ["_var"], _pairs, num_buckets=num_buckets, min_group_size=2,
+    )
+    return dedup_rows(cands, ["id_l", "id_r"], num_buckets=num_buckets)

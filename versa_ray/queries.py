@@ -3659,6 +3659,42 @@ def _conflict_links(sf_dir):
     ).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_er_typo_match(sf_dir):
+    """Bipartite record linkage (ops.dedup.edit_distance_join): clean
+    customer names (every 10th customer) matched against a
+    deterministically CORRUPTED re-crawl of all customer names (the
+    char at position custkey % len replaced by 'x') at Levenshtein
+    distance <= 1. Candidates come from cross-side FastSS
+    deletion-variant collisions — one tagged coarse-bucket shuffle,
+    never a cross join — each verified exactly, so blocking changes
+    cost, never the answer. Hash-checked against a DuckDB
+    levenshtein-join oracle."""
+    import ray.data as rd
+
+    from .ops.dedup import edit_distance_join
+
+    def _left(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["c_custkey"] % 10 == 1]
+        return pd.DataFrame({"cid": sub["c_custkey"].to_numpy(),
+                             "name": sub["c_name"].to_numpy()})
+
+    def _right(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["c_custkey"].to_numpy()
+        names = df["c_name"].to_numpy(object)
+        out = []
+        for k, s in zip(ks.tolist(), names):
+            p = k % len(s)
+            out.append(s[:p] + "x" + s[p + 1:])
+        return pd.DataFrame({"cid": ks, "name": out})
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return edit_distance_join(
+        cust.map_batches(_left, batch_format="pandas"),
+        cust.map_batches(_right, batch_format="pandas"),
+        col="name", id_col="cid")
+
+
 def q_kg_scc(sf_dir):
     """Strongly connected components
     (ops.graph.strongly_connected_components, distributed FB-MIN
@@ -3862,6 +3898,7 @@ def build_queries():
         "kg_domain_range": q_kg_domain_range,
         "part_closeness": q_part_closeness,
         "kg_scc": q_kg_scc,
+        "er_typo_match": q_er_typo_match,
         "lineitem_monthly_top_parts": q_lineitem_monthly_top_parts,
         "kg_linkset": q_kg_linkset,
         "multimodal_features": q_multimodal_features,
@@ -5140,6 +5177,17 @@ def build_oracles():
             "JOIN edges e ON e.a = w.node) "
             "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
             "FROM walk GROUP BY node"
+        ),
+        "er_typo_match": (
+            "WITH l AS (SELECT c_custkey AS id_l, c_name AS s "
+            "FROM customer WHERE c_custkey % 10 = 1), "
+            "r AS (SELECT c_custkey AS id_r, "
+            "substr(c_name, 1, c_custkey % length(c_name)) || 'x' || "
+            "substr(c_name, c_custkey % length(c_name) + 2) AS s "
+            "FROM customer) "
+            "SELECT l.id_l, r.id_r, "
+            "CAST(levenshtein(l.s, r.s) AS BIGINT) AS dist "
+            "FROM l JOIN r ON levenshtein(l.s, r.s) <= 1"
         ),
         "kg_scc": (
             "WITH RECURSIVE edges AS ("
