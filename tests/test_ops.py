@@ -2910,3 +2910,49 @@ def test_dsir_weights_brute_force(ray_session):
     # corpus whose target has a distinctive vocabulary
     assert np.mean([got[d][1] for d in got if tgt[d] and toks[d]]) > \
         np.mean([got[d][1] for d in got if not tgt[d]])
+
+
+def test_edit_distance_join_brute_force(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import edit_distance_join
+
+    left = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "s": ["kitten", "apple", "banana", ""],
+    })
+    right = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14, 15],
+        "s": ["kitten",    # dist 0
+              "kittex",    # substitution, dist 1
+              "kitte",     # deletion, dist 1
+              "kittens",   # insertion, dist 1
+              "aple",      # deletion of apple, dist 1
+              "x"],        # dist 1 from "" (insertion)
+    })
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[-1]
+
+    want = {(int(l.doc_id), int(r.doc_id)): lev(l.s, r.s)
+            for l, r in itertools.product(left.itertuples(),
+                                          right.itertuples())
+            if lev(l.s, r.s) <= 1}
+
+    out = edit_distance_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        col="s", num_buckets=5).to_pandas()
+    got = {(int(r.id_l), int(r.id_r)): int(r.dist)
+           for r in out.itertuples()}
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 0
+    assert (4, 15) in got and got[(4, 15)] == 1  # empty-string side
