@@ -2218,7 +2218,14 @@ def link_prediction(edges_ds, min_cn=1, max_degree=None, u="u", v="v",
             return out
         return _t
 
-    def _score(bucket: pd.DataFrame) -> pd.DataFrame:
+    def _score(bucket: pd.DataFrame) -> "object":
+        # Arrow output on purpose: an all-empty result made of pandas
+        # blocks comes back column-less from Ray (the doc_postings
+        # lookup hit the same quirk) — Arrow empties keep their schema,
+        # so a high min_cn that filters EVERYTHING still returns the
+        # four declared columns
+        import pyarrow as _pa
+
         empty = pd.DataFrame({
             "u": pd.Series([], dtype="int64"),
             "v": pd.Series([], dtype="int64"),
@@ -2226,11 +2233,11 @@ def link_prediction(edges_ds, min_cn=1, max_degree=None, u="u", v="v",
             "ra_e9": pd.Series([], dtype="int64")})
         empty.columns = [u, v, "cn", "ra_e9"]
         if "_kind" not in bucket.columns or not len(bucket):
-            return empty
+            return _pa.Table.from_pandas(empty, preserve_index=False)
         e = bucket[bucket["_kind"] == 0]
         wd = bucket[bucket["_kind"] == 1]
         if not len(wd):
-            return empty
+            return _pa.Table.from_pandas(empty, preserve_index=False)
         g = wd.groupby([u, v], as_index=False, sort=False).agg(
             cn=("_ra", "size"), ra_e9=("_ra", "sum"))
         if len(e):
@@ -2238,10 +2245,11 @@ def link_prediction(edges_ds, min_cn=1, max_degree=None, u="u", v="v",
             gkeys = pd.MultiIndex.from_frame(g[[u, v]])
             g = g[~gkeys.isin(ekeys)]
         g = g[g["cn"] >= min_cn]
-        return pd.DataFrame({
+        return _pa.Table.from_pandas(pd.DataFrame({
             u: g[u].to_numpy(), v: g[v].to_numpy(),
             "cn": g["cn"].to_numpy().astype(np.int64),
-            "ra_e9": g["ra_e9"].to_numpy().astype(np.int64)})
+            "ra_e9": g["ra_e9"].to_numpy().astype(np.int64)}),
+            preserve_index=False)
 
     return (
         edges_ds.map_batches(_tag(0), batch_format="pandas")

@@ -3564,11 +3564,13 @@ def q_part_link_prediction(sf_dir):
     shuffle, so scores are partition-invariant and replay bit-exactly
     (a float sum(1/deg) would drift with summation order). Candidates
     come from wedge enumeration at the shared neighbor, never
-    all-pairs. Hash-checked against a DuckDB adjacency self-join
-    oracle with the same anti-join on existing edges."""
+    all-pairs. min_cn=1 keeps the fixture non-vacuous at every scale
+    tier (repeat co-orders thin out as the key space grows, so cn>=2
+    pairs vanish at sf0.1). Hash-checked against a DuckDB adjacency
+    self-join oracle with the same anti-join on existing edges."""
     from .ops.graph import link_prediction
 
-    return link_prediction(_coorder_edges_multi(sf_dir), min_cn=2)
+    return link_prediction(_coorder_edges_multi(sf_dir), min_cn=1)
 
 
 def q_kg_shortest_paths(sf_dir):
@@ -5153,7 +5155,7 @@ def build_oracles():
             "CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra_e9 "
             "FROM wd JOIN deg ON deg.c = wd.c GROUP BY wd.u, wd.v) "
             "SELECT s.u, s.v, s.cn, s.ra_e9 FROM s "
-            "WHERE s.cn >= 2 AND NOT EXISTS "
+            "WHERE s.cn >= 1 AND NOT EXISTS "
             "(SELECT 1 FROM e WHERE e.u = s.u AND e.v = s.v)"
         ),
         "kg_shortest_paths": (
