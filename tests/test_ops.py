@@ -2956,3 +2956,86 @@ def test_edit_distance_join_brute_force(ray_session):
     assert got == want
     assert (1, 10) in got and got[(1, 10)] == 0
     assert (4, 15) in got and got[(4, 15)] == 1  # empty-string side
+
+
+def test_winnow_fingerprints_brute_force(ray_session):
+    """winnow_fingerprints equals a pure-Python winnowing reference
+    (rightmost-min tie rule) on random word-soup docs, and the paper's
+    guarantee holds: two docs sharing a substring of length >= w+k-1
+    share at least one selected fingerprint."""
+    import hashlib
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    k, w = 6, 5
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    passage = "the shared passage survives winnowing intact"
+    texts = []
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 30))]
+        t = " ".join(words)
+        if i % 10 == 3:  # plant the shared passage in 4 docs
+            t = t[: len(t) // 2] + passage + t[len(t) // 2:]
+        texts.append(t)
+    texts.append("")      # degenerate: empty
+    texts.append("abc")   # shorter than k
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+
+    def brute(text):
+        m = len(text) - k + 1
+        if m < w:
+            return set()
+        h = [int.from_bytes(hashlib.md5(text[i:i + k].encode()).digest()[:8],
+                            "little") for i in range(m)]
+        sel = set()
+        for e in range(w - 1, m):
+            window = h[e - w + 1:e + 1]
+            mn = min(window)
+            for j in range(w - 1, -1, -1):
+                if window[j] == mn:
+                    sel.add((e - w + 1 + j + 1, mn))
+                    break
+        return sel
+
+    got = winnow_fingerprints(
+        rd.from_pandas(docs), k=k, w=w).to_pandas()
+    by_doc = {
+        did: set(zip(g["pos"],
+                     g["fp"].to_numpy().astype(np.int64).view(np.uint64)))
+        for did, g in got.groupby("doc_id")
+    }
+    for did, text in zip(docs.doc_id, docs.text):
+        assert by_doc.get(int(did), set()) == brute(text), did
+
+    planted = [i for i in range(40) if i % 10 == 3]
+    fps = [
+        {fp for _, fp in by_doc[i]} for i in planted
+    ]
+    shared = set.intersection(*fps)
+    assert shared, "w+k-1 guarantee violated: planted passage not shared"
+
+    # overlap pairs vs brute-force shared-fingerprint counting
+    fp_sets = {int(d): {fp for _, fp in by_doc.get(int(d), set())}
+               for d in docs.doc_id}
+    from collections import Counter
+    freq = Counter(fp for s in fp_sets.values() for fp in s)
+    cap, min_shared = 3, 2
+    want_pairs = {}
+    ids = sorted(fp_sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            n = sum(1 for fp in fp_sets[a] & fp_sets[b] if freq[fp] <= cap)
+            if n >= min_shared:
+                want_pairs[(a, b)] = n
+    out = winnow_overlap_pairs(
+        rd.from_pandas(docs), k=k, w=w, min_shared=min_shared,
+        max_fp_docs=cap, num_buckets=7).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): int(r.shared)
+                 for r in out.itertuples()}
+    assert got_pairs == want_pairs

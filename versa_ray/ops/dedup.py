@@ -2473,3 +2473,132 @@ def edit_distance_join(left, right, col, right_col=None, id_col="doc_id",
         ["_var"], _pairs, num_buckets=num_buckets, min_group_size=2,
     )
     return dedup_rows(cands, ["id_l", "id_r"], num_buckets=num_buckets)
+
+
+def winnow_fingerprints(ds, text_col="text", id_col="doc_id", k=8, w=8):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS sketch; reference parity: the reference has
+    no fingerprinting op, this is engine-added curation surface).
+
+    Per document: md5 hashes of the character k-grams, a sliding
+    window over ``w`` consecutive gram hashes, and the window MINIMUM
+    is selected — ties break to the RIGHTMOST minimal hash (the
+    paper's robust-winnowing rule), selected positions deduped per
+    document. Guarantee: any substring of length >= w + k - 1 shared
+    by two documents shares at least one selected fingerprint, so
+    overlap detection never needs all-pairs comparison.
+
+    Pure per-document map — NO shuffle; linear in corpus bytes and
+    embarrassingly parallel, the 100-TB shape for sketching. Hash is
+    the md5_number_upper convention (little-endian first 8 md5 digest
+    bytes; the window min compares UNSIGNED; fingerprints emit as
+    two's-complement int64) and positions are 1-based, so a DuckDB
+    oracle replays the selection bit-exactly.
+
+    Returns (id_col, pos:int64 1-based gram start, fp:int64).
+    """
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def _empty():
+        return pd.DataFrame({
+            id_col: np.empty(0, dtype=np.int64),
+            "pos": np.empty(0, dtype=np.int64),
+            "fp": np.empty(0, dtype=np.int64),
+        })
+
+    def _select(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for did, text in zip(df[id_col].to_numpy(), df[text_col].fillna("")):
+            m = len(text) - k + 1
+            if m < w:
+                continue  # winnowing needs at least one full window
+            raw = b"".join(
+                hashlib.md5(text[i:i + k].encode("utf-8")).digest()[:8]
+                for i in range(m)
+            )
+            h = np.frombuffer(raw, dtype="<u8")
+            win = sliding_window_view(h, w)
+            # argmin on the REVERSED window = rightmost min (tie rule)
+            idx = (w - 1 - win[:, ::-1].argmin(axis=1)) + np.arange(m - w + 1)
+            sel = np.unique(idx)
+            outs.append(pd.DataFrame({
+                id_col: np.full(len(sel), did, dtype=np.int64),
+                "pos": (sel + 1).astype(np.int64),
+                "fp": h[sel].view(np.int64),
+            }))
+        if not outs:
+            return _empty()
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(_select, batch_format="pandas")
+
+
+def winnow_overlap_pairs(ds, text_col="text", id_col="doc_id", k=8, w=8,
+                         min_shared=2, max_fp_docs=64, num_buckets=64):
+    """Document-overlap candidate pairs from shared winnowing
+    fingerprints — the plagiarism/boilerplate-passage detector.
+
+    Candidates come from fingerprint EQUALITY (never all pairs): a
+    fingerprint-keyed coarse-bucket shuffle emits, per fingerprint,
+    the pairs of the (sorted, distinct) documents selecting it; a
+    second pair-keyed bucket shuffle sums shared-fingerprint counts
+    vectorized and keeps pairs with >= ``min_shared``. Fingerprints
+    selected by more than ``max_fp_docs`` documents are dropped before
+    pair emission — the stopword-grade-passage hub cap, a documented
+    UNDERCOUNT knob (same convention as neighborhood_jaccard's
+    max_degree): capped fingerprints contribute 0 to every pair's
+    shared count.
+
+    Returns (id_a, id_b, shared:int64) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col, k=k, w=w)
+
+    # a document's rows are emitted by one map call, so per-batch
+    # drop_duplicates is globally exact for the (doc, fp) distinct set
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([id_col, "fp"])[[id_col, "fp"]]
+
+    dfp = fps.map_batches(_distinct, batch_format="pandas")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group[id_col].to_numpy())
+        if len(ids) > max_fp_docs:
+            return _empty_pairs()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cands = bucketed_group_apply(
+        dfp, ["fp"], _pairs, num_buckets=num_buckets, min_group_size=2)
+
+    import pyarrow as _pa
+
+    def _bucketize(df: pd.DataFrame) -> "_pa.Table":
+        if not len(df):
+            out = _empty_pairs()
+            out["_cbucket"] = np.empty(0, dtype=np.int32)
+        else:
+            out = df.copy()
+            out["_cbucket"] = coarse_bucket(out, ["id_a", "id_b"], num_buckets)
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    def _count(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return _empty_pairs("shared", "int64")
+        counts = (
+            bucket.groupby(["id_a", "id_b"], sort=False)
+            .size().rename("shared").reset_index()
+        )
+        counts = counts[counts["shared"] >= min_shared]
+        return pd.DataFrame({
+            "id_a": counts["id_a"].to_numpy(dtype=np.int64),
+            "id_b": counts["id_b"].to_numpy(dtype=np.int64),
+            "shared": counts["shared"].to_numpy(dtype=np.int64),
+        })
+
+    return (
+        cands.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_count, batch_format="pandas")
+    )

@@ -3840,6 +3840,32 @@ def q_kg_functional_conflicts(sf_dir):
     return functional_conflicts(links, [IN_NATION, IN_REGION])
 
 
+WINNOW_K, WINNOW_W = 16, 12
+WINNOW_CAP, WINNOW_MIN_SHARED = 32, 2
+
+
+def q_doc_winnow(sf_dir):
+    """Winnowing document fingerprints (MOSS sketch): char-16-gram md5
+    hashes, window-of-12 minimum selection, ties to the rightmost
+    minimal hash (ops.dedup.winnow_fingerprints — a pure per-document
+    map, no shuffle). Hash-checked against a DuckDB replay of the
+    selection rule (windowed self-join + QUALIFY rightmost-argmin)."""
+    return dd.winnow_fingerprints(
+        _docs_with(sf_dir, ["doc_id", "text"]), k=WINNOW_K, w=WINNOW_W)
+
+
+def q_doc_winnow_pairs(sf_dir):
+    """Document-overlap pairs sharing >= 2 winnowing fingerprints
+    (ops.dedup.winnow_overlap_pairs — fingerprint-keyed coarse-bucket
+    pair emission + pair-keyed count shuffle; never all-pairs;
+    fingerprints in > 32 docs hub-capped). Hash-checked against a
+    DuckDB shared-fingerprint self-join with the same cap."""
+    return dd.winnow_overlap_pairs(
+        _docs_with(sf_dir, ["doc_id", "text"]),
+        k=WINNOW_K, w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED, max_fp_docs=WINNOW_CAP)
+
+
 def build_queries():
     # Registration order matters: the correctness driver checks roughly
     # the first ~50 entries per round. _staleness_rotate reorders the
@@ -3994,6 +4020,8 @@ def build_queries():
         "doc_near_dup_pairs": q_doc_near_dup_pairs,
         "edit_distance_pairs": q_edit_distance_pairs,
         "doc_near_dup_keep_best": q_doc_near_dup_keep_best,
+        "doc_winnow": q_doc_winnow,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
     })
 
 
@@ -4078,6 +4106,28 @@ SIMHASH_CTES = (
     " THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS u FROM v"
     " GROUP BY doc_id) x USING (doc_id))"
 )
+
+
+def _winnow_ctes(k=WINNOW_K, w=WINNOW_W):
+    """SQL replay of ops.dedup.winnow_fingerprints: char k-gram hashes
+    via md5_number_upper (same little-endian-first-8-bytes convention
+    as _hash_words_md5), window min over the w grams ending at each
+    position with the rightmost-min tie rule expressed as QUALIFY
+    row_number ORDER BY h ASC, p DESC. Positions are 1-based substr
+    positions on both sides."""
+    return (
+        "grams AS MATERIALIZED (SELECT doc_id, p, "
+        f"md5_number_upper(substr(text, p, {k})) AS h "
+        "FROM (SELECT doc_id, text, "
+        f"unnest(generate_series(1, length(text) - {k} + 1)) AS p "
+        f"FROM documents WHERE length(text) >= {k})), "
+        "wsel AS MATERIALIZED (SELECT g1.doc_id, g2.p, g2.h "
+        "FROM grams g1 JOIN grams g2 ON g1.doc_id = g2.doc_id "
+        f"AND g2.p BETWEEN g1.p - {w - 1} AND g1.p "
+        f"WHERE g1.p >= {w} "
+        "QUALIFY row_number() OVER (PARTITION BY g1.doc_id, g1.p "
+        "ORDER BY g2.h ASC, g2.p DESC) = 1)"
+    )
 
 
 def build_oracles():
@@ -4254,6 +4304,24 @@ def build_oracles():
             "CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming "
             "FROM sp a JOIN sp b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.u, b.u)) <= 3 ORDER BY id_a, id_b"
+        ),
+        "doc_winnow": (
+            f"WITH {_winnow_ctes()} "
+            "SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, "
+            "CAST(CASE WHEN h >= 9223372036854775808 "
+            "THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp "
+            "FROM wsel ORDER BY doc_id, pos"
+        ),
+        "doc_winnow_pairs": (
+            f"WITH {_winnow_ctes()}, "
+            "dfp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM wsel), "
+            "ok AS (SELECT h FROM dfp GROUP BY h "
+            f"HAVING COUNT(*) <= {WINNOW_CAP}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(COUNT(*) AS BIGINT) AS shared "
+            "FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "JOIN ok ON ok.h = a.h GROUP BY a.doc_id, b.doc_id "
+            f"HAVING COUNT(*) >= {WINNOW_MIN_SHARED} ORDER BY id_a, id_b"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
