@@ -3039,3 +3039,43 @@ def test_winnow_fingerprints_brute_force(ray_session):
     got_pairs = {(int(r.id_a), int(r.id_b)): int(r.shared)
                  for r in out.itertuples()}
     assert got_pairs == want_pairs
+
+
+def test_mad_outliers_brute_force(ray_session):
+    """mad_outliers equals a numpy quantile_disc-semantics reference
+    on skewed integer groups, including planted extreme values, and is
+    invariant to the input block layout."""
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.agg import mad_outliers
+
+    rng = random.Random(7)
+    rows = []
+    for g, base in [("a", 100), ("b", 1000), ("c", 50)]:
+        for i in range(41):
+            rows.append((g, base + rng.randrange(-20, 21)))
+        rows.append((g, base * 10))   # planted high outlier
+        rows.append((g, 1))           # planted low outlier
+    df = pd.DataFrame(rows, columns=["grp", "x"])
+    df.insert(0, "rid", np.arange(len(df), dtype=np.int64))
+
+    def qdisc(v):  # quantile_disc(0.5): element at rank ceil(N/2)-1
+        s = np.sort(np.asarray(v, dtype=np.int64))
+        return int(s[max(int(np.ceil(0.5 * len(s))) - 1, 0)])
+
+    want = {}
+    for g, sub in df.groupby("grp"):
+        med = qdisc(sub.x)
+        mad = qdisc(np.abs(sub.x.to_numpy(dtype=np.int64) - med))
+        for r in sub.itertuples():
+            want[int(r.rid)] = (med, mad, abs(int(r.x) - med) > 3 * mad)
+
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = mad_outliers(ds, key="grp", col="x", k=3).to_pandas()
+        got = {int(r.rid): (int(r.med), int(r.mad), bool(r.is_outlier))
+               for r in out.itertuples()}
+        assert got == want
+    assert sum(1 for *_, o in want.values() if o) == 6  # all plants flagged

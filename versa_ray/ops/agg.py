@@ -862,3 +862,61 @@ def histogram(ds, col, bins, lo=None, hi=None):
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
     )
+
+
+def mad_outliers(ds, key, col, k=3, num_buckets=64):
+    """Robust per-group outlier flags via median absolute deviation:
+    a row is an outlier when ``|x - median(group)| > k * MAD(group)``
+    with MAD = median of ``|x - median|`` — the classic heavy-tail-safe
+    length/quality anomaly filter for crawl curation (mean/std break
+    on the exact skew this is meant to catch).
+
+    EXACT and integer-safe: both medians come from
+    :func:`grouped_quantile_disc` (SQL ``quantile_disc`` semantics —
+    element at rank ``ceil(N/2) - 1``), so for integer ``col`` every
+    intermediate is an integer and the flag replays bit-exactly in a
+    DuckDB oracle. Two quantile shuffles of per-batch distinct-value
+    PARTIALS (never the corpus), then the group-cardinality
+    ``(median, MAD)`` table broadcasts via ``ray.put`` into one
+    streaming flag pass — the corpus itself is never shuffled. Assumes
+    group cardinality ≪ corpus (sources, languages, hosts); a
+    corpus-proportional key needs the bucket-join form instead.
+
+    Returns the input columns plus ``med``, ``mad`` (int64) and
+    ``is_outlier`` (bool).
+    """
+    import ray
+
+    med = grouped_quantile_disc(ds, key, col, 0.5, num_buckets=num_buckets)
+    med_pd = med.to_pandas()
+    med_map = dict(zip(med_pd[key], med_pd[col]))
+    med_ref = ray.put(med_map)
+
+    def _dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[key].map(ray.get(med_ref))
+        return pd.DataFrame({
+            key: df[key],
+            "_dev": np.abs(
+                df[col].to_numpy(dtype=np.int64)
+                - m.to_numpy(dtype=np.int64)
+            ),
+        })
+
+    mad = grouped_quantile_disc(
+        ds.map_batches(_dev, batch_format="pandas"),
+        key, "_dev", 0.5, num_buckets=num_buckets).to_pandas()
+    mad_map = dict(zip(mad[key], mad["_dev"]))
+    stats_ref = ray.put((med_map, mad_map))
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        med_m, mad_m = ray.get(stats_ref)
+        out = df.copy()
+        m = df[key].map(med_m).to_numpy(dtype=np.int64)
+        a = df[key].map(mad_m).to_numpy(dtype=np.int64)
+        x = df[col].to_numpy(dtype=np.int64)
+        out["med"] = m
+        out["mad"] = a
+        out["is_outlier"] = np.abs(x - m) > k * a
+        return out
+
+    return ds.map_batches(_flag, batch_format="pandas")

@@ -3840,6 +3840,22 @@ def q_kg_functional_conflicts(sf_dir):
     return functional_conflicts(links, [IN_NATION, IN_REGION])
 
 
+def q_doc_len_outliers(sf_dir):
+    """Per-source robust length outliers: |n_chars - median| > 3*MAD
+    with both medians exact-discrete (ops.agg.mad_outliers — two
+    distinct-value-partial quantile shuffles + a broadcast flag pass;
+    the corpus never shuffles). Integer-exact, hash-checked against a
+    DuckDB quantile_disc replay."""
+    from .ops.agg import mad_outliers
+
+    out = mad_outliers(
+        _docs_with(sf_dir, ["doc_id", "source", "n_chars"]),
+        key="source", col="n_chars", k=3)
+    return out.map_batches(
+        lambda df: df.assign(n_chars=df.n_chars.astype("int64")),
+        batch_format="pandas")
+
+
 WINNOW_K, WINNOW_W = 16, 12
 WINNOW_CAP, WINNOW_MIN_SHARED = 32, 2
 
@@ -4022,6 +4038,7 @@ def build_queries():
         "doc_near_dup_keep_best": q_doc_near_dup_keep_best,
         "doc_winnow": q_doc_winnow,
         "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_len_outliers": q_doc_len_outliers,
     })
 
 
@@ -4322,6 +4339,18 @@ def build_oracles():
             "FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id "
             "JOIN ok ON ok.h = a.h GROUP BY a.doc_id, b.doc_id "
             f"HAVING COUNT(*) >= {WINNOW_MIN_SHARED} ORDER BY id_a, id_b"
+        ),
+        "doc_len_outliers": (
+            "WITH med AS (SELECT source, quantile_disc(n_chars, 0.5) "
+            "AS med FROM documents GROUP BY source), "
+            "mad AS (SELECT d.source, "
+            "quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad "
+            "FROM documents d JOIN med m USING (source) GROUP BY d.source) "
+            "SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars, "
+            "CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad, "
+            "abs(d.n_chars - m.med) > 3 * a.mad AS is_outlier "
+            "FROM documents d JOIN med m USING (source) "
+            "JOIN mad a ON a.source = d.source ORDER BY d.doc_id"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
