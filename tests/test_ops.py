@@ -3079,3 +3079,43 @@ def test_mad_outliers_brute_force(ray_session):
                for r in out.itertuples()}
         assert got == want
     assert sum(1 for *_, o in want.values() if o) == 6  # all plants flagged
+
+
+def test_debounce_brute_force(ray_session):
+    """debounce equals a sequential lag-rule reference, including
+    equal-timestamp ties (ordered by id) and multi-column keys."""
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.windows import debounce
+
+    rng = random.Random(11)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = base
+        for _ in range(rng.randrange(1, 25)):
+            t = t + np.timedelta64(rng.randrange(0, 100), "us")
+            rows.append((eid, t, u, "ab"[rng.randrange(2)]))
+            eid += 1
+    # duplicate timestamps across ids for the tie rule
+    rows.append((eid, rows[0][1], rows[0][2], rows[0][3])); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "etype"])
+
+    for keys in [("user_id",), ("user_id", "etype")]:
+        gap = 30
+        want = set()
+        for _, g in df.groupby(list(keys)):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            prev = None
+            for r in g.itertuples():
+                t = np.datetime64(r.ts, "us").astype(np.int64)
+                if prev is None or t - prev > gap:
+                    want.add(int(r.event_id))
+                prev = t
+        out = debounce(rd.from_pandas(df).repartition(5), gap_us=gap,
+                       keys=keys, num_buckets=4).to_pandas()
+        assert set(out.event_id.astype(int)) == want
+        assert list(out.columns) == ["event_id", "ts"] + list(keys)

@@ -469,3 +469,58 @@ def transition_counts(ds, key="user_id", order_cols=("ts", "event_id"),
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
     )
+
+
+def debounce(ds, gap_us, keys=("user_id",), ts_col="ts",
+             id_col="event_id", num_buckets=64):
+    """Keep an event iff the time since the PREVIOUS event of the same
+    key (ordered by ``(ts, id)``) exceeds ``gap_us`` microseconds, or
+    it is the key's first event — duplicate-burst suppression for
+    event streams (retry storms, double-clicks, crawler re-fetches).
+
+    This is the LAG-rule debounce: the keep decision compares against
+    the previous EVENT, not the previous KEPT event, so the result is
+    a pure per-row function of the ordered stream (the kept-anchor
+    variant is inherently sequential) and replays exactly in SQL as
+    ``lag(ts) OVER (PARTITION BY keys ORDER BY ts, id)``. Ties order
+    by ``id_col``, making the output deterministic under equal
+    timestamps.
+
+    ONE coarse-bucket shuffle on the key columns; per-key work is a
+    vectorized lexsort + diff in exact microseconds. Only the key
+    columns, timestamp and id transit the shuffle; rejoin wide
+    payloads downstream by id if needed.
+    """
+    from ..ops.dedup import coarse_bucket
+
+    keys = list(keys)
+    cols = keys + [ts_col, id_col]
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["_cbucket"] = coarse_bucket(out, keys, num_buckets)
+        return out
+
+    def _keep(group: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in group.columns or not len(group):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                ts_col: pd.Series([], dtype="datetime64[us]"),
+                **{k: pd.Series([], dtype=object) for k in keys},
+            })
+        outs = []
+        for _, g in group.groupby(keys, sort=False):
+            ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            ids = g[id_col].to_numpy()
+            order = np.lexsort((ids, ts))
+            ts, ids = ts[order], ids[order]
+            keep = np.ones(len(ts), dtype=bool)
+            keep[1:] = np.diff(ts) > gap_us
+            outs.append(g.iloc[order[keep]][[id_col, ts_col] + keys])
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_keep, batch_format="pandas")
+    )

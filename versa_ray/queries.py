@@ -3840,6 +3840,21 @@ def q_kg_functional_conflicts(sf_dir):
     return functional_conflicts(links, [IN_NATION, IN_REGION])
 
 
+def q_events_debounce(sf_dir):
+    """Duplicate-burst suppression: keep an event iff >4h since the
+    user's previous event, ordered (ts, event_id) — ops.windows.debounce,
+    one user-keyed coarse-bucket shuffle, vectorized lexsort+diff in
+    exact microseconds. Hash-checked against a DuckDB lag() replay."""
+    import ray.data as rd
+
+    from .ops.windows import debounce
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"])
+    return debounce(ev, gap_us=4 * 3600 * 1_000_000, keys=("user_id",))
+
+
 def q_doc_len_outliers(sf_dir):
     """Per-source robust length outliers: |n_chars - median| > 3*MAD
     with both medians exact-discrete (ops.agg.mad_outliers — two
@@ -4039,6 +4054,7 @@ def build_queries():
         "doc_winnow": q_doc_winnow,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_len_outliers": q_doc_len_outliers,
+        "events_debounce": q_events_debounce,
     })
 
 
@@ -4351,6 +4367,14 @@ def build_oracles():
             "abs(d.n_chars - m.med) > 3 * a.mad AS is_outlier "
             "FROM documents d JOIN med m USING (source) "
             "JOIN mad a ON a.source = d.source ORDER BY d.doc_id"
+        ),
+        "events_debounce": (
+            "SELECT event_id, ts, user_id FROM ("
+            "SELECT event_id, ts, user_id, lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events) WHERE pts IS NULL "
+            "OR date_diff('microsecond', pts, ts) > 14400000000 "
+            "ORDER BY event_id"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
