@@ -3119,3 +3119,44 @@ def test_debounce_brute_force(ray_session):
                        keys=keys, num_buckets=4).to_pandas()
         assert set(out.event_id.astype(int)) == want
         assert list(out.columns) == ["event_id", "ts"] + list(keys)
+
+
+def test_daily_trend_brute_force(ray_session):
+    """daily_trend equals an integer-moment reference with centered
+    day indices, is partition-invariant, and den==0 for single-day
+    keys."""
+    import random
+
+    import ray.data as rd
+
+    from versa_ray.ops.windows import daily_trend
+
+    rng = random.Random(3)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    rows = []
+    for k, ndays in [("up", 10), ("flat", 6), ("one", 1)]:
+        for d in range(ndays):
+            n = (d + 1) * 3 if k == "up" else 4
+            for _ in range(n):
+                rows.append((k, base + np.timedelta64(d, "D")
+                             + np.timedelta64(rng.randrange(86400), "s")))
+    df = pd.DataFrame(rows, columns=["k", "ts"])
+
+    want = {}
+    for k, g in df.groupby("k"):
+        days = g.ts.to_numpy().astype("datetime64[D]").astype(np.int64)
+        uniq, cnt = np.unique(days, return_counts=True)
+        x = uniq - uniq.min()
+        y = cnt
+        n = len(x)
+        want[k] = (n, int(n * (x * y).sum() - x.sum() * y.sum()),
+                   int(n * (x * x).sum() - x.sum() * x.sum()))
+
+    for nblocks in (1, 9):
+        out = daily_trend(rd.from_pandas(df).repartition(nblocks),
+                          key="k", num_buckets=5).to_pandas()
+        got = {r.k: (int(r.n_days), int(r.slope_num), int(r.slope_den))
+               for r in out.itertuples()}
+        assert got == want
+    assert want["one"][2] == 0 and want["flat"][1] == 0
+    assert want["up"][1] > 0

@@ -524,3 +524,92 @@ def debounce(ds, gap_us, keys=("user_id",), ts_col="ts",
         .groupby("_cbucket")
         .map_groups(_keep, batch_format="pandas")
     )
+
+
+def daily_trend(ds, key="event_type", ts_col="ts", num_buckets=64):
+    """Per-key linear trend of daily event volume, INTEGER-EXACT: the
+    OLS slope over (day index, daily count) emitted as the exact
+    integer pair ``slope_num = n*Σxy - Σx*Σy`` and
+    ``slope_den = n*Σx² - (Σx)²`` (slope = num/den; den = 0 means a
+    single observed day). Day indices are centered on the key's FIRST
+    observed day — the slope is shift-invariant, and centering keeps
+    the emitted integers small enough for int64 at any corpus span —
+    and only days with at least one event participate (both sides of
+    the oracle group identically).
+
+    Two coarse-bucket shuffles, both over pre-aggregated partials:
+    per-batch (key, day, partial-count) rows merge on a (key, day)
+    bucket into the daily table (keys × days rows, corpus-independent),
+    then a key bucket computes the five moments vectorized per key.
+    Floats never appear, so the result is partition-invariant and
+    SQL-replayable bit-exactly.
+
+    Returns (key, n_days, slope_num, slope_den) int64.
+    """
+    from ..ops.dedup import coarse_bucket
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if key not in df.columns or not len(df):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "_day": pd.Series([], dtype="int64"),
+                "_y": pd.Series([], dtype="int64"),
+                "_cbucket": pd.Series([], dtype="int32"),
+            })
+        days = (
+            df[ts_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({key: df[key], "_day": days})
+            .groupby([key, "_day"], as_index=False, sort=False).size()
+            .rename(columns={"size": "_y"})
+        )
+        g["_y"] = g["_y"].astype("int64")
+        g["_cbucket"] = coarse_bucket(g, [key, "_day"], num_buckets)
+        return g
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "_day": pd.Series([], dtype="int64"),
+                "_y": pd.Series([], dtype="int64"),
+                "_cbucket": pd.Series([], dtype="int32"),
+            })
+        out = group.groupby([key, "_day"], as_index=False, sort=False)[
+            "_y"].sum()
+        out["_y"] = out["_y"].astype("int64")
+        out["_cbucket"] = coarse_bucket(out, [key], num_buckets)
+        return out
+
+    def _moments(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "n_days": pd.Series([], dtype="int64"),
+                "slope_num": pd.Series([], dtype="int64"),
+                "slope_den": pd.Series([], dtype="int64"),
+            })
+        rows = []
+        for kv, g in group.groupby(key, sort=False):
+            x = g["_day"].to_numpy(dtype=np.int64)
+            x = x - x.min()
+            y = g["_y"].to_numpy(dtype=np.int64)
+            n = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy, sxx = int((x * y).sum()), int((x * x).sum())
+            rows.append({key: kv, "n_days": n,
+                         "slope_num": n * sxy - sx * sy,
+                         "slope_den": n * sxx - sx * sx})
+        out = pd.DataFrame(rows)
+        for c in ["n_days", "slope_num", "slope_den"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_merge, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_moments, batch_format="pandas")
+    )

@@ -3855,6 +3855,21 @@ def q_events_debounce(sf_dir):
     return debounce(ev, gap_us=4 * 3600 * 1_000_000, keys=("user_id",))
 
 
+def q_events_daily_trend(sf_dir):
+    """Per-event-type daily-volume OLS slope as EXACT integers
+    (slope_num/slope_den, day index centered per key) —
+    ops.windows.daily_trend, two pre-aggregated coarse-bucket
+    shuffles, no floats anywhere. Hash-checked against a DuckDB
+    integer-moment replay."""
+    import ray.data as rd
+
+    from .ops.windows import daily_trend
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return daily_trend(ev, key="event_type")
+
+
 def q_doc_len_outliers(sf_dir):
     """Per-source robust length outliers: |n_chars - median| > 3*MAD
     with both medians exact-discrete (ops.agg.mad_outliers — two
@@ -4055,6 +4070,7 @@ def build_queries():
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_len_outliers": q_doc_len_outliers,
         "events_debounce": q_events_debounce,
+        "events_daily_trend": q_events_daily_trend,
     })
 
 
@@ -4375,6 +4391,19 @@ def build_oracles():
             "FROM events) WHERE pts IS NULL "
             "OR date_diff('microsecond', pts, ts) > 14400000000 "
             "ORDER BY event_id"
+        ),
+        "events_daily_trend": (
+            "WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+            "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+            "ctr AS (SELECT event_type, MIN(d) AS d0 FROM daily GROUP BY 1), "
+            "ix AS (SELECT daily.event_type, "
+            "date_diff('day', ctr.d0, daily.d) AS x, y "
+            "FROM daily JOIN ctr USING (event_type)) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, "
+            "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) "
+            "AS slope_num, "
+            "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) "
+            "AS slope_den FROM ix GROUP BY event_type ORDER BY event_type"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
