@@ -993,3 +993,61 @@ def test_strongly_connected_components(ray_session):
                     for _ in range(60)})
     edges = [(a, b) for a, b in edges if a != b] + [(0, 0)]
     run(edges)
+
+
+def test_bipartite_check_brute_force(ray_session):
+    """bipartite_check equals a BFS-parity reference on a mix of even
+    cycle, odd cycle, random component, single edge, plus dup/reversed
+    edges and a self loop (dropped)."""
+    import random
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.graph import bipartite_check
+
+    rng = random.Random(5)
+    edges = []
+    edges += [(i, (i + 1) % 6) for i in range(6)]                # even cycle
+    edges += [(10 + i, 10 + (i + 1) % 5) for i in range(5)]      # odd cycle
+    C = list(range(20, 36))
+    for _ in range(30):
+        a, b = rng.sample(C, 2)
+        edges.append((a, b))
+    edges.append((50, 51))                                       # single edge
+    edges += [(1, 0), (0, 1), (7, 7)]              # dup + reversed + self loop
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, want = set(), {}
+    for n in sorted(adj):
+        if n in seen:
+            continue
+        depth = {n: 0}
+        q = deque([n])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    q.append(v)
+        comp_edges = {(min(u, v), max(u, v)) for u in depth for v in adj[u]}
+        odd = sum(1 for u, v in comp_edges if depth[u] % 2 == depth[v] % 2)
+        want[n] = (len(depth), len(comp_edges), odd, odd == 0)
+        seen.update(depth)
+
+    out = bipartite_check(
+        rd.from_pandas(df).repartition(4), num_buckets=6).to_pandas()
+    got = {int(r.component): (int(r.n_nodes), int(r.n_edges),
+                              int(r.odd_edges), bool(r.is_bipartite))
+           for r in out.itertuples()}
+    assert got == want
+    assert not got[10][3] and got[10][2] == 1   # odd cycle: one odd edge
+    assert got[0][3] and got[50][3]             # even cycle + single edge

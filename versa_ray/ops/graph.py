@@ -2893,3 +2893,193 @@ def strongly_connected_components(edges_ds, max_outer=20, max_inner=50,
     for part in assigned[1:]:
         out = out.union(part)
     return out
+
+
+def bipartite_check(edges_ds, max_iters=50, num_buckets=64,
+                    src="src", dst="dst"):
+    """Per-component bipartiteness via BFS-layer parity — the
+    odd-cycle detector (2-colorability QA for interaction graphs,
+    conflict graphs, alternating-role KG relations).
+
+    Standard argument: with min hop depths from any fixed node of a
+    component, an edge whose endpoints share depth PARITY exists iff
+    the component contains an odd cycle. Both ingredients are already
+    distributed primitives here: components come from min-label
+    propagation (``cluster_pairs_ds``), per-component depths from ONE
+    ``multi_source_bfs`` traversal seeded at every component's min
+    node (seed list is O(#components) driver-side — the documented
+    knob, same shape as multi_source_bfs's seed index), and parities
+    attach to edges through two tagged coarse-bucket joins; only
+    (component, count) partials reach the final rollup.
+
+    ``edges_ds``: (src, dst) int64 edges, direction ignored;
+    self-loops dropped (they are odd cycles of length 1 — callers
+    wanting them flagged should count them separately). Isolated
+    nodes never appear (no edges). Returns
+    (component, n_nodes, n_edges, odd_edges, is_bipartite) where
+    component = min node id, n_edges counts distinct canonical
+    undirected edges.
+    """
+    from .dedup import _int_bucket, cluster_pairs_ds, dedup_rows
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy(dtype=np.int64)
+        b = df[dst].to_numpy(dtype=np.int64)
+        m = a != b
+        a, b = a[m], b[m]
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b)})
+
+    pairs = dedup_rows(
+        edges_ds.map_batches(_canon, batch_format="pandas"),
+        ["id_a", "id_b"], num_buckets=num_buckets).materialize()
+
+    comp = cluster_pairs_ds(
+        pairs, max_iters=max_iters, num_buckets=num_buckets)
+    seeds = dedup_rows(
+        comp.map_batches(lambda df: df[["label"]], batch_format="pandas"),
+        ["label"], num_buckets=num_buckets,
+    ).to_pandas()["label"].astype(np.int64).tolist()
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["id_a"].to_numpy(),
+                                   df["id_b"].to_numpy()]),
+            "dst": np.concatenate([df["id_b"].to_numpy(),
+                                   df["id_a"].to_numpy()]),
+        })
+
+    depths = multi_source_bfs(
+        pairs.map_batches(_sym, batch_format="pandas"), seeds,
+        max_iters=max_iters, num_buckets=num_buckets).materialize()
+
+    # tagged working frame: key (join node), kind (0 = depth row,
+    # 1 = edge row), a (edge: other endpoint / pass-2: parity of u),
+    # comp, par (depth parity)
+    def _frame(key, kind, a, comp_, par):
+        n = len(key)
+        return pd.DataFrame({
+            "key": np.asarray(key, dtype=np.int64),
+            "kind": np.full(n, kind, dtype=np.int8),
+            "a": np.asarray(a, dtype=np.int64),
+            "comp": np.asarray(comp_, dtype=np.int64),
+            "par": np.asarray(par, dtype=np.int8),
+        })
+
+    def _depth_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns or not len(df):
+            return _frame([], 0, [], [], [])
+        return _frame(df["node"].to_numpy(), 0,
+                      np.zeros(len(df), dtype=np.int64),
+                      df["seed"].to_numpy(),
+                      df["depth"].to_numpy(dtype=np.int64) & 1)
+
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns or not len(df):
+            return _frame([], 1, [], [], [])
+        n = len(df)
+        return _frame(df["id_a"].to_numpy(), 1, df["id_b"].to_numpy(),
+                      np.zeros(n, dtype=np.int64),
+                      np.zeros(n, dtype=np.int8))
+
+    def _bucketed(ds_, fn):
+        import pyarrow as _pa
+
+        def _tag(df: pd.DataFrame) -> "_pa.Table":
+            out = df.copy()
+            out["_cbucket"] = (
+                _int_bucket(out["key"].to_numpy(), num_buckets)
+                if len(out) else np.empty(0, dtype=np.int32))
+            return _pa.Table.from_pandas(out, preserve_index=False)
+
+        def _apply(bucket: pd.DataFrame) -> pd.DataFrame:
+            if "key" not in bucket.columns or not len(bucket):
+                return fn(_frame([], 0, [], [], []))
+            return fn(bucket.drop(columns=["_cbucket"]))
+
+        return (ds_.map_batches(_tag, batch_format="pandas")
+                .groupby("_cbucket").map_groups(_apply,
+                                                batch_format="pandas"))
+
+    pass1_in = depths.map_batches(
+        _depth_rows, batch_format="pandas").union(
+        pairs.map_batches(_edge_rows, batch_format="pandas"))
+
+    def _attach_u(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["kind"] == 0][["key", "comp", "par"]]
+        e = bucket[bucket["kind"] == 1][["key", "a"]]
+        if not len(e):
+            return _frame([], 1, [], [], [])
+        m = e.merge(d, on="key", how="left")
+        # every edge endpoint has a depth row by construction
+        return _frame(m["a"].to_numpy(), 1, m["par"].to_numpy(),
+                      m["comp"].to_numpy(), np.zeros(len(m), dtype=np.int8))
+
+    pass2_in = depths.map_batches(
+        _depth_rows, batch_format="pandas").union(
+        _bucketed(pass1_in, _attach_u))
+
+    def _partials(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["kind"] == 0]
+        e = bucket[bucket["kind"] == 1]
+        outs = []
+        if len(d):
+            g = d.groupby("comp", sort=False).size()
+            outs.append(pd.DataFrame({
+                "comp": g.index.to_numpy(dtype=np.int64),
+                "nodes": g.to_numpy(dtype=np.int64),
+                "edges": np.zeros(len(g), dtype=np.int64),
+                "odd": np.zeros(len(g), dtype=np.int64)}))
+        if len(e):
+            m = e[["key", "a", "comp"]].merge(
+                d[["key", "par"]], on="key", how="left")
+            odd = (m["a"].to_numpy(dtype=np.int64)
+                   == m["par"].to_numpy(dtype=np.int64))
+            g = pd.DataFrame({"comp": m["comp"], "odd": odd}).groupby(
+                "comp", sort=False).agg(edges=("odd", "size"),
+                                        odd=("odd", "sum"))
+            outs.append(pd.DataFrame({
+                "comp": g.index.to_numpy(dtype=np.int64),
+                "nodes": np.zeros(len(g), dtype=np.int64),
+                "edges": g["edges"].to_numpy(dtype=np.int64),
+                "odd": g["odd"].to_numpy(dtype=np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                "comp": pd.Series([], dtype="int64"),
+                "nodes": pd.Series([], dtype="int64"),
+                "edges": pd.Series([], dtype="int64"),
+                "odd": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = _bucketed(pass2_in, _partials)
+
+    import pyarrow as _pa
+
+    def _rebucket(df: pd.DataFrame) -> "_pa.Table":
+        out = df.copy()
+        out["_cbucket"] = (
+            _int_bucket(out["comp"].to_numpy(), num_buckets)
+            if len(out) else np.empty(0, dtype=np.int32))
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    def _rollup(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "comp" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({
+                "component": pd.Series([], dtype="int64"),
+                "n_nodes": pd.Series([], dtype="int64"),
+                "n_edges": pd.Series([], dtype="int64"),
+                "odd_edges": pd.Series([], dtype="int64"),
+                "is_bipartite": pd.Series([], dtype=bool)})
+        g = bucket.groupby("comp", sort=False).agg(
+            n_nodes=("nodes", "sum"), n_edges=("edges", "sum"),
+            odd_edges=("odd", "sum")).reset_index()
+        return pd.DataFrame({
+            "component": g["comp"].to_numpy(dtype=np.int64),
+            "n_nodes": g["n_nodes"].to_numpy(dtype=np.int64),
+            "n_edges": g["n_edges"].to_numpy(dtype=np.int64),
+            "odd_edges": g["odd_edges"].to_numpy(dtype=np.int64),
+            "is_bipartite": g["odd_edges"].to_numpy() == 0})
+
+    return (partials.map_batches(_rebucket, batch_format="pandas")
+            .groupby("_cbucket").map_groups(_rollup,
+                                            batch_format="pandas"))

@@ -3840,6 +3840,45 @@ def q_kg_functional_conflicts(sf_dir):
     return functional_conflicts(links, [IN_NATION, IN_REGION])
 
 
+def q_kg_bipartite(sf_dir):
+    """Per-component bipartiteness (odd-cycle detection) via BFS-layer
+    parity — ops.graph.bipartite_check: min-label components, ONE
+    multi-source BFS seeded at each component's min node, parity
+    attached to edges through tagged bucket joins. Fixture: customers
+    partitioned into rings by c_custkey mod G (G scaled so rings stay
+    ~40 nodes at any sf), so even rings are bipartite and odd rings
+    carry exactly one odd edge. Hash-checked against a DuckDB
+    recursive min-depth + parity replay."""
+    import ray.data as rd
+
+    from .ops.dedup import bucketed_group_apply
+    from .ops.graph import bipartite_check
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    G = max(23, cust.count() // 40)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"k": k, "g": k % G})
+
+    def _cycle(group: pd.DataFrame) -> pd.DataFrame:
+        ks = np.sort(group["k"].to_numpy(dtype=np.int64))
+        if len(ks) < 2:
+            return pd.DataFrame({"src": np.empty(0, dtype=np.int64),
+                                 "dst": np.empty(0, dtype=np.int64)})
+        src, dst = ks[:-1], ks[1:]
+        if len(ks) >= 3:  # close the ring
+            src = np.append(src, ks[-1])
+            dst = np.append(dst, ks[0])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = bucketed_group_apply(
+        cust.map_batches(_tag, batch_format="pandas"), ["g"], _cycle,
+        min_group_size=2)
+    return bipartite_check(edges)
+
+
 def q_events_debounce(sf_dir):
     """Duplicate-burst suppression: keep an event iff >4h since the
     user's previous event, ordered (ts, event_id) — ops.windows.debounce,
@@ -4071,6 +4110,7 @@ def build_queries():
         "doc_len_outliers": q_doc_len_outliers,
         "events_debounce": q_events_debounce,
         "events_daily_trend": q_events_daily_trend,
+        "kg_bipartite": q_kg_bipartite,
     })
 
 
@@ -4404,6 +4444,49 @@ def build_oracles():
             "AS slope_num, "
             "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) "
             "AS slope_den FROM ix GROUP BY event_type ORDER BY event_type"
+        ),
+        # bipartiteness replay: same ring fixture (customers mod G,
+        # G = max(25, n//40)), min depth from each ring's min node via
+        # the capped recursive walk (UNION dedups states; rings stay
+        # ~40 nodes so min depth < 40), odd edge = endpoints with
+        # equal depth parity
+        "kg_bipartite": (
+            "WITH RECURSIVE gsz AS (SELECT GREATEST(23, COUNT(*) // 40) "
+            "AS g FROM customer), "
+            "mem AS MATERIALIZED (SELECT c_custkey AS k, "
+            "c_custkey % (SELECT g FROM gsz) AS g, "
+            "row_number() OVER (PARTITION BY c_custkey % (SELECT g FROM gsz) "
+            "ORDER BY c_custkey) AS i, "
+            "COUNT(*) OVER (PARTITION BY c_custkey % (SELECT g FROM gsz)) "
+            "AS s FROM customer), "
+            "e AS MATERIALIZED (SELECT DISTINCT LEAST(u0, v0) AS u, "
+            "GREATEST(u0, v0) AS v FROM ("
+            "SELECT a.k AS u0, b.k AS v0 FROM mem a "
+            "JOIN mem b ON a.g = b.g AND b.i = a.i + 1 "
+            "UNION ALL SELECT a.k, b.k FROM mem a "
+            "JOIN mem b ON a.g = b.g AND a.i = a.s AND b.i = 1 "
+            "WHERE a.s >= 3)), "
+            "bd AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "seeds AS (SELECT MIN(k) AS seed FROM mem GROUP BY g "
+            "HAVING COUNT(*) >= 2), "
+            "walk(seed, node, depth) AS ("
+            "SELECT seed, seed, 0 FROM seeds "
+            "UNION SELECT w.seed, bd.b, w.depth + 1 FROM walk w "
+            "JOIN bd ON bd.a = w.node WHERE w.depth < 40), "
+            "md AS MATERIALIZED (SELECT seed, node, MIN(depth) AS d "
+            "FROM walk GROUP BY 1, 2), "
+            "oe AS (SELECT du.seed AS component, "
+            "CAST(COUNT(*) AS BIGINT) AS n_edges, "
+            "CAST(COUNT(*) FILTER ((du.d % 2) = (dv.d % 2)) AS BIGINT) "
+            "AS odd_edges FROM e JOIN md du ON du.node = e.u "
+            "JOIN md dv ON dv.node = e.v AND dv.seed = du.seed "
+            "GROUP BY 1), "
+            "nn AS (SELECT seed AS component, CAST(COUNT(*) AS BIGINT) "
+            "AS n_nodes FROM md GROUP BY 1) "
+            "SELECT nn.component, n_nodes, n_edges, odd_edges, "
+            "odd_edges = 0 AS is_bipartite FROM nn "
+            "JOIN oe USING (component) ORDER BY component"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
