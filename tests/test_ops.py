@@ -3160,3 +3160,31 @@ def test_daily_trend_brute_force(ray_session):
         assert got == want
     assert want["one"][2] == 0 and want["flat"][1] == 0
     assert want["up"][1] > 0
+
+
+def test_ntile_sql_semantics(ray_session):
+    """ntile matches SQL NTILE (first N%B buckets take ceil(N/B)) on
+    uneven N, N < B, duplicate values (tie-broken by id), and is
+    partition-invariant."""
+    import duckdb
+    import ray.data as rd
+
+    from versa_ray.ops.agg import ntile
+
+    rng = np.random.RandomState(9)
+    for n, b in [(23, 7), (3, 5), (40, 4)]:
+        df = pd.DataFrame({
+            "rid": np.arange(n, dtype=np.int64),
+            "x": rng.randint(0, 6, size=n).astype(np.int64),  # many ties
+        })
+        want = duckdb.sql(
+            "SELECT rid, CAST(NTILE(%d) OVER (ORDER BY x, rid) AS BIGINT)"
+            " AS tile FROM df ORDER BY rid" % b).df()
+        for nblocks in (1, 6):
+            out = ntile(rd.from_pandas(df).repartition(nblocks),
+                        col="x", tie_col="rid", n_tiles=b,
+                        num_buckets=5).to_pandas()
+            got = out.sort_values("rid")[["rid", "tile"]].reset_index(
+                drop=True)
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False)

@@ -920,3 +920,51 @@ def mad_outliers(ds, key, col, k=3, num_buckets=64):
         return out
 
     return ds.map_batches(_flag, batch_format="pandas")
+
+
+def ntile(ds, col, tie_col, n_tiles, out_col="tile", num_buckets=64):
+    """Global equal-frequency binning with SQL ``NTILE`` semantics:
+    rows ordered by ``(col, tie_col)`` split into ``n_tiles`` buckets
+    where the first ``N % n_tiles`` buckets take ``ceil(N/n_tiles)``
+    rows — the quantile-bucket feature for curriculum buckets, length
+    tiers, score deciles.
+
+    Rank comes from :func:`zip_with_index` over the composite key
+    ``(col << 31) | tie_col`` (both must be non-negative int64 below
+    2^31 — validated per batch; ``tie_col`` must be unique, e.g. a row
+    id), then the tile is a PURE FORMULA of (rank, N, n_tiles) applied
+    in the same pass — no shuffle beyond zip_with_index's single
+    range-bucket exchange. Exact and partition-invariant; replays
+    bit-exactly against SQL ``NTILE``.
+    """
+    n_rows = ds.count()
+
+    lim = np.int64(1) << 31
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.int64)
+        t = df[tie_col].to_numpy(dtype=np.int64)
+        if len(v) and (v.min() < 0 or t.min() < 0
+                       or v.max() >= lim or t.max() >= lim):
+            raise ValueError(
+                f"ntile composite key needs 0 <= {col},{tie_col} < 2^31")
+        out = df.copy()
+        out["_ntkey"] = (v << np.int64(31)) | t
+        return out
+
+    ranked = zip_with_index(
+        ds.map_batches(_key, batch_format="pandas"), "_ntkey",
+        num_buckets=num_buckets, out_col="_ntrank")
+
+    size, rem = divmod(int(n_rows), int(n_tiles))
+    cut = rem * (size + 1)
+
+    def _tile(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["_ntrank"].to_numpy(dtype=np.int64)
+        lo = r // (size + 1) + 1
+        hi = (rem + (r - cut) // size + 1) if size else lo
+        out = df.drop(columns=["_ntkey", "_ntrank"])
+        out[out_col] = np.where(r < cut, lo, hi).astype(np.int64)
+        return out
+
+    return ranked.map_batches(_tile, batch_format="pandas")

@@ -3840,6 +3840,20 @@ def q_kg_functional_conflicts(sf_dir):
     return functional_conflicts(links, [IN_NATION, IN_REGION])
 
 
+def q_doc_len_ntile(sf_dir):
+    """Global equal-frequency length tiers: NTILE(7) over
+    (n_chars, doc_id) — ops.agg.ntile, rank from zip_with_index's one
+    range-bucket exchange, tile as a pure rank formula. Hash-checked
+    against SQL NTILE."""
+    from .ops.agg import ntile
+
+    out = ntile(_docs_with(sf_dir, ["doc_id", "n_chars"]),
+                col="n_chars", tie_col="doc_id", n_tiles=7)
+    return out.map_batches(
+        lambda df: df.assign(n_chars=df.n_chars.astype("int64")),
+        batch_format="pandas")
+
+
 def q_kg_bipartite(sf_dir):
     """Per-component bipartiteness (odd-cycle detection) via BFS-layer
     parity — ops.graph.bipartite_check: min-label components, ONE
@@ -4111,6 +4125,7 @@ def build_queries():
         "events_debounce": q_events_debounce,
         "events_daily_trend": q_events_daily_trend,
         "kg_bipartite": q_kg_bipartite,
+        "doc_len_ntile": q_doc_len_ntile,
     })
 
 
@@ -4487,6 +4502,11 @@ def build_oracles():
             "SELECT nn.component, n_nodes, n_edges, odd_edges, "
             "odd_edges = 0 AS is_bipartite FROM nn "
             "JOIN oe USING (component) ORDER BY component"
+        ),
+        "doc_len_ntile": (
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(NTILE(7) OVER (ORDER BY n_chars, doc_id) AS BIGINT) "
+            "AS tile FROM documents ORDER BY doc_id"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
