@@ -3188,3 +3188,47 @@ def test_ntile_sql_semantics(ray_session):
                 drop=True)
             pd.testing.assert_frame_equal(
                 got, want, check_dtype=False)
+
+
+def test_tiff_codec_roundtrip():
+    """TIFF encode→decode is the identity for gray and RGB at odd
+    dims; big-endian (MM) files decode; compressed/truncated inputs
+    raise."""
+    import struct
+
+    from versa_ray.ops.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(0)
+    for shape in [(9, 15, 3), (7, 13), (1, 1, 3), (3, 257, 3), (5, 8)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        b = decode_tiff(encode_tiff(a))
+        exp = a if a.ndim == 3 else a[:, :, None]
+        assert b.shape == exp.shape and (b == exp).all(), shape
+
+    # hand-built big-endian fixture (encoder is little-endian only)
+    a = rng.randint(0, 256, size=(3, 4)).astype(np.uint8)
+    data = a.tobytes()
+
+    def tag(tid, ttype, count, value):
+        return struct.pack(">HHI", tid, ttype, count) + struct.pack(
+            ">I", value)
+
+    def tag_short(tid, v):
+        return struct.pack(">HHIHH", tid, 3, 1, v, 0)
+
+    entries = [tag(256, 4, 1, 4), tag(257, 4, 1, 3), tag_short(258, 8),
+               tag_short(259, 1), tag_short(262, 1), tag(273, 4, 1, 8),
+               tag_short(277, 1), tag(278, 4, 1, 3), tag(279, 4, 1, 12)]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    mm = struct.pack(">2sHI", b"MM", 42, 8 + len(data)) + data + ifd
+    assert (decode_tiff(mm)[:, :, 0] == a).all()
+
+    with pytest.raises((ValueError, struct.error)):
+        decode_tiff(b"II*\x00garbage")
+    lzw = encode_tiff(np.zeros((2, 2), dtype=np.uint8))
+    # flip the Compression SHORT (tag 259) to 5 (LZW) -> must raise
+    comp_at = lzw.index(struct.pack("<HHIHH", 259, 3, 1, 1, 0))
+    bad = (lzw[:comp_at] + struct.pack("<HHIHH", 259, 3, 1, 5, 0)
+           + lzw[comp_at + 12:])
+    with pytest.raises(ValueError):
+        decode_tiff(bad)

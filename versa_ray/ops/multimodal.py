@@ -115,6 +115,8 @@ class DecodeImage:
                 real = ("bmp", decode_bmp)
             elif data[:6] in (b"GIF87a", b"GIF89a"):
                 real = ("gif", decode_gif)
+            elif data[:4] in (b"II*\x00", b"MM\x00*"):
+                real = ("tiff", decode_tiff)
             if real is not None:
                 name, codec_fn = real
                 try:
@@ -985,3 +987,114 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF index outside color table")
         return np.ascontiguousarray(table[idx])
     raise ValueError("GIF contains no image block")
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF codec (baseline TIFF 6.0: uncompressed 8-bit grayscale/RGB,
+# both byte orders on decode, single-strip little-endian on encode)
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """TIFF bytes from (H, W, 3) RGB or (H, W) grayscale uint8:
+    little-endian ("II"), compression 1 (none), one strip, IFD after
+    the pixel data. Reference layout per the public TIFF 6.0 spec."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp, photometric = 1, 1          # BlackIsZero
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        spp, photometric = 3, 2          # RGB
+    else:
+        raise ValueError("encode_tiff expects (H, W) gray or (H, W, 3) RGB")
+    data = arr.tobytes()
+    pos = 8 + len(data)
+    if pos % 2:                          # word-align offsets
+        data += b"\x00"
+        pos += 1
+    bps_off = 0
+    extra = b""
+    if spp == 3:                         # external BitsPerSample array
+        bps_off = pos
+        extra = struct.pack("<3H", 8, 8, 8)
+        pos += len(extra)
+    ifd_off = pos
+
+    def tag(tid, ttype, count, value):
+        return struct.pack("<HHI", tid, ttype, count) + struct.pack(
+            "<I", value)
+
+    def tag_short(tid, value):           # SHORT payload left-packed
+        return struct.pack("<HHIHH", tid, 3, 1, value, 0)
+
+    entries = [
+        tag(256, 4, 1, w),
+        tag(257, 4, 1, h),
+        (tag(258, 3, 3, bps_off) if spp == 3 else tag_short(258, 8)),
+        tag_short(259, 1),
+        tag_short(262, photometric),
+        tag(273, 4, 1, 8),
+        tag_short(277, spp),
+        tag(278, 4, 1, h),
+        tag(279, 4, 1, w * h * spp),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    return struct.pack("<2sHI", b"II", 42, ifd_off) + data + extra + ifd
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """(H, W, 1) grayscale or (H, W, 3) RGB uint8 from baseline TIFF
+    bytes: either byte order, uncompressed 8-bit, photometric 1/2,
+    multi-strip tolerated. Raises ValueError on compressed, tiled,
+    planar or non-8-bit inputs."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    n = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    tags = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tid, ttype, count = struct.unpack_from(bo + "HHI", payload, off)
+        tags[tid] = (ttype, count, off + 8)
+    sizes = {1: 1, 3: 2, 4: 4}
+
+    def values(tid, default=None):
+        if tid not in tags:
+            if default is None:
+                raise ValueError(f"TIFF tag {tid} missing")
+            return default
+        ttype, count, voff = tags[tid]
+        if ttype not in sizes:
+            raise ValueError(f"unsupported TIFF tag type {ttype}")
+        total = sizes[ttype] * count
+        if total > 4:
+            voff = struct.unpack_from(bo + "I", payload, voff)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        return list(struct.unpack_from(bo + str(count) + fmt, payload, voff))
+
+    w, h = values(256)[0], values(257)[0]
+    comp = values(259, [1])[0]
+    photometric = values(262)[0]
+    spp = values(277, [1])[0]
+    bps = values(258, [8] * spp)
+    if comp != 1:
+        raise ValueError("only uncompressed TIFF supported")
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise ValueError("only 8-bit gray/RGB TIFF supported")
+    if photometric not in (1, 2):
+        raise ValueError("unsupported TIFF photometric")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    if values(284, [1])[0] != 1:
+        raise ValueError("planar TIFF unsupported")
+    offs = values(273)
+    counts = values(279, [w * h * spp] if len(offs) == 1 else None)
+    body = b"".join(payload[o:o + c] for o, c in zip(offs, counts))
+    need = w * h * spp
+    if len(body) < need:
+        raise ValueError("truncated TIFF strips")
+    img = np.frombuffer(body[:need], dtype=np.uint8).reshape(h, w, spp)
+    return np.ascontiguousarray(img)

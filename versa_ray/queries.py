@@ -3334,6 +3334,46 @@ def q_multimodal_bmp_features(sf_dir):
     return decode_features(media, fake=False)
 
 
+def q_multimodal_tiff_features(sf_dir):
+    """REAL image codec path: deterministic images derived from
+    doc_id — RGB for even ids, 8-bit GRAYSCALE for odd ids (both
+    photometric branches of the baseline TIFF parser) — are encoded
+    to uncompressed little-endian TIFF and decoded back by the
+    DecodeImage actor pool (magic-byte dispatch -> real IFD walk).
+    The DuckDB oracle computes the channel sums analytically from the
+    pixel formulas."""
+    import pyarrow as pa_
+
+    from .ops.multimodal import decode_features
+
+    def _synth(tbl: pa_.Table) -> pa_.Table:
+        from .ops.multimodal import encode_tiff
+
+        ids, payloads = [], []
+        for d in tbl["doc_id"].to_pylist():
+            w = 11 + (d % 5) * 4
+            h = 6 + (d % 4) * 3
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            base = d * 23 + x[None, :] * 3 + y[:, None] * 13
+            if d % 2 == 0:
+                c = np.arange(3, dtype=np.int64)
+                img = ((base[:, :, None] + c[None, None, :] * 5)
+                       % 256).astype(np.uint8)
+            else:
+                img = (base % 256).astype(np.uint8)
+            ids.append(d)
+            payloads.append(encode_tiff(img))
+        return pa_.table({
+            "media_id": pa_.array(ids, type=pa_.int64()),
+            "payload": pa_.array(payloads, type=pa_.binary()),
+        })
+
+    media = _media_doc_ids(sf_dir).map_batches(
+        _synth, batch_format="pyarrow", batch_size=32)
+    return decode_features(media, fake=False)
+
+
 def q_multimodal_gif_features(sf_dir):
     """REAL image codec path: deterministic palette images derived
     from doc_id are encoded to GIF89a (real LZW with code-width
@@ -4033,6 +4073,7 @@ def build_queries():
         "multimodal_png_features": q_multimodal_png_features,
         "multimodal_bmp_features": q_multimodal_bmp_features,
         "multimodal_gif_features": q_multimodal_gif_features,
+        "multimodal_tiff_features": q_multimodal_tiff_features,
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -4309,6 +4350,26 @@ def build_oracles():
             "CAST(SUM(g) AS BIGINT) AS sum_g, "
             "CAST(SUM(b) AS BIGINT) AS sum_b "
             "FROM px GROUP BY doc_id, w, h"
+        ),
+        "multimodal_tiff_features": (
+            "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
+            "LIMIT 128), "
+            "par AS (SELECT doc_id, 11 + (doc_id % 5) * 4 AS w, "
+            "6 + (doc_id % 4) * 3 AS h, doc_id % 2 = 0 AS rgb FROM ids), "
+            "xs AS (SELECT unnest(generate_series(0, 26)) AS x), "
+            "ys AS (SELECT unnest(generate_series(0, 14)) AS y), "
+            "px AS (SELECT p.doc_id, p.w, p.h, p.rgb, "
+            "(p.doc_id * 23 + x.x * 3 + y.y * 13) % 256 AS base, "
+            "(p.doc_id * 23 + x.x * 3 + y.y * 13 + 5) % 256 AS g2, "
+            "(p.doc_id * 23 + x.x * 3 + y.y * 13 + 10) % 256 AS b2 "
+            "FROM par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h) "
+            "SELECT doc_id AS media_id, 'tiff' AS codec, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM(base) AS BIGINT) AS sum_r, "
+            "CAST(SUM(CASE WHEN rgb THEN g2 ELSE base END) AS BIGINT) "
+            "AS sum_g, "
+            "CAST(SUM(CASE WHEN rgb THEN b2 ELSE base END) AS BIGINT) "
+            "AS sum_b FROM px GROUP BY doc_id, w, h"
         ),
         "multimodal_gif_features": (
             "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id "
