@@ -3139,11 +3139,12 @@ def q_kg_linkset(sf_dir):
 
 def q_multimodal_features(sf_dir):
     """Generic image decode with MAGIC-BYTE dispatch over a MIXED
-    corpus covering every real codec in one actor pool: doc_id % 4
+    corpus covering every real codec in one actor pool: doc_id % 5
     routes to real PNG (filter rotating through all five types), real
-    GIF (LZW), real BMP (row padding), or an opaque byte payload
+    GIF (LZW), real BMP (row padding), real TIFF (IFD walk), or an
+    opaque byte payload
     (the documented fake stand-in — formats this env cannot decode).
-    The DuckDB oracle replays ALL FOUR feature formulas analytically,
+    The DuckDB oracle replays ALL FIVE feature formulas analytically,
     so codec dispatch or decode drift on any path hash-mismatches.
     (The lossy JPEG path has its own query — its oracle needs the
     constant-block trick.)"""
@@ -3152,12 +3153,13 @@ def q_multimodal_features(sf_dir):
     from .ops.multimodal import decode_features
 
     def _synth(tbl: pa_.Table) -> pa_.Table:
-        from .ops.multimodal import encode_bmp, encode_gif, encode_png
+        from .ops.multimodal import (encode_bmp, encode_gif, encode_png,
+                                     encode_tiff)
 
         ids, payloads = [], []
         for d in tbl["doc_id"].to_pylist():
             ids.append(d)
-            m = d % 4
+            m = d % 5
             if m == 0:
                 w = 16 + (d % 5) * 4
                 h = 12 + (d % 3) * 4
@@ -3193,6 +3195,17 @@ def q_multimodal_features(sf_dir):
                      + c[None, None, :] * 7) % 256
                 ).astype(np.uint8)
                 payloads.append(encode_bmp(img))
+            elif m == 3:
+                w = 11 + (d % 5) * 4
+                h = 6 + (d % 4) * 3
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                img = (
+                    (d * 23 + x[None, :, None] * 3 + y[:, None, None] * 13
+                     + c[None, None, :] * 5) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_tiff(img))
             else:
                 n = 512 + (d % 5) * 64
                 k = np.arange(n, dtype=np.int64)
@@ -5961,7 +5974,7 @@ def build_oracles():
             "xs AS (SELECT unnest(generate_series(0, 36)) AS x), "
             "ys AS (SELECT unnest(generate_series(0, 23)) AS y), "
             "png_par AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, "
-            "12 + (doc_id % 3) * 4 AS h FROM ids WHERE doc_id % 4 = 0), "
+            "12 + (doc_id % 3) * 4 AS h FROM ids WHERE doc_id % 5 = 0), "
             "px AS (SELECT p.doc_id, p.w, p.h, "
             "(p.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS r, "
             "(p.doc_id * 31 + x.x * 7 + y.y * 13 + 5) % 256 AS g, "
@@ -5974,7 +5987,7 @@ def build_oracles():
             "FROM px GROUP BY doc_id, w, h), "
             "gif_par AS (SELECT doc_id, 13 + (doc_id % 5) * 5 AS w, "
             "8 + (doc_id % 3) * 3 AS h, 2 + (doc_id % 7) * 9 AS np "
-            "FROM ids WHERE doc_id % 4 = 1), "
+            "FROM ids WHERE doc_id % 5 = 1), "
             "gpx AS (SELECT p.doc_id, p.w, p.h, "
             "(p.doc_id * 11 + x.x * 3 + y.y * 5) % p.np AS idx "
             "FROM gif_par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h), "
@@ -5987,7 +6000,7 @@ def build_oracles():
             "AS sum_b "
             "FROM gpx GROUP BY doc_id, w, h), "
             "bmp_par AS (SELECT doc_id, 15 + (doc_id % 5) * 3 AS w, "
-            "9 + (doc_id % 3) * 2 AS h FROM ids WHERE doc_id % 4 = 2), "
+            "9 + (doc_id % 3) * 2 AS h FROM ids WHERE doc_id % 5 = 2), "
             "bpx AS (SELECT p.doc_id, p.w, p.h, "
             "(p.doc_id * 19 + x.x * 5 + y.y * 11) % 256 AS r, "
             "(p.doc_id * 19 + x.x * 5 + y.y * 11 + 7) % 256 AS g, "
@@ -5998,8 +6011,20 @@ def build_oracles():
             "CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS "
             "sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
             "FROM bpx GROUP BY doc_id, w, h), "
+            "tiff_par AS (SELECT doc_id, 11 + (doc_id % 5) * 4 AS w, "
+            "6 + (doc_id % 4) * 3 AS h FROM ids WHERE doc_id % 5 = 3), "
+            "tpx AS (SELECT p.doc_id, p.w, p.h, "
+            "(p.doc_id * 23 + x.x * 3 + y.y * 13) % 256 AS r, "
+            "(p.doc_id * 23 + x.x * 3 + y.y * 13 + 5) % 256 AS g, "
+            "(p.doc_id * 23 + x.x * 3 + y.y * 13 + 10) % 256 AS b "
+            "FROM tiff_par p JOIN xs x ON x.x < p.w JOIN ys y ON y.y < p.h), "
+            "tiff AS (SELECT doc_id AS media_id, 'tiff' AS codec, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS "
+            "sum_g, CAST(SUM(b) AS BIGINT) AS sum_b "
+            "FROM tpx GROUP BY doc_id, w, h), "
             "fake_par AS (SELECT doc_id, 512 + (doc_id % 5) * 64 AS n "
-            "FROM ids WHERE doc_id % 4 = 3), "
+            "FROM ids WHERE doc_id % 5 = 4), "
             "ks AS (SELECT unnest(generate_series(0, 767)) AS k), "
             "bs AS (SELECT p.doc_id, p.n, k.k, "
             "(p.doc_id * 97 + k.k * 31) % 256 AS b "
@@ -6011,8 +6036,8 @@ def build_oracles():
             "CAST(SUM(CASE WHEN k % 2 = 1 THEN b END) AS BIGINT) AS sum_b "
             "FROM bs GROUP BY doc_id) "
             "SELECT * FROM png UNION ALL SELECT * FROM gif "
-            "UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM fake "
-            "ORDER BY media_id"
+            "UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM tiff "
+            "UNION ALL SELECT * FROM fake ORDER BY media_id"
         ),
         # doc_minhash_dedup / doc_simhash / doc_langid / doc_quality /
         # kg_linkset: not SQL-expressible -> rows-only checks
