@@ -3232,3 +3232,40 @@ def test_tiff_codec_roundtrip():
            + lzw[comp_at + 12:])
     with pytest.raises(ValueError):
         decode_tiff(bad)
+
+
+def test_broadcast_join_and_winsorize(ray_session):
+    """broadcast_join: left keeps misses (NULL-filled), inner drops
+    them, dup dim keys collapse to one row. winsorize: thresholds
+    equal quantile_disc semantics and the clip flag is exact."""
+    import ray.data as rd
+
+    from versa_ray.ops.agg import winsorize
+    from versa_ray.ops.joins import broadcast_join
+
+    facts = pd.DataFrame({"k": [1, 2, 3, 2, 9], "v": [10, 20, 30, 40, 50]})
+    dim = pd.DataFrame({"dk": [1, 2, 3, 3], "name": ["a", "b", "c", "dup"]})
+
+    left = broadcast_join(rd.from_pandas(facts), dim, on="k",
+                          right_on="dk").to_pandas()
+    assert len(left) == 5 and left[left.k == 9]["name"].isna().all()
+    inner = broadcast_join(rd.from_pandas(facts), dim, on="k",
+                           right_on="dk", how="inner").to_pandas()
+    assert len(inner) == 4 and set(inner.k) == {1, 2, 3}
+    assert (left[left.k == 3]["name"] == "c").all()  # first dup wins
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"rid": np.arange(200, dtype=np.int64),
+                       "x": rng.randint(0, 1000, 200).astype(np.int64)})
+
+    def qdisc(v, q):
+        s = np.sort(v)
+        return int(s[max(int(np.ceil(q * len(s))) - 1, 0)])
+
+    lo, hi = qdisc(df.x.to_numpy(), 0.1), qdisc(df.x.to_numpy(), 0.9)
+    out = winsorize(rd.from_pandas(df).repartition(4), "x",
+                    q_lo=0.1, q_hi=0.9).to_pandas().sort_values("rid")
+    want = np.clip(df.x.to_numpy(), lo, hi)
+    assert (out.x_wins.to_numpy() == want).all()
+    assert (out.clipped.to_numpy() == (want != df.x.to_numpy())).all()
+    assert out.clipped.any() and not out.clipped.all()

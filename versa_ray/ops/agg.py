@@ -968,3 +968,26 @@ def ntile(ds, col, tie_col, n_tiles, out_col="tile", num_buckets=64):
         return out
 
     return ranked.map_batches(_tile, batch_format="pandas")
+
+
+def winsorize(ds, col, q_lo=0.05, q_hi=0.95, out_col=None, **quantile_kw):
+    """Clip ``col`` to its exact discrete [q_lo, q_hi] quantiles — the
+    outlier-tail clamp before mean-based statistics or score
+    normalization. Thresholds come from :func:`exact_quantiles`
+    (bounded sparse-histogram refinement, nothing corpus-sized
+    driver-side; quantile_disc semantics so integer columns stay
+    integers and the clip replays bit-exactly in SQL); the clip itself
+    is one streaming map pass. Adds ``out_col`` (default
+    ``{col}_wins``) plus ``clipped`` (bool)."""
+    lo, hi = exact_quantiles(ds, col, [q_lo, q_hi], **quantile_kw)
+    name = out_col or f"{col}_wins"
+
+    def _clip(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        w = np.clip(v, lo, hi)
+        out = df.copy()
+        out[name] = w.astype(v.dtype, copy=False)
+        out["clipped"] = w != v
+        return out
+
+    return ds.map_batches(_clip, batch_format="pandas")

@@ -419,3 +419,36 @@ def bloom_semi_filter(ds, bloom: dict, on):
         return df[keep]
 
     return ds.map_batches(_probe, batch_format="pandas")
+
+
+def broadcast_join(ds, dim, on, right_on=None, cols=None, how="left"):
+    """Map-side join against a SMALL dimension table — the star-schema
+    primitive: the dim table is ``ray.put`` once (one object-store
+    copy per node, zero-copy reads in every task) and every fact batch
+    merges against it locally, so NO shuffle ever touches the fact
+    stream. This is the scale path whenever the right side fits a
+    worker's heap (lookup/code/geo tables); corpus-proportional right
+    sides need ``salted_join`` instead.
+
+    ``dim``: a pandas DataFrame (already small by definition — callers
+    with a Dataset dim should ``.to_pandas()`` it, which is exactly
+    the materialization this op's contract allows). ``cols``: dim
+    columns to attach (default: all but the join key). ``how``:
+    'left' (keep all facts, NULL-fill misses) or 'inner' (drop
+    misses).
+    """
+    import ray
+
+    if how not in ("left", "inner"):
+        raise ValueError("broadcast_join supports how='left'|'inner'")
+    rkey = right_on or on
+    keep = [c for c in (cols or dim.columns) if c != rkey]
+    slim = dim[[rkey] + list(keep)].drop_duplicates(rkey)
+    dim_ref = ray.put(slim)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        return df.merge(d, left_on=on, right_on=rkey, how=how).drop(
+            columns=[rkey] if rkey != on else [])
+
+    return ds.map_batches(_merge, batch_format="pandas")

@@ -3893,6 +3893,86 @@ def q_kg_functional_conflicts(sf_dir):
     return functional_conflicts(links, [IN_NATION, IN_REGION])
 
 
+def q_events_user_distinct(sf_dir):
+    """EXACT distinct users per event type — the oracle-backed sibling
+    of the events_user_hll self-gate: per-batch (type, user) pre-dedup
+    combiner, one coarse-bucket shuffle, count (ops.dedup.dedup_rows +
+    a small rollup). Hash-checked against COUNT(DISTINCT)."""
+    import ray.data as rd
+
+    from .ops.agg import grouped_agg_small
+    from .ops.dedup import dedup_rows
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+        override_num_blocks=_blocks_for())
+    distinct = dedup_rows(ev, ["event_type", "user_id"])
+    counted = distinct.map_batches(
+        lambda df: df.assign(distinct_users=np.int64(1))[
+            ["event_type", "distinct_users"]],
+        batch_format="pandas")
+    return grouped_agg_small(
+        counted, ["event_type"], {"distinct_users": ("distinct_users",
+                                                     "sum")})
+
+
+def q_customer_region_rollup(sf_dir):
+    """Star-schema denormalization via map-side BROADCAST joins
+    (ops.joins.broadcast_join): the nation and region dims ship once
+    via ray.put and every customer batch merges locally — the fact
+    stream never shuffles; only the region-cardinality rollup does.
+    Account balances sum as exact integer cents. Hash-checked against
+    the two-dim SQL join."""
+    import ray.data as rd
+
+    from .ops.agg import grouped_agg_small
+    from .ops.joins import broadcast_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        override_num_blocks=_blocks_for())
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+
+    joined = broadcast_join(
+        broadcast_join(cust, nation, on="c_nationkey",
+                       right_on="n_nationkey", how="inner"),
+        region, on="n_regionkey", right_on="r_regionkey", how="inner")
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "r_name": df["r_name"],
+            "n_customers": np.ones(len(df), dtype=np.int64),
+            "acctbal_cents": (df["c_acctbal"] * 100).round().astype(
+                "int64"),
+        })
+
+    return grouped_agg_small(
+        joined.map_batches(_prep, batch_format="pandas"), ["r_name"],
+        {"n_customers": ("n_customers", "sum"),
+         "acctbal_cents": ("acctbal_cents", "sum")})
+
+
+def q_doc_len_winsorize(sf_dir):
+    """Exact-quantile winsorization: n_chars clipped to its discrete
+    [P10, P90] (ops.agg.winsorize — thresholds from the bounded
+    sparse-histogram exact_quantiles, then one streaming clip pass).
+    Hash-checked against a DuckDB quantile_disc + LEAST/GREATEST
+    replay."""
+    from .ops.agg import winsorize
+
+    out = winsorize(_docs_with(sf_dir, ["doc_id", "n_chars"]),
+                    "n_chars", q_lo=0.1, q_hi=0.9)
+    return out.map_batches(
+        lambda df: df.assign(
+            n_chars=df.n_chars.astype("int64"),
+            n_chars_wins=df.n_chars_wins.astype("int64")),
+        batch_format="pandas")
+
+
 def q_doc_len_ntile(sf_dir):
     """Global equal-frequency length tiers: NTILE(7) over
     (n_chars, doc_id) — ops.agg.ntile, rank from zip_with_index's one
@@ -4180,6 +4260,9 @@ def build_queries():
         "events_daily_trend": q_events_daily_trend,
         "kg_bipartite": q_kg_bipartite,
         "doc_len_ntile": q_doc_len_ntile,
+        "events_user_distinct": q_events_user_distinct,
+        "customer_region_rollup": q_customer_region_rollup,
+        "doc_len_winsorize": q_doc_len_winsorize,
     })
 
 
@@ -4581,6 +4664,28 @@ def build_oracles():
             "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
             "CAST(NTILE(7) OVER (ORDER BY n_chars, doc_id) AS BIGINT) "
             "AS tile FROM documents ORDER BY doc_id"
+        ),
+        "events_user_distinct": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS distinct_users FROM events GROUP BY event_type "
+            "ORDER BY event_type"
+        ),
+        "customer_region_rollup": (
+            "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS acctbal_cents FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+        "doc_len_winsorize": (
+            "WITH th AS (SELECT quantile_disc(n_chars, 0.1) AS lo, "
+            "quantile_disc(n_chars, 0.9) AS hi FROM documents) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(LEAST(GREATEST(n_chars, th.lo), th.hi) AS BIGINT) "
+            "AS n_chars_wins, "
+            "n_chars < th.lo OR n_chars > th.hi AS clipped "
+            "FROM documents, th ORDER BY doc_id"
         ),
         # the binder query returns its nested output FLATTENED back to
         # (origin, pred, target) triples (self-gated exact vs the
