@@ -3269,3 +3269,39 @@ def test_broadcast_join_and_winsorize(ray_session):
     assert (out.x_wins.to_numpy() == want).all()
     assert (out.clipped.to_numpy() == (want != df.x.to_numpy())).all()
     assert out.clipped.any() and not out.clipped.all()
+
+
+def test_ngram_transitions_brute_force(ray_session):
+    """ngram_transitions equals a sequential reference at n=2 (where
+    it must match transition_counts' semantics) and n=3, including ts
+    ties broken by id and users shorter than n."""
+    import random
+    from collections import Counter
+
+    import ray.data as rd
+
+    from versa_ray.ops.windows import ngram_transitions
+
+    rng = random.Random(13)
+    base = np.datetime64("2024-01-01", "us")
+    rows, eid = [], 0
+    for u in range(8):
+        for _ in range(rng.randrange(1, 15)):
+            rows.append((eid, u, base + np.timedelta64(
+                rng.randrange(0, 50), "s"), "abcd"[rng.randrange(4)]))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "etype"])
+
+    for n in (2, 3):
+        want = Counter()
+        for _, g in df.groupby("user_id"):
+            seq = g.sort_values(["ts", "event_id"]).etype.tolist()
+            for i in range(len(seq) - n + 1):
+                want[tuple(seq[i:i + n])] += 1
+        out = ngram_transitions(
+            rd.from_pandas(df).repartition(5), n=n, key="user_id",
+            type_col="etype", num_buckets=4).to_pandas()
+        tcols = [f"t{i + 1}" for i in range(n)]
+        got = {tuple(r[c] for c in tcols): int(r["n_occurrences"])
+               for _, r in out.iterrows()}
+        assert got == dict(want)

@@ -3083,3 +3083,50 @@ def bipartite_check(edges_ds, max_iters=50, num_buckets=64,
     return (partials.map_batches(_rebucket, batch_format="pandas")
             .groupby("_cbucket").map_groups(_rollup,
                                             batch_format="pandas"))
+
+
+def harmonic_from_seeds(edges_ds, seeds, scale=10**9, max_iters=50,
+                        num_buckets=64, src="src", dst="dst"):
+    """Seed-sampled HARMONIC centrality: per reached node,
+    ``(node, n_reached, harmonic_e9)`` where harmonic_e9 is the exact
+    INTEGER ``sum over reaching seeds of scale // depth`` (depth-0
+    self terms contribute 0, per the harmonic definition). Unlike
+    closeness, harmonic centrality is well-defined on disconnected
+    graphs — unreachable seeds simply contribute nothing — which is
+    why it is the centrality of choice for web-scale graphs (Boldi &
+    Vigna 2014). The integer scaling makes the sum associative through
+    the shuffle (partition-invariant) and SQL-replayable bit-exactly,
+    the link_prediction convention. One ``multi_source_bfs`` traversal
+    plus a node-keyed coarse-bucket rollup."""
+    from .dedup import coarse_bucket
+
+    depths = multi_source_bfs(
+        edges_ds, seeds, max_iters=max_iters, num_buckets=num_buckets,
+        src=src, dst=dst)
+
+    def _b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cbucket"] = coarse_bucket(df, ["node"], num_buckets)
+        return df
+
+    def _roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in bucket.columns or not len(bucket):
+            return pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "n_reached": pd.Series([], dtype="int64"),
+                "harmonic_e9": pd.Series([], dtype="int64")})
+        d = bucket["depth"].to_numpy(dtype=np.int64)
+        term = np.where(d > 0, np.int64(scale) // np.maximum(d, 1), 0)
+        g = (bucket.assign(_t=term)
+             .groupby("node", as_index=False, sort=False)
+             .agg(n_reached=("seed", "size"), harmonic_e9=("_t", "sum")))
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(),
+            "n_reached": g["n_reached"].to_numpy().astype(np.int64),
+            "harmonic_e9": g["harmonic_e9"].to_numpy().astype(np.int64)})
+
+    return (
+        depths.map_batches(_b, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_roll, batch_format="pandas")
+    )

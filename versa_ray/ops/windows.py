@@ -613,3 +613,68 @@ def daily_trend(ds, key="event_type", ts_col="ts", num_buckets=64):
         .groupby("_cbucket")
         .map_groups(_moments, batch_format="pandas")
     )
+
+
+def ngram_transitions(ds, n=3, key="user_id", order_cols=("ts", "event_id"),
+                      type_col="event_type", num_buckets=64):
+    """Per-key consecutive event-type n-grams, counted corpus-wide —
+    the order-n generalization of :func:`transition_counts` (session
+    path mining, n-step Markov estimation). Consecutive is under the
+    TOTAL order ``order_cols`` (unique id breaks ts ties, so the
+    result is deterministic and replays in SQL as ``lead(type, i)
+    OVER (PARTITION BY key ORDER BY ts, id)``).
+
+    One coarse key-bucket shuffle; per bucket the n-gram extraction is
+    ONE sort + n-1 shifted views with a same-key run mask (no per-key
+    loop); the final rollup merges at most ``buckets x |types|^n``
+    partial rows — types^n-sized, not data-sized (callers with large
+    type vocabularies and big n should rebucket the rollup instead).
+
+    Returns (t1..tn, n_occurrences).
+    """
+    from .dedup import coarse_bucket
+
+    if n < 2:
+        raise ValueError("ngram_transitions needs n >= 2")
+    cols = [key, *order_cols, type_col]
+    tcols = [f"t{i + 1}" for i in range(n)]
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["_cbucket"] = coarse_bucket(out, [key], num_buckets)
+        return out
+
+    def _grams(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{c: pd.Series([], dtype=object) for c in tcols},
+             "n_occurrences": pd.Series([], dtype="int64")})
+        if key not in group.columns or len(group) < n:
+            return empty
+        g = group.sort_values([key, *order_cols], kind="mergesort",
+                              ignore_index=True)
+        k = g[key].to_numpy()
+        t = g[type_col].to_numpy()
+        m = len(g) - n + 1
+        same = np.ones(m, dtype=bool)
+        for i in range(1, n):                 # whole window in one key run
+            same &= k[i:m + i] == k[:m]
+        if not same.any():
+            return empty
+        data = {c: t[i:m + i][same] for i, c in enumerate(tcols)}
+        part = (pd.DataFrame(data).groupby(tcols, as_index=False)
+                .size().rename(columns={"size": "n_occurrences"}))
+        part["n_occurrences"] = part["n_occurrences"].astype("int64")
+        return part
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(tcols, as_index=False)["n_occurrences"].sum()
+        out["n_occurrences"] = out["n_occurrences"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_grams, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas")
+    )

@@ -3809,6 +3809,51 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_events_trigrams(sf_dir):
+    """Per-user consecutive event-type trigram counts (session path
+    mining) — ops.windows.ngram_transitions: one user-bucket shuffle,
+    windowed extraction as shifted views with a same-key run mask,
+    types^3-sized rollup. Hash-checked against a DuckDB lead()
+    window replay."""
+    import ray.data as rd
+
+    from .ops.windows import ngram_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+        override_num_blocks=_blocks_for())
+    return ngram_transitions(ev, n=3)
+
+
+def q_part_harmonic(sf_dir):
+    """Seed-sampled harmonic centrality (the disconnected-graph-safe
+    centrality, Boldi & Vigna 2014) over the twice-co-ordered parts
+    graph — ops.graph.harmonic_from_seeds: one multi-source BFS
+    traversal, then exact integer sum of 1e9 // depth per node (the
+    link_prediction integer-scaling convention, so the shuffle sum is
+    associative and the DuckDB recursive-CTE oracle replays it
+    bit-exactly)."""
+    import pyarrow.parquet as _pq
+
+    from .ops.graph import harmonic_from_seeds
+
+    edges = _coorder_edges_multi(sf_dir)
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+            "dst": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+        })
+
+    keys = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )["p_partkey"].to_pylist()
+    seeds = [int(k) for k in keys if k % 251 == 1]
+    return harmonic_from_seeds(
+        edges.map_batches(_bidir, batch_format="pandas"), seeds)
+
+
 def q_kg_latest_statements(sf_dir):
     """Temporal latest-assertion-wins snapshot
     (model.linkset.latest_statements): each customer asserts its
@@ -4263,6 +4308,8 @@ def build_queries():
         "events_user_distinct": q_events_user_distinct,
         "customer_region_rollup": q_customer_region_rollup,
         "doc_len_winsorize": q_doc_len_winsorize,
+        "part_harmonic": q_part_harmonic,
+        "events_trigrams": q_events_trigrams,
     })
 
 
@@ -5661,6 +5708,37 @@ def build_oracles():
             "GROUP BY seed, node) "
             "SELECT node, CAST(count(*) AS BIGINT) AS n_reached, "
             "CAST(sum(d) AS BIGINT) AS sum_depth FROM md GROUP BY node"
+        ),
+        "part_harmonic": (
+            "WITH RECURSIVE e0 AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v, a.l_orderkey AS o "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "e AS MATERIALIZED (SELECT u, v FROM e0 "
+            "GROUP BY u, v HAVING count(*) >= 2), "
+            "bd AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "walk(seed, node, depth) AS ("
+            "SELECT p_partkey, p_partkey, 0 FROM part "
+            "WHERE p_partkey % 251 = 1 "
+            "UNION "
+            "SELECT w.seed, bd.b, w.depth + 1 FROM walk w "
+            "JOIN bd ON bd.a = w.node WHERE w.depth < 40), "
+            "md AS (SELECT seed, node, min(depth) AS d FROM walk "
+            "GROUP BY seed, node) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_reached, "
+            "CAST(sum(CASE WHEN d > 0 THEN 1000000000 // d ELSE 0 END) "
+            "AS BIGINT) AS harmonic_e9 FROM md GROUP BY node"
+        ),
+        "events_trigrams": (
+            "SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) "
+            "AS n_occurrences FROM ("
+            "SELECT event_type AS t1, "
+            "lead(event_type, 1) OVER w AS t2, "
+            "lead(event_type, 2) OVER w AS t3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
+            "GROUP BY t1, t2, t3 ORDER BY t1, t2, t3"
         ),
         "kg_latest_statements": (
             "WITH s AS (SELECT "
