@@ -3305,3 +3305,26 @@ def test_ngram_transitions_brute_force(ray_session):
         got = {tuple(r[c] for c in tcols): int(r["n_occurrences"])
                for _, r in out.iterrows()}
         assert got == dict(want)
+
+
+def test_profile_table_native_merge(ray_session):
+    """profile_table merges cross-batch min/max NATIVELY: integer
+    batches whose stringified minima order lexicographically wrong
+    ("100" < "99") still profile to the true numeric extremes; nulls
+    count; string columns use codepoint order."""
+    import ray.data as rd
+
+    from versa_ray.ops.validate import profile_table
+
+    df = pd.DataFrame({
+        "x": [99, 100, 5, 2000, 7, None],
+        "s": ["b", "a", "zz", None, "c", "a"],
+    })
+    out = profile_table(
+        rd.from_pandas(df).repartition(6), ["s", "x"])
+    assert list(out["column"]) == ["s", "x"]
+    sx = out.set_index("column")
+    assert int(sx.loc["x", "n_null"]) == 1
+    assert sx.loc["x", "min_v"] == "5.0" and sx.loc["x", "max_v"] == "2000.0"
+    assert sx.loc["s", "min_v"] == "a" and sx.loc["s", "max_v"] == "zz"
+    assert int(sx.loc["s", "n_rows"]) == 6 and int(sx.loc["s", "n_null"]) == 1

@@ -167,3 +167,72 @@ def functional_conflicts(links_ds, rels, num_buckets=64):
         .groupby("_cbucket")
         .map_groups(_conflicts, batch_format="pandas")
     )
+
+
+def profile_table(ds, columns):
+    """One-pass data-quality profile: per column, ``(column, n_rows,
+    n_null, min_v, max_v)`` with min/max stringified (mixed column
+    types share one schema; UTF-8 byte order == codepoint order, so
+    string min/max replays exactly in SQL VARCHAR compares).
+
+    The scan is a single column-pruned ``map_batches`` emitting one
+    partial row per (batch, column); the driver merges blocks x
+    columns partials — bounded by the block count, never by the data.
+    The ingest-gate profile for schema drift, null regressions and
+    range checks on a new corpus drop.
+    """
+    import ray.data as rd
+
+    columns = list(columns)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = df[c]
+            nn = int(s.isna().sum())
+            present = s.dropna()
+            # partials stringify for one shared Arrow schema; the
+            # driver merge re-parses numerics so cross-batch compare
+            # is NATIVE, never lexicographic ("99" < "100" holds)
+            rows.append({
+                "column": c,
+                "kind": s.dtype.kind,
+                "n_rows": len(s),
+                "n_null": nn,
+                "min_v": str(present.min()) if len(present) else None,
+                "max_v": str(present.max()) if len(present) else None,
+            })
+        return pd.DataFrame(rows,
+                            columns=["column", "kind", "n_rows", "n_null",
+                                     "min_v", "max_v"])
+
+    parts = ds.select_columns(columns).map_batches(
+        _partial, batch_format="pandas").to_pandas()
+
+    def _pick(strs, kind, best):
+        vals = list(strs)
+        if not vals:
+            return None
+        if kind in "iu":
+            keyed = [(int(v), v) for v in vals]
+        elif kind == "f":
+            keyed = [(float(v), v) for v in vals]
+        else:
+            keyed = [(v, v) for v in vals]
+        return best(keyed)[1]  # the original string of the native argopt
+
+    rows = []
+    for c in columns:
+        g = parts[parts["column"] == c]
+        kind = g["kind"].iloc[0] if len(g) else "O"
+        rows.append({
+            "column": c,
+            "n_rows": int(g["n_rows"].sum()),
+            "n_null": int(g["n_null"].sum()),
+            "min_v": _pick(g["min_v"].dropna(), kind, min),
+            "max_v": _pick(g["max_v"].dropna(), kind, max),
+        })
+    out = pd.DataFrame(rows).sort_values("column", ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out

@@ -3809,6 +3809,18 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_doc_profile(sf_dir):
+    """Ingest-gate table profile: per column (n_rows, n_null,
+    stringified min/max) in ONE column-pruned pass with native-typed
+    cross-batch merging (ops.validate.profile_table; driver sees
+    blocks x columns partials). Hash-checked against per-column SQL
+    aggregates."""
+    from .ops.validate import profile_table
+
+    return profile_table(
+        _docs(sf_dir), ["doc_id", "lang", "n_chars", "source"])
+
+
 def q_events_trigrams(sf_dir):
     """Per-user consecutive event-type trigram counts (session path
     mining) — ops.windows.ngram_transitions: one user-bucket shuffle,
@@ -4310,6 +4322,7 @@ def build_queries():
         "doc_len_winsorize": q_doc_len_winsorize,
         "part_harmonic": q_part_harmonic,
         "events_trigrams": q_events_trigrams,
+        "doc_profile": q_doc_profile,
     })
 
 
@@ -5740,6 +5753,14 @@ def build_oracles():
             "WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
             "GROUP BY t1, t2, t3 ORDER BY t1, t2, t3"
         ),
+        "doc_profile": " UNION ALL ".join(
+            "SELECT '%s' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) - COUNT(%s) AS BIGINT) AS n_null, "
+            "CAST(MIN(%s) AS VARCHAR) AS min_v, "
+            "CAST(MAX(%s) AS VARCHAR) AS max_v FROM documents"
+            % (c, c, c, c)
+            for c in ["doc_id", "lang", "n_chars", "source"]
+        ) + " ORDER BY \"column\"",
         "kg_latest_statements": (
             "WITH s AS (SELECT "
             "'urn:versa:customer:' || CAST(c_custkey AS VARCHAR) AS origin, "
