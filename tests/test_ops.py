@@ -3328,3 +3328,34 @@ def test_profile_table_native_merge(ray_session):
     assert sx.loc["x", "min_v"] == "5.0" and sx.loc["x", "max_v"] == "2000.0"
     assert sx.loc["s", "min_v"] == "a" and sx.loc["s", "max_v"] == "zz"
     assert int(sx.loc["s", "n_rows"]) == 6 and int(sx.loc["s", "n_null"]) == 1
+
+
+def test_weighted_sample_properties(ray_session):
+    """weighted_sample: partition-invariant, a pure function of
+    (ids, weights), statistically weight-respecting (the heavy item
+    appears in the sample; heavier ids are overrepresented), and
+    raises on non-positive weights."""
+    import ray.data as rd
+
+    from versa_ray.ops.sample import weighted_sample
+
+    df = pd.DataFrame({
+        "rid": np.arange(400, dtype=np.int64),
+        "w": np.where(np.arange(400) % 100 == 0, 100000, 1).astype(
+            np.int64),
+    })
+    picks = []
+    for nblocks in (1, 8):
+        out = weighted_sample(
+            rd.from_pandas(df).repartition(nblocks), n=40,
+            weight_col="w", id_col="rid")
+        assert len(out) == 40
+        picks.append(tuple(sorted(out.rid)))
+    assert picks[0] == picks[1]          # layout-invariant
+    heavy = {0, 100, 200, 300}
+    assert heavy <= set(picks[0])        # 1e5x weights always survive
+
+    bad = df.assign(w=0)
+    with pytest.raises(Exception):       # surfaced through Ray
+        weighted_sample(rd.from_pandas(bad), n=5, weight_col="w",
+                        id_col="rid")

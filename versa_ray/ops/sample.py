@@ -217,3 +217,50 @@ def mixture_bound_hex(rate: float) -> str:
     if b >= 16**16:
         return "g" * 16
     return format(b, "017x")[-16:]
+
+
+def weighted_sample(ds, n, weight_col, id_col, keep_cols=None):
+    """Deterministic weighted sampling without replacement via
+    PRIORITY SAMPLING (Duffield, Lund & Thorup 2007): each row gets
+    priority ``w / u`` where ``u in (0, 1]`` derives from
+    ``md5(str(id))`` (the split_by_hash determinism convention), and
+    the global top-``n`` priorities are kept — heavier rows
+    proportionally likelier, the draw a pure function of (ids,
+    weights) so re-runs and re-partitions reproduce it exactly.
+
+    The only float ops are one uint64->double cast and ONE IEEE
+    division, both bit-identical in DuckDB (``md5_number_upper`` /
+    ``CAST AS DOUBLE``), so a SQL ``QUALIFY row_number() OVER (ORDER
+    BY w / u DESC, id)`` oracle replays the selection bit-exactly —
+    no transcendental (ln/pow) parity risk. Ties break by id.
+
+    Distributed shape: per-batch LOCAL top-n partials, driver merge of
+    ``<= blocks x n`` rows — n is the sample size, never the corpus.
+    Returns a pandas DataFrame of the selected rows (id, weight and
+    ``keep_cols``), priorities dropped.
+    """
+    import hashlib
+
+    keep = list(keep_cols or [])
+    cols = [id_col, weight_col] + [c for c in keep
+                                   if c not in (id_col, weight_col)]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[cols].assign(_pri=np.empty(0, dtype=np.float64))
+        u64 = np.array(
+            [int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") for i in df[id_col]],
+            dtype=np.uint64)
+        u = (u64.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("weighted_sample needs weights > 0")
+        out = df[cols].copy()
+        out["_pri"] = w / u
+        return out.sort_values(["_pri", id_col],
+                               ascending=[False, True]).head(n)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["_pri", id_col], ascending=[False, True])
+            .head(n).drop(columns=["_pri"]).reset_index(drop=True))

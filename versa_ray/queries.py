@@ -3809,6 +3809,22 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_doc_weighted_sample(sf_dir):
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield et al. 2007): 100 docs drawn proportional to
+    n_chars via priority w/u with u from md5(doc_id) —
+    ops.sample.weighted_sample, per-batch local top-n then a
+    blocks x n driver merge. One IEEE division and no
+    transcendentals, so the DuckDB QUALIFY replay is bit-exact."""
+    from .ops.sample import weighted_sample
+
+    out = weighted_sample(
+        _docs_with(sf_dir, ["doc_id", "n_chars"]), n=100,
+        weight_col="n_chars", id_col="doc_id")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_doc_profile(sf_dir):
     """Ingest-gate table profile: per column (n_rows, n_null,
     stringified min/max) in ONE column-pruned pass with native-typed
@@ -4323,6 +4339,7 @@ def build_queries():
         "part_harmonic": q_part_harmonic,
         "events_trigrams": q_events_trigrams,
         "doc_profile": q_doc_profile,
+        "doc_weighted_sample": q_doc_weighted_sample,
     })
 
 
@@ -5752,6 +5769,14 @@ def build_oracles():
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
             "GROUP BY t1, t2, t3 ORDER BY t1, t2, t3"
+        ),
+        "doc_weighted_sample": (
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ("
+            "SELECT doc_id, n_chars, row_number() OVER (ORDER BY "
+            "CAST(n_chars AS DOUBLE) / "
+            "((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
+            "+ 1.0) / 18446744073709551616.0) DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 100 ORDER BY doc_id"
         ),
         "doc_profile": " UNION ALL ".join(
             "SELECT '%s' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, "
