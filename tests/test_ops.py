@@ -3359,3 +3359,33 @@ def test_weighted_sample_properties(ray_session):
     with pytest.raises(Exception):       # surfaced through Ray
         weighted_sample(rd.from_pandas(bad), n=5, weight_col="w",
                         id_col="rid")
+
+
+def test_grouped_percent_rank_brute_force(ray_session):
+    """grouped_percent_rank equals the SQL window per group, incl.
+    heavy ties and a single-row group (0.0), at two block layouts."""
+    import duckdb
+    import ray.data as rd
+
+    from versa_ray.ops.agg import grouped_percent_rank
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "rid": np.arange(120, dtype=np.int64),
+        "g": np.repeat(["a", "b", "c"], 40),
+        "x": rng.randint(0, 8, 120).astype(np.int64),
+    })
+    df = pd.concat(
+        [df, pd.DataFrame({"rid": [999], "g": ["solo"], "x": [5]})],
+        ignore_index=True)
+    want = duckdb.sql(
+        "SELECT rid, percent_rank() OVER (PARTITION BY g ORDER BY x) "
+        "AS pct_rank FROM df ORDER BY rid").df()
+    for nblocks in (1, 7):
+        out = grouped_percent_rank(
+            rd.from_pandas(df).repartition(nblocks), key="g", col="x",
+            num_buckets=4).to_pandas()
+        got = out.sort_values("rid")[["rid", "pct_rank"]].reset_index(
+            drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert float(got[got.rid == 999].pct_rank.iloc[0]) == 0.0

@@ -991,3 +991,51 @@ def winsorize(ds, col, q_lo=0.05, q_hi=0.95, out_col=None, **quantile_kw):
         return out
 
     return ds.map_batches(_clip, batch_format="pandas")
+
+
+def grouped_percent_rank(ds, key, col, out_col="pct_rank",
+                         num_buckets=64):
+    """Per-group ``percent_rank() OVER (PARTITION BY key ORDER BY
+    col)``: (strictly smaller in group) / (group size - 1), ties
+    sharing a rank, single-row groups at 0.0 (SQL semantics) — the
+    within-stratum score normalizer (per-language quality ranks,
+    per-host length ranks).
+
+    One coarse-bucket shuffle on the GROUP key; inside a bucket each
+    group ranks with one sort + ``searchsorted`` (no per-row loop) and
+    the only float op is one IEEE division of two exact integers, so a
+    SQL oracle agrees bit-for-bit. PARTITIONING ASSUMPTION
+    (documented): one group fits one task — the standard per-key
+    window requirement; an unbounded single group needs the global
+    :func:`percent_rank`'s range machinery instead.
+    """
+    from .dedup import coarse_bucket
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_cbucket"] = coarse_bucket(out, [key], num_buckets)
+        return out
+
+    def _rank(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            out = group.drop(columns=["_cbucket"], errors="ignore")
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        outs = []
+        for _, g in group.groupby(key, sort=False):
+            v = g[col].to_numpy()
+            sv = np.sort(v)
+            smaller = np.searchsorted(sv, v, side="left")
+            den = len(v) - 1
+            pr = (smaller / den if den
+                  else np.zeros(len(v), dtype=np.float64))
+            gg = g.drop(columns=["_cbucket"])
+            gg[out_col] = pr
+            outs.append(gg)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_rank, batch_format="pandas")
+    )

@@ -3809,6 +3809,22 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_doc_len_pct_by_source(sf_dir):
+    """Within-stratum normalization: percent_rank of n_chars PER
+    source (ops.agg.grouped_percent_rank — one group-key bucket
+    shuffle, sort+searchsorted per group, one exact-integer IEEE
+    division). Hash-checked against the SQL window function without
+    rounding."""
+    from .ops.agg import grouped_percent_rank
+
+    out = grouped_percent_rank(
+        _docs_with(sf_dir, ["doc_id", "source", "n_chars"]),
+        key="source", col="n_chars")
+    return out.map_batches(
+        lambda df: df.assign(n_chars=df.n_chars.astype("int64")),
+        batch_format="pandas")
+
+
 def q_doc_weighted_sample(sf_dir):
     """Deterministic weighted sampling without replacement (priority
     sampling, Duffield et al. 2007): 100 docs drawn proportional to
@@ -4340,6 +4356,7 @@ def build_queries():
         "events_trigrams": q_events_trigrams,
         "doc_profile": q_doc_profile,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_len_pct_by_source": q_doc_len_pct_by_source,
     })
 
 
@@ -5769,6 +5786,11 @@ def build_oracles():
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
             "GROUP BY t1, t2, t3 ORDER BY t1, t2, t3"
+        ),
+        "doc_len_pct_by_source": (
+            "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
+            "percent_rank() OVER (PARTITION BY source ORDER BY n_chars) "
+            "AS pct_rank FROM documents ORDER BY doc_id"
         ),
         "doc_weighted_sample": (
             "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ("
