@@ -3809,6 +3809,33 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_doc_jsonl_roundtrip(sf_dir):
+    """JSONL sink -> source identity: the corpus shard-writes as JSON
+    Lines (ops.io.write_jsonl_ds, one resolved target filesystem) and
+    reads back with ray.data.read_json — the trainer-handoff format
+    round-trips losslessly, text column included (escaped newlines).
+    Hash-checked against the identity SELECT."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .ops.io import write_jsonl_ds
+
+    tmp = tempfile.mkdtemp(prefix="vr_jsonl_")
+    try:
+        files = write_jsonl_ds(
+            _docs(sf_dir), tmp, columns=["doc_id", "text", "lang",
+                                         "n_chars"])
+        back = rd.read_json(sorted(files)).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    back["doc_id"] = back["doc_id"].astype("int64")
+    back["n_chars"] = back["n_chars"].astype("int64")
+    return back[["doc_id", "text", "lang", "n_chars"]].sort_values(
+        "doc_id", ignore_index=True)
+
+
 def q_doc_len_pct_by_source(sf_dir):
     """Within-stratum normalization: percent_rank of n_chars PER
     source (ops.agg.grouped_percent_rank — one group-key bucket
@@ -4357,6 +4384,7 @@ def build_queries():
         "doc_profile": q_doc_profile,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_len_pct_by_source": q_doc_len_pct_by_source,
+        "doc_jsonl_roundtrip": q_doc_jsonl_roundtrip,
     })
 
 
@@ -5786,6 +5814,10 @@ def build_oracles():
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
             "GROUP BY t1, t2, t3 ORDER BY t1, t2, t3"
+        ),
+        "doc_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS "
+            "n_chars FROM documents ORDER BY doc_id"
         ),
         "doc_len_pct_by_source": (
             "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
