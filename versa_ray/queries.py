@@ -3809,6 +3809,32 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_orders_fk_violations(sf_dir):
+    """Referential-integrity QA (ops.validate.fk_violations): orders
+    whose o_custkey has no surviving parent after a planted partial
+    dim load (customers with c_custkey % 7 == 0 withheld) — an exact
+    distributed anti-join; the parent ships only its deduped key
+    column. Hash-checked against the NOT IN oracle."""
+    import ray.data as rd
+
+    from .ops.validate import fk_violations
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_blocks_for())
+    parents = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda df: df[df.c_custkey % 7 != 0], batch_format="pandas")
+    out = fk_violations(orders, parents, fk="o_custkey", pk="c_custkey",
+                        child_cols=["o_orderkey", "o_custkey"])
+    # surviving rows are all real child rows — undo the null-fill
+    # float upcast the key rows forced on o_orderkey
+    return out.map_batches(
+        lambda df: df.assign(o_orderkey=df.o_orderkey.astype("int64")),
+        batch_format="pandas")
+
+
 def q_doc_jsonl_roundtrip(sf_dir):
     """JSONL sink -> source identity: the corpus shard-writes as JSON
     Lines (ops.io.write_jsonl_ds, one resolved target filesystem) and
@@ -4385,6 +4411,7 @@ def build_queries():
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_len_pct_by_source": q_doc_len_pct_by_source,
         "doc_jsonl_roundtrip": q_doc_jsonl_roundtrip,
+        "orders_fk_violations": q_orders_fk_violations,
     })
 
 
@@ -5818,6 +5845,11 @@ def build_oracles():
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS "
             "n_chars FROM documents ORDER BY doc_id"
+        ),
+        "orders_fk_violations": (
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer "
+            "WHERE c_custkey % 7 != 0) ORDER BY o_orderkey"
         ),
         "doc_len_pct_by_source": (
             "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
