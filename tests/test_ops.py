@@ -3389,3 +3389,28 @@ def test_grouped_percent_rank_brute_force(ray_session):
             drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert float(got[got.rid == 999].pct_rank.iloc[0]) == 0.0
+
+
+def test_skyline2d_brute_force(ray_session):
+    """skyline2d equals the O(n^2) dominance definition on random
+    integer pairs with duplicates, at two block layouts."""
+    import ray.data as rd
+
+    from versa_ray.ops.agg import skyline2d
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({
+        "x": rng.randint(0, 30, 300).astype(np.int64),
+        "y": rng.randint(0, 30, 300).astype(np.int64),
+    })
+    pairs = set(zip(df.x, df.y))
+    want = {
+        (a, b) for a, b in pairs
+        if not any((c >= a and d >= b and (c > a or d > b))
+                   for c, d in pairs)
+    }
+    for nblocks in (1, 9):
+        out = skyline2d(rd.from_pandas(df).repartition(nblocks),
+                        "x", "y").to_pandas()
+        got = set(zip(out.x.astype(int), out.y.astype(int)))
+        assert got == want

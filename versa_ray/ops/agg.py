@@ -1039,3 +1039,48 @@ def grouped_percent_rank(ds, key, col, out_col="pct_rank",
         .groupby("_cbucket")
         .map_groups(_rank, batch_format="pandas")
     )
+
+
+def skyline2d(ds, x, y, num_final_blocks=1):
+    """2-D Pareto skyline, both dimensions MAXIMIZED (negate a column
+    upstream to minimize): the distinct (x, y) pairs no other pair
+    dominates (>= in both, > in at least one) — the
+    best-tradeoff-frontier operator (quality vs length, price vs
+    quantity).
+
+    Classic two-level shape: the global skyline is a subset of the
+    union of per-block skylines, so each batch reduces to its LOCAL
+    skyline first (distinct pairs + one descending sort + a running
+    strictly-preceding max scan — O(n log n), no pairwise loop), and
+    only those candidates reach the final single-task merge, which
+    runs the identical scan. Candidate volume is the sum of local
+    skyline sizes — for correlated data a handful of rows; the
+    anti-correlated worst case (skyline ~ distinct values) is the
+    documented limit, as with any skyline algorithm.
+
+    The scan rule (on distinct pairs sorted by (x DESC, y DESC): keep
+    iff y exceeds the running max of all strictly-preceding rows)
+    replays exactly in SQL as a window MAX, so oracles need no
+    quadratic NOT EXISTS.
+    """
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({x: pd.Series([], dtype="float64"),
+                              y: pd.Series([], dtype="float64")})
+        if x not in df.columns or not len(df):
+            return empty
+        d = df[[x, y]].drop_duplicates()
+        d = d.sort_values([x, y], ascending=False, kind="mergesort",
+                          ignore_index=True)
+        yv = d[y].to_numpy()
+        run = np.maximum.accumulate(yv)
+        keep = np.empty(len(yv), dtype=bool)
+        keep[0] = True
+        keep[1:] = yv[1:] > run[:-1]
+        return d[keep]
+
+    return (
+        ds.map_batches(_local, batch_format="pandas")
+        .repartition(num_final_blocks)
+        .map_batches(_local, batch_format="pandas")
+    )

@@ -3809,6 +3809,23 @@ def q_part_closeness(sf_dir):
         edges.map_batches(_bidir, batch_format="pandas"), seeds)
 
 
+def q_lineitem_skyline(sf_dir):
+    """Pareto frontier of (l_extendedprice, l_quantity), both
+    maximized — ops.agg.skyline2d: per-block local skylines (sort +
+    running-max scan, no pairwise loop) feed one skyline-sized final
+    merge. Hash-checked against a window-MAX SQL replay of the same
+    scan rule (no quadratic NOT EXISTS needed)."""
+    import ray.data as rd
+
+    from .ops.agg import skyline2d
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"],
+        override_num_blocks=_blocks_for())
+    return skyline2d(li, "l_extendedprice", "l_quantity")
+
+
 def q_orders_fk_violations(sf_dir):
     """Referential-integrity QA (ops.validate.fk_violations): orders
     whose o_custkey has no surviving parent after a planted partial
@@ -4412,6 +4429,7 @@ def build_queries():
         "doc_len_pct_by_source": q_doc_len_pct_by_source,
         "doc_jsonl_roundtrip": q_doc_jsonl_roundtrip,
         "orders_fk_violations": q_orders_fk_violations,
+        "lineitem_skyline": q_lineitem_skyline,
     })
 
 
@@ -5850,6 +5868,17 @@ def build_oracles():
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer "
             "WHERE c_custkey % 7 != 0) ORDER BY o_orderkey"
+        ),
+        "lineitem_skyline": (
+            "WITH d AS (SELECT DISTINCT l_extendedprice, l_quantity "
+            "FROM lineitem), "
+            "s AS (SELECT l_extendedprice, l_quantity, "
+            "MAX(l_quantity) OVER (ORDER BY l_extendedprice DESC, "
+            "l_quantity DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS my FROM d) "
+            "SELECT l_extendedprice, l_quantity FROM s "
+            "WHERE my IS NULL OR l_quantity > my "
+            "ORDER BY l_extendedprice, l_quantity"
         ),
         "doc_len_pct_by_source": (
             "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
