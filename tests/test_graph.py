@@ -1051,3 +1051,48 @@ def test_bipartite_check_brute_force(ray_session):
     assert got == want
     assert not got[10][3] and got[10][2] == 1   # odd cycle: one odd edge
     assert got[0][3] and got[50][3]             # even cycle + single edge
+
+
+def test_k_truss_brute_force(ray_session):
+    """k_truss equals an iterative brute-force peel at k=3/4/5 on a
+    random graph with a planted 5-clique, and raises below k=3."""
+    import itertools
+    import random
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from versa_ray.ops.graph import k_truss
+
+    rng = random.Random(3)
+    edges = set()
+    for _ in range(70):
+        a, b = rng.sample(range(20), 2)
+        edges.add((min(a, b), max(a, b)))
+    for a, b in itertools.combinations([30, 31, 32, 33, 34], 2):
+        edges.add((a, b))                 # clique: survives k=5
+    df = pd.DataFrame(sorted(edges), columns=["u", "v"])
+
+    def brute(es, k):
+        es = set(es)
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            nxt = {(a, b) for a, b in es if len(adj[a] & adj[b]) >= k - 2}
+            if nxt == es:
+                return es
+            es = nxt
+
+    for k in (3, 4, 5):
+        want = brute(set(zip(df.u, df.v)), k)
+        got = k_truss(rd.from_pandas(df).repartition(4), k=k,
+                      num_buckets=5).to_pandas()
+        assert set(zip(got.u.astype(int), got.v.astype(int))) == want
+    assert brute(set(zip(df.u, df.v)), 5) >= {
+        (a, b) for a, b in itertools.combinations([30, 31, 32, 33, 34], 2)}
+    with pytest.raises(ValueError):
+        k_truss(rd.from_pandas(df), k=2)

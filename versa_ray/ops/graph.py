@@ -3130,3 +3130,146 @@ def harmonic_from_seeds(edges_ds, seeds, scale=10**9, max_iters=50,
         .groupby("_cbucket")
         .map_groups(_roll, batch_format="pandas")
     )
+
+
+def k_truss(edges_ds, k, u="u", v="v", max_rounds=30, num_buckets=64):
+    """k-truss decomposition: the maximal subgraph in which every
+    edge participates in at least ``k - 2`` triangles — the
+    cohesive-community filter one notch stronger than k-core (a
+    k-truss is always inside a (k-1)-core but prunes bridge edges
+    cores keep). Input: canonical distinct undirected edges
+    (``u < v``), the triangle_count contract.
+
+    Iterative distributed peeling, three coarse-bucket shuffles per
+    round, the k_core discipline:
+
+    1. wedge enumeration at each edge's smaller endpoint (the
+       degree-splitting orientation — every triangle c < x < y is
+       generated once, at center c);
+    2. wedges match the edge set on (x, y); each matched triangle
+       emits +1 support partials for ALL THREE of its edges
+       (x,y)/(c,x)/(c,y), pre-summed per bucket;
+    3. an edge-keyed pass merges partials onto edges and keeps those
+       with support >= k - 2 (edges in no triangle never receive a
+       partial and drop whenever k >= 3).
+
+    The driver sees one edge-count scalar per round. RAISES
+    RuntimeError on hitting ``max_rounds`` before the fixpoint — a
+    silently truncated peel would be indistinguishable from a
+    converged one. Round count is graph-shaped (each round must drop
+    at least one edge before the last).
+    """
+    from .dedup import bucketed_group_apply, coarse_bucket
+
+    if k < 3:
+        raise ValueError("k_truss needs k >= 3")
+    t = k - 2
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                              "y": pd.Series([], dtype="int64"),
+                              "c": pd.Series([], dtype="int64")})
+        if not len(group):
+            return empty
+        nb = np.sort(group[v].to_numpy(dtype=np.int64))
+        n = len(nb)
+        if n < 2:
+            return empty
+        ia, ib = np.triu_indices(n, k=1)
+        c = np.int64(group[u].iloc[0])
+        return pd.DataFrame({"x": nb[ia], "y": nb[ib],
+                             "c": np.full(len(ia), c, dtype=np.int64)})
+
+    def _tag_edges_xy(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"x": df[u].to_numpy(dtype=np.int64),
+                            "y": df[v].to_numpy(dtype=np.int64)})
+        out["c"] = np.int64(-1)
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = coarse_bucket(out, ["x", "y"], num_buckets)
+        return out
+
+    def _tag_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_kind"] = np.int8(1)
+        out["_cbucket"] = coarse_bucket(out, ["x", "y"], num_buckets)
+        return out
+
+    def _partials(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({u: pd.Series([], dtype="int64"),
+                              v: pd.Series([], dtype="int64"),
+                              "s": pd.Series([], dtype="int64")})
+        if "_kind" not in bucket.columns or not len(bucket):
+            return empty
+        e = bucket[bucket["_kind"] == 0]
+        w = bucket[bucket["_kind"] == 1]
+        if not len(e) or not len(w):
+            return empty
+        ekeys = pd.MultiIndex.from_frame(e[["x", "y"]])
+        wkeys = pd.MultiIndex.from_frame(w[["x", "y"]])
+        hit = w[wkeys.isin(ekeys)]
+        if not len(hit):
+            return empty
+        tri = pd.concat([
+            pd.DataFrame({u: hit["x"], v: hit["y"]}),
+            pd.DataFrame({u: hit["c"], v: hit["x"]}),
+            pd.DataFrame({u: hit["c"], v: hit["y"]}),
+        ], ignore_index=True)
+        g = tri.groupby([u, v], as_index=False, sort=False).size()
+        return pd.DataFrame({u: g[u].to_numpy(dtype=np.int64),
+                             v: g[v].to_numpy(dtype=np.int64),
+                             "s": g["size"].to_numpy(dtype=np.int64)})
+
+    def _tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[u, v]].copy()
+        out["s"] = np.int64(0)
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = coarse_bucket(out, [u, v], num_buckets)
+        return out
+
+    def _tag_sup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_kind"] = np.int8(1)
+        out["_cbucket"] = coarse_bucket(out, [u, v], num_buckets)
+        return out
+
+    def _keep(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({u: pd.Series([], dtype="int64"),
+                              v: pd.Series([], dtype="int64")})
+        if "_kind" not in bucket.columns or not len(bucket):
+            return empty
+        base = bucket[bucket["_kind"] == 0][[u, v]]
+        if not len(base):
+            return empty
+        sup = (bucket[bucket["_kind"] == 1]
+               .groupby([u, v], as_index=False, sort=False)["s"].sum())
+        m = base.merge(sup, on=[u, v], how="left")
+        m["s"] = m["s"].fillna(0)
+        keep = m[m["s"] >= t]
+        return pd.DataFrame({u: keep[u].to_numpy(dtype=np.int64),
+                             v: keep[v].to_numpy(dtype=np.int64)})
+
+    cur = edges_ds.materialize()
+    n0 = cur.count()
+    for _ in range(max_rounds):
+        wedges = bucketed_group_apply(
+            cur, [u], _wedges, num_buckets=num_buckets, min_group_size=2)
+        partials = (
+            cur.map_batches(_tag_edges_xy, batch_format="pandas")
+            .union(wedges.map_batches(_tag_wedges, batch_format="pandas"))
+            .groupby("_cbucket")
+            .map_groups(_partials, batch_format="pandas")
+        )
+        nxt = (
+            cur.map_batches(_tag_base, batch_format="pandas")
+            .union(partials.map_batches(_tag_sup, batch_format="pandas"))
+            .groupby("_cbucket")
+            .map_groups(_keep, batch_format="pandas")
+        ).materialize()
+        n1 = nxt.count()
+        cur = nxt
+        if n1 == n0:
+            return cur
+        n0 = n1
+    raise RuntimeError(
+        f"k_truss did not reach a fixpoint in {max_rounds} rounds; "
+        f"raise max_rounds")

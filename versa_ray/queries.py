@@ -3940,6 +3940,50 @@ def q_events_trigrams(sf_dir):
     return ngram_transitions(ev, n=3)
 
 
+def q_part_ktruss(sf_dir):
+    """3-truss of the twice-co-ordered parts graph — every surviving
+    edge in >= 1 triangle after iterative peeling
+    (ops.graph.k_truss: wedge enumeration at the smaller endpoint,
+    per-triangle support partials for all three edges, edge-keyed
+    keep pass; three coarse-bucket shuffles per round, one scalar to
+    the driver). Hash-checked against a DuckDB unrolled-round peel
+    (MATERIALIZED CTEs — the part_kcore lesson)."""
+    from .ops.graph import k_truss
+
+    return k_truss(_coorder_edges_multi(sf_dir), k=3)
+
+
+def _ktruss_sql(rounds=8):
+    """Unrolled k=3 truss peel over the twice-co-ordered parts graph.
+    ``rounds`` must be >= the actual fixpoint round count (measured: 2
+    at sf0.001/sf0.01); extra rounds are idempotent. Every CTE is
+    MATERIALIZED — DuckDB inlines plain CTEs referenced 3x per round
+    and the scan tree explodes exponentially."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT u, v FROM ("
+        "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v, "
+        "a.l_orderkey AS o FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+        "GROUP BY u, v HAVING COUNT(*) >= 2)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT a.u AS c, a.v AS x, b.v AS y "
+            f"FROM e{p} a JOIN e{p} b ON a.u = b.u AND a.v < b.v "
+            f"JOIN e{p} ed ON ed.u = a.v AND ed.v = b.v)")
+        parts.append(
+            f"sup{r} AS MATERIALIZED (SELECT u, v, COUNT(*) AS s FROM ("
+            f"SELECT x AS u, y AS v FROM t{r} "
+            f"UNION ALL SELECT c, x FROM t{r} "
+            f"UNION ALL SELECT c, y FROM t{r}) GROUP BY u, v)")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e "
+            f"JOIN sup{r} s ON s.u = e.u AND s.v = e.v WHERE s.s >= 1)")
+    return (", ".join(parts)
+            + f" SELECT u, v FROM e{rounds} ORDER BY u, v")
+
+
 def q_part_harmonic(sf_dir):
     """Seed-sampled harmonic centrality (the disconnected-graph-safe
     centrality, Boldi & Vigna 2014) over the twice-co-ordered parts
@@ -4430,6 +4474,7 @@ def build_queries():
         "doc_jsonl_roundtrip": q_doc_jsonl_roundtrip,
         "orders_fk_violations": q_orders_fk_violations,
         "lineitem_skyline": q_lineitem_skyline,
+        "part_ktruss": q_part_ktruss,
     })
 
 
@@ -5869,6 +5914,7 @@ def build_oracles():
             "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer "
             "WHERE c_custkey % 7 != 0) ORDER BY o_orderkey"
         ),
+        "part_ktruss": _ktruss_sql(rounds=8),
         "lineitem_skyline": (
             "WITH d AS (SELECT DISTINCT l_extendedprice, l_quantity "
             "FROM lineitem), "
