@@ -1096,3 +1096,50 @@ def test_k_truss_brute_force(ray_session):
         (a, b) for a, b in itertools.combinations([30, 31, 32, 33, 34], 2)}
     with pytest.raises(ValueError):
         k_truss(rd.from_pandas(df), k=2)
+
+
+def test_maximal_independent_set_brute_force(ray_session):
+    """maximal_independent_set equals a sequential deterministic-Luby
+    reference (md5 priorities, ties by id), and the result is both
+    independent and maximal."""
+    import hashlib
+    import random
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from versa_ray.ops.graph import maximal_independent_set
+
+    def pri(n):
+        return int.from_bytes(
+            hashlib.md5(str(n).encode()).digest()[:8], "little")
+
+    rng = random.Random(8)
+    edges = set()
+    for _ in range(60):
+        a, b = rng.sample(range(25), 2)
+        edges.add((min(a, b), max(a, b)))
+    df = pd.DataFrame(sorted(edges), columns=["u", "v"])
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live, want = set(adj), set()
+    while live:
+        win = {x for x in live
+               if all((pri(w), w) > (pri(x), x)
+                      for w in adj[x] if w in live)}
+        want |= win
+        rm = set(win)
+        for x in win:
+            rm |= adj[x] & live
+        live -= rm
+
+    got = maximal_independent_set(
+        rd.from_pandas(df).repartition(4), num_buckets=5).to_pandas()
+    gset = set(got.node.astype(int))
+    assert gset == want
+    assert all(not (adj[a] & gset) for a in gset)          # independent
+    assert all(adj[x] & gset for x in set(adj) - gset)     # maximal

@@ -3273,3 +3273,167 @@ def k_truss(edges_ds, k, u="u", v="v", max_rounds=30, num_buckets=64):
     raise RuntimeError(
         f"k_truss did not reach a fixpoint in {max_rounds} rounds; "
         f"raise max_rounds")
+
+
+def maximal_independent_set(edges_ds, u="u", v="v", max_rounds=30,
+                            num_buckets=64):
+    """Deterministic Luby's maximal independent set: no two selected
+    nodes are adjacent and every unselected node has a selected
+    neighbor — the classic symmetry-breaking primitive (conflict-free
+    scheduling, landmark selection, coloring bootstrap).
+
+    Luby's randomness is replaced by the md5 priority convention
+    (``md5_number_upper(str(node))``, ties by node id), so the result
+    is a PURE FUNCTION of the edge set — reproducible across runs and
+    partition layouts, and replayable bit-exactly by a SQL oracle. A
+    node wins a round iff its (priority, id) is lexicographically
+    smaller than every LIVE neighbor's — priorities derive from the
+    node id alone, so neighbor priorities are computed in-map and the
+    winner test is ONE src-keyed coarse-bucket pass (no priority
+    join); winners and their neighbors then peel via the k_core
+    anti-/semi-join idiom. Live nodes are carried explicitly so
+    edge-isolated survivors win their round. Expected O(log n)
+    rounds; RAISES on ``max_rounds`` exhaustion rather than returning
+    a partial (hence non-maximal) set.
+
+    Input: canonical distinct undirected edges (u < v), int64 nodes.
+    Returns a Dataset of ``(node,)`` MIS members.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .dedup import _int_bucket, dedup_rows
+    from .joins import semi_join_keys
+
+    def _pri(ids: np.ndarray) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8],
+                            "little") for i in ids],
+            dtype=np.uint64)
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": np.concatenate([df[u].to_numpy(dtype=np.int64),
+                                 df[v].to_numpy(dtype=np.int64)]),
+            "b": np.concatenate([df[v].to_numpy(dtype=np.int64),
+                                 df[u].to_numpy(dtype=np.int64)]),
+        })
+
+    edges = edges_ds.map_batches(_sym, batch_format="pandas").materialize()
+    nodes = dedup_rows(
+        edges.map_batches(lambda df: pd.DataFrame(
+            {"node": df["a"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas"),
+        ["node"], num_buckets=num_buckets).materialize()
+
+    def _tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["node"].to_numpy(dtype=np.int64)})
+        out["nb"] = np.int64(-1)
+        out["_kind"] = np.int8(0)
+        out["_cbucket"] = _int_bucket(out["key"].to_numpy(), num_buckets)
+        return out
+
+    def _tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["a"].to_numpy(dtype=np.int64),
+                            "nb": df["b"].to_numpy(dtype=np.int64)})
+        out["_kind"] = np.int8(1)
+        out["_cbucket"] = _int_bucket(out["key"].to_numpy(), num_buckets)
+        return out
+
+    def _winners(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        if "_kind" not in bucket.columns or not len(bucket):
+            return empty
+        own = bucket[bucket["_kind"] == 0]["key"].to_numpy(dtype=np.int64)
+        if not len(own):
+            return empty
+        e = bucket[bucket["_kind"] == 1]
+        own_pri = _pri(own)
+        if len(e):
+            src = e["key"].to_numpy(dtype=np.int64)
+            nbp = _pri(e["nb"].to_numpy(dtype=np.int64))
+            nbi = e["nb"].to_numpy(dtype=np.int64)
+            # per-src lexicographic min of (neighbor pri, neighbor id)
+            order = np.lexsort((nbi, nbp, src))
+            s_src = src[order]
+            first = np.ones(len(s_src), dtype=bool)
+            first[1:] = s_src[1:] != s_src[:-1]
+            min_src = s_src[first]
+            min_pri = nbp[order][first]
+            min_id = nbi[order][first]
+            lookup = {int(s): (p, i) for s, p, i in
+                      zip(min_src, min_pri, min_id)}
+        else:
+            lookup = {}
+        keep = []
+        for nid, p in zip(own, own_pri):
+            m = lookup.get(int(nid))
+            if m is None or (p, nid) < m:
+                keep.append(nid)
+        return pd.DataFrame({"node": np.array(keep, dtype=np.int64)})
+
+    mis_parts = []
+    live_nodes, live_edges = nodes, edges
+    for _ in range(max_rounds):
+        if live_nodes.count() == 0:
+            out = mis_parts[0]
+            for p in mis_parts[1:]:
+                out = out.union(p)
+            return out
+        # repartition BEFORE each materialize: union+groupby rounds
+        # compound the block count and the per-round sort overhead of
+        # hundreds of near-empty blocks dwarfs the data (the k_core
+        # lesson; measured 5.6 s -> 228 s/round here without it)
+        winners = (
+            live_nodes.map_batches(_tag_node, batch_format="pandas")
+            .union(live_edges.map_batches(_tag_edge,
+                                          batch_format="pandas"))
+            .groupby("_cbucket")
+            .map_groups(_winners, batch_format="pandas")
+        ).repartition(8).materialize()
+        mis_parts.append(winners)
+        removed = winners.union(
+            semi_join_keys(
+                live_edges, winners, on="a", keys_on="node",
+                num_buckets=num_buckets, left_cols=["a", "b"]
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["b"].to_numpy()
+                     if "b" in df.columns and len(df)
+                     else np.empty(0, dtype=np.int64)}).astype(
+                    {"node": "int64"}),
+                batch_format="pandas")
+        )
+        def _int_ab(df: pd.DataFrame) -> pd.DataFrame:
+            # semi_join_keys' null-filled key rows upcast a/b to
+            # float64 in surviving blocks; coarse_bucket hashes float
+            # and int DIFFERENTLY, so the next keyed pass would never
+            # co-locate — normalize back to int64 between filters
+            return pd.DataFrame({
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64),
+            }) if len(df) and "a" in df.columns else pd.DataFrame({
+                "a": np.empty(0, dtype=np.int64),
+                "b": np.empty(0, dtype=np.int64)})
+
+        live_nodes = semi_join_keys(
+            live_nodes, removed, on="node", keys_on="node", anti=True,
+            num_buckets=num_buckets, left_cols=["node"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(dtype=np.int64)
+                 if len(df) and "node" in df.columns
+                 else np.empty(0, dtype=np.int64)}),
+            batch_format="pandas").repartition(8).materialize()
+        live_edges = semi_join_keys(
+            semi_join_keys(live_edges, live_nodes, on="a",
+                           keys_on="node", num_buckets=num_buckets,
+                           left_cols=["a", "b"]).map_batches(
+                _int_ab, batch_format="pandas"),
+            live_nodes, on="b", keys_on="node",
+            num_buckets=num_buckets,
+            left_cols=["a", "b"]).map_batches(
+            _int_ab, batch_format="pandas").repartition(8).materialize()
+    raise RuntimeError(
+        f"maximal_independent_set did not converge in {max_rounds} "
+        f"rounds; raise max_rounds")

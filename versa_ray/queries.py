@@ -3953,6 +3953,60 @@ def q_part_ktruss(sf_dir):
     return k_truss(_coorder_edges_multi(sf_dir), k=3)
 
 
+def q_part_mis(sf_dir):
+    """Deterministic Luby maximal independent set over the
+    twice-co-ordered parts graph (ops.graph.maximal_independent_set):
+    md5 priorities replace Luby's randomness, so the MIS is a pure
+    function of the edge set; one winner pass + the k_core peel idiom
+    per round, O(log n) rounds. Hash-checked against a DuckDB
+    unrolled-round NOT EXISTS replay."""
+    from .ops.graph import maximal_independent_set
+
+    return maximal_independent_set(_coorder_edges_multi(sf_dir))
+
+
+def _mis_sql(rounds=10):
+    """Unrolled deterministic-Luby replay over the twice-co-ordered
+    parts graph (measured fixpoint: 3-4 rounds at sf0.001/sf0.01;
+    extra rounds are idempotent — an empty live set elects nobody).
+    Priorities are md5_number_upper(node), ties by node id, matching
+    the engine's convention bit-exactly."""
+    parts = [
+        "WITH e0m AS MATERIALIZED (SELECT u, v FROM ("
+        "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v, "
+        "a.l_orderkey AS o FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+        "GROUP BY u, v HAVING COUNT(*) >= 2)",
+        "E0 AS MATERIALIZED (SELECT u AS a, v AS b FROM e0m "
+        "UNION ALL SELECT v, u FROM e0m)",
+        "L0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM E0)",
+        "P AS MATERIALIZED (SELECT node, "
+        "md5_number_upper(CAST(node AS VARCHAR)) AS pri FROM L0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT l.node FROM L{p} l "
+            "JOIN P lp ON lp.node = l.node WHERE NOT EXISTS ("
+            f"SELECT 1 FROM E{p} e JOIN P np ON np.node = e.b "
+            "WHERE e.a = l.node AND (np.pri < lp.pri OR "
+            "(np.pri = lp.pri AND e.b < l.node))))")
+        parts.append(
+            f"rm{r} AS MATERIALIZED (SELECT node FROM m{r} UNION "
+            f"SELECT e.b FROM E{p} e JOIN m{r} m ON e.a = m.node)")
+        parts.append(
+            f"L{r} AS MATERIALIZED (SELECT l.node FROM L{p} l "
+            f"LEFT JOIN rm{r} x ON x.node = l.node "
+            "WHERE x.node IS NULL)")
+        parts.append(
+            f"E{r} AS MATERIALIZED (SELECT e.a, e.b FROM E{p} e "
+            f"JOIN L{r} x ON x.node = e.a "
+            f"JOIN L{r} y ON y.node = e.b)")
+    final = " UNION ALL ".join(f"SELECT node FROM m{r}"
+                               for r in range(1, rounds + 1))
+    return ", ".join(parts) + f" SELECT node FROM ({final}) ORDER BY node"
+
+
 def _ktruss_sql(rounds=8):
     """Unrolled k=3 truss peel over the twice-co-ordered parts graph.
     ``rounds`` must be >= the actual fixpoint round count (measured: 2
@@ -4475,6 +4529,7 @@ def build_queries():
         "orders_fk_violations": q_orders_fk_violations,
         "lineitem_skyline": q_lineitem_skyline,
         "part_ktruss": q_part_ktruss,
+        "part_mis": q_part_mis,
     })
 
 
@@ -5915,6 +5970,7 @@ def build_oracles():
             "WHERE c_custkey % 7 != 0) ORDER BY o_orderkey"
         ),
         "part_ktruss": _ktruss_sql(rounds=8),
+        "part_mis": _mis_sql(rounds=10),
         "lineitem_skyline": (
             "WITH d AS (SELECT DISTINCT l_extendedprice, l_quantity "
             "FROM lineitem), "
