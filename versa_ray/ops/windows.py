@@ -678,3 +678,73 @@ def ngram_transitions(ds, n=3, key="user_id", order_cols=("ts", "event_id"),
         .repartition(1)
         .map_batches(_final, batch_format="pandas")
     )
+
+
+def cumulative_daily_counts(ds, key="event_type", ts_col="ts",
+                            num_buckets=64):
+    """Per-key running daily totals — (key, day, y, cum) where y is
+    the day's event count and cum the inclusive running sum in day
+    order: the cumulative-metric view (signups to date, errors to
+    date). Same two pre-aggregated coarse-bucket shuffles as
+    :func:`daily_trend` (per-batch (key, day, partial) rows merge on a
+    (key, day) bucket; a key bucket then sorts each key's
+    corpus-independent day series and cumsums vectorized). Exact
+    integers throughout; replays as SQL ``SUM() OVER``."""
+    from ..ops.dedup import coarse_bucket
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if key not in df.columns or not len(df):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "_day": pd.Series([], dtype="int64"),
+                "_y": pd.Series([], dtype="int64"),
+                "_cbucket": pd.Series([], dtype="int32")})
+        days = df[ts_col].to_numpy().astype("datetime64[D]").astype(
+            np.int64)
+        g = (pd.DataFrame({key: df[key], "_day": days})
+             .groupby([key, "_day"], as_index=False, sort=False).size()
+             .rename(columns={"size": "_y"}))
+        g["_y"] = g["_y"].astype("int64")
+        g["_cbucket"] = coarse_bucket(g, [key, "_day"], num_buckets)
+        return g
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "_day": pd.Series([], dtype="int64"),
+                "_y": pd.Series([], dtype="int64"),
+                "_cbucket": pd.Series([], dtype="int32")})
+        out = group.groupby([key, "_day"], as_index=False, sort=False)[
+            "_y"].sum()
+        out["_y"] = out["_y"].astype("int64")
+        out["_cbucket"] = coarse_bucket(out, [key], num_buckets)
+        return out
+
+    def _cum(group: pd.DataFrame) -> pd.DataFrame:
+        if key not in group.columns or not len(group):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "y": pd.Series([], dtype="int64"),
+                "cum": pd.Series([], dtype="int64")})
+        outs = []
+        for kv, g in group.groupby(key, sort=False):
+            g = g.sort_values("_day", kind="mergesort")
+            y = g["_y"].to_numpy(dtype=np.int64)
+            outs.append(pd.DataFrame({
+                key: kv,
+                "day": g["_day"].to_numpy().astype(
+                    "datetime64[D]").astype("datetime64[us]"),
+                "y": y,
+                "cum": np.cumsum(y),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_merge, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(_cum, batch_format="pandas")
+    )

@@ -3923,6 +3923,21 @@ def q_doc_profile(sf_dir):
         _docs(sf_dir), ["doc_id", "lang", "n_chars", "source"])
 
 
+def q_events_daily_cumulative(sf_dir):
+    """Per-type running daily totals (ops.windows.cumulative_daily_counts
+    — the daily_trend shuffle shape plus a vectorized per-key cumsum
+    over the corpus-independent day series). Exact integers;
+    hash-checked against a SQL SUM() OVER replay."""
+    import ray.data as rd
+
+    from .ops.windows import cumulative_daily_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
+        override_num_blocks=_blocks_for())
+    return cumulative_daily_counts(ev, key="event_type")
+
+
 def q_events_trigrams(sf_dir):
     """Per-user consecutive event-type trigram counts (session path
     mining) — ops.windows.ngram_transitions: one user-bucket shuffle,
@@ -4530,6 +4545,7 @@ def build_queries():
         "lineitem_skyline": q_lineitem_skyline,
         "part_ktruss": q_part_ktruss,
         "part_mis": q_part_mis,
+        "events_daily_cumulative": q_events_daily_cumulative,
     })
 
 
@@ -5949,6 +5965,14 @@ def build_oracles():
             "SELECT node, CAST(count(*) AS BIGINT) AS n_reached, "
             "CAST(sum(CASE WHEN d > 0 THEN 1000000000 // d ELSE 0 END) "
             "AS BIGINT) AS harmonic_e9 FROM md GROUP BY node"
+        ),
+        "events_daily_cumulative": (
+            "WITH daily AS (SELECT event_type, "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2) "
+            "SELECT event_type, day, y, "
+            "CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day) "
+            "AS BIGINT) AS cum FROM daily ORDER BY event_type, day"
         ),
         "events_trigrams": (
             "SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) "
