@@ -3414,3 +3414,48 @@ def test_skyline2d_brute_force(ray_session):
                         "x", "y").to_pandas()
         got = set(zip(out.x.astype(int), out.y.astype(int)))
         assert got == want
+
+
+def test_winnow_poly_hasher_fast_path(ray_session):
+    """The 'poly' production hasher selects with the identical window
+    rule (equality vs a scalar polynomial reference) and preserves the
+    w+k-1 shared-substring guarantee; it is substantially faster than
+    the md5 oracle hasher on a long document."""
+    import time
+
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import (_winnow_hash_poly,
+                                     winnow_fingerprints)
+
+    k, w = 8, 8
+    text = "the quick brown fox jumps over the lazy dog " * 40
+    m = len(text) - k + 1
+    h = _winnow_hash_poly(text, k, m)
+    B = 0x100000001B3
+    MASK = (1 << 64) - 1
+    data = text.encode()
+    for p in [0, 1, 17, m - 1]:   # scalar polynomial reference
+        ref = 0
+        for byte in data[p:p + k]:
+            ref = (ref * B + byte) & MASK
+        assert int(h[p]) == ref, p
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": [text + "UNIQUE-A-TAIL", text + "DIFFERENT-B-END"],
+    })
+    out = winnow_fingerprints(
+        rd.from_pandas(docs), k=k, w=w, hasher="poly").to_pandas()
+    fps = {d: set(g.fp) for d, g in out.groupby("doc_id")}
+    assert fps[1] & fps[2]        # shared prefix -> shared fingerprints
+
+    big = "x".join(str(i) for i in range(5000))
+    t0 = time.perf_counter()
+    _winnow_hash_poly(big, k, len(big) - k + 1)
+    poly_t = time.perf_counter() - t0
+    from versa_ray.ops.dedup import _winnow_hash_md5
+    t0 = time.perf_counter()
+    _winnow_hash_md5(big, k, len(big) - k + 1)
+    md5_t = time.perf_counter() - t0
+    assert poly_t < md5_t         # the fast path is actually faster
