@@ -3459,3 +3459,56 @@ def test_winnow_poly_hasher_fast_path(ray_session):
     _winnow_hash_md5(big, k, len(big) - k + 1)
     md5_t = time.perf_counter() - t0
     assert poly_t < md5_t         # the fast path is actually faster
+
+
+def test_winnow_containment_brute_force(ray_session):
+    """winnow_containment_pairs: a short doc fully contained in a long
+    one shows containment ~1 while Jaccard stays low, and counts equal
+    a brute-force reference."""
+    import hashlib
+
+    import ray.data as rd
+
+    from versa_ray.ops.dedup import winnow_containment_pairs
+
+    k, w = 6, 4
+    quote = "to be or not to be that is the question entirely"
+    filler = " ".join("word%d" % i for i in range(220))
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [quote,                       # the short source
+                 filler[:400] + quote + filler[400:],  # quotes it
+                 "completely unrelated content with other tokens"],
+    })
+
+    def sketch(text):
+        m = len(text) - k + 1
+        if m < w:
+            return set()
+        h = [int.from_bytes(hashlib.md5(text[i:i + k].encode()).digest()[:8],
+                            "little") for i in range(m)]
+        sel = set()
+        for e in range(w - 1, m):
+            window = h[e - w + 1:e + 1]
+            mn = min(window)
+            for j in range(w - 1, -1, -1):
+                if window[j] == mn:
+                    sel.add(mn)
+                    break
+        return sel
+
+    sk = {int(r.doc_id): sketch(r.text) for r in docs.itertuples()}
+    out = winnow_containment_pairs(
+        rd.from_pandas(docs).repartition(3), k=k, w=w, min_shared=2,
+        max_fp_docs=10, num_buckets=4).to_pandas()
+    got = {(int(r.id_a), int(r.id_b)): (int(r.shared), int(r.n_a),
+                                        int(r.n_b))
+           for r in out.itertuples()}
+    assert (1, 2) in got
+    shared, n_a, n_b = got[(1, 2)]
+    assert n_a == len(sk[1]) and n_b == len(sk[2])
+    assert shared == len(sk[1] & sk[2])
+    containment = shared / min(n_a, n_b)
+    jaccard = shared / len(sk[1] | sk[2])
+    assert containment > 0.9 and jaccard < 0.5
+    assert not any(3 in p for p in got)   # unrelated doc pairs with no one

@@ -2644,3 +2644,94 @@ def winnow_overlap_pairs(ds, text_col="text", id_col="doc_id", k=8, w=8,
         .groupby("_cbucket")
         .map_groups(_count, batch_format="pandas")
     )
+
+
+def winnow_containment_pairs(ds, text_col="text", id_col="doc_id", k=8,
+                             w=8, min_shared=2, max_fp_docs=64,
+                             num_buckets=64, hasher="md5"):
+    """Asymmetric overlap detection on winnowing sketches: for every
+    pair sharing >= ``min_shared`` fingerprints, emit
+    ``(id_a, id_b, shared, n_a, n_b)`` — shared fingerprint count plus
+    BOTH documents' distinct-fingerprint sketch sizes, so callers can
+    compute containment ``shared / min(n_a, n_b)`` (the
+    quote/partial-plagiarism signal near-dup Jaccard misses: a short
+    doc fully quoted inside a long one has low Jaccard but containment
+    ~1). All integers, so the result replays exactly in SQL.
+
+    Pipeline: :func:`winnow_overlap_pairs` supplies the (hub-capped)
+    pair candidates; per-doc sketch sizes come from a per-batch
+    groupby (a document's fingerprints are emitted by one map call, so
+    batch-local counts are globally exact); sizes attach to the pairs
+    through two tagged coarse-bucket joins keyed on each endpoint —
+    pair volume never joins against the corpus, only against the
+    doc-cardinality count table.
+    """
+    pairs = winnow_overlap_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, w=w,
+        min_shared=min_shared, max_fp_docs=max_fp_docs,
+        num_buckets=num_buckets, hasher=hasher)
+
+    fps = winnow_fingerprints(
+        ds, text_col=text_col, id_col=id_col, k=k, w=w, hasher=hasher)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates([id_col, "fp"])
+             .groupby(id_col, sort=False).size())
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(dtype=np.int64),
+            "n_fp": g.to_numpy(dtype=np.int64)})
+
+    # consumed once per endpoint pass — materialize so the winnow
+    # hashing is not recomputed per consumption
+    counts = fps.map_batches(_counts, batch_format="pandas").materialize()
+
+    def _attach(side, out_col):
+        def _tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["_kind"] = np.int8(1)
+            out["_cbucket"] = _int_bucket(
+                out[side].to_numpy(dtype=np.int64), num_buckets)
+            return out
+
+        def _tag_counts(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({side: df[id_col].to_numpy(dtype=np.int64),
+                                "n_fp": df["n_fp"].to_numpy(np.int64)})
+            out["_kind"] = np.int8(0)
+            out["_cbucket"] = _int_bucket(
+                out[side].to_numpy(dtype=np.int64), num_buckets)
+            return out
+
+        def _join(bucket: pd.DataFrame) -> pd.DataFrame:
+            if "_kind" not in bucket.columns or not len(bucket):
+                return pd.DataFrame({
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "shared": pd.Series([], dtype="int64"),
+                    **({out_col: pd.Series([], dtype="int64")}
+                       if out_col != "n_a"
+                       else {"n_a": pd.Series([], dtype="int64")})})
+            p = bucket[bucket["_kind"] == 1].drop(
+                columns=["_kind", "_cbucket", "n_fp"], errors="ignore")
+            c = bucket[bucket["_kind"] == 0][[side, "n_fp"]]
+            m = p.merge(c, on=side, how="left")
+            m[out_col] = m["n_fp"].fillna(0).astype("int64")
+            m = m.drop(columns=["n_fp"])
+            # the union's count rows null-fill pair columns and float-
+            # upcast them; renormalize every int column each pass
+            casts = {col: "int64" for col in
+                     ("id_a", "id_b", "shared", "n_a", "n_b")
+                     if col in m.columns}
+            return m.astype(casts)
+
+        return _tag_pairs, _tag_counts, _join
+
+    cur = pairs
+    for side, out_col in (("id_a", "n_a"), ("id_b", "n_b")):
+        tp, tc, jn = _attach(side, out_col)
+        cur = (
+            cur.map_batches(tp, batch_format="pandas")
+            .union(counts.map_batches(tc, batch_format="pandas"))
+            .groupby("_cbucket")
+            .map_groups(jn, batch_format="pandas")
+        )
+    return cur

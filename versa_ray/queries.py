@@ -4328,6 +4328,19 @@ def q_events_daily_trend(sf_dir):
     return daily_trend(ev, key="event_type")
 
 
+def q_doc_winnow_containment(sf_dir):
+    """Asymmetric overlap (containment) on winnowing sketches:
+    overlap pairs annotated with BOTH docs' distinct-fingerprint
+    sketch sizes (ops.dedup.winnow_containment_pairs — pair candidates
+    from fingerprint equality, sizes attached via two tagged bucket
+    joins against the doc-cardinality count table). All integers;
+    hash-checked against the SQL join replay."""
+    return dd.winnow_containment_pairs(
+        _docs_with(sf_dir, ["doc_id", "text"]),
+        k=WINNOW_K, w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED, max_fp_docs=WINNOW_CAP)
+
+
 def q_doc_len_outliers(sf_dir):
     """Per-source robust length outliers: |n_chars - median| > 3*MAD
     with both medians exact-discrete (ops.agg.mad_outliers — two
@@ -4546,6 +4559,7 @@ def build_queries():
         "part_ktruss": q_part_ktruss,
         "part_mis": q_part_mis,
         "events_daily_cumulative": q_events_daily_cumulative,
+        "doc_winnow_containment": q_doc_winnow_containment,
     })
 
 
@@ -4866,6 +4880,24 @@ def build_oracles():
             "FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id "
             "JOIN ok ON ok.h = a.h GROUP BY a.doc_id, b.doc_id "
             f"HAVING COUNT(*) >= {WINNOW_MIN_SHARED} ORDER BY id_a, id_b"
+        ),
+        "doc_winnow_containment": (
+            f"WITH {_winnow_ctes()}, "
+            "dfp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM wsel), "
+            "cnt AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_fp FROM dfp GROUP BY doc_id), "
+            "ok AS (SELECT h FROM dfp GROUP BY h "
+            f"HAVING COUNT(*) <= {WINNOW_CAP}), "
+            "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(COUNT(*) AS BIGINT) AS shared "
+            "FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "JOIN ok ON ok.h = a.h GROUP BY a.doc_id, b.doc_id "
+            f"HAVING COUNT(*) >= {WINNOW_MIN_SHARED}) "
+            "SELECT pr.id_a, pr.id_b, pr.shared, ca.n_fp AS n_a, "
+            "cb.n_fp AS n_b FROM pr "
+            "JOIN cnt ca ON ca.doc_id = pr.id_a "
+            "JOIN cnt cb ON cb.doc_id = pr.id_b "
+            "ORDER BY id_a, id_b"
         ),
         "doc_len_outliers": (
             "WITH med AS (SELECT source, quantile_disc(n_chars, 0.5) "
